@@ -1,0 +1,72 @@
+"""OCR stage: cell crops -> cell text (actor pool).
+
+The reference's dominant cost: a per-cell EasyOCR call with the reader
+rebuilt per document (``table_extraction/recognition.py:167-238``). Here the
+recognizer state (glyph decode table for the synthetic backend; an EasyOCR
+reader for the optional real backend) is built ONCE per actor in
+``__init__`` and each ``__call__`` recognizes a whole batch of cells —
+exactly the state/actor split SURVEY.md §2.3 commits to.
+
+Output contract per cell (reference recognition.py:226-232): empty crop ->
+'', else recognized text with a trailing space per line, then de-hyphenated
+(recognition.py:151-164, applied at :228). The image column is dropped.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..render import ocr_cell_crop
+from ..textproc import remove_hyphenated_words
+from .decode import image_from_row
+from .explode import work_table
+
+
+class OcrCells:
+    def __init__(self, backend: str = "synthetic-glyph"):
+        if backend == "easyocr":  # pragma: no cover - not available in sandbox
+            raise NotImplementedError(
+                "EasyOCR backend requires torch/easyocr (reference "
+                "recognition.py:195-199); the sandbox default is the "
+                "deterministic synthetic-glyph recognizer"
+            )
+        self.backend = backend
+        # Force-build the glyph decode table once per actor.
+        from ..glyphs import _decode_table
+
+        _decode_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["kind"], "cell")
+        if not pc.any(mask).as_py():
+            return batch
+        cells = batch.filter(mask)
+        passthrough = batch.filter(pc.invert(mask))
+
+        texts: list[str] = []
+        imgs = cells["img"].to_pylist()
+        hs = cells["img_h"].to_pylist()
+        ws = cells["img_w"].to_pylist()
+        for img, h, w in zip(imgs, hs, ws):
+            if h <= 0 or w <= 0 or not img:
+                texts.append("")
+                continue
+            decoded = ocr_cell_crop(image_from_row(img, h, w))
+            texts.append(remove_hyphenated_words(decoded + " ") if decoded else "")
+
+        out = work_table(
+            {
+                "doc_id": cells["doc_id"],
+                "offset": cells["offset"],
+                "kind": cells["kind"],
+                "media_ref": cells["media_ref"],
+                "table_no": cells["table_no"],
+                "x1": cells["x1"],
+                "y1": cells["y1"],
+                "x2": cells["x2"],
+                "y2": cells["y2"],
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([passthrough, out], promote_options="none")
