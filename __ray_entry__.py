@@ -1,44 +1,259 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on the t1 synthetic
+corpus; ``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data-pipeline additions; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query (identical
+column names; float outputs as fixed-point integers via the shared
+``floor(x*10^k + 0.5)`` formula so value hashes match bit-for-bit).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
+# --------------------------------------------------------------------------
+# Corpus tiers: the extraction pipeline runs on the FIXTURES.md synthetic
+# interleaved corpus (the BASELINE.json input_hint shape), synthesized
+# deterministically per scale tier and cached under /tmp.
+# --------------------------------------------------------------------------
+
+_SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from tableextraction_ray.datagen import generate_corpus
+
+    tier = _SF_TO_TIER.get(os.path.basename(os.path.normpath(sf_dir)), "t1")
+    return generate_corpus(f"/tmp/graft_corpus/{tier}", tier=tier)
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the t1 corpus (driver checks rows >= 0)."""
+    from tableextraction_ray.pipelines.extract import build_extraction_pipeline
+    from tableextraction_ray.stages import explode_result_spans
+
+    corpus = _corpus_for("/root/testdata/sf0.001")
+    result = build_extraction_pipeline(corpus)
+    return result.map_batches(explode_result_spans, batch_format="pyarrow")
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tableextraction_ray.functions import dedup, relational, similarity, textstats
+    from tableextraction_ray.pipelines.extract import build_extraction_pipeline
+    from tableextraction_ray.stages import explode_result_spans
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_spans(sf_dir: str):
+        corpus = _corpus_for(sf_dir)
+        return build_extraction_pipeline(corpus).map_batches(
+            explode_result_spans, batch_format="pyarrow"
+        )
+
+    def docs(sf_dir, cols):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=cols
+        )
+
+    return {
+        # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
+        "extract_spans": extract_spans,
+        # -- deduplication --
+        "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
+        # -- similarity search --
+        "knn_cosine": lambda sf: similarity.knn_bruteforce(_read(sf, "embeddings")),
+        "embedding_near_dup": lambda sf: similarity.near_dup_pairs(
+            _read(sf, "embeddings")
+        ),
+        "embedding_near_dup_lsh": lambda sf: similarity.lsh_near_dup(
+            _read(sf, "embeddings")
+        ),
+        # -- text analysis --
+        "fingerprint": lambda sf: textstats.fingerprint(docs(sf, ["doc_id", "text"])),
+        "token_stats": lambda sf: textstats.token_stats(docs(sf, ["doc_id", "text"])),
+        "lang_stats": lambda sf: textstats.lang_stats(
+            docs(sf, ["doc_id", "lang", "n_chars"])
+        ),
+        "lang_id": lambda sf: textstats.lang_id(docs(sf, ["doc_id", "text"])),
+        "dehyphenate": lambda sf: textstats.dehyphenate(docs(sf, ["doc_id", "text"])),
+        "classify_docs": lambda sf: textstats.classify_docs(
+            docs(sf, ["doc_id", "text"])
+        ),
+        # -- relational / streaming demos --
+        "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem")),
+        "orders_by_segment": lambda sf: relational.orders_by_segment(
+            _read(sf, "orders"), _read(sf, "customer")
+        ),
+        "events_hourly": lambda sf: relational.events_hourly(_read(sf, "events")),
+        "sessionize": lambda sf: relational.sessionize(_read(sf, "events")),
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles. Shared fragments keep the Ray and SQL sides literally in
+# sync on tokenization/shingling/fixed-point formulas.
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        for i in range(len(w) - 2)]) AS shingles
+  FROM toks WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         [list_min([md5(p::VARCHAR || ':' || s) for s in shingles])
+          for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS key
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
+        "dedup_ngram_jaccard": _SHINGLES_CTE
+        + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(len(list_intersect(sa.shingles, sb.shingles)) * 1000000.0
+                              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                              + 0.5) AS BIGINT) AS jaccard_fp6
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        "knn_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     CAST(FLOOR(list_cosine_similarity(e.embedding, q.qe) * 100000
+                                + 0.5) AS BIGINT) AS cos_fp5
+              FROM embeddings e, q
+              WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, cos_fp5 FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_fp5 DESC, vec_id
+              ) AS rn FROM scored
+            ) WHERE rn <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 100000
+                              + 0.5) AS BIGINT) AS cos_fp5
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 100000
+                             + 0.5) AS BIGINT) >= 35000
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "token_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   len([t for t in w if t IN ('the','and','of','a','in')]) AS n_stopwords,
+                   CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS BIGINT) AS sum_token_len
+            FROM toks
+        """,
+        "lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                             AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
+                                 > 3 * length(regexp_replace(text, '\s', '', 'g'))
+                        THEN 'cyr' ELSE 'lat' END AS pred_lang
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH l AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM l
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+            FROM s GROUP BY user_id, session_no
+        """,
+    }

@@ -1,0 +1,187 @@
+"""Deduplication over a documents table: exact, MinHash+LSH, n-gram Jaccard.
+
+Scale notes (the 100 TB story):
+
+- exact: key = md5(text) computed inside map_batches; the groupby shuffles
+  only (hash, doc_id) pairs — never the text payloads.
+- MinHash+LSH: shingle -> 16-perm minhash signature -> 4 banded keys per
+  doc; candidate pairs come from a groupby on (band, key) — the classic
+  shuffle-light near-dup join (no O(n^2) compare; only same-bucket pairs).
+- n-gram Jaccard: exact verification over the LSH candidates only.
+
+The MinHash permutations are md5-keyed (``md5(f"{perm}:{shingle}")``), so the
+DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+NUM_PERMS = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_N = 3
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_md5, keep_doc_id, n_copies) — keep the minimum doc_id per exact
+    content hash."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "text_md5": pa.array(
+                    [_md5(t) for t in batch["text"].to_pylist()], type=pa.string()
+                ),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    agg = ds.map_batches(hash_batch, batch_format="pyarrow").groupby("text_md5").aggregate(
+        Min("doc_id"), Count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "text_md5": batch["text_md5"],
+                "keep_doc_id": batch["min(doc_id)"].cast(pa.int64()),
+                "n_copies": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def shingle_set(text: str) -> list[str]:
+    """Distinct word 3-gram shingles, first-occurrence order (matches the
+    oracle's list_distinct only as a set — consumers must be order-free)."""
+    toks = text.split()
+    if len(toks) < SHINGLE_N:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - SHINGLE_N + 1):
+        seen.setdefault(" ".join(toks[i : i + SHINGLE_N]), None)
+    return list(seen)
+
+
+def minhash_signature(shingles: list[str]) -> list[str]:
+    return [
+        min(_md5(f"{p}:{s}") for s in shingles) for p in range(NUM_PERMS)
+    ]
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    doc_ids, bands, keys = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sh = shingle_set(text)
+        if not sh:
+            continue
+        sig = minhash_signature(sh)
+        for b in range(NUM_BANDS):
+            key = _md5("|".join(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            doc_ids.append(doc_id)
+            bands.append(b)
+            keys.append(key)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "band": pa.array(bands, type=pa.int64()),
+            "key": pa.array(keys, type=pa.string()),
+        }
+    )
+
+
+def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_a, doc_b) — distinct candidate near-dup pairs from LSH banding."""
+    bands = ds.map_batches(_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # Distinct across bands: a tiny groupby on the pair key.
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"]}
+        )
+
+    return distinct.map_batches(project, batch_format="pyarrow")
+
+
+def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard_fp6) — exact 3-gram Jaccard for every LSH
+    candidate pair, fixed-point 1e6. The shingle sets of the (small) pair
+    population are broadcast via ray.put instead of a second shuffle join:
+    the candidate list is the small side by construction."""
+    import ray
+
+    from . import fp
+
+    cand = minhash_candidates(ds).take_all()
+    needed = sorted({r["doc_a"] for r in cand} | {r["doc_b"] for r in cand})
+    needed_set = set(needed)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        out_id, out_sh = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id in needed_set:
+                out_id.append(doc_id)
+                out_sh.append(shingle_set(text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "shingles": pa.array(out_sh, type=pa.list_(pa.string())),
+            }
+        )
+
+    sh_rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    shingles = {r["doc_id"]: set(r["shingles"]) for r in sh_rows}
+    shingles_ref = ray.put(shingles)
+
+    pairs_ds = ray.data.from_items(cand) if cand else ray.data.from_items(
+        [{"doc_a": 0, "doc_b": 0}]
+    ).limit(0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sh = ray.get(shingles_ref)
+        a_col = batch["doc_a"].to_pylist()
+        b_col = batch["doc_b"].to_pylist()
+        jac = []
+        for a, b in zip(a_col, b_col):
+            sa, sb = sh[a], sh[b]
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            jac.append(fp(inter * 1000000.0 / uni, 0) if uni else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a_col, type=pa.int64()),
+                "doc_b": pa.array(b_col, type=pa.int64()),
+                "jaccard_fp6": pa.array(jac, type=pa.int64()),
+            }
+        )
+
+    return pairs_ds.map_batches(score, batch_format="pyarrow")

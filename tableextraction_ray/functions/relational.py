@@ -1,0 +1,192 @@
+"""Relational demos: partial-aggregate groupbys, a broadcast join, a
+windowed (hourly) aggregate and sessionization over the events stream.
+
+These exercise the engine's shuffle discipline (SURVEY.md §2.5-2.6): money
+amounts become exact integer cents inside map_batches (no float-sum drift),
+heavy aggregation pre-combines per block before the small groupby, and the
+small dimension side of a join is broadcast via ray.put instead of shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — SQL: CAST(FLOOR(x*100 + 0.5) AS BIGINT)."""
+    vals = np.asarray(col.to_pylist(), dtype=np.float64)
+    return pa.array(np.floor(vals * 100.0 + 0.5).astype(np.int64), type=pa.int64())
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary with exact integer-cent sums:
+    (l_returnflag, l_linestatus, sum_qty_c, sum_price_c, sum_disc_c, n_rows).
+    The cent conversion + projection happens per block; only the 6-column
+    narrow rows reach the groupby."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": _cents(batch["l_quantity"]),
+                "price_c": _cents(batch["l_extendedprice"]),
+                "disc_c": _cents(batch["l_discount"]),
+            }
+        )
+
+    agg = (
+        lineitem.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_c"), Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty_c": batch["sum(qty_c)"].cast(pa.int64()),
+                "sum_price_c": batch["sum(price_c)"].cast(pa.int64()),
+                "sum_disc_c": batch["sum(disc_c)"].cast(pa.int64()),
+                "n_rows": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def orders_by_segment(
+    orders: ray.data.Dataset, customer: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(c_mktsegment, n_orders, total_c) — orders joined to the customer
+    dimension. The small side is broadcast once via ray.put and probed
+    inside map_batches (no shuffle join, SURVEY.md §2.5)."""
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in customer.select_columns(["c_custkey", "c_mktsegment"]).take_all()
+    }
+    cust_ref = ray.put(cust)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        segs = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "price_c": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    agg = (
+        orders.map_batches(probe, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(), Sum("price_c"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": batch["count()"].cast(pa.int64()),
+                "total_c": batch["sum(price_c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, hour, n_events, sum_value_c) — windowed (hourly bucket)
+    aggregate over the event stream; the hour is emitted as a formatted
+    string so hashes are timezone/type-stable."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour"), format="%Y-%m-%d %H:00:00"
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "hour": hours,
+                "value_c": _cents(batch["value"]),
+            }
+        )
+
+    agg = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(), Sum("value_c"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "hour": batch["hour"],
+                "n_events": batch["count()"].cast(pa.int64()),
+                "sum_value_c": batch["sum(value_c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
+    """(user_id, session_no, n_events, start_ts, end_ts) — per-user sessions
+    split at inactivity gaps > gap_minutes. Groupby(user_id) shuffles only
+    the narrow (user_id, ts) projection; session assignment is a per-group
+    sorted sweep (the reference has no streaming ops — SURVEY.md §2.8 — this
+    is an engine-level addition)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": batch["user_id"], "ts": batch["ts"]}
+        )
+
+    def build_sessions(group: pa.Table) -> pa.Table:
+        user = group["user_id"][0].as_py()
+        ts = sorted(t.value for t in group["ts"])  # microseconds
+        sessions = []
+        start = prev = ts[0]
+        count = 1
+        session_no = 0
+        for t in ts[1:]:
+            if t - prev > gap_us:
+                sessions.append((session_no, count, start, prev))
+                session_no += 1
+                start = t
+                count = 1
+            else:
+                count += 1
+            prev = t
+        sessions.append((session_no, count, start, prev))
+
+        def fmt(us: int) -> str:
+            import datetime
+
+            # Exact integer arithmetic (no float epoch-seconds rounding).
+            dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+            return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([user] * len(sessions), type=pa.int64()),
+                "session_no": pa.array([s[0] for s in sessions], type=pa.int64()),
+                "n_events": pa.array([s[1] for s in sessions], type=pa.int64()),
+                "start_ts": pa.array([fmt(s[2]) for s in sessions], type=pa.string()),
+                "end_ts": pa.array([fmt(s[3]) for s in sessions], type=pa.string()),
+            }
+        )
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(build_sessions, batch_format="pyarrow")
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_bruteforce: exact cosine top-k per query — the baseline: the (tiny)
+  query matrix is broadcast once via ray.put and every batch does one
+  vectorized float64 matmul against it; global top-k is a per-query
+  groupby reduction over the per-batch survivors.
+- lsh_near_dup / near_dup_pairs: the scale path for all-pairs near-dup —
+  random-hyperplane LSH buckets (seeded, deterministic) turn O(n^2) into
+  per-bucket comparisons; the sandbox-size exact variant is the oracle.
+
+Fixed-point cosine (1e5, floor(x+0.5) half-up) keeps parity with the DuckDB
+``list_cosine_similarity`` oracle bit-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+N_QUERIES = 8
+TOP_K = 10
+# Pair threshold (fixed-point 1e5). The synthetic embeddings have no true
+# near-duplicates (max off-diagonal cosine ~0.51), so the "similar pair"
+# threshold sits below that to exercise the pair machinery; for a real
+# near-dup corpus set it to ~0.99.
+NEAR_DUP_FP5 = 35000
+
+
+def _fp5(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100000.0 + 0.5).astype(np.int64)
+
+
+def _cos_matrix(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """float64 cosine of every row of mat against every query row, computed
+    as dot/(|a|*|b|) — the same formula as DuckDB's list_cosine_similarity,
+    so fixed-point parity holds."""
+    return (mat @ queries.T) / (
+        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(queries, axis=1)[None, :]
+    )
+
+
+def _stack(batch: pa.Table) -> np.ndarray:
+    return np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+
+
+def knn_bruteforce(ds: ray.data.Dataset, n_queries: int = N_QUERIES, k: int = TOP_K) -> ray.data.Dataset:
+    """(query_id, vec_id, cos_fp5) — exact top-k cosine neighbors for the
+    first ``n_queries`` vectors (query_id = vec_id < n_queries), excluding
+    self; ties broken by vec_id ascending."""
+    import pyarrow.compute as pc
+
+    def only_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["vec_id"], pa.scalar(n_queries)))
+
+    queries = sorted(
+        ds.map_batches(only_queries, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = [r["vec_id"] for r in queries]
+    q_mat = np.asarray([r["embedding"] for r in queries], dtype=np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
+        mat = _stack(batch)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cos = _cos_matrix(mat, q_mat)  # (batch, nq)
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            col = _fp5(cos[:, qi])
+            mask = vec_ids != q_id
+            vids, vals = vec_ids[mask], col[mask]
+            order = np.lexsort((vids, -vals))[:k]  # per-batch survivors
+            out_q.extend([q_id] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_c.extend(vals[order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_fp5": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(), key=lambda r: (-r["cos_fp5"], r["vec_id"])
+        )[:k]
+        return pa.Table.from_pylist(rows, schema=group.schema)
+
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )
+
+
+def near_dup_pairs(ds: ray.data.Dataset, threshold_fp5: int = NEAR_DUP_FP5) -> ray.data.Dataset:
+    """(vec_a, vec_b, cos_fp5) — all pairs with cosine >= threshold (a < b).
+
+    Sandbox-exact variant: the full (n x d) matrix is broadcast once via
+    ray.put and each batch compares its rows against all later rows — O(n^2)
+    work but O(n/b) shuffle. For 10^9+ vectors swap in lsh_near_dup."""
+    all_rows = ds.take_all()
+    ids = np.asarray([r["vec_id"] for r in all_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.asarray([r["embedding"] for r in all_rows], dtype=np.float64)[order]
+    mat_ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(mat_ref)
+        mat_b = _stack(batch)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cos = _fp5(_cos_matrix(mat_b, mat_all))
+        a_out, b_out, c_out = [], [], []
+        for i, va in enumerate(vec_ids):
+            hits = np.flatnonzero((cos[i] >= threshold_fp5) & (ids_all > va))
+            for j in hits:
+                a_out.append(int(va))
+                b_out.append(int(ids_all[j]))
+                c_out.append(int(cos[i, j]))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(a_out, type=pa.int64()),
+                "vec_b": pa.array(b_out, type=pa.int64()),
+                "cos_fp5": pa.array(c_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def lsh_near_dup(
+    ds: ray.data.Dataset,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """(vec_a, vec_b, cos_fp5) — near-dup pairs via random-hyperplane LSH
+    buckets: vectors sharing a signbit signature are compared exactly within
+    the bucket (a groupby, not a broadcast). Recall < 1 by design — this is
+    the 10^9-vector scale path; no SQL oracle (rows-only check)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _stack(batch)
+        sig = (mat @ planes) > 0
+        keys = [
+            "".join("1" if b else "0" for b in row) for row in sig
+        ]
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(keys, type=pa.string()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def in_bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["vec_id"])
+        a_out, b_out, c_out = [], [], []
+        if len(rows) > 1:
+            mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+            mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = _fp5(mn @ mn.T)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if cos[i, j] >= threshold_fp5:
+                        a_out.append(rows[i]["vec_id"])
+                        b_out.append(rows[j]["vec_id"])
+                        c_out.append(int(cos[i, j]))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(a_out, type=pa.int64()),
+                "vec_b": pa.array(b_out, type=pa.int64()),
+                "cos_fp5": pa.array(c_out, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(in_bucket_pairs, batch_format="pyarrow")
+    )
