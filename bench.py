@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline extraction pipeline and the query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE
+JSON line::
+
+    {"metric": "extract_e2e", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs": N, "docs_per_sec": N}
+
+``--scaling``: run the identical headline job in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for the
+north rule's N vs 4N node clusters) and report both throughputs plus
+efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4.
+
+``--headline-only`` (internal): used by the scaling child processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Queries that are O(n^2)-ish sandbox-exact oracles; still cheap at sf0.1.
+QUERY_SUITE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "knn_cosine",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "fingerprint",
+    "token_stats",
+    "lang_stats",
+    "lang_id",
+    "dehyphenate",
+    "classify_docs",
+    "pricing_summary",
+    "orders_by_segment",
+    "events_hourly",
+    "sessionize",
+]
+
+
+def _consume(result) -> int:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    return len(result)
+
+
+def run_headline(sf_dir: str) -> tuple[float, int]:
+    """Extraction wall seconds + doc count on the tier corpus for sf_dir.
+    Corpus generation is cached and excluded from the timing."""
+    import __ray_entry__ as entry_mod
+    from tableextraction_ray.pipelines.extract import build_extraction_pipeline
+
+    corpus = entry_mod._corpus_for(sf_dir)
+    t0 = time.time()
+    n_docs = build_extraction_pipeline(corpus).count()
+    return time.time() - t0, n_docs
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        tput8 = results[8]["docs_per_sec"]
+        tput32 = results[32]["docs_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "extract_scaling_efficiency",
+                    "value": round((tput32 / tput8) / 4, 4),
+                    "unit": "ratio",
+                    "sf": SF_DIR,
+                    "docs_per_sec_8": tput8,
+                    "docs_per_sec_32": tput32,
+                    "wall_8": results[8]["value"],
+                    "wall_32": results[32]["value"],
+                    "docs": results[32]["docs"],
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+    wall, n_docs = run_headline(SF_DIR)
+    payload = {
+        "metric": "extract_e2e",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
+
+    if "--headline-only" not in sys.argv:
+        import __ray_entry__ as entry_mod
+
+        queries = entry_mod.queries()
+        q_times = {}
+        for name in QUERY_SUITE:
+            t0 = time.time()
+            _consume(queries[name](SF_DIR))
+            q_times[name] = round(time.time() - t0, 3)
+        payload["queries"] = q_times
+
+    print(json.dumps(payload))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,31 @@ def _runs(row: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts, stops))
 
 
+def _runs_2d(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All maximal horizontal True runs of a 2-D bool mask at once:
+    (rows, starts, stops_excl) int arrays, row-major order. One vectorized
+    diff instead of a Python loop per row — the hot path of every image
+    stage."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1 : w + 1] = mask
+    d = np.diff(padded, axis=1)
+    rs, cs = np.nonzero(d == 1)
+    _re, ce = np.nonzero(d == -1)
+    return rs, cs, ce  # starts/stops pair up elementwise (same row, in order)
+
+
+def _runs_to_mask(
+    shape: tuple[int, int], rows: np.ndarray, starts: np.ndarray, stops: np.ndarray
+) -> np.ndarray:
+    """Rebuild a bool mask from horizontal runs (vectorized interval paint)."""
+    acc = np.zeros((shape[0], shape[1] + 1), dtype=np.int8)
+    if len(rows):
+        np.add.at(acc, (rows, starts), 1)
+        np.add.at(acc, (rows, stops), -1)
+    return np.cumsum(acc, axis=1)[:, :-1] > 0
+
+
 def extract_lines(image: np.ndarray) -> tuple[list[Line], list[Line]]:
     """Extract (vertical_lines, horizontal_lines) from a grayscale table image,
     in y-flipped math coordinates, as the reference's get_lines_Hough does
@@ -107,15 +132,15 @@ def extract_lines(image: np.ndarray) -> tuple[list[Line], list[Line]]:
     v_mask = _open_1d(ink, 7, axis=0)  # survives: vertical runs >= 7
 
     horizontal: list[Line] = []
-    for y in range(h):
-        for x1, x2 in _runs(h_mask[y]):
-            if x2 - x1 >= MIN_SEGMENT_LEN:
-                horizontal.append((int(x1), h - y, int(x2 - 1), h - y))
+    rows, starts, stops = _runs_2d(h_mask)
+    keep = stops - starts >= MIN_SEGMENT_LEN
+    for y, x1, x2 in zip(rows[keep], starts[keep], stops[keep]):
+        horizontal.append((int(x1), int(h - y), int(x2 - 1), int(h - y)))
     vertical: list[Line] = []
-    for x in range(w):
-        for y1, y2 in _runs(v_mask[:, x]):
-            if y2 - y1 >= MIN_SEGMENT_LEN:
-                vertical.append((int(x), h - (y2 - 1), int(x), h - y1))
+    cols, vstarts, vstops = _runs_2d(v_mask.T)
+    keep = vstops - vstarts >= MIN_SEGMENT_LEN
+    for x, y1, y2 in zip(cols[keep], vstarts[keep], vstops[keep]):
+        vertical.append((int(x), int(h - (y2 - 1)), int(x), int(h - y1)))
     return vertical, horizontal
 
 
@@ -316,16 +341,12 @@ def detect_table_regions(
     v_mask = _open_1d(ink, 7, axis=0)
 
     # Keep only long runs (real ruling lines, not glyph strokes).
-    h_long = np.zeros_like(h_mask)
-    for y in range(h_mask.shape[0]):
-        for x1, x2 in _runs(h_mask[y]):
-            if x2 - x1 >= MIN_SEGMENT_LEN:
-                h_long[y, x1:x2] = True
-    v_long = np.zeros_like(v_mask)
-    for x in range(v_mask.shape[1]):
-        for y1, y2 in _runs(v_mask[:, x]):
-            if y2 - y1 >= MIN_SEGMENT_LEN:
-                v_long[y1:y2, x] = True
+    rows, starts, stops = _runs_2d(h_mask)
+    keep = stops - starts >= MIN_SEGMENT_LEN
+    h_long = _runs_to_mask(h_mask.shape, rows[keep], starts[keep], stops[keep])
+    cols, vstarts, vstops = _runs_2d(v_mask.T)
+    keep = vstops - vstarts >= MIN_SEGMENT_LEN
+    v_long = _runs_to_mask(v_mask.T.shape, cols[keep], vstarts[keep], vstops[keep]).T
     mask = h_long | v_long
     labels, n = _label_components(mask)
     regions: list[Cell] = []
@@ -361,11 +382,22 @@ def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    all_rows, all_starts, all_stops = _runs_2d(mask)
     prev_runs: list[tuple[int, int, int]] = []  # (start, stop, label)
+    prev_row = -2
     next_label = 0
-    for y in range(h):
+    i = 0
+    n_runs = len(all_rows)
+    while i < n_runs:
+        y = all_rows[i]
+        j = i
+        while j < n_runs and all_rows[j] == y:
+            j += 1
+        if y != prev_row + 1:
+            prev_runs = []
         cur_runs: list[tuple[int, int, int]] = []
-        for x1, x2 in _runs(mask[y]):
+        for k in range(i, j):
+            x1, x2 = int(all_starts[k]), int(all_stops[k])
             lbl = 0
             for px1, px2, plbl in prev_runs:
                 # 8-connectivity: runs [x1, x2-1] and [px1, px2] touch even diagonally.
@@ -381,22 +413,16 @@ def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
             labels[y, x1:x2] = lbl
             cur_runs.append((x1, x2 - 1, lbl))
         prev_runs = cur_runs
+        prev_row = y
+        i = j
 
-    # Resolve unions to compact ids.
-    remap: dict[int, int] = {}
-    n = 0
-    flat = labels.ravel()
+    # Resolve unions to compact ids (lut over the tiny provisional-label
+    # space; one fancy-index over the image, no full-image sort).
     roots = np.array([find(v) for v in range(len(parent))], dtype=np.int32)
-    rooted = roots[flat]
-    for r in np.unique(rooted):
-        if r == 0:
-            continue
-        n += 1
-        remap[int(r)] = n
-    out = np.zeros_like(flat)
-    if remap:
-        lut = np.zeros(len(parent), dtype=np.int32)
-        for r, c in remap.items():
-            lut[r] = c
-        out = lut[rooted]
-    return out.reshape(h, w), n
+    uniq_roots = sorted(set(roots[1:].tolist()))
+    n = len(uniq_roots)
+    lut = np.zeros(len(parent), dtype=np.int32)
+    for c, r in enumerate(uniq_roots, start=1):
+        lut[r] = c
+    compact = lut[roots]  # provisional id -> compact id
+    return compact[labels], n
