@@ -143,6 +143,20 @@ cand AS (
 """
 
 
+# Quantized-embedding CTE shared by the cosine oracles: q = per-component
+# 1e6 fixed-point (exact BIGINTs), nsq = exact squared norm.
+_QUANT_CTE = """
+WITH qe AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS q,
+         list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                   for x in embedding]) AS nsq
+  FROM embeddings
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -162,17 +176,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b
         """,
-        "knn_cosine": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qe
-              FROM embeddings WHERE vec_id < 8
-            ),
+        # Embedding cosine parity contract: components quantized to 1e6
+        # fixed-point integers FIRST (same formula both sides), so dots and
+        # norms are exact and the final double-precision expression
+        # dot/(sqrt(na)*sqrt(nb))*1e5 is bit-identical in numpy and DuckDB.
+        "knn_cosine": _QUANT_CTE
+        + """,
             scored AS (
-              SELECT q.query_id, e.vec_id,
-                     CAST(FLOOR(list_cosine_similarity(e.embedding, q.qe) * 100000
-                                + 0.5) AS BIGINT) AS cos_fp5
-              FROM embeddings e, q
-              WHERE e.vec_id != q.query_id
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     CAST(FLOOR(
+                       list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                       / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe e, qe qq, (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+              WHERE qq.vec_id = q.vec_id AND e.vec_id != q.vec_id
             )
             SELECT query_id, vec_id, cos_fp5 FROM (
               SELECT *, row_number() OVER (
@@ -180,14 +197,17 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn FROM scored
             ) WHERE rn <= 10
         """,
-        "embedding_near_dup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 100000
-                              + 0.5) AS BIGINT) AS cos_fp5
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 100000
-                             + 0.5) AS BIGINT) >= 35000
+        "embedding_near_dup": _QUANT_CTE
+        + """,
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(FLOOR(
+                       list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                       / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe a, qe b WHERE a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_fp5 FROM pairs WHERE cos_fp5 >= 35000
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "token_stats": r"""

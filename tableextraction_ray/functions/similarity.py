@@ -8,8 +8,15 @@
   random-hyperplane LSH buckets (seeded, deterministic) turn O(n^2) into
   per-bucket comparisons; the sandbox-size exact variant is the oracle.
 
-Fixed-point cosine (1e5, floor(x+0.5) half-up) keeps parity with the DuckDB
-``list_cosine_similarity`` oracle bit-stable.
+Bit-stable parity contract: embedding components are quantized to 1e6
+fixed-point integers on BOTH the Ray and SQL sides before any cosine math.
+Dot products and squared norms of quantized vectors are exact integers
+(< 2^53, so float64 BLAS matmul computes them exactly regardless of
+summation order), and the final ``dot / (sqrt(na) * sqrt(nb)) * 1e5`` is a
+fixed sequence of correctly-rounded IEEE-double ops — identical bits in
+numpy and DuckDB. Raw float32 cosine (DuckDB ``list_cosine_similarity``)
+is NOT used: it differs from float64 numpy by ulps exactly at fixed-point
+rounding boundaries.
 """
 
 from __future__ import annotations
@@ -32,13 +39,21 @@ def _fp5(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100000.0 + 0.5).astype(np.int64)
 
 
-def _cos_matrix(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
-    """float64 cosine of every row of mat against every query row, computed
-    as dot/(|a|*|b|) — the same formula as DuckDB's list_cosine_similarity,
-    so fixed-point parity holds."""
-    return (mat @ queries.T) / (
-        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(queries, axis=1)[None, :]
-    )
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """Component-wise 1e6 fixed-point quantization (floor(x*1e6+0.5)), kept
+    in float64: every value and every 64-term dot product is an exact
+    integer < 2^53, so subsequent BLAS matmuls are exact."""
+    return np.floor(mat * 1000000.0 + 0.5)
+
+
+def _cos_matrix(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Cosine of every (already _quantize'd) row of qa against every row of
+    qb via exact integer dot/norms, then one fixed sequence of IEEE-double
+    ops — bit-identical to the DuckDB oracle's expression."""
+    dot = qa @ qb.T  # exact
+    na = np.sqrt((qa * qa).sum(axis=1))  # sum exact, sqrt correctly rounded
+    nb = np.sqrt((qb * qb).sum(axis=1))
+    return dot / (na[:, None] * nb[None, :])
 
 
 def _stack(batch: pa.Table) -> np.ndarray:
@@ -59,12 +74,12 @@ def knn_bruteforce(ds: ray.data.Dataset, n_queries: int = N_QUERIES, k: int = TO
         key=lambda r: r["vec_id"],
     )
     q_ids = [r["vec_id"] for r in queries]
-    q_mat = np.asarray([r["embedding"] for r in queries], dtype=np.float64)
+    q_mat = _quantize(np.asarray([r["embedding"] for r in queries], dtype=np.float64))
     q_ref = ray.put((q_ids, q_mat))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(q_ref)
-        mat = _stack(batch)
+        mat = _quantize(_stack(batch))
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         cos = _cos_matrix(mat, q_mat)  # (batch, nq)
         out_q, out_v, out_c = [], [], []
@@ -107,12 +122,12 @@ def near_dup_pairs(ds: ray.data.Dataset, threshold_fp5: int = NEAR_DUP_FP5) -> r
     ids = np.asarray([r["vec_id"] for r in all_rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
-    mat = np.asarray([r["embedding"] for r in all_rows], dtype=np.float64)[order]
+    mat = _quantize(np.asarray([r["embedding"] for r in all_rows], dtype=np.float64)[order])
     mat_ref = ray.put((ids, mat))
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
         ids_all, mat_all = ray.get(mat_ref)
-        mat_b = _stack(batch)
+        mat_b = _quantize(_stack(batch))
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         cos = _fp5(_cos_matrix(mat_b, mat_all))
         a_out, b_out, c_out = [], [], []
@@ -167,9 +182,8 @@ def lsh_near_dup(
         rows = sorted(group.to_pylist(), key=lambda r: r["vec_id"])
         a_out, b_out, c_out = [], [], []
         if len(rows) > 1:
-            mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-            mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cos = _fp5(mn @ mn.T)
+            mat = _quantize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
+            cos = _fp5(_cos_matrix(mat, mat))
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     if cos[i, j] >= threshold_fp5:
