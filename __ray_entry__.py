@@ -51,7 +51,13 @@ def _read(sf_dir: str, table: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tableextraction_ray.functions import dedup, relational, similarity, textstats
+    from tableextraction_ray.functions import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
     from tableextraction_ray.pipelines.extract import build_extraction_pipeline
     from tableextraction_ray.stages import explode_result_spans
 
@@ -60,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return build_extraction_pipeline(corpus).map_batches(
             explode_result_spans, batch_format="pyarrow"
         )
+
+    def media(sf_dir: str):
+        from tableextraction_ray.sources import read_media
+
+        return read_media(_corpus_for(sf_dir))
 
     def docs(sf_dir, cols):
         import ray.data
@@ -82,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
         "knn_cosine": lambda sf: similarity.knn_bruteforce(_read(sf, "embeddings")),
+        "knn_ivf": lambda sf: similarity.ivf_knn(_read(sf, "embeddings")),
         "embedding_near_dup": lambda sf: similarity.near_dup_pairs(
             _read(sf, "embeddings")
         ),
@@ -99,6 +111,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_docs": lambda sf: textstats.classify_docs(
             docs(sf, ["doc_id", "text"])
         ),
+        "quality_score": lambda sf: textstats.quality_score(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "token_regex_stats": lambda sf: textstats.token_regex_stats(
+            docs(sf, ["doc_id", "text"])
+        ),
+        # -- multimodal (binary media columns; rows-only checks) --
+        "media_stats": lambda sf: multimodal.media_stats(media(sf)),
+        "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
+        "audio_features": lambda sf: multimodal.audio_features(media(sf)),
+        "video_frames": lambda sf: multimodal.video_frames(media(sf)),
         # -- relational / streaming demos --
         "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem")),
         "orders_by_segment": lambda sf: relational.orders_by_segment(
@@ -234,6 +257,48 @@ def oracle_sql() -> dict[str, str]:
                              AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
                                  > 3 * length(regexp_replace(text, '\s', '', 'g'))
                         THEN 'cyr' ELSE 'lat' END AS pred_lang
+            FROM documents
+        """,
+        # Character-class counts use the literal classes from
+        # textstats.ALPHA_CLASS/DIGIT_CLASS/SPACE_CLASS; ratio formula is the
+        # shared floor(a/total*1e6+0.5) on exact integer inputs.
+        "quality_score": r"""
+            WITH chars AS (
+              SELECT doc_id, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     length(regexp_replace(text, '[^ \t\n\r\v\f]', '', 'g')) AS n_space
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              FROM documents
+            )
+            SELECT c.doc_id,
+                   total AS n_chars_t,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END AS alpha_fp6,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(n_digit AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END AS digit_fp6,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(total - n_alpha - n_digit - n_space AS DOUBLE) / total * 1e6
+                     + 0.5) AS BIGINT) END AS punct_fp6,
+                   CASE WHEN len(w) = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(len([t for t in w if t IN ('the','and','of','a','in')]) AS DOUBLE)
+                     / len(w) * 1e6 + 0.5) AS BIGINT) END AS stop_fp6,
+                   CASE WHEN len(w) = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS DOUBLE)
+                     / len(w) * 1e6 + 0.5) AS BIGINT) END AS mean_tok_len_fp6
+            FROM chars c JOIN toks USING (doc_id)
+        """,
+        "token_regex_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+')) AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+'))) AS n_bpe_types
             FROM documents
         """,
         "pricing_summary": """

@@ -1,0 +1,182 @@
+"""Multimodal column operations: opaque binary media + typed metadata.
+
+Images, audio and video travel as ``large_binary`` payload columns with a
+``media_ref`` content address; every operation is an actor-pool
+``map_batches`` stage (decoder state built once per actor in ``__init__``),
+batch sizes kept small because payloads are large (SURVEY.md §4.1 memory
+notes). Image decode is REAL (the repo's own PNG codec); audio/video decode
+is stubbed per sandbox constraints — ``backend='fake'`` derives
+deterministic features from the payload bytes so the Ray-side plumbing
+(schema, batching, actor lifecycle, output layout) is fully exercised, and
+``backend='ffmpeg'``/``'soundfile'`` raise a clearly-marked
+NotImplementedError until the real libraries are present.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..png import decode_gray, encode_gray
+
+INK_THRESHOLD = 200
+
+
+class ImageStats:
+    """media(media_ref, payload) -> (media_ref, width, height, ink_fp6):
+    real PNG decode + vectorized pixel stats. The per-actor state is the
+    (trivial) codec; kept as an actor pool to model the real-image case
+    where the decoder (libjpeg/opencv) is expensive to initialize."""
+
+    def __init__(self, ink_threshold: int = INK_THRESHOLD):
+        self.ink_threshold = ink_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import fp
+
+        w_out, h_out, ink_out = [], [], []
+        for payload in batch["payload"].to_pylist():
+            img = decode_gray(payload)
+            h, w = img.shape
+            ink = float((img < self.ink_threshold).mean())
+            w_out.append(w)
+            h_out.append(h)
+            ink_out.append(fp(ink, 6))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "width": pa.array(w_out, type=pa.int32()),
+                "height": pa.array(h_out, type=pa.int32()),
+                "ink_fp6": pa.array(ink_out, type=pa.int64()),
+            }
+        )
+
+
+class ImageResize:
+    """media -> (media_ref, thumb, thumb_w, thumb_h): nearest-neighbor
+    downsample to ``max_side`` and PNG re-encode. Real pixels in, real
+    pixels out."""
+
+    def __init__(self, max_side: int = 64):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, thumbs, ws, hs = [], [], [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = decode_gray(payload)
+            h, w = img.shape
+            scale = max(1, (max(h, w) + self.max_side - 1) // self.max_side)
+            thumb = img[::scale, ::scale]
+            refs.append(ref)
+            thumbs.append(encode_gray(np.ascontiguousarray(thumb)))
+            hs.append(thumb.shape[0])
+            ws.append(thumb.shape[1])
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "thumb": pa.array(thumbs, type=pa.large_binary()),
+                "thumb_w": pa.array(ws, type=pa.int32()),
+                "thumb_h": pa.array(hs, type=pa.int32()),
+            }
+        )
+
+
+class AudioFeatures:
+    """media -> (media_ref, duration_ms, n_channels, rms_fp6): audio
+    feature extraction. ``backend='soundfile'`` is the real path (absent in
+    sandbox); ``backend='fake'`` derives deterministic pseudo-features from
+    the payload hash — same schema, same batching, same actor lifecycle."""
+
+    def __init__(self, backend: str = "fake"):
+        if backend != "fake":  # pragma: no cover - real audio libs absent
+            raise NotImplementedError(
+                f"audio backend {backend!r} requires soundfile/librosa; "
+                "the sandbox uses the deterministic 'fake' backend"
+            )
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, ch, rms = [], [], []
+        for payload in batch["payload"].to_pylist():
+            h = hashlib.md5(payload).digest()
+            dur.append(1000 + int.from_bytes(h[:4], "big") % 60000)
+            ch.append(1 + h[4] % 2)
+            rms.append(int.from_bytes(h[5:9], "big") % 1000000)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "duration_ms": pa.array(dur, type=pa.int64()),
+                "n_channels": pa.array(ch, type=pa.int32()),
+                "rms_fp6": pa.array(rms, type=pa.int64()),
+            }
+        )
+
+
+class VideoFrameSample:
+    """media -> one row PER SAMPLED FRAME (media_ref, frame_no, frame_png):
+    the flat-map-shaped stage a video pipeline needs. ``backend='ffmpeg'``
+    is the real decoder (absent); ``backend='fake'`` synthesizes ``n_frames``
+    deterministic gray frames from the payload hash — exercising the 1->N
+    fan-out, binary output column and small-batch sizing for real."""
+
+    def __init__(self, backend: str = "fake", n_frames: int = 3, side: int = 32):
+        if backend != "fake":  # pragma: no cover - ffmpeg absent
+            raise NotImplementedError(
+                f"video backend {backend!r} requires ffmpeg/PyAV; "
+                "the sandbox uses the deterministic 'fake' backend"
+            )
+        self.n_frames = n_frames
+        self.side = side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, nos, frames = [], [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            for i in range(self.n_frames):
+                frame = rng.integers(0, 256, (self.side, self.side), dtype=np.uint8)
+                refs.append(ref)
+                nos.append(i)
+                frames.append(encode_gray(frame))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "frame_no": pa.array(nos, type=pa.int32()),
+                "frame_png": pa.array(frames, type=pa.large_binary()),
+            }
+        )
+
+
+def media_stats(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        ImageStats, concurrency=(1, 4), batch_size=32, batch_format="pyarrow"
+    )
+
+
+def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"max_side": max_side},
+        concurrency=(1, 4),
+        batch_size=16,
+        batch_format="pyarrow",
+    )
+
+
+def audio_features(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        AudioFeatures, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    )
+
+
+def video_frames(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        VideoFrameSample, concurrency=(1, 4), batch_size=8, batch_format="pyarrow"
+    )

@@ -131,6 +131,86 @@ def classify_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(batch_fn, batch_format="pyarrow")
 
 
+# Shared character classes for quality scoring — mirrored literally in the
+# DuckDB oracle regexes so counts match bit-for-bit. Explicit ASCII space
+# class (not \s): Python's \s includes unicode spaces, RE2's doesn't.
+ALPHA_CLASS = "A-Za-zЀ-ӿ"
+DIGIT_CLASS = "0-9"
+SPACE_CLASS = " \\t\\n\\r\\v\\f"
+# BPE-ish segmentation: letter runs | digit runs | non-space symbol runs.
+TOKEN_REGEX = (
+    f"[{ALPHA_CLASS}]+|[{DIGIT_CLASS}]+|[^{ALPHA_CLASS}{DIGIT_CLASS}{SPACE_CLASS}]+"
+)
+
+
+def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars_t, alpha_fp6, digit_fp6, punct_fp6, stop_fp6,
+    mean_tok_len_fp6) — document quality features: character-class ratios,
+    stopword ratio and mean whitespace-token length, all 1e6 fixed-point
+    via the shared floor(x*1e6+0.5) formula (IEEE-double deterministic on
+    integer inputs, so the SQL oracle hashes identically)."""
+    import re
+
+    from . import fp
+
+    alpha_re = re.compile(f"[{ALPHA_CLASS}]")
+    digit_re = re.compile(f"[{DIGIT_CLASS}]")
+    space_re = re.compile(f"[{SPACE_CLASS}]")
+
+    def ratio(a: int, total: int) -> int:
+        return fp(a / total, 6) if total else 0
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "n_chars_t": [], "alpha_fp6": [], "digit_fp6": [],
+            "punct_fp6": [], "stop_fp6": [], "mean_tok_len_fp6": [],
+        }
+        for t in batch["text"].to_pylist():
+            total = len(t)
+            n_alpha = len(alpha_re.findall(t))
+            n_digit = len(digit_re.findall(t))
+            n_space = len(space_re.findall(t))
+            toks = t.split()
+            n_stop = sum(1 for w in toks if w in STOPWORDS)
+            sum_len = sum(len(w) for w in toks)
+            cols["n_chars_t"].append(total)
+            cols["alpha_fp6"].append(ratio(n_alpha, total))
+            cols["digit_fp6"].append(ratio(n_digit, total))
+            cols["punct_fp6"].append(ratio(total - n_alpha - n_digit - n_space, total))
+            cols["stop_fp6"].append(ratio(n_stop, len(toks)))
+            cols["mean_tok_len_fp6"].append(ratio(sum_len, len(toks)))
+        out = {"doc_id": batch["doc_id"]}
+        out.update({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def token_regex_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens, n_bpe_types) — BPE-ish regex token count and
+    distinct-type count (letter runs / digit runs / symbol runs), the
+    tokenizer-granularity complement of whitespace token_stats."""
+    import re
+
+    tok_re = re.compile(TOKEN_REGEX)
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n_tok, n_typ = [], []
+        for t in batch["text"].to_pylist():
+            toks = tok_re.findall(t)
+            n_tok.append(len(toks))
+            n_typ.append(len(set(toks)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_bpe_types": pa.array(n_typ, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
 def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, simhash) — 64-bit SimHash document fingerprint over
     whitespace tokens (token hash = first 16 hex chars of md5). Near-dup

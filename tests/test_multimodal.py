@@ -1,0 +1,81 @@
+"""Multimodal stage plumbing + IVF recall tests (sf0.001 / t1 corpus)."""
+
+import numpy as np
+import pytest
+
+import __ray_entry__ as entry_mod
+from tableextraction_ray.functions import multimodal, similarity
+from tableextraction_ray.png import decode_gray
+from tableextraction_ray.sources import read_media
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media_ds(ray_session):
+    return read_media(entry_mod._corpus_for(SF_DIR))
+
+
+class TestMultimodal:
+    def test_image_stats_real_decode(self, media_ds):
+        rows = multimodal.media_stats(media_ds).take_all()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["width"] > 0 and r["height"] > 0
+            assert 0 <= r["ink_fp6"] <= 1_000_000
+
+    def test_thumbnails_roundtrip(self, media_ds):
+        rows = multimodal.media_thumbnails(media_ds, max_side=64).take_all()
+        for r in rows:
+            thumb = decode_gray(r["thumb"])
+            assert thumb.shape == (r["thumb_h"], r["thumb_w"])
+            assert max(thumb.shape) <= 64 or max(thumb.shape) <= 65  # ceil-div scale
+
+    def test_audio_fake_deterministic(self, media_ds):
+        a = sorted(multimodal.audio_features(media_ds).take_all(), key=lambda r: r["media_ref"])
+        b = sorted(multimodal.audio_features(media_ds).take_all(), key=lambda r: r["media_ref"])
+        assert a == b
+        assert all(r["n_channels"] in (1, 2) for r in a)
+
+    def test_video_fanout_and_decode(self, media_ds):
+        n_media = media_ds.count()
+        rows = multimodal.video_frames(media_ds).take_all()
+        assert len(rows) == 3 * n_media
+        frame = decode_gray(rows[0]["frame_png"])
+        assert frame.shape == (32, 32)
+
+    def test_real_backends_are_gated(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.AudioFeatures(backend="soundfile")
+        with pytest.raises(NotImplementedError):
+            multimodal.VideoFrameSample(backend="ffmpeg")
+
+
+class TestIvf:
+    def test_recall_vs_bruteforce(self, ray_session):
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.knn_bruteforce(emb).take_all()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_knn(emb).take_all()
+        }
+        assert len(approx & exact) / len(exact) >= 0.5
+
+    def test_full_probe_is_exact(self, ray_session):
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = sorted(
+            similarity.knn_bruteforce(emb).take_all(),
+            key=lambda r: (r["query_id"], -r["cos_fp5"], r["vec_id"]),
+        )
+        full = sorted(
+            similarity.ivf_knn(emb, nlist=8, nprobe=8).take_all(),
+            key=lambda r: (r["query_id"], -r["cos_fp5"], r["vec_id"]),
+        )
+        assert exact == full
