@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tableextraction_ray.functions import (
         dedup,
         multimodal,
+        plots,
         relational,
         similarity,
         textstats,
@@ -79,9 +80,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=cols
         )
 
+    def extract_serialized(sf_dir: str):
+        from tableextraction_ray.pipelines.extract import build_serialization_pipeline
+
+        return build_serialization_pipeline(_corpus_for(sf_dir))
+
+    def extract_filtered(sf_dir: str):
+        from tableextraction_ray.pipelines.extract import ExtractConfig
+
+        corpus = _corpus_for(sf_dir)
+        return build_extraction_pipeline(
+            corpus, config=ExtractConfig(classify_filter=True)
+        ).map_batches(explode_result_spans, batch_format="pyarrow")
+
     return {
         # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
         "extract_spans": extract_spans,
+        "extract_serialized": extract_serialized,
+        "extract_filtered": extract_filtered,
         # -- deduplication --
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
@@ -118,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         # -- multimodal (binary media columns; rows-only checks) --
+        "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings")),
         "media_stats": lambda sf: multimodal.media_stats(media(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),

@@ -13,7 +13,14 @@ with the same formula on the Ray and SQL sides, so the driver's value-hash
 comparison is bit-stable.
 """
 
-from . import dedup, relational, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    plots,
+    relational,
+    similarity,
+    textstats,
+)
 
 
 def fp(x: float, k: int) -> int:

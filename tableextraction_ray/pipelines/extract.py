@@ -15,6 +15,7 @@ image-carrying stages (a page is ~100 KB-1 MB raw) and large for cell rows.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -42,6 +43,9 @@ class ExtractConfig:
     decode_pool: tuple[int, int] = (1, 8)
     ocr_pool: tuple[int, int] = (1, 8)
     ocr_backend: str = "synthetic-glyph"
+    # Optional semantic gate (reference recognition.py:78-97): drop tables
+    # whose combined cell text fails the fuzzy keyword classifier.
+    classify_filter: bool = False
 
 
 def documents_path(corpus_dir: str) -> str:
@@ -83,4 +87,46 @@ def build_extraction_pipeline(
         batch_size=cfg.ocr_batch_size,
         batch_format="pyarrow",
     )
-    return work.groupby("doc_id").map_groups(assemble_doc, batch_format="pyarrow")
+    assemble = (
+        functools.partial(assemble_doc, classify_filter=True)
+        if cfg.classify_filter
+        else assemble_doc
+    )
+    return work.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def build_serialization_pipeline(
+    corpus_dir: str,
+    config: ExtractConfig | None = None,
+) -> ray.data.Dataset:
+    """Same DAG, but the per-doc reduction emits reference-parity YAML/JSON
+    serializations per table (export.py:77-122 ``save``) instead of span
+    rows: (doc_id, page_offset, table_no, yaml, json)."""
+    from ..stages import serialize_tables
+
+    cfg = config or ExtractConfig()
+    docs = ray.data.read_parquet(
+        documents_path(corpus_dir), columns=["doc_id", "spans"]
+    )
+    work = docs.map_batches(explode_spans, batch_format="pyarrow")
+    work = work.map_batches(
+        DecodePages,
+        fn_constructor_kwargs={"media_root": corpus_dir},
+        concurrency=cfg.decode_pool,
+        batch_size=cfg.decode_batch_size,
+        batch_format="pyarrow",
+    )
+    work = work.map_batches(
+        detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+    )
+    work = work.map_batches(
+        grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+    )
+    work = work.map_batches(
+        OcrCells,
+        fn_constructor_kwargs={"backend": cfg.ocr_backend},
+        concurrency=cfg.ocr_pool,
+        batch_size=cfg.ocr_batch_size,
+        batch_format="pyarrow",
+    )
+    return work.groupby("doc_id").map_groups(serialize_tables, batch_format="pyarrow")

@@ -12,7 +12,13 @@ from .decode import DecodePages
 from .detect import detect_tables
 from .grid import grid_to_cells
 from .ocr_stage import OcrCells
-from .assemble import RESULT_SCHEMA, assemble_doc, explode_result_spans
+from .assemble import (
+    RESULT_SCHEMA,
+    SERIALIZED_SCHEMA,
+    assemble_doc,
+    explode_result_spans,
+    serialize_tables,
+)
 
 __all__ = [
     "WORK_SCHEMA",
@@ -25,5 +31,7 @@ __all__ = [
     "grid_to_cells",
     "OcrCells",
     "assemble_doc",
+    "serialize_tables",
+    "SERIALIZED_SCHEMA",
     "explode_result_spans",
 ]

@@ -21,7 +21,14 @@ from ..structure import emit_table_spans
 RESULT_SCHEMA = DOC_SCHEMA
 
 
-def assemble_doc(group: pa.Table) -> pa.Table:
+def assemble_doc(group: pa.Table, classify_filter: bool = False) -> pa.Table:
+    """``classify_filter=True`` reproduces the reference's optional
+    ``filter_tables_by_classification`` gate (recognition.py:78-97): a
+    table's spans are emitted only when its combined cell text passes
+    ``classify_table`` — here applied to the already-OCR'd cells instead of
+    a second whole-table OCR pass."""
+    from ..textproc import classify_table
+
     rows = group.to_pylist()
     doc_id = rows[0]["doc_id"]
 
@@ -54,6 +61,10 @@ def assemble_doc(group: pa.Table) -> pa.Table:
             )
             table_nos = sorted(t for (o, t) in cells if o == off)
             for t in table_nos:
+                if classify_filter and not classify_table(
+                    " ".join(txt for _, txt in cells[(off, t)])
+                ):
+                    continue
                 for text in emit_table_spans(cells[(off, t)]):
                     spans.append(
                         {"kind": "text", "text": text, "media_ref": "",
@@ -62,6 +73,50 @@ def assemble_doc(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(
         [{"doc_id": doc_id, "spans": spans}], schema=RESULT_SCHEMA
     )
+
+
+SERIALIZED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_offset", pa.int32()),
+        ("table_no", pa.int32()),
+        ("yaml", pa.string()),
+        ("json", pa.string()),
+    ]
+)
+
+
+def serialize_tables(group: pa.Table) -> pa.Table:
+    """Per-doc group -> one row per table with reference-parity YAML and
+    JSON serializations (export.py:77-122 ``save`` formats, as columns of a
+    distributed sink instead of truncate-append local files)."""
+    from ..structure import serialize_table, to_json, to_yaml
+
+    rows = group.to_pylist()
+    doc_id = rows[0]["doc_id"]
+    cells: dict[tuple[int, int], list[tuple[tuple[int, int, int, int], str]]] = {}
+    for r in rows:
+        if r["kind"] == "cell":
+            key = (r["offset"], r["table_no"])
+            cells.setdefault(key, []).append(
+                ((r["x1"], r["y1"], r["x2"], r["y2"]), r["text"])
+            )
+    out = []
+    for (off, t) in sorted(cells):
+        pairs = cells[(off, t)]
+        rects = [c for c, _ in pairs]
+        text_dict = dict(pairs)
+        filled = serialize_table(rects, text_dict)
+        out.append(
+            {
+                "doc_id": doc_id,
+                "page_offset": off,
+                "table_no": t,
+                "yaml": to_yaml(filled),
+                "json": to_json(filled),
+            }
+        )
+    return pa.Table.from_pylist(out, schema=SERIALIZED_SCHEMA)
 
 
 def explode_result_spans(batch: pa.Table) -> pa.Table:

@@ -233,3 +233,11 @@ def to_yaml(filled: list[list[dict]]) -> str:
         yaml.dump(record, default_flow_style=False, allow_unicode=True)
         for record in filled
     )
+
+
+def to_json(filled: list[list[dict]]) -> str:
+    """Reference-parity JSON for one table: the records list dumped with
+    ``ensure_ascii=False`` (export.py:108-119 json branch)."""
+    import json
+
+    return json.dumps(filled, ensure_ascii=False)

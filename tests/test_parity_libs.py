@@ -1,0 +1,164 @@
+"""Unit tests for the §2.10 parity libraries: GriTS metrics, TATR
+post-processing, plot digitization. Pure functions — no Ray needed."""
+
+import numpy as np
+import pytest
+
+from tableextraction_ray import metrics, plot_digitize, tatr
+
+
+class TestGrits:
+    def test_identical_grids_score_one(self):
+        g = [["a", "b"], ["c", "d"]]
+        assert metrics.grits_con(g, g) == 1.0
+        assert metrics.grits_top([[(1, 1)] * 2] * 2, [[(1, 1)] * 2] * 2) == 1.0
+
+    def test_empty_vs_nonempty(self):
+        assert metrics.grits_con([], []) == 1.0
+        assert metrics.grits_con([["a"]], []) == 0.0
+
+    def test_single_cell_diff(self):
+        a = [["a", "b"], ["c", "d"]]
+        b = [["a", "b"], ["c", "X"]]
+        score = metrics.grits_con(a, b)
+        assert 0.7 < score < 1.0
+
+    def test_row_insertion_partial_credit(self):
+        a = [["a", "b"], ["c", "d"]]
+        b = [["a", "b"], ["x", "y"], ["c", "d"]]
+        assert metrics.grits_con(a, b) == pytest.approx(2 * 4 / (4 + 6))
+
+    def test_transposed_factoring(self):
+        # column-outer factoring must catch a column permutation-free match
+        a = [["a"], ["b"], ["c"]]
+        b = [["a", "b", "c"]]
+        assert metrics.grits_con(a, b) < 1.0
+
+    def test_lcs_similarity(self):
+        assert metrics.lcs_similarity("abc", "abc") == 1.0
+        assert metrics.lcs_similarity("", "") == 1.0
+        assert metrics.lcs_similarity("abc", "") == 0.0
+        assert metrics.lcs_similarity("abcd", "abxd") == pytest.approx(2 * 3 / 8)
+
+    def test_adjacency_f1(self):
+        true = [["h1", "h2"], ["a", "b"]]
+        pred = [["h1", "h2"], ["a", "X"]]
+        p, r, f1 = metrics.adjacency_f1(pred, true)
+        # true rels: (h1,h2,h),(a,b,h),(h1,a,v),(h2,b,v); pred shares (h1,h2,h),(h1,a,v)
+        assert r == pytest.approx(0.5)
+        assert p == pytest.approx(0.5)
+        assert f1 == pytest.approx(0.5)
+        assert metrics.adjacency_f1(true, true) == (1.0, 1.0, 1.0)
+
+
+class TestTatr:
+    def test_iou_iob(self):
+        a = (0, 0, 10, 10)
+        b = (5, 0, 15, 10)
+        assert tatr.iou(a, b) == pytest.approx(50 / 150)
+        assert tatr.iob(a, b) == pytest.approx(0.5)
+        assert tatr.iob((2, 2, 4, 4), (0, 0, 10, 10)) == 1.0
+
+    def test_class_thresholds_and_nms(self):
+        objs = [
+            {"bbox": (0, 0, 10, 10), "label": "table row", "score": 0.9},
+            {"bbox": (0, 1, 10, 11), "label": "table row", "score": 0.8},
+            {"bbox": (0, 20, 10, 30), "label": "table row", "score": 0.3},
+        ]
+        kept = tatr.apply_class_thresholds(objs, {"table row": 0.5})
+        assert len(kept) == 2
+        assert len(tatr.nms(kept, iou_threshold=0.5)) == 1
+        assert len(tatr.nms(objs, iou_threshold=0.5)) == 2
+
+    def test_slotting_unique(self):
+        containers = [{"bbox": (0, 0, 10, 10)}, {"bbox": (10, 0, 20, 10)}]
+        tokens = [
+            {"bbox": (1, 1, 3, 3), "text": "a"},
+            {"bbox": (9, 1, 12, 3), "text": "b"},  # straddles, mostly right? 1/3 left
+            {"bbox": (50, 50, 60, 60), "text": "orphan"},
+        ]
+        slots = tatr.slot_into_containers(containers, tokens)
+        # token b straddles: iob vs left = 1/3, vs right = 2/3 -> right wins
+        assert slots[0] == [0]
+        assert slots[1] == [1]  # orphan token stays unassigned
+
+    def test_structures_to_cells_grid(self):
+        rows = [
+            {"bbox": (0, 0, 30, 10), "label": "table row", "score": 1.0},
+            {"bbox": (0, 10, 30, 20), "label": "table row", "score": 1.0},
+        ]
+        cols = [
+            {"bbox": (0, 0, 15, 20), "label": "table column", "score": 1.0},
+            {"bbox": (15, 0, 30, 20), "label": "table column", "score": 1.0},
+        ]
+        header = {"bbox": (0, 0, 30, 10), "label": "table column header", "score": 1.0}
+        structure = tatr.objects_to_structures(rows + cols + [header])
+        assert [r["header"] for r in structure["rows"]] == [True, False]
+        cells = tatr.structure_to_cells(structure)
+        assert len(cells) == 4
+        assert [(c["row"], c["col"]) for c in cells] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+        assert cells[0]["header"] and not cells[2]["header"]
+
+    def test_supercell_merge(self):
+        rows = [
+            {"bbox": (0, 0, 30, 10), "label": "table row", "score": 1.0},
+            {"bbox": (0, 10, 30, 20), "label": "table row", "score": 1.0},
+        ]
+        cols = [
+            {"bbox": (0, 0, 15, 20), "label": "table column", "score": 1.0},
+            {"bbox": (15, 0, 30, 20), "label": "table column", "score": 1.0},
+        ]
+        sc = {"bbox": (0, 0, 30, 10), "label": "table spanning cell", "score": 1.0}
+        structure = tatr.objects_to_structures(rows + cols + [sc])
+        cells = tatr.structure_to_cells(structure)
+        assert len(cells) == 3  # top row merged into one spanning cell
+        spanning = cells[0]
+        assert spanning["bbox"] == (0, 0, 30, 10)
+
+    def test_extract_text_hyphen_aware(self):
+        spans = [
+            {"text": "value", "block_num": 0, "line_num": 1, "span_num": 0},
+            {"text": "hy-", "block_num": 0, "line_num": 0, "span_num": 0},
+            {"text": "phen", "block_num": 0, "line_num": 0, "span_num": 1},
+        ]
+        assert tatr.extract_text_from_spans(spans) == "hyphen value"
+
+
+class TestPlotDigitize:
+    def _scatter(self, points, size=100):
+        img = np.full((size, size), 255, dtype=np.uint8)
+        for x, y in points:
+            img[y - 2 : y + 3, x - 2 : x + 3] = 0
+        return img
+
+    def test_otsu_bimodal(self):
+        img = np.full((50, 50), 230, dtype=np.uint8)
+        img[:10, :10] = 20
+        t = plot_digitize.otsu_threshold(img)
+        # Otsu picks the first maximizing threshold; dark class is [0..t]
+        assert 20 <= t < 230
+
+    def test_extract_points_recovers_markers(self):
+        truth = [(20, 70), (40, 50), (60, 35), (80, 20)]
+        img = self._scatter(truth)
+        pts = plot_digitize.extract_points(img, blur_radius=1, eps=4.0)
+        assert len(pts) == len(truth)
+        for (px, py), (tx, ty) in zip(pts, truth):
+            assert abs(px - tx) <= 2 and abs(py - ty) <= 2
+
+    def test_fit_curve_linear(self):
+        pts = [(0.0, 1.0), (1.0, 3.0), (2.0, 5.0)]
+        coef = plot_digitize.fit_curve(pts, degree=1)
+        assert coef[-2] == pytest.approx(2.0, abs=1e-8)
+        assert coef[-1] == pytest.approx(1.0, abs=1e-8)
+
+    def test_gated_backends(self):
+        with pytest.raises(NotImplementedError):
+            plot_digitize.fit_curve([(0, 0)], backend="svr")
+
+    def test_digitize_plot_end_to_end(self):
+        img = self._scatter([(20, 80), (50, 50), (80, 20)])
+        out = plot_digitize.digitize_plot(img, degree=1)
+        assert len(out["points"]) == 3
+        # y decreases as x increases -> negative slope
+        assert out["coeffs"][-2] < 0
