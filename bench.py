@@ -84,6 +84,7 @@ def main() -> None:
                 check=True,
             )
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            time.sleep(5)  # let the previous Ray cluster fully tear down
         tput8 = results[8]["docs_per_sec"]
         tput32 = results[32]["docs_per_sec"]
         print(

@@ -45,7 +45,10 @@ DOC_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT)
 TIERS = {
     "t1": 32,
     "t2": 500,
-    "bench": 2000,
+    # Large enough that per-doc compute dominates fixed pipeline overheads
+    # (read fan-out, actor-pool ramp, shuffle setup) — required for a clean
+    # N->4N scaling-efficiency measurement.
+    "bench": 30000,
 }
 
 FAMILIES = [
@@ -298,7 +301,25 @@ def generate_corpus(
         docs = [build_doc(i, seed) for i in range(n)]
         doc_tbl, gold_tbl, media_tbl = _write_batch(docs, out_dir)
 
-    pq.write_table(doc_tbl, os.path.join(out_dir, "documents.parquet"))
+    # documents.parquet is a DIRECTORY of ~256-doc shards: reads parallelize
+    # across shards (one task each) instead of one serial read+split task —
+    # the layout a Lance/parquet corpus has at scale (one fragment per
+    # partition). Single-shard for tiny tiers.
+    doc_dir = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(doc_dir):
+        os.remove(doc_dir)
+    elif os.path.isdir(doc_dir):
+        import shutil
+
+        shutil.rmtree(doc_dir)
+    os.makedirs(doc_dir)
+    shard_rows = 256
+    n_shards = max(1, -(-doc_tbl.num_rows // shard_rows))
+    for s in range(n_shards):
+        pq.write_table(
+            doc_tbl.slice(s * shard_rows, shard_rows),
+            os.path.join(doc_dir, f"part-{s:05d}.parquet"),
+        )
     pq.write_table(gold_tbl, os.path.join(out_dir, "golden.parquet"))
     if media_tbl is not None:
         pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))

@@ -2,15 +2,25 @@
 
     read_parquet(documents)                      # column-pruned read
       .map_batches(explode_spans)                # doc -> span rows (skew fix 1)
-      .map_batches(DecodePages, actor pool)      # store read + PNG decode
+      .map_batches(DecodePages)                  # store read + PNG decode (stateful)
       .map_batches(detect_tables)                # page -> marker + tables (skew fix 2)
       .map_batches(grid_to_cells)                # table -> cell rows (skew fix 3)
-      .map_batches(OcrCells, actor pool)         # the stateful $$$ stage
+      .map_batches(OcrCells)                     # the stateful $$$ stage
+      .repartition(2 x CPUs)                     # narrow the exchange
       .groupby('doc_id').map_groups(assemble)    # the ONLY shuffle (key: doc_id)
 
 Everything upstream of the groupby is embarrassingly parallel and streams
 with backpressure; blocks are Arrow end to end. Batch sizes are small for
 image-carrying stages (a page is ~100 KB-1 MB raw) and large for cell rows.
+
+Stateful-stage execution mode (``ExtractConfig.stage_mode``):
+- ``auto`` (default): deterministic cheap-state backends (synthetic-glyph
+  OCR, filesystem decode) run as plain TASKS with the stage instance cached
+  per worker process — identical build-once semantics, full scheduler
+  elasticity, none of the actor-pool autoscaler's ramp/variance. Heavy
+  model backends (easyocr / maskrcnn / tatr) automatically run as ACTOR
+  pools, the right home for an expensive model load (+ ``num_gpus``).
+- ``actors`` / ``tasks``: force one mode (bench comparisons, GPU configs).
 """
 
 from __future__ import annotations
@@ -29,27 +39,126 @@ from ..stages import (
     explode_spans,
     grid_to_cells,
 )
+from ..stages.decode import decode_pages_task
+from ..stages.ocr_stage import ocr_cells_task
+
+HEAVY_OCR_BACKENDS = {"easyocr"}
 
 
 @dataclass
 class ExtractConfig:
-    """Stage sizing knobs. Defaults target the 32-CPU sandbox node; on a real
-    cluster, scale actor-pool maxima with cluster CPU count (they are
-    autoscaling (min, max) pools, so oversizing is safe)."""
+    """Stage sizing knobs. Pool maxima default to the cluster CPU count
+    (resolved at pipeline-build time) so the same config scales from the
+    8-CPU scaling-bench run to a multi-node cluster without edits — a fixed
+    cap was the original N->4N scaling bottleneck (actor pools pinned at 8
+    idled 3/4 of a 32-CPU run)."""
 
     decode_batch_size: int = 16
     detect_batch_size: int = 8
-    ocr_batch_size: int = 512
-    decode_pool: tuple[int, int] = (1, 8)
-    ocr_pool: tuple[int, int] = (1, 8)
+    ocr_batch_size: int = 64
+    decode_pool: tuple[int, int] | None = None
+    ocr_pool: tuple[int, int] | None = None
     ocr_backend: str = "synthetic-glyph"
+    # 'actors' (default): stateful stages are autoscaling actor pools —
+    # stable parallelism at every cluster size. 'tasks': cheap-state
+    # backends as plain tasks with per-worker cached state; measured
+    # FASTER at 32 CPUs but 2x slower at 8 (Ray fuses the whole
+    # task chain into one operator whose resource budget throttles small
+    # clusters), so it stays opt-in.
+    stage_mode: str = "actors"  # actors | tasks | auto
     # Optional semantic gate (reference recognition.py:78-97): drop tables
     # whose combined cell text fails the fuzzy keyword classifier.
     classify_filter: bool = False
 
+    def use_actors(self) -> bool:
+        if self.stage_mode == "actors":
+            return True
+        if self.stage_mode == "tasks":
+            return False
+        return self.ocr_backend in HEAVY_OCR_BACKENDS
+
+    def resolved_pools(self) -> tuple[tuple[int, int], tuple[int, int]]:
+        """CPU-proportional autoscaling pools (actor mode). Minima matter:
+        starting from 1 actor, the autoscaler's ramp eats most of a short
+        run; but the SUM of all pool minima must leave >= 2 CPUs for the
+        read / repartition / shuffle tasks or the pipeline livelocks
+        (observed at num_cpus=4 when minima summed to the CPU count)."""
+        decode, ocr = self.decode_pool, self.ocr_pool
+        if decode is None or ocr is None:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            decode_min = 1 if cpus < 16 else 2
+            ocr_min = max(1, min(cpus * 3 // 4 - 2, cpus - decode_min - 2))
+            decode = decode or (decode_min, max(4, cpus // 4))
+            ocr = ocr or (ocr_min, cpus)
+        return decode, ocr
+
+    def cluster_cpus(self) -> int:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
 
 def documents_path(corpus_dir: str) -> str:
     return os.path.join(corpus_dir, "documents.parquet")
+
+
+def _build_work_stream(
+    corpus_dir: str, cfg: ExtractConfig, docs: ray.data.Dataset | None
+) -> tuple[ray.data.Dataset, int]:
+    """Shared explode -> decode -> detect -> grid -> OCR stream; returns the
+    cell-level work stream and the cluster CPU count for shuffle sizing."""
+    cpus = cfg.cluster_cpus()
+    if docs is None:
+        # ~10 blocks per CPU: heavy per-doc stages get task granularity far
+        # below the skew tail (a multi-page doc is one row, not one block).
+        docs = ray.data.read_parquet(
+            documents_path(corpus_dir),
+            columns=["doc_id", "spans"],
+            override_num_blocks=10 * cpus,
+        )
+    work = docs.map_batches(explode_spans, batch_format="pyarrow")
+    if cfg.use_actors():
+        decode_pool, ocr_pool = cfg.resolved_pools()
+        work = work.map_batches(
+            DecodePages,
+            fn_constructor_kwargs={"media_root": corpus_dir},
+            concurrency=decode_pool,
+            batch_size=cfg.decode_batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        work = work.map_batches(
+            functools.partial(decode_pages_task, media_root=corpus_dir),
+            batch_size=cfg.decode_batch_size,
+            batch_format="pyarrow",
+        )
+    work = work.map_batches(
+        detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+    )
+    work = work.map_batches(
+        grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+    )
+    if cfg.use_actors():
+        work = work.map_batches(
+            OcrCells,
+            fn_constructor_kwargs={"backend": cfg.ocr_backend},
+            concurrency=ocr_pool,
+            batch_size=cfg.ocr_batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        work = work.map_batches(
+            functools.partial(ocr_cells_task, backend=cfg.ocr_backend),
+            batch_size=cfg.ocr_batch_size,
+            batch_format="pyarrow",
+        )
+    # Narrow the shuffle: post-OCR rows are small (images dropped), but a
+    # groupby over 10x-CPU input blocks schedules an O(blocks^2) exchange
+    # that costs more than the compute it follows; coalesce to ~2
+    # blocks/CPU first.
+    return work.repartition(2 * cpus), cpus
 
 
 def build_extraction_pipeline(
@@ -62,31 +171,7 @@ def build_extraction_pipeline(
     ``docs`` overrides the input dataset (used by the resume path to feed a
     partition-filtered input)."""
     cfg = config or ExtractConfig()
-    if docs is None:
-        docs = ray.data.read_parquet(
-            documents_path(corpus_dir), columns=["doc_id", "spans"]
-        )
-    work = docs.map_batches(explode_spans, batch_format="pyarrow")
-    work = work.map_batches(
-        DecodePages,
-        fn_constructor_kwargs={"media_root": corpus_dir},
-        concurrency=cfg.decode_pool,
-        batch_size=cfg.decode_batch_size,
-        batch_format="pyarrow",
-    )
-    work = work.map_batches(
-        detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
-    work = work.map_batches(
-        grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
-    work = work.map_batches(
-        OcrCells,
-        fn_constructor_kwargs={"backend": cfg.ocr_backend},
-        concurrency=cfg.ocr_pool,
-        batch_size=cfg.ocr_batch_size,
-        batch_format="pyarrow",
-    )
+    work, _ = _build_work_stream(corpus_dir, cfg, docs)
     assemble = (
         functools.partial(assemble_doc, classify_filter=True)
         if cfg.classify_filter
@@ -105,28 +190,5 @@ def build_serialization_pipeline(
     from ..stages import serialize_tables
 
     cfg = config or ExtractConfig()
-    docs = ray.data.read_parquet(
-        documents_path(corpus_dir), columns=["doc_id", "spans"]
-    )
-    work = docs.map_batches(explode_spans, batch_format="pyarrow")
-    work = work.map_batches(
-        DecodePages,
-        fn_constructor_kwargs={"media_root": corpus_dir},
-        concurrency=cfg.decode_pool,
-        batch_size=cfg.decode_batch_size,
-        batch_format="pyarrow",
-    )
-    work = work.map_batches(
-        detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
-    work = work.map_batches(
-        grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
-    work = work.map_batches(
-        OcrCells,
-        fn_constructor_kwargs={"backend": cfg.ocr_backend},
-        concurrency=cfg.ocr_pool,
-        batch_size=cfg.ocr_batch_size,
-        batch_format="pyarrow",
-    )
+    work, _ = _build_work_stream(corpus_dir, cfg, None)
     return work.groupby("doc_id").map_groups(serialize_tables, batch_format="pyarrow")

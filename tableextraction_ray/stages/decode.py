@@ -72,3 +72,15 @@ class DecodePages:
 def image_from_row(img: bytes, h: int, w: int) -> np.ndarray:
     """Zero-copy view of a raw grayscale payload column value."""
     return np.frombuffer(img, dtype=np.uint8).reshape(h, w)
+
+
+# Task-mode twin of the DecodePages actor (see ocr_stage.ocr_cells_task):
+# worker-process-cached instance, same decode-once-per-process state.
+_TASK_INSTANCE: dict[str, DecodePages] = {}
+
+
+def decode_pages_task(batch: pa.Table, media_root: str) -> pa.Table:
+    inst = _TASK_INSTANCE.get(media_root)
+    if inst is None:
+        inst = _TASK_INSTANCE[media_root] = DecodePages(media_root=media_root)
+    return inst(batch)

@@ -70,3 +70,17 @@ class OcrCells:
             }
         )
         return pa.concat_tables([passthrough, out], promote_options="none")
+
+
+# Per-worker-process cached instance for task-mode execution: Ray reuses
+# worker processes, so this is the same build-once-recognize-many semantics
+# as the actor pool, without pool management. Used for deterministic
+# (cheap-state) backends; heavy model backends run as real actor pools.
+_TASK_INSTANCE: dict[str, OcrCells] = {}
+
+
+def ocr_cells_task(batch: pa.Table, backend: str = "synthetic-glyph") -> pa.Table:
+    inst = _TASK_INSTANCE.get(backend)
+    if inst is None:
+        inst = _TASK_INSTANCE[backend] = OcrCells(backend=backend)
+    return inst(batch)
