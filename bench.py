@@ -36,14 +36,22 @@ QUERY_SUITE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "knn_cosine",
+    "knn_ivf",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "fingerprint",
     "token_stats",
+    "token_regex_stats",
+    "quality_score",
     "lang_stats",
     "lang_id",
     "dehyphenate",
     "classify_docs",
+    "digitize_plots",
+    "media_stats",
+    "media_thumbnails",
+    "audio_features",
+    "video_frames",
     "pricing_summary",
     "orders_by_segment",
     "events_hourly",

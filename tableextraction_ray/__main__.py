@@ -1,0 +1,136 @@
+"""CLI entry points — the engine's replacement for the reference's upload
+web UI (``main.py:20-56``) and ad-hoc notebook runs, shaped for
+``ray job submit``:
+
+    python -m tableextraction_ray extract   --corpus DIR --out DIR [--format spans|yaml|json]
+    python -m tableextraction_ray run       --corpus DIR --out DIR [--parts N]   # checkpointed + resumable
+    python -m tableextraction_ray datagen   --out DIR [--tier t1|t2|bench | --n-docs N]
+    python -m tableextraction_ray verify    --corpus DIR                         # span equality vs golden
+
+Owns its Ray session (guarded init), unlike the library modules.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+    return ray
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    from .pipelines.extract import (
+        ExtractConfig,
+        build_extraction_pipeline,
+        build_serialization_pipeline,
+    )
+
+    cfg = ExtractConfig(classify_filter=args.classify_filter)
+    if args.format == "spans":
+        ds = build_extraction_pipeline(args.corpus, config=cfg)
+    else:
+        ds = build_serialization_pipeline(args.corpus, config=cfg)
+        if args.format == "yaml":
+            ds = ds.select_columns(["doc_id", "page_offset", "table_no", "yaml"])
+        elif args.format == "json":
+            ds = ds.select_columns(["doc_id", "page_offset", "table_no", "json"])
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ray.data.read_parquet(args.out).count(), "out": args.out}))
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _ray_init()
+    from .state.checkpoint import run_partitioned
+
+    totals = run_partitioned(args.corpus, args.out, num_parts=args.parts)
+    print(json.dumps(totals))
+    return 0
+
+
+def cmd_datagen(args: argparse.Namespace) -> int:
+    _ray_init()
+    from .datagen import generate_corpus
+
+    out = generate_corpus(args.out, n_docs=args.n_docs, tier=args.tier, force=args.force)
+    print(json.dumps({"corpus": out}))
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Span-sequence equality of a fresh extraction vs the corpus golden."""
+    _ray_init()
+    import pyarrow.parquet as pq
+
+    from .pipelines.extract import build_extraction_pipeline
+    from .stages import explode_result_spans
+
+    out = (
+        build_extraction_pipeline(args.corpus)
+        .map_batches(explode_result_spans, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    g = pq.read_table(f"{args.corpus}/golden.parquet").to_pandas()
+    rows = []
+    for _, r in g.iterrows():
+        for s in r["spans"]:
+            rows.append((r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
+    import pandas as pd
+
+    gold = (
+        pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    ok = len(out) == len(gold) and all(
+        (out[c].astype(str).values == gold[c].astype(str).values).all()
+        for c in gold.columns
+    )
+    print(json.dumps({"spans": len(out), "golden_spans": len(gold), "equal": bool(ok)}))
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tableextraction_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("extract", help="one-shot extraction to parquet")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=["spans", "yaml", "json"], default="spans")
+    e.add_argument("--classify-filter", action="store_true")
+    e.set_defaults(fn=cmd_extract)
+
+    r = sub.add_parser("run", help="checkpointed partitioned run (resumable)")
+    r.add_argument("--corpus", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--parts", type=int, default=4)
+    r.set_defaults(fn=cmd_run)
+
+    d = sub.add_parser("datagen", help="generate the synthetic corpus")
+    d.add_argument("--out", required=True)
+    d.add_argument("--tier", default="t1")
+    d.add_argument("--n-docs", type=int, default=None)
+    d.add_argument("--force", action="store_true")
+    d.set_defaults(fn=cmd_datagen)
+
+    v = sub.add_parser("verify", help="span equality vs corpus golden")
+    v.add_argument("--corpus", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
