@@ -400,3 +400,16 @@ def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         lut[r] = c
     compact = lut[roots]  # provisional id -> compact id
     return compact[labels], n
+
+
+def scale_cells(cells: list[Cell], low_dpi: int, high_dpi: int) -> list[Cell]:
+    """Scale cell bboxes detected at low DPI to high-DPI coordinates with
+    the reference's int() truncation semantics
+    (``table_extraction/detection.py:607-628`` resize_tables_cells) — the
+    two-DPI trick: detect on the cheap raster, crop/OCR on the sharp one.
+    The engine carries the factor instead of both rasters (SURVEY.md §1.2)."""
+    factor = high_dpi / low_dpi
+    return [
+        (int(x1 * factor), int(y1 * factor), int(x2 * factor), int(y2 * factor))
+        for x1, y1, x2, y2 in cells
+    ]

@@ -133,3 +133,15 @@ class TestComponents:
         mask[1, 1] = True
         _, n = geometry._label_components(mask)
         assert n == 1
+
+
+class TestScaleCells:
+    def test_reference_truncation_semantics(self):
+        from tableextraction_ray.geometry import scale_cells
+
+        # 50 -> 500 DPI: factor 10, int() truncation (detection.py:617-627)
+        assert scale_cells([(1, 2, 3, 4)], 50, 500) == [(10, 20, 30, 40)]
+        # non-integral factor: float math THEN int() truncation, exactly as
+        # the reference computes it (3 * (10/3) = 10.000000000000002 -> 10)
+        assert scale_cells([(1, 1, 3, 3)], 3, 10) == [(3, 3, 10, 10)]
+        assert scale_cells([], 50, 500) == []
