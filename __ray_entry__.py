@@ -44,10 +44,12 @@ def entry() -> Any:
     return result.map_batches(explode_result_spans, batch_format="pyarrow")
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -108,13 +110,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
-        "knn_cosine": lambda sf: similarity.knn_bruteforce(_read(sf, "embeddings")),
-        "knn_ivf": lambda sf: similarity.ivf_knn(_read(sf, "embeddings")),
+        "knn_cosine": lambda sf: similarity.knn_bruteforce(_read(sf, "embeddings", ["vec_id", "embedding"])),
+        "knn_ivf": lambda sf: similarity.ivf_knn(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "embedding_near_dup": lambda sf: similarity.near_dup_pairs(
-            _read(sf, "embeddings")
+            _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
         "embedding_near_dup_lsh": lambda sf: similarity.lsh_near_dup(
-            _read(sf, "embeddings")
+            _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
         # -- text analysis --
         "fingerprint": lambda sf: textstats.fingerprint(docs(sf, ["doc_id", "text"])),
@@ -134,18 +136,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         # -- multimodal (binary media columns; rows-only checks) --
-        "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings")),
+        "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_stats": lambda sf: multimodal.media_stats(media(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
         "video_frames": lambda sf: multimodal.video_frames(media(sf)),
-        # -- relational / streaming demos --
-        "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem")),
-        "orders_by_segment": lambda sf: relational.orders_by_segment(
-            _read(sf, "orders"), _read(sf, "customer")
+        # -- relational / streaming demos (column-pruned reads) --
+        "pricing_summary": lambda sf: relational.pricing_summary(
+            _read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                   "l_extendedprice", "l_discount"])
         ),
-        "events_hourly": lambda sf: relational.events_hourly(_read(sf, "events")),
-        "sessionize": lambda sf: relational.sessionize(_read(sf, "events")),
+        "orders_by_segment": lambda sf: relational.orders_by_segment(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+        ),
+        "events_hourly": lambda sf: relational.events_hourly(
+            _read(sf, "events", ["event_type", "ts", "value"])
+        ),
+        "sessionize": lambda sf: relational.sessionize(
+            _read(sf, "events", ["user_id", "ts"])
+        ),
     }
 
 

@@ -14,23 +14,29 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
-def _cents(col: pa.ChunkedArray) -> pa.Array:
-    """floor(x*100 + 0.5) as int64 — SQL: CAST(FLOOR(x*100 + 0.5) AS BIGINT)."""
-    vals = np.asarray(col.to_pylist(), dtype=np.float64)
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — SQL: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
+    Zero-copy Arrow->numpy (no Python-object round trip)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     return pa.array(np.floor(vals * 100.0 + 0.5).astype(np.int64), type=pa.int64())
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary with exact integer-cent sums:
     (l_returnflag, l_linestatus, sum_qty_c, sum_price_c, sum_disc_c, n_rows).
-    The cent conversion + projection happens per block; only the 6-column
-    narrow rows reach the groupby."""
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
+    Combiner pattern: each batch pre-aggregates to per-key partial sums with
+    the vectorized ``pyarrow`` group_by (exact integer cents, so partial
+    sums compose exactly); only ~|keys| rows per block reach the global
+    groupby — at 10^12 rows the shuffle moves kilobytes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
@@ -39,11 +45,17 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
                 "disc_c": _cents(batch["l_discount"]),
             }
         )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ("qty_c", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_c", "n"]
+        )
 
     agg = (
-        lineitem.map_batches(to_cents, batch_format="pyarrow")
+        lineitem.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_c"), Count())
+        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_c"), Sum("n"))
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -54,7 +66,7 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
                 "sum_qty_c": batch["sum(qty_c)"].cast(pa.int64()),
                 "sum_price_c": batch["sum(price_c)"].cast(pa.int64()),
                 "sum_disc_c": batch["sum(disc_c)"].cast(pa.int64()),
-                "n_rows": batch["count()"].cast(pa.int64()),
+                "n_rows": batch["sum(n)"].cast(pa.int64()),
             }
         )
 
@@ -73,27 +85,31 @@ def orders_by_segment(
     }
     cust_ref = ray.put(cust)
 
-    def probe(batch: pa.Table) -> pa.Table:
+    def probe_and_combine(batch: pa.Table) -> pa.Table:
         lookup = ray.get(cust_ref)
         segs = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
                 "c_mktsegment": pa.array(segs, type=pa.string()),
                 "price_c": _cents(batch["o_totalprice"]),
             }
         )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("price_c", "count"), ("price_c", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n", "price_c"])
 
     agg = (
-        orders.map_batches(probe, batch_format="pyarrow")
+        orders.map_batches(probe_and_combine, batch_format="pyarrow")
         .groupby("c_mktsegment")
-        .aggregate(Count(), Sum("price_c"))
+        .aggregate(Sum("n"), Sum("price_c"))
     )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "c_mktsegment": batch["c_mktsegment"],
-                "n_orders": batch["count()"].cast(pa.int64()),
+                "n_orders": batch["sum(n)"].cast(pa.int64()),
                 "total_c": batch["sum(price_c)"].cast(pa.int64()),
             }
         )
@@ -106,22 +122,26 @@ def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
     aggregate over the event stream; the hour is emitted as a formatted
     string so hashes are timezone/type-stable."""
 
-    def bucket(batch: pa.Table) -> pa.Table:
+    def bucket_and_combine(batch: pa.Table) -> pa.Table:
         hours = pc.strftime(
             pc.floor_temporal(batch["ts"], unit="hour"), format="%Y-%m-%d %H:00:00"
         )
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
                 "event_type": batch["event_type"],
                 "hour": hours,
                 "value_c": _cents(batch["value"]),
             }
         )
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "hour", "n", "value_c"])
 
     agg = (
-        events.map_batches(bucket, batch_format="pyarrow")
+        events.map_batches(bucket_and_combine, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(), Sum("value_c"))
+        .aggregate(Sum("n"), Sum("value_c"))
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -129,7 +149,7 @@ def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
             {
                 "event_type": batch["event_type"],
                 "hour": batch["hour"],
-                "n_events": batch["count()"].cast(pa.int64()),
+                "n_events": batch["sum(n)"].cast(pa.int64()),
                 "sum_value_c": batch["sum(value_c)"].cast(pa.int64()),
             }
         )
