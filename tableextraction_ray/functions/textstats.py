@@ -217,18 +217,29 @@ def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     docs differ in few bits; pairing by Hamming distance happens downstream
     (no SQL oracle: bitwise vote loop)."""
 
+    import numpy as np
+
     def batch_fn(batch: pa.Table) -> pa.Table:
         out = []
         for t in batch["text"].to_pylist():
-            votes = [0] * 64
-            for w in t.split():
-                h = int(_md5(w)[:16], 16)
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            sh = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    sh |= 1 << b
+            toks = t.split()
+            if not toks:
+                out.append(f"{0:016x}")
+                continue
+            # One md5 per token, then a single vectorized bit-vote:
+            # unpack the first 8 digest bytes to a (n_tokens, 64) bit
+            # matrix; column sums > n/2 set the simhash bit. Bit order
+            # matches the scalar `(h >> b) & 1` convention (LSB-first).
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8][::-1] for w in toks),
+                dtype=np.uint8,
+            ).reshape(len(toks), 8)
+            bits = np.unpackbits(digests, axis=1, bitorder="little")
+            ones = bits.sum(axis=0, dtype=np.int64)
+            sh_bits = (2 * ones > len(toks)).astype(np.uint8)
+            sh = int.from_bytes(
+                np.packbits(sh_bits, bitorder="little").tobytes(), "little"
+            )
             out.append(f"{sh:016x}")
         return pa.Table.from_pydict(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.string())}

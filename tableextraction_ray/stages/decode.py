@@ -51,7 +51,23 @@ class DecodePages:
         hs: list[int] = []
         ws: list[int] = []
         for ref in media["media_ref"].to_pylist():
-            arr = png.decode_gray(self._read(ref))
+            # Per-document error tolerance (SURVEY.md §4.1): a missing or
+            # corrupt payload degrades to an empty image (img_h = -1); the
+            # doc's media marker still flows to assembly, downstream stages
+            # skip detection for it, and the run continues. The reference
+            # aborts the whole document on any exception (extractor.py:34-36).
+            try:
+                arr = png.decode_gray(self._read(ref))
+            except (OSError, ValueError) as exc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "media %s unreadable (%s); emitting bare marker", ref, exc
+                )
+                imgs.append(b"")
+                hs.append(-1)
+                ws.append(-1)
+                continue
             imgs.append(arr.tobytes())
             hs.append(arr.shape[0])
             ws.append(arr.shape[1])

@@ -57,8 +57,10 @@ def detect_tables(batch: pa.Table) -> pa.Table:
     hs = media["img_h"].to_pylist()
     ws = media["img_w"].to_pylist()
     for doc_id, offset, ref, img, h, w in zip(doc_ids, offsets, refs, imgs, hs, ws):
-        page = image_from_row(img, h, w)
         add(doc_id, offset, "media", ref)  # marker row, image dropped
+        if h <= 0 or w <= 0 or not img:
+            continue  # unreadable payload: marker only (decode error row)
+        page = image_from_row(img, h, w)
         for table_no, (x1, y1, x2, y2) in enumerate(geometry.detect_table_regions(page)):
             crop = page[y1 : y2 + 1, x1 : x2 + 1]
             add(
