@@ -66,38 +66,33 @@ def cmd_datagen(args: argparse.Namespace) -> int:
 
 
 def cmd_verify(args: argparse.Namespace) -> int:
-    """Span-sequence equality of a fresh extraction vs the corpus golden."""
+    """Span-sequence equality of a fresh extraction vs the corpus golden —
+    fully distributed (union + one doc_id shuffle); the driver only sees
+    the per-doc verdicts."""
     _ray_init()
-    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
 
-    from .pipelines.extract import build_extraction_pipeline
-    from .stages import explode_result_spans
+    from .pipelines.verify import verify_against_golden
 
-    out = (
-        build_extraction_pipeline(args.corpus)
-        .map_batches(explode_result_spans, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["doc_id", "offset"])
-        .reset_index(drop=True)
+    verdicts = verify_against_golden(args.corpus)
+    bad = verdicts.filter(lambda r: not r["equal"])
+    mismatches = bad.take(5)
+    n_docs = verdicts.count()
+    n_bad = bad.count()
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "mismatched_docs": n_bad,
+                "equal": n_bad == 0,
+                "examples": [
+                    {"doc_id": m["doc_id"], "first_diff": m["first_diff"]}
+                    for m in mismatches
+                ],
+            }
+        )
     )
-    g = pq.read_table(f"{args.corpus}/golden.parquet").to_pandas()
-    rows = []
-    for _, r in g.iterrows():
-        for s in r["spans"]:
-            rows.append((r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
-    import pandas as pd
-
-    gold = (
-        pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
-        .sort_values(["doc_id", "offset"])
-        .reset_index(drop=True)
-    )
-    ok = len(out) == len(gold) and all(
-        (out[c].astype(str).values == gold[c].astype(str).values).all()
-        for c in gold.columns
-    )
-    print(json.dumps({"spans": len(out), "golden_spans": len(gold), "equal": bool(ok)}))
-    return 0 if ok else 1
+    return 0 if n_bad == 0 else 1
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -105,9 +105,14 @@ def run_partitioned(
         stats.write_parquet(part_dir)
         written = ray.data.read_parquet(part_dir)
         n_docs = written.count()
-        n_spans = int(
-            written.aggregate(ray.data.aggregate.Sum("n_spans"))["sum(n_spans)"] or 0
+        kind_totals = written.map_batches(
+            _span_kind_counts, batch_format="pyarrow"
+        ).aggregate(
+            ray.data.aggregate.Sum("n_spans"),
+            ray.data.aggregate.Sum("n_text"),
+            ray.data.aggregate.Sum("n_media"),
         )
+        n_spans = int(kind_totals["sum(n_spans)"] or 0)
         wall = time.time() - t0
         manifest = {
             "part": part,
@@ -116,6 +121,12 @@ def run_partitioned(
             "corpus_dir": os.path.abspath(corpus_dir),
             "docs": n_docs,
             "spans": n_spans,
+            # Stage metrics (lineage sidecar): span-kind mix per partition.
+            # A media marker with no following table text spans is the
+            # signature of a decode-degraded page (stages/decode.py) —
+            # monitoring n_text/n_media drift catches silent data loss.
+            "text_spans": int(kind_totals["sum(n_text)"] or 0),
+            "media_spans": int(kind_totals["sum(n_media)"] or 0),
             "wall_s": wall,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
@@ -134,6 +145,25 @@ def run_partitioned(
 
 def _count_spans(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_spans", pc.list_value_length(batch["spans"]).cast(pa.int32()))
+
+
+def _span_kind_counts(batch: pa.Table) -> pa.Table:
+    """Per-block partial counts of span kinds (combiner for the manifest
+    metrics aggregation)."""
+    spans = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    kinds = flat.field("kind")
+    return pa.Table.from_pydict(
+        {
+            "n_spans": pa.array([len(flat)], type=pa.int64()),
+            "n_text": pa.array(
+                [pc.sum(pc.equal(kinds, "text")).as_py() or 0], type=pa.int64()
+            ),
+            "n_media": pa.array(
+                [pc.sum(pc.equal(kinds, "media")).as_py() or 0], type=pa.int64()
+            ),
+        }
+    )
 
 
 def read_results(out_dir: str) -> ray.data.Dataset:
