@@ -156,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
+        "distinct_sources": lambda sf: relational.distinct_sources(
+            docs(sf, ["source"])
+        ),
+        "top_docs_by_chars": lambda sf: relational.top_docs_by_chars(
+            docs(sf, ["doc_id", "n_chars"])
+        ),
     }
 
 
@@ -348,6 +354,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY 1, 2
+        """,
+        "distinct_sources": """
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         "sessionize": """
             WITH l AS (

@@ -210,3 +210,63 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         .groupby("user_id")
         .map_groups(build_sessions, batch_format="pyarrow")
     )
+
+
+def distinct_sources(documents: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_docs) — distinct values with counts (SURVEY.md §2.7 set
+    ops): per-block pre-count (combiner), then a |distinct|-sized groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([("source", "count")])
+        return g.rename_columns(["source", "n"])
+
+    agg = (
+        documents.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_docs": batch["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def top_docs_by_chars(documents: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(doc_id, n_chars) — global top-k documents by length, ties broken by
+    doc_id ascending. Scale-correct top-k: every block reduces to its own
+    top-k inside map_batches, so the final single-group reduce sees only
+    k x num_blocks rows — no global sort of 10^12 rows."""
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -n))[:k]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "n_chars": pa.array(n[order].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(), key=lambda r: (-r["n_chars"], r["doc_id"])
+        )[:k]
+        return pa.Table.from_pylist(rows).select(["doc_id", "n_chars"])
+
+    survivors = documents.map_batches(block_topk, batch_format="pyarrow")
+    # Single-key groupby: the k x num_blocks survivors collapse to one group.
+    tagged = survivors.map_batches(
+        lambda b: b.append_column("g", pa.array([0] * len(b), type=pa.int32())),
+        batch_format="pyarrow",
+    )
+    return (
+        tagged.groupby("g")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
