@@ -107,21 +107,33 @@ def extract_lines(image: np.ndarray) -> tuple[list[Line], list[Line]]:
 def _cluster_nodes(nodes: list[tuple[int, int]], epsilon: float) -> list[tuple[int, int]]:
     """Epsilon-ball clustering to the rounded mean, preserving first-seen
     order (the reference's KDTree query_ball_point pass,
-    detection.py:415-434), without scipy: vectorized distance masks."""
-    arr = np.asarray(nodes, dtype=np.float64)
+    detection.py:415-434), without scipy.
+
+    Operates on UNIQUE nodes carrying their multiplicities (the V x H pair
+    loop appends endpoints once per pair, so duplicates are heavy): cluster
+    means weighted by count are bit-identical to means over the duplicated
+    list (integer coordinates sum exactly in float64), and first-seen order
+    of unique nodes equals the original iteration's seed order."""
+    uniq: dict[tuple[int, int], int] = {}
+    for n in nodes:
+        uniq[n] = uniq.get(n, 0) + 1
+    pts = np.asarray(list(uniq.keys()), dtype=np.float64)
+    cnt = np.asarray(list(uniq.values()), dtype=np.float64)
+    visited = np.zeros(len(pts), dtype=bool)
+    e2 = epsilon * epsilon
     out: list[tuple[int, int]] = []
-    visited: set[tuple[int, int]] = set()
-    for node in nodes:
-        if node in visited:
+    for i in range(len(pts)):
+        if visited[i]:
             continue
-        d2 = ((arr - np.asarray(node, dtype=np.float64)) ** 2).sum(axis=1)
-        idxs = np.flatnonzero(d2 <= epsilon * epsilon)
-        visited.update(tuple(int(v) for v in arr[i]) for i in idxs)
-        if len(idxs) > 1:
-            mean = np.round(arr[idxs].mean(axis=0)).astype(int)
+        d2 = ((pts - pts[i]) ** 2).sum(axis=1)
+        idxs = np.flatnonzero(d2 <= e2)
+        visited[idxs] = True
+        total = cnt[idxs].sum()
+        if total > 1:
+            mean = np.round((pts[idxs] * cnt[idxs, None]).sum(axis=0) / total).astype(int)
             out.append((int(mean[0]), int(mean[1])))
         else:
-            out.append(node)
+            out.append((int(pts[i, 0]), int(pts[i, 1])))
     return out
 
 

@@ -89,7 +89,12 @@ class ExtractConfig:
 
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
             decode_min = 1 if cpus < 16 else 2
-            ocr_min = max(1, min(cpus * 3 // 4 - 2, cpus - decode_min - 2))
+            # OCR (the dominant stage) gets nearly everything: Ray Data's
+            # reservation allocator effectively pins an actor pool at its
+            # min, so a low min idles CPUs (measured 21/32 busy at min=22,
+            # 510 docs/s at min=26, but min=28 starves decode/sort).
+            ocr_share = cpus - 6 if cpus >= 16 else cpus // 2
+            ocr_min = max(1, min(ocr_share, cpus - decode_min - 2))
             decode = decode or (decode_min, max(4, cpus // 4))
             ocr = ocr or (ocr_min, cpus)
         return decode, ocr
@@ -154,11 +159,11 @@ def _build_work_stream(
             batch_size=cfg.ocr_batch_size,
             batch_format="pyarrow",
         )
-    # Narrow the shuffle: post-OCR rows are small (images dropped), but a
-    # groupby over 10x-CPU input blocks schedules an O(blocks^2) exchange
-    # that costs more than the compute it follows; coalesce to ~2
-    # blocks/CPU first.
-    return work.repartition(2 * cpus), cpus
+    # No pre-groupby repartition: with short per-block tasks the direct
+    # 10xCPU-wide sort outruns the repartition barrier (a repartition helped
+    # only while skewed long tasks made the wide exchange stall; measured
+    # 522 vs 569 docs/s at 32 CPUs after the geometry fast path).
+    return work, cpus
 
 
 def build_extraction_pipeline(
