@@ -134,54 +134,113 @@ def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_a, doc_b, jaccard_fp6) — exact 3-gram Jaccard for every LSH
-    candidate pair, fixed-point 1e6. The shingle sets of the (small) pair
-    population are broadcast via ray.put instead of a second shuffle join:
-    the candidate list is the small side by construction."""
+    candidate pair, fixed-point 1e6.
+
+    Fully distributed verification join: only the candidate DOC-ID SET is
+    broadcast (ints — tiny even when shingle payloads aren't); shingle sets
+    travel through two doc-key/pair-key shuffles, never through the driver:
+
+        pairs -> 2 side rows (join_key=doc, pair)      # explode
+        union(shingles-of-candidate-docs, side rows)
+          .groupby(doc) -> attach shingles to each side
+          .groupby(pair) -> intersect the two sides -> jaccard
+    """
     import ray
 
     from . import fp
 
-    cand = minhash_candidates(ds).take_all()
-    needed = sorted({r["doc_a"] for r in cand} | {r["doc_b"] for r in cand})
-    needed_set = set(needed)
+    cand = minhash_candidates(ds)
+    needed_set = set()
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        needed_set.update(batch["doc_a"].to_pylist())
+        needed_set.update(batch["doc_b"].to_pylist())
+    needed_ref = ray.put(needed_set)
 
-    def collect(batch: pa.Table) -> pa.Table:
-        out_id, out_sh = [], []
+    SIDE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pair_a", pa.int64()),
+            ("pair_b", pa.int64()),
+            ("shingles", pa.list_(pa.string())),
+        ]
+    )
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        ids, pa_, pb = [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            ids.extend((a, b))
+            pa_.extend((a, a))
+            pb.extend((b, b))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pair_a": pa.array(pa_, type=pa.int64()),
+                "pair_b": pa.array(pb, type=pa.int64()),
+                "shingles": pa.array([None] * len(ids), type=pa.list_(pa.string())),
+            },
+            schema=SIDE_SCHEMA,
+        )
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        needed = ray.get(needed_ref)
+        ids, sh = [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if doc_id in needed_set:
-                out_id.append(doc_id)
-                out_sh.append(shingle_set(text))
+            if doc_id in needed:
+                ids.append(doc_id)
+                sh.append(shingle_set(text))
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "shingles": pa.array(out_sh, type=pa.list_(pa.string())),
-            }
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pair_a": pa.array([-1] * len(ids), type=pa.int64()),
+                "pair_b": pa.array([-1] * len(ids), type=pa.int64()),
+                "shingles": pa.array(sh, type=pa.list_(pa.string())),
+            },
+            schema=SIDE_SCHEMA,
         )
 
-    sh_rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
-    shingles = {r["doc_id"]: set(r["shingles"]) for r in sh_rows}
-    shingles_ref = ray.put(shingles)
+    def attach(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        sh = next((r["shingles"] for r in rows if r["pair_a"] == -1), None) or []
+        out = [
+            {**r, "shingles": sh}
+            for r in rows
+            if r["pair_a"] != -1
+        ]
+        return pa.Table.from_pylist(out, schema=SIDE_SCHEMA)
 
-    pairs_ds = ray.data.from_items(cand) if cand else ray.data.from_items(
-        [{"doc_a": 0, "doc_b": 0}]
-    ).limit(0)
-
-    def score(batch: pa.Table) -> pa.Table:
-        sh = ray.get(shingles_ref)
-        a_col = batch["doc_a"].to_pylist()
-        b_col = batch["doc_b"].to_pylist()
-        jac = []
-        for a, b in zip(a_col, b_col):
-            sa, sb = sh[a], sh[b]
-            inter = len(sa & sb)
-            uni = len(sa | sb)
-            jac.append(fp(inter * 1000000.0 / uni, 0) if uni else 0)
-        return pa.Table.from_pydict(
-            {
-                "doc_a": pa.array(a_col, type=pa.int64()),
-                "doc_b": pa.array(b_col, type=pa.int64()),
-                "jaccard_fp6": pa.array(jac, type=pa.int64()),
-            }
+    def score_pair(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        a = rows[0]["pair_a"]
+        b = rows[0]["pair_b"]
+        sides = [set(r["shingles"]) for r in rows]
+        sa = next((s for r, s in zip(rows, sides) if r["doc_id"] == a), set())
+        sb = next((s for r, s in zip(rows, sides) if r["doc_id"] == b), set())
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "doc_a": a,
+                    "doc_b": b,
+                    "jaccard_fp6": fp(inter * 1000000.0 / uni, 0) if uni else 0,
+                }
+            ],
+            schema=pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("jaccard_fp6", pa.int64()),
+                ]
+            ),
         )
 
-    return pairs_ds.map_batches(score, batch_format="pyarrow")
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    shingles = ds.map_batches(doc_shingles, batch_format="pyarrow")
+    attached = (
+        shingles.union(sides)
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby(["pair_a", "pair_b"]).map_groups(
+        score_pair, batch_format="pyarrow"
+    )
