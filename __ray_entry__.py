@@ -95,11 +95,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             corpus, config=ExtractConfig(classify_filter=True)
         ).map_batches(explode_result_spans, batch_format="pyarrow")
 
+    def extract_verify(sf_dir: str):
+        from tableextraction_ray.pipelines.verify import verify_against_golden
+
+        return verify_against_golden(_corpus_for(sf_dir))
+
     return {
         # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
         "extract_spans": extract_spans,
         "extract_serialized": extract_serialized,
         "extract_filtered": extract_filtered,
+        "extract_verify": extract_verify,
         # -- deduplication --
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(

@@ -1,6 +1,13 @@
 """Dataset sources for the engine's storage layouts."""
 
-from .media import read_media
+from .annotations import parse_pascal_voc, read_pascal_voc
 from .corpus import read_documents, read_golden
+from .media import read_media
 
-__all__ = ["read_media", "read_documents", "read_golden"]
+__all__ = [
+    "parse_pascal_voc",
+    "read_pascal_voc",
+    "read_documents",
+    "read_golden",
+    "read_media",
+]
