@@ -162,6 +162,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
+        "events_sliding_window": lambda sf: relational.events_sliding_window(
+            _read(sf, "events", ["event_type", "ts", "value"])
+        ),
+        "purchase_asof_join": lambda sf: relational.purchase_asof_join(
+            _read(sf, "events", ["event_id", "ts", "user_id", "event_type"])
+        ),
         "distinct_sources": lambda sf: relational.distinct_sources(
             docs(sf, ["source"])
         ),
@@ -360,6 +366,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT event_type,
+                   strftime(time_bucket(INTERVAL '15 minutes', ts)
+                            - b.k * INTERVAL '15 minutes',
+                            '%Y-%m-%d %H:%M:00') AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events, (SELECT unnest([0,1,2,3]) AS k) b
+            GROUP BY 1, 2
+        """,
+        "purchase_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, ts, MAX(event_id) AS event_id
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id AS click_id, c.user_id,
+                   p.event_id AS purchase_id,
+                   CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS lag_us
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "distinct_sources": """
             SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source

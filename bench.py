@@ -56,6 +56,8 @@ QUERY_SUITE = [
     "orders_by_segment",
     "events_hourly",
     "sessionize",
+    "events_sliding_window",
+    "purchase_asof_join",
     "distinct_sources",
     "top_docs_by_chars",
 ]

@@ -270,3 +270,133 @@ def top_docs_by_chars(documents: ray.data.Dataset, k: int = 20) -> ray.data.Data
         tagged.groupby("g")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def events_sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, window_start, n_events, sum_value_c) — SLIDING windows:
+    1-hour windows advancing every 15 minutes, so each event lands in
+    exactly 4 windows. A windowed-aggregate operator Ray Data lacks,
+    expressed as a vectorized 1->4 window-key fan-out inside map_batches +
+    the combiner groupby — the scale shape of stream windowing (no per-event
+    Python, no window state)."""
+    STEP_US = 15 * 60 * 1_000_000
+    N_WINDOWS = 4
+
+    def fan_out_and_combine(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        base = ts - (ts % STEP_US)  # floor to 15-min boundary (epoch-exact)
+        etype = batch["event_type"].combine_chunks()
+        value_c = _cents(batch["value"])
+        parts = []
+        for k in range(N_WINDOWS):
+            starts = base - k * STEP_US
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "event_type": etype,
+                        "win_us": pa.array(starts, type=pa.int64()),
+                        "value_c": value_c,
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        g = t.group_by(["event_type", "win_us"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "win_us", "n", "value_c"])
+
+    agg = (
+        events.map_batches(fan_out_and_combine, batch_format="pyarrow")
+        .groupby(["event_type", "win_us"])
+        .aggregate(Sum("n"), Sum("value_c"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(
+            batch["win_us"].cast(pa.timestamp("us")), format="%Y-%m-%d %H:%M:00"
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "n_events": batch["sum(n)"].cast(pa.int64()),
+                "sum_value_c": batch["sum(value_c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def purchase_asof_join(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(click_id, user_id, purchase_id, lag_us) — AS-OF join: for every
+    'click' event, the most recent 'purchase' by the same user at or before
+    the click (NULL when none). An operator Ray Data lacks, composed as
+    filter -> union -> groupby(user) -> per-group sorted sweep with binary
+    search; timestamps stay exact integer microseconds. Ties (same user,
+    same ts) keep the max purchase event_id — matching the deduped DuckDB
+    ASOF JOIN oracle deterministically."""
+    import bisect
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        t = batch.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+                "kind": t["event_type"],
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("click_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("purchase_id", pa.int64()),
+            ("lag_us", pa.int64()),
+        ]
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        user = rows[0]["user_id"]
+        # Dedupe same-ts purchases to the max event_id (deterministic ties).
+        purchases: dict[int, int] = {}
+        for r in rows:
+            if r["kind"] == "purchase":
+                ts = r["ts_us"]
+                purchases[ts] = max(purchases.get(ts, -1), r["event_id"])
+        p_ts = sorted(purchases)
+        out = []
+        for r in rows:
+            if r["kind"] != "click":
+                continue
+            i = bisect.bisect_right(p_ts, r["ts_us"]) - 1
+            if i >= 0:
+                out.append(
+                    {
+                        "click_id": r["event_id"],
+                        "user_id": user,
+                        "purchase_id": purchases[p_ts[i]],
+                        "lag_us": r["ts_us"] - p_ts[i],
+                    }
+                )
+            else:
+                out.append(
+                    {
+                        "click_id": r["event_id"],
+                        "user_id": user,
+                        "purchase_id": None,
+                        "lag_us": None,
+                    }
+                )
+        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
