@@ -70,7 +70,6 @@ def cmd_verify(args: argparse.Namespace) -> int:
     fully distributed (union + one doc_id shuffle); the driver only sees
     the per-doc verdicts."""
     _ray_init()
-    import pyarrow.compute as pc
 
     from .pipelines.verify import verify_against_golden
 

@@ -48,7 +48,7 @@ TIERS = {
     # Large enough that per-doc compute dominates fixed pipeline overheads
     # (read fan-out, actor-pool ramp, shuffle setup) — required for a clean
     # N->4N scaling-efficiency measurement.
-    "bench": 30000,
+    "bench": 60000,
 }
 
 FAMILIES = [

@@ -310,42 +310,53 @@ def detect_table_regions(
     """
     ink = binarize_ink(page_image)
     # Long-run extraction == opening + min-length filter (see extract_lines
-    # note); ruling lines are FEW (hundreds per page), so the masks are
-    # painted by per-run slice assignment instead of full-image cumsums.
-    h_long = np.zeros(ink.shape, dtype=bool)
+    # note). Connectivity runs over the SEGMENTS, not pixels: a ruling mask
+    # is exactly the union of its long runs, and two runs are 8-connected
+    # iff their bounding intervals overlap when dilated by 1 (maximal runs
+    # in one row are >= 2 apart, so same-row runs never connect — identical
+    # components to pixel-level labeling at a fraction of the work; tables
+    # are dozens of segments, not thousands of pixel runs).
     rows, starts, stops = _runs_2d(ink)
     keep = stops - starts >= MIN_SEGMENT_LEN
-    for y, x1, x2 in zip(rows[keep], starts[keep], stops[keep]):
-        h_long[y, x1:x2] = True
-    v_long = np.zeros(ink.shape, dtype=bool)
+    hy, hx1, hx2 = rows[keep], starts[keep], stops[keep] - 1  # inclusive
     cols, vstarts, vstops = _runs_2d(ink.T)
     keep = vstops - vstarts >= MIN_SEGMENT_LEN
-    for x, y1, y2 in zip(cols[keep], vstarts[keep], vstops[keep]):
-        v_long[y1:y2, x] = True
-    mask = h_long | v_long
-    labels, n = _label_components(mask)
+    vx, vy1, vy2 = cols[keep], vstarts[keep], vstops[keep] - 1
+    nh, nv = len(hy), len(vx)
+    n = nh + nv
     if n == 0:
         return []
-    # Single pass over the (sparse) ruling pixels: per-label bounding boxes
-    # plus per-label h/v ruling presence — no per-component full-image scans.
-    ys, xs = np.nonzero(mask)
-    ls = labels[ys, xs]
-    x_min = np.full(n + 1, np.iinfo(np.int64).max)
-    x_max = np.full(n + 1, -1)
-    y_min = np.full(n + 1, np.iinfo(np.int64).max)
-    y_max = np.full(n + 1, -1)
-    np.minimum.at(x_min, ls, xs)
-    np.maximum.at(x_max, ls, xs)
-    np.minimum.at(y_min, ls, ys)
-    np.maximum.at(y_max, ls, ys)
-    has_h = np.bincount(ls[h_long[ys, xs]], minlength=n + 1) > 0
-    has_v = np.bincount(ls[v_long[ys, xs]], minlength=n + 1) > 0
+    # Segment boxes: (x1, y1, x2, y2) inclusive; h first, then v.
+    bx1 = np.concatenate([hx1, vx]).astype(np.int64)
+    bx2 = np.concatenate([hx2, vx]).astype(np.int64)
+    by1 = np.concatenate([hy, vy1]).astype(np.int64)
+    by2 = np.concatenate([hy, vy2]).astype(np.int64)
+    # Pairwise 8-connectivity: dilated-interval overlap on both axes.
+    ox = (bx1[:, None] <= bx2[None, :] + 1) & (bx1[None, :] <= bx2[:, None] + 1)
+    oy = (by1[:, None] <= by2[None, :] + 1) & (by1[None, :] <= by2[:, None] + 1)
+    adj = ox & oy
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii, jj = np.nonzero(np.triu(adj, k=1))
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.asarray([find(i) for i in range(n)])
     regions: list[Cell] = []
-    for comp in range(1, n + 1):
-        x1, x2, y1, y2 = int(x_min[comp]), int(x_max[comp]), int(y_min[comp]), int(y_max[comp])
+    for r in np.unique(roots):
+        members = roots == r
+        if not (members[:nh].any() and members[nh:].any()):
+            continue  # needs both horizontal and vertical ruling
+        x1, x2 = int(bx1[members].min()), int(bx2[members].max())
+        y1, y2 = int(by1[members].min()), int(by2[members].max())
         if x2 - x1 + 1 < min_size or y2 - y1 + 1 < min_size:
-            continue
-        if not (has_h[comp] and has_v[comp]):
             continue
         regions.append((x1, y1, x2, y2))
     return sorted(regions, key=lambda r: (r[1], r[0]))

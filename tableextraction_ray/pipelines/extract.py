@@ -116,12 +116,17 @@ def _build_work_stream(
     cell-level work stream and the cluster CPU count for shuffle sizing."""
     cpus = cfg.cluster_cpus()
     if docs is None:
-        # ~10 blocks per CPU: heavy per-doc stages get task granularity far
-        # below the skew tail (a multi-page doc is one row, not one block).
+        # Block granularity scales with DATA (~64 docs/block, floor of 10
+        # blocks/CPU): tying it to CPU count alone left 750-doc blocks on
+        # the 8-CPU scaling run — a 14 s skew tail from multi-page docs at
+        # 47 % utilization. Row count comes from parquet footers (cheap).
+        import pyarrow.dataset as pads
+
+        n_rows = pads.dataset(documents_path(corpus_dir)).count_rows()
         docs = ray.data.read_parquet(
             documents_path(corpus_dir),
             columns=["doc_id", "spans"],
-            override_num_blocks=10 * cpus,
+            override_num_blocks=max(10 * cpus, -(-n_rows // 64)),
         )
     work = docs.map_batches(explode_spans, batch_format="pyarrow")
     if cfg.use_actors():
@@ -159,11 +164,13 @@ def _build_work_stream(
             batch_size=cfg.ocr_batch_size,
             batch_format="pyarrow",
         )
-    # No pre-groupby repartition: with short per-block tasks the direct
-    # 10xCPU-wide sort outruns the repartition barrier (a repartition helped
-    # only while skewed long tasks made the wide exchange stall; measured
-    # 522 vs 569 docs/s at 32 CPUs after the geometry fast path).
-    return work, cpus
+    # Fine blocks above (skew control) but a NARROW sort below: a keyed
+    # exchange over ~1000 blocks is O(blocks^2) transfers and dominated an
+    # 8-CPU run; the linear merge-repartition to 2 blocks/CPU costs far
+    # less than the width it saves. (With coarse blocks the repartition
+    # isn't worth it — granularity and shuffle width trade off, so both
+    # knobs are set explicitly.)
+    return work.repartition(2 * cpus), cpus
 
 
 def build_extraction_pipeline(
