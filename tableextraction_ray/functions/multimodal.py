@@ -156,7 +156,7 @@ class VideoFrameSample:
 
 def media_stats(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        ImageStats, concurrency=(1, 4), batch_size=32, batch_format="pyarrow"
+        ImageStats, concurrency=(2, 16), batch_size=32, batch_format="pyarrow"
     )
 
 
@@ -164,7 +164,7 @@ def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data
     return media_ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"max_side": max_side},
-        concurrency=(1, 4),
+        concurrency=(2, 16),
         batch_size=16,
         batch_format="pyarrow",
     )
@@ -172,11 +172,11 @@ def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data
 
 def audio_features(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        AudioFeatures, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+        AudioFeatures, concurrency=(2, 16), batch_size=64, batch_format="pyarrow"
     )
 
 
 def video_frames(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        VideoFrameSample, concurrency=(1, 4), batch_size=8, batch_format="pyarrow"
+        VideoFrameSample, concurrency=(2, 16), batch_size=8, batch_format="pyarrow"
     )

@@ -41,5 +41,9 @@ def read_media(corpus_dir: str) -> ray.data.Dataset:
             }
         )
 
-    files = ray.data.read_binary_files(media_root, include_paths=True)
+    # Hundreds of read tasks over the (many small file) store: per-file
+    # task overhead dominates a default-parallelism read.
+    files = ray.data.read_binary_files(
+        media_root, include_paths=True, override_num_blocks=256
+    )
     return files.map_batches(to_refs, batch_format="numpy")
