@@ -96,9 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(explode_result_spans, batch_format="pyarrow")
 
     def extract_verify(sf_dir: str):
+        # Mismatching docs ONLY: the expected row count is 0, so the
+        # driver's rows-only check is itself the golden-equality assertion.
         from tableextraction_ray.pipelines.verify import verify_against_golden
 
-        return verify_against_golden(_corpus_for(sf_dir))
+        return verify_against_golden(_corpus_for(sf_dir), mismatches_only=True)
 
     return {
         # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
@@ -183,8 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 _SHINGLES_CTE = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+WITH reps AS (
+  -- exact-text collapse (heavy-duplicate skew guard): candidates are
+  -- generated among distinct-text representatives (min doc_id per text);
+  -- pairs among exact copies are dedup_exact's output, not a candidate.
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w FROM reps
 ),
 sh AS (
   SELECT doc_id,
@@ -280,9 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "token_stats": r"""
             WITH toks AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
               FROM documents
             )
             SELECT doc_id,
@@ -298,11 +304,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": r"""
             SELECT doc_id,
-                   CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                   CASE WHEN length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g')) > 0
                              AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
-                                 > 3 * length(regexp_replace(text, '\s', '', 'g'))
+                                 > 3 * length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g'))
                         THEN 'cyr' ELSE 'lat' END AS pred_lang
             FROM documents
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, len(w) AS n, unnest(w) AS t FROM toks
+            ),
+            hv AS (
+              -- token hash = first 8 md5 bytes as big-endian uint64
+              -- (== Python int(md5(w).hexdigest()[:16], 16))
+              SELECT doc_id, n, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+              FROM tok
+            ),
+            votes AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CAST((h >> CAST(b.b AS INT)) & 1 AS BIGINT)) AS ones,
+                     MAX(n) AS n
+              FROM hv, (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            sh AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN 2 * ones > n
+                              THEN (1::UBIGINT << CAST(b AS INT))
+                              ELSE 0::UBIGINT END) AS v
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(lower(lpad(to_hex(CAST(v AS UBIGINT)), 16, '0')),
+                            '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id)
         """,
         # Character-class counts use the literal classes from
         # textstats.ALPHA_CLASS/DIGIT_CLASS/SPACE_CLASS; ratio formula is the
@@ -316,9 +355,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             toks AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
               FROM documents
             )
             SELECT c.doc_id,

@@ -63,8 +63,12 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def shingle_set(text: str) -> list[str]:
     """Distinct word 3-gram shingles, first-occurrence order (matches the
-    oracle's list_distinct only as a set — consumers must be order-free)."""
-    toks = text.split()
+    oracle's list_distinct only as a set — consumers must be order-free).
+    Tokenization is the shared ASCII-whitespace contract
+    (textstats.ascii_tokens) so the oracle's regexp_extract_all matches."""
+    from .textstats import ascii_tokens
+
+    toks = ascii_tokens(text)
     if len(toks) < SHINGLE_N:
         return []
     seen: dict[str, None] = {}
@@ -80,32 +84,49 @@ def minhash_signature(shingles: list[str]) -> list[str]:
 
 
 def _band_rows(batch: pa.Table) -> pa.Table:
-    doc_ids, bands, keys = [], [], []
+    doc_ids, bands, keys, md5s = [], [], [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         sh = shingle_set(text)
         if not sh:
             continue
         sig = minhash_signature(sh)
+        h = _md5(text)
         for b in range(NUM_BANDS):
             key = _md5("|".join(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
             doc_ids.append(doc_id)
             bands.append(b)
             keys.append(key)
+            md5s.append(h)
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "band": pa.array(bands, type=pa.int64()),
             "key": pa.array(keys, type=pa.string()),
+            "text_md5": pa.array(md5s, type=pa.string()),
         }
     )
 
 
 def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_a, doc_b) — distinct candidate near-dup pairs from LSH banding."""
+    """(doc_a, doc_b) — distinct candidate near-dup pairs from LSH banding,
+    among EXACT-DISTINCT representatives: within a bucket, docs with
+    identical text collapse to their minimum doc_id before pair expansion
+    (identical texts share every band key, so the in-bucket minimum is the
+    global one). This is the heavy-duplicate skew guard — a corpus with
+    1,000 copies of one document produces 1 representative and 0 pairs per
+    bucket instead of an O(n^2) blow-up (pairs AMONG exact copies are
+    ``exact_dedup``'s job, not a near-dup candidate's). Oracle mirrors the
+    collapse (min doc_id per distinct text)."""
     bands = ds.map_batches(_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
+        reps: dict[str, int] = {}
+        for doc_id, h in zip(
+            group["doc_id"].to_pylist(), group["text_md5"].to_pylist()
+        ):
+            if h not in reps or doc_id < reps[h]:
+                reps[h] = doc_id
+        ids = sorted(reps.values())
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -144,12 +165,24 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
         union(shingles-of-candidate-docs, side rows)
           .groupby(doc) -> attach shingles to each side
           .groupby(pair) -> intersect the two sides -> jaccard
+
+    The candidate id-set broadcast is the one non-streaming piece: at 10^9+
+    candidates swap it for a pure semi-join — tag (doc_id, text) rows into
+    the SAME doc-key shuffle and shingle inside ``attach`` only when side
+    rows are present in the group (trades the driver set for shipping
+    non-candidate texts through one shuffle).
     """
     import ray
 
     from . import fp
 
-    cand = minhash_candidates(ds)
+    # Materialize the candidate pipeline ONCE: it is consumed twice below
+    # (the needed-id scan here and the explode_sides branch), and an
+    # unmaterialized Dataset re-executes per consumption — round 1 ran the
+    # whole LSH banding twice. The materialized candidate set is tiny
+    # ((int, int) pairs), so pinning its blocks in the object store is free
+    # relative to re-running the shuffle.
+    cand = minhash_candidates(ds).materialize()
     needed_set = set()
     for batch in cand.iter_batches(batch_format="pyarrow"):
         needed_set.update(batch["doc_a"].to_pylist())

@@ -154,9 +154,24 @@ class VideoFrameSample:
         )
 
 
+def _media_pool() -> tuple[int, int]:
+    """CPU-proportional actor-pool bounds for a media stage, resolved at
+    pipeline-build time (same policy as ExtractConfig.resolved_pools): Ray
+    Data's reservation allocator effectively runs a pool at its MIN, so a
+    fixed min=2 pins these stages to 2 actors on a 32-CPU cluster — the
+    round-1 profile showed media_stats/thumbnails/video as the 3 slowest
+    queries for exactly this reason. Min = cpus - 4 keeps the decode pool
+    dominant while leaving headroom for the read/source tasks (the pool
+    minima livelock rule: never sum minima to the whole cluster)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (max(2, cpus - 4), max(4, cpus))
+
+
 def media_stats(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        ImageStats, concurrency=(2, 16), batch_size=32, batch_format="pyarrow"
+        ImageStats, concurrency=_media_pool(), batch_size=32, batch_format="pyarrow"
     )
 
 
@@ -164,7 +179,7 @@ def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data
     return media_ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"max_side": max_side},
-        concurrency=(2, 16),
+        concurrency=_media_pool(),
         batch_size=16,
         batch_format="pyarrow",
     )
@@ -172,11 +187,11 @@ def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data
 
 def audio_features(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        AudioFeatures, concurrency=(2, 16), batch_size=64, batch_format="pyarrow"
+        AudioFeatures, concurrency=_media_pool(), batch_size=64, batch_format="pyarrow"
     )
 
 
 def video_frames(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(
-        VideoFrameSample, concurrency=(2, 16), batch_size=8, batch_format="pyarrow"
+        VideoFrameSample, concurrency=_media_pool(), batch_size=8, batch_format="pyarrow"
     )

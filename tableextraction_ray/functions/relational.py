@@ -74,11 +74,19 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def orders_by_segment(
-    orders: ray.data.Dataset, customer: ray.data.Dataset
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(c_mktsegment, n_orders, total_c) — orders joined to the customer
-    dimension. The small side is broadcast once via ray.put and probed
-    inside map_batches (no shuffle join, SURVEY.md §2.5)."""
+    dimension. When the dimension fits under ``broadcast_limit`` rows it is
+    broadcast once via ray.put and probed inside map_batches (no shuffle);
+    above the limit it falls back to a keyed shuffle join — the customer
+    table is sf-proportional in TPC-H, so an unguarded broadcast is a
+    driver-memory scale-killer at 100x (round-1 verdict #4). The count
+    probe is metadata-cheap on a parquet read."""
+    if customer.count() > broadcast_limit:
+        return _orders_by_segment_shuffle(orders, customer)
     cust = {
         r["c_custkey"]: r["c_mktsegment"]
         for r in customer.select_columns(["c_custkey", "c_mktsegment"]).take_all()
@@ -104,6 +112,102 @@ def orders_by_segment(
         .groupby("c_mktsegment")
         .aggregate(Sum("n"), Sum("price_c"))
     )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": batch["sum(n)"].cast(pa.int64()),
+                "total_c": batch["sum(price_c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _orders_by_segment_shuffle(
+    orders: ray.data.Dataset, customer: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Shuffle-join fallback for a too-large dimension: both sides tagged
+    and unioned, ONE keyed shuffle on custkey attaches the segment to each
+    order partial, then the tiny per-segment groupby. Orders pre-combine
+    per (custkey) inside map_batches first so the shuffle moves one row per
+    (block, custkey), not per order."""
+    SIDE = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("n", pa.int64()),
+            ("price_c", pa.int64()),
+        ]
+    )
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "price_c": _cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["c_custkey"]).aggregate(
+            [("price_c", "count"), ("price_c", "sum")]
+        ).rename_columns(["c_custkey", "n", "price_c"])
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": g["c_custkey"],
+                "c_mktsegment": pa.nulls(len(g), type=pa.string()),
+                "n": g["n"].cast(pa.int64()),
+                "price_c": g["price_c"].cast(pa.int64()),
+            },
+            schema=SIDE,
+        )
+
+    def customer_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.nulls(n, type=pa.int64()),
+                "price_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=SIDE,
+        )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        seg = None
+        n = total = 0
+        for r in group.to_pylist():
+            if r["n"] is None:
+                seg = r["c_mktsegment"]
+            else:
+                n += r["n"]
+                total += r["price_c"]
+        if n == 0 or seg is None:  # customer with no orders / orphan order
+            return pa.Table.from_pydict(
+                {"c_mktsegment": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "price_c": pa.array([], type=pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": pa.array([seg], type=pa.string()),
+                "n": pa.array([n], type=pa.int64()),
+                "price_c": pa.array([total], type=pa.int64()),
+            }
+        )
+
+    joined = (
+        orders.map_batches(order_partials, batch_format="pyarrow")
+        .union(
+            customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+                customer_side, batch_format="pyarrow"
+            )
+        )
+        .groupby("c_custkey")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(Sum("n"), Sum("price_c"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

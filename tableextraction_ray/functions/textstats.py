@@ -19,6 +19,34 @@ from ..textproc import classify_table, remove_hyphenated_words
 
 STOPWORDS = ("the", "and", "of", "a", "in")
 
+# Shared ASCII-whitespace tokenizer: maximal runs of non-[ \t\n\r\v\f]
+# characters. Python's str.split()/isspace() treat UNICODE whitespace
+# (U+00A0, U+0085, ...) as separators but DuckDB's RE2 does not, so every
+# token boundary in this module (and dedup shingling) goes through this
+# explicit class — mirrored literally in the oracle's
+# regexp_extract_all(text, '[^ \t\n\r\v\f]+').
+_TOKEN_SPLIT_RE = None
+_SPACE_RE = None
+
+
+def ascii_tokens(text: str) -> list[str]:
+    global _TOKEN_SPLIT_RE
+    if _TOKEN_SPLIT_RE is None:
+        import re
+
+        _TOKEN_SPLIT_RE = re.compile(f"[^{SPACE_CLASS}]+")
+    return _TOKEN_SPLIT_RE.findall(text)
+
+
+def _space_re():
+    """Compiled [SPACE_CLASS] matcher (ASCII whitespace only)."""
+    global _SPACE_RE
+    if _SPACE_RE is None:
+        import re
+
+        _SPACE_RE = re.compile(f"[{SPACE_CLASS}]")
+    return _SPACE_RE
+
 
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -37,13 +65,13 @@ def fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, n_tokens, n_stopwords, sum_token_len) — whitespace
-    tokenization (Python str.split == trim + split on \\s+)."""
+    """(doc_id, n_tokens, n_stopwords, sum_token_len) — ASCII-whitespace
+    tokenization (shared ``ascii_tokens`` contract, oracle-identical)."""
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         n_tok, n_stop, sum_len = [], [], []
         for t in batch["text"].to_pylist():
-            toks = t.split()
+            toks = ascii_tokens(t)
             n_tok.append(len(toks))
             n_stop.append(sum(1 for w in toks if w in STOPWORDS))
             sum_len.append(sum(len(w) for w in toks))
@@ -82,8 +110,9 @@ def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         preds = []
+        space_re = _space_re()
         for t in batch["text"].to_pylist():
-            chars = [c for c in t if not c.isspace()]
+            chars = space_re.sub("", t)
             n_cyr = sum(1 for c in chars if "Ѐ" <= c <= "ӿ")
             preds.append("cyr" if chars and n_cyr * 10 > 3 * len(chars) else "lat")
         return pa.Table.from_pydict(
@@ -170,7 +199,7 @@ def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
             n_alpha = len(alpha_re.findall(t))
             n_digit = len(digit_re.findall(t))
             n_space = len(space_re.findall(t))
-            toks = t.split()
+            toks = ascii_tokens(t)
             n_stop = sum(1 for w in toks if w in STOPWORDS)
             sum_len = sum(len(w) for w in toks)
             cols["n_chars_t"].append(total)
@@ -213,16 +242,17 @@ def token_regex_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, simhash) — 64-bit SimHash document fingerprint over
-    whitespace tokens (token hash = first 16 hex chars of md5). Near-dup
-    docs differ in few bits; pairing by Hamming distance happens downstream
-    (no SQL oracle: bitwise vote loop)."""
+    ASCII-whitespace tokens (token hash = first 8 md5 bytes as a big-endian
+    uint64). Near-dup docs differ in few bits; pairing by Hamming distance
+    happens downstream. Hash-verified against a DuckDB bit-ops oracle
+    (per-bit unnest + majority vote, __ray_entry__.oracle_sql)."""
 
     import numpy as np
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         out = []
         for t in batch["text"].to_pylist():
-            toks = t.split()
+            toks = ascii_tokens(t)
             if not toks:
                 out.append(f"{0:016x}")
                 continue

@@ -70,17 +70,31 @@ def _compare_doc(group: pa.Table) -> pa.Table:
 
 
 def verify_against_golden(
-    corpus_dir: str, config: ExtractConfig | None = None
+    corpus_dir: str,
+    config: ExtractConfig | None = None,
+    mismatches_only: bool = False,
 ) -> ray.data.Dataset:
     """Per-document verdict Dataset: (doc_id, equal, n_out, n_gold,
     first_diff). Fully streaming — one doc_id shuffle, no driver
-    materialization."""
+    materialization.
+
+    ``mismatches_only=True`` keeps only failing docs, making the result
+    SELF-ASSERTING for an external row-count check: a healthy run returns
+    exactly 0 rows, so any regression that flips verdicts shows up as a
+    non-zero count rather than hiding inside per-doc boolean columns."""
     out = build_extraction_pipeline(corpus_dir, config=config).map_batches(
         _tag("out"), batch_format="pyarrow"
     )
     gold = read_golden(corpus_dir).map_batches(_tag("gold"), batch_format="pyarrow")
-    return (
+    verdicts = (
         out.union(gold)
         .groupby("doc_id")
         .map_groups(_compare_doc, batch_format="pyarrow")
     )
+    if mismatches_only:
+        import pyarrow.compute as pc
+
+        verdicts = verdicts.map_batches(
+            lambda b: b.filter(pc.invert(b["equal"])), batch_format="pyarrow"
+        )
+    return verdicts
