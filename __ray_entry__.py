@@ -52,6 +52,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     )
 
 
+def _read_embeddings_head(sf_dir: str, m: int):
+    """Row-filtered embeddings read (vec_id < m pushed into the parquet
+    scan) for fetching tiny query/centroid sets without a full table pass."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < m),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tableextraction_ray.functions import (
         dedup,
@@ -118,8 +131,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
-        "knn_cosine": lambda sf: similarity.knn_bruteforce(_read(sf, "embeddings", ["vec_id", "embedding"])),
-        "knn_ivf": lambda sf: similarity.ivf_knn(_read(sf, "embeddings", ["vec_id", "embedding"])),
+        # head_ds: the tiny query/centroid set comes from a
+        # predicate-pushed-down read (vec_id < m row filter at the parquet
+        # scan) instead of an extra full pass over the embeddings.
+        "knn_cosine": lambda sf: similarity.knn_bruteforce(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 8),
+        ),
+        "knn_ivf": lambda sf: similarity.ivf_knn(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 16),
+        ),
         "embedding_near_dup": lambda sf: similarity.near_dup_pairs(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
@@ -145,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
+        "media_dims": lambda sf: multimodal.media_dims(media(sf)),
         "media_stats": lambda sf: multimodal.media_stats(media(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
@@ -382,6 +405,16 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(regexp_extract_all(text,
                        '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+'))) AS n_bpe_types
             FROM documents
+        """,
+        # PNG dimensions parsed from the IHDR header bytes of the SAME
+        # media files the Ray query reads (the corpus tier for the driver's
+        # sf0.01 correctness run is t2, deterministic path). hex(content)
+        # chars 33-48 are bytes 17-24: big-endian width then height.
+        "media_dims": """
+            SELECT replace(filename, '/tmp/graft_corpus/t2/', '') AS media_ref,
+                   ('0x' || substring(hex(content), 33, 8))::INT AS width,
+                   ('0x' || substring(hex(content), 41, 8))::INT AS height
+            FROM read_blob('/tmp/graft_corpus/t2/media/*/p*.png')
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

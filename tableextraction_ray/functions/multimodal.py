@@ -154,6 +154,29 @@ class VideoFrameSample:
         )
 
 
+def media_dims(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_ref, width, height) — metadata-only scan: dimensions come from
+    the 8-byte PNG IHDR slice (bytes 16-24, big-endian), no pixel decode.
+    The cheap complement to ``media_stats`` for catalog-building passes, and
+    hash-verified against a DuckDB ``read_blob`` oracle that parses the same
+    header bytes (oracle_sql 'media_dims')."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ws, hs = [], []
+        for payload in batch["payload"].to_pylist():
+            ws.append(int.from_bytes(payload[16:20], "big"))
+            hs.append(int.from_bytes(payload[20:24], "big"))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+            }
+        )
+
+    return media_ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
 def _media_pool() -> tuple[int, int]:
     """CPU-proportional actor-pool bounds for a media stage, resolved at
     pipeline-build time (same policy as ExtractConfig.resolved_pools): Ray

@@ -93,6 +93,18 @@ def grits_top(
     return grits(grid_a, grid_b, lambda x, y: 1.0 if x == y else 0.0)
 
 
+def grits_loc(
+    grid_a: list[list[tuple[float, float, float, float]]],
+    grid_b: list[list[tuple[float, float, float, float]]],
+) -> float:
+    """GriTS_Location: cells are bounding boxes; reward = IoU (reference
+    grits.py:679-684 factored_2dlcs over cells_to_grid(key='bbox') with
+    eval_utils.iou). Completes the Top/Con/Loc family."""
+    from .tatr import iou
+
+    return grits(grid_a, grid_b, iou)
+
+
 def adjacency_relations(grid: list[list[str]]) -> set[tuple[str, str, str]]:
     """Direct horizontal/vertical adjacency pairs of non-empty cell texts —
     the basis of the adjacency P/R/F1 metric (reference

@@ -3,8 +3,11 @@
 from .annotations import parse_pascal_voc, read_pascal_voc
 from .corpus import read_documents, read_golden
 from .media import read_media
+from .rasterize import FileRasterizer, ingest_files
 
 __all__ = [
+    "FileRasterizer",
+    "ingest_files",
     "parse_pascal_voc",
     "read_pascal_voc",
     "read_documents",

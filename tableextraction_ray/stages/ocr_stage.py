@@ -17,25 +17,24 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..render import ocr_cell_crop
 from ..textproc import remove_hyphenated_words
 from .decode import image_from_row
 from .explode import work_table
+from .registry import get_backend
 
 
 class OcrCells:
     def __init__(self, backend: str = "synthetic-glyph"):
-        if backend == "easyocr":  # pragma: no cover - not available in sandbox
-            raise NotImplementedError(
-                "EasyOCR backend requires torch/easyocr (reference "
-                "recognition.py:195-199); the sandbox default is the "
-                "deterministic synthetic-glyph recognizer"
-            )
+        # Registry-resolved recognizer, constructed ONCE per actor. For
+        # 'easyocr' the gated constructor raises NotImplementedError when
+        # torch/easyocr are absent (its body is complete — registry.py).
         self.backend = backend
-        # Force-build the glyph decode table once per actor.
-        from ..glyphs import _decode_table
+        self.recognize = get_backend("ocr", backend)()
+        if backend == "synthetic-glyph":
+            # Force-build the glyph decode table once per actor.
+            from ..glyphs import _decode_table
 
-        _decode_table()
+            _decode_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["kind"], "cell")
@@ -52,7 +51,7 @@ class OcrCells:
             if h <= 0 or w <= 0 or not img:
                 texts.append("")
                 continue
-            decoded = ocr_cell_crop(image_from_row(img, h, w))
+            decoded = self.recognize(image_from_row(img, h, w))
             texts.append(remove_hyphenated_words(decoded + " ") if decoded else "")
 
         out = work_table(

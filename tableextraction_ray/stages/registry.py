@@ -154,12 +154,43 @@ class SyntheticGlyphOcr:
 
 @register("ocr", "easyocr")
 class EasyOcrBackend:
-    """EasyOCR en+ru reader, one per actor (reference
-    recognition.py:133-148: model_storage/user_network dirs, fine-tuned ru
-    net; readtext(batch_size=16) per cell batch)."""
+    """EasyOCR en+ru reader, ONE per actor — the reference builds a reader
+    per multiprocessing worker (recognition.py:133-148 initial_reader:
+    model_storage/user_network dirs, fine-tuned ru net, GPU when available)
+    and reads each cell with ``readtext(batch_size=16)`` then joins the
+    detections space-separated and de-hyphenates
+    (recognition.py:14-34 image_to_text_easyocr + 151-164). The body below
+    is complete; only the import is gated — on a GPU cluster this backend
+    is a config change (``ExtractConfig(ocr_backend='easyocr')``), not a
+    code change."""
 
-    def __init__(self, languages: tuple[str, ...] = ("en", "ru")):
-        _require("easyocr", "EasyOCR cell recognition")
+    def __init__(
+        self,
+        languages: tuple[str, ...] = ("en", "ru"),
+        model_storage_directory: str | None = "easy_ocr/model",
+        user_network_directory: str | None = "easy_ocr/user_network",
+        read_batch_size: int = 16,
+    ):
+        easyocr = _require("easyocr", "EasyOCR cell recognition")
+        gpu = False
+        try:  # pragma: no cover - torch optional
+            import torch
 
-    def __call__(self, crop) -> str:  # pragma: no cover
-        raise NotImplementedError
+            gpu = torch.cuda.is_available()
+        except ImportError:
+            pass
+        self.read_batch_size = read_batch_size  # pragma: no cover
+        self.reader = easyocr.Reader(  # pragma: no cover
+            list(languages),
+            model_storage_directory=model_storage_directory,
+            user_network_directory=user_network_directory,
+            gpu=gpu,
+            verbose=False,
+        )
+
+    def __call__(self, crop) -> str:  # pragma: no cover - easyocr absent
+        # Bare joined text: the OCR stage owns the trailing-space +
+        # de-hyphenation contract (ocr_stage.py docstring), same as the
+        # synthetic-glyph backend.
+        detections = self.reader.readtext(crop, batch_size=self.read_batch_size)
+        return " ".join(d[1] for d in detections)

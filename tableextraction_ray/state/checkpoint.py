@@ -17,6 +17,13 @@ Partitions are processed in waves of independent streaming pipelines; within
 a wave each partition still fans out across the whole cluster, so resume
 granularity costs little pipelining. Failure injection is tested in
 ``tests/test_resume.py``.
+
+Known tradeoff (deliberate): each partition's input is the FULL documents
+read with a pushed-down crc32 bucket filter — num_parts metadata-cheap scans
+of the doc table in exchange for resume granularity with zero shuffle. At
+Lance/parquet scale the filter prunes at the fragment level when the corpus
+is hash-bucketed on doc_id; with num_parts ~ tens the re-scan cost stays a
+small constant factor on the (footer-only) read, not on compute.
 """
 
 from __future__ import annotations
@@ -60,6 +67,38 @@ def list_done_parts(out_dir: str, num_parts: int) -> set[int]:
     return done
 
 
+def _sweep_stale_parts(out_dir: str, num_parts: int) -> int:
+    """Delete part dirs left by a run with a DIFFERENT partitioning: any
+    ``part=NNNNN`` whose index >= num_parts, or whose manifest records
+    another num_parts. Without this, resuming into an out_dir written with
+    a larger num_parts silently ships stale/duplicate documents —
+    ``read_results`` reads every part dir. Returns the number removed."""
+    import re
+    import shutil
+
+    removed = 0
+    if not os.path.isdir(out_dir):
+        return removed
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"part=(\d{5})", name)
+        if not m:
+            continue
+        idx = int(m.group(1))
+        stale = idx >= num_parts
+        if not stale:
+            manifest = _manifest_path(out_dir, idx)
+            if os.path.exists(manifest):
+                try:
+                    with open(manifest) as f:
+                        stale = json.load(f).get("num_parts") != num_parts
+                except (json.JSONDecodeError, OSError):
+                    stale = True  # unreadable manifest: rewrite below anyway
+        if stale:
+            shutil.rmtree(os.path.join(out_dir, name))
+            removed += 1
+    return removed
+
+
 def run_partitioned(
     corpus_dir: str,
     out_dir: str,
@@ -69,9 +108,10 @@ def run_partitioned(
     """Run (or resume) the extraction, one checkpointed partition at a time.
     Returns overall metrics including how many partitions were skipped."""
     os.makedirs(out_dir, exist_ok=True)
+    stale = _sweep_stale_parts(out_dir, num_parts)
     done = list_done_parts(out_dir, num_parts)
     skipped = len(done)
-    totals = {"docs": 0, "spans": 0, "wall_s": 0.0}
+    totals = {"docs": 0, "spans": 0, "wall_s": 0.0, "stale_parts_removed": stale}
 
     for part in range(num_parts):
         if part in done:
@@ -98,11 +138,11 @@ def run_partitioned(
 
             shutil.rmtree(part_dir)
         os.makedirs(part_dir, exist_ok=True)
-        # Count while writing: spans per doc from the result itself.
-        stats = result.map_batches(
-            _count_spans, batch_format="pyarrow"
-        )  # adds n_spans column
-        stats.write_parquet(part_dir)
+        # Persist RESULT_SCHEMA exactly (doc_id, spans) — no internal
+        # counting columns — so read_results matches the golden schema;
+        # the manifest metrics below come from one aggregation pass over
+        # the written data.
+        result.write_parquet(part_dir)
         written = ray.data.read_parquet(part_dir)
         n_docs = written.count()
         kind_totals = written.map_batches(
@@ -141,10 +181,6 @@ def run_partitioned(
     totals["skipped_parts"] = skipped
     totals["num_parts"] = num_parts
     return totals
-
-
-def _count_spans(batch: pa.Table) -> pa.Table:
-    return batch.append_column("n_spans", pc.list_value_length(batch["spans"]).cast(pa.int32()))
 
 
 def _span_kind_counts(batch: pa.Table) -> pa.Table:

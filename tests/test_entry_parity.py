@@ -60,7 +60,11 @@ class TestContract:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, con, ray_session):
-    ray_df = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    # media_dims' oracle reads the DRIVER-tier corpus media files (sf0.01 ->
+    # /tmp/graft_corpus/t2 — the one corpus-path-dependent oracle), so its
+    # query must run at the same sf.
+    sf_dir = "/root/testdata/sf0.01" if name == "media_dims" else SF_DIR
+    ray_df = _canon(_to_pandas(QUERIES[name](sf_dir)))
     sql_df = _canon(con.execute(ORACLES[name]).fetch_df())
     assert list(ray_df.columns) == list(sql_df.columns), (
         ray_df.columns,

@@ -1,0 +1,122 @@
+"""Raw-file ingestion front door + RGB codec/grayzation tests (round-2
+verdict missing items 1 and 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tableextraction_ray import png
+from tableextraction_ray.sources.rasterize import (
+    Cv2ImageRasterizer,
+    FileRasterizer,
+    PdfRasterizer,
+    PngRasterizer,
+    ingest_files,
+)
+
+
+class TestRgbCodec:
+    def test_rgb_roundtrip(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (20, 31, 3), dtype=np.uint8)
+        out = png.decode_image(png.encode_rgb(img))
+        assert out.shape == (20, 31, 3)
+        assert np.array_equal(out, img)
+
+    def test_gray_still_roundtrips_via_decode_image(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+        assert np.array_equal(png.decode_image(png.encode_gray(img)), img)
+
+    def test_decode_gray_converts_rgb(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+        gray = png.decode_gray(png.encode_rgb(img))
+        assert np.array_equal(gray, png.grayzation(img))
+
+    def test_grayzation_fixed_point_parity(self):
+        # OpenCV BT.601 fixed point: (R*4899 + G*9617 + B*1868 + 8192) >> 14.
+        rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]]],
+                       dtype=np.uint8)
+        got = png.grayzation(rgb)[0].tolist()
+        assert got == [
+            (255 * 4899 + 8192) >> 14,
+            (255 * 9617 + 8192) >> 14,
+            (255 * 1868 + 8192) >> 14,
+            255,
+        ]
+        # Within 1 of the float formula everywhere.
+        rng = np.random.default_rng(10)
+        arr = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
+        flt = (arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114)
+        assert np.abs(png.grayzation(arr).astype(float) - flt).max() <= 1.0
+
+
+class TestRasterizerGates:
+    def test_png_backend_real(self):
+        img = np.full((5, 7), 128, dtype=np.uint8)
+        pages = PngRasterizer()(png.encode_gray(img))
+        assert len(pages) == 1 and np.array_equal(pages[0], img)
+
+    def test_pdf_backend_gated_on_import(self):
+        with pytest.raises(NotImplementedError, match="pdf2image"):
+            PdfRasterizer()
+
+    def test_cv2_backend_gated_on_import(self):
+        with pytest.raises(NotImplementedError, match="cv2"):
+            Cv2ImageRasterizer()
+
+    def test_dispatch_lazy_per_kind(self):
+        fr = FileRasterizer()
+        img = np.full((4, 4), 200, dtype=np.uint8)
+        assert len(fr.rasterize("a/b.PNG", png.encode_gray(img))) == 1
+        with pytest.raises(NotImplementedError):
+            fr.rasterize("doc.pdf", b"%PDF-1.4")
+        with pytest.raises(ValueError, match="unsupported media kind"):
+            fr.rasterize("notes.txt", b"hello")
+
+    def test_ocr_stage_easyocr_gate_is_import_only(self):
+        from tableextraction_ray.stages.ocr_stage import OcrCells
+
+        with pytest.raises(NotImplementedError, match="easyocr"):
+            OcrCells(backend="easyocr")
+
+
+class TestIngestEndToEnd:
+    def test_ingest_then_extract(self, ray_session, tmp_path):
+        from tableextraction_ray.pipelines.extract import build_extraction_pipeline
+        from tableextraction_ray.render import render_page
+        from tableextraction_ray.datagen import make_doc_spec
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        # One real rendered table page (gray PNG) + one RGB noise image.
+        spec = make_doc_spec(0)
+        page_spec = next(p for k, p in spec.spans if k == "media")
+        page_img, _ = render_page(page_spec.tables, title=page_spec.title)
+        (raw / "report.png").write_bytes(png.encode_gray(page_img))
+        # RGB but line-free (blank page): exercises the color decode path
+        # without giving the ruling-line detector anything to find.
+        blank = np.full((64, 48, 3), 250, dtype=np.uint8)
+        (raw / "photo.png").write_bytes(png.encode_rgb(blank))
+
+        corpus = str(tmp_path / "corpus")
+        docs = ingest_files(str(raw), corpus)
+        docs.write_parquet(os.path.join(corpus, "documents.parquet"))
+
+        rows = {r["doc_id"]: r["spans"] for r in docs.take_all()}
+        assert set(rows) == {"report", "photo"}
+        assert [s["kind"] for s in rows["report"]] == ["media"]
+        assert os.path.exists(os.path.join(corpus, rows["report"][0]["media_ref"]))
+
+        result = {
+            r["doc_id"]: r["spans"]
+            for r in build_extraction_pipeline(corpus).take_all()
+        }
+        assert set(result) == {"report", "photo"}
+        # The rendered table page yields its media marker + text spans; the
+        # noise image degrades to a bare marker.
+        kinds_report = [s["kind"] for s in result["report"]]
+        assert kinds_report[0] == "media" and "text" in kinds_report
+        assert [s["kind"] for s in result["photo"]] == ["media"]

@@ -50,6 +50,17 @@ class TestGrits:
         assert f1 == pytest.approx(0.5)
         assert metrics.adjacency_f1(true, true) == (1.0, 1.0, 1.0)
 
+    def test_grits_loc_identity_and_shift(self):
+        grid = [[(0, 0, 10, 10), (10, 0, 20, 10)],
+                [(0, 10, 10, 20), (10, 10, 20, 20)]]
+        assert metrics.grits_loc(grid, grid) == 1.0
+        shifted = [[(x1 + 5, y1, x2 + 5, y2) for x1, y1, x2, y2 in row]
+                   for row in grid]
+        score = metrics.grits_loc(grid, shifted)
+        # each aligned pair has IoU = 1/3 (5x10 overlap over 150 union)
+        assert score == pytest.approx(1 / 3)
+        assert metrics.grits_loc(grid, []) == 0.0
+
 
 class TestTatr:
     def test_iou_iob(self):
@@ -153,8 +164,41 @@ class TestPlotDigitize:
         assert coef[-1] == pytest.approx(1.0, abs=1e-8)
 
     def test_gated_backends(self):
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(NotImplementedError, match="scikit-learn"):
+            plot_digitize.fit_svr([(0, 0), (1, 1)])
+        with pytest.raises(NotImplementedError, match="pytesseract"):
+            plot_digitize.read_axis_labels(
+                np.zeros((5, 5), dtype=np.uint8), [(0, 0, 4, 4)],
+                backend="pytesseract",
+            )
+        with pytest.raises(ValueError):
             plot_digitize.fit_curve([(0, 0)], backend="svr")
+
+    def test_gpr_interpolates(self):
+        # Real GPR body: near-interpolation of smooth data at low noise.
+        pts = [(float(x), float(np.sin(x / 10.0))) for x in range(0, 100, 10)]
+        pred = plot_digitize.fit_gpr(pts, length_scale=15.0, noise=1e-6)
+        for x, y in pts:
+            assert pred(x)[0] == pytest.approx(y, abs=1e-3)
+        # Smooth in between (bounded by the data range).
+        mid = pred(np.arange(0, 90, 1.0))
+        assert mid.min() >= -1.1 and mid.max() <= 1.1
+
+    def test_axis_calibration_end_to_end(self):
+        from tableextraction_ray.glyphs import render_text
+
+        # Two tick labels rendered with the corpus glyph font, read back by
+        # the synthetic-glyph OCR, then used to calibrate pixel->data.
+        img = np.full((60, 220), 255, dtype=np.uint8)
+        render_text(img, 15, 12, "10")
+        render_text(img, 155, 12, "90")
+        vals = plot_digitize.read_axis_labels(
+            img, [(5, 2, 80, 55), (145, 2, 219, 55)], backend="synthetic-glyph"
+        )
+        assert vals == [10.0, 90.0]
+        a, b = plot_digitize.calibrate_axis([30.0, 170.0], vals)
+        assert a * 30.0 + b == pytest.approx(10.0)
+        assert a * 170.0 + b == pytest.approx(90.0)
 
     def test_digitize_plot_end_to_end(self):
         img = self._scatter([(20, 80), (50, 50), (80, 20)])

@@ -55,6 +55,32 @@ class TestResume:
         assert sorted(got) == sorted(golden)  # no dupes, none missing
         assert got == golden
 
+    def test_repartitioned_resume_sweeps_stale_parts(self, t1_corpus, tmp_path):
+        """Resuming with a SMALLER num_parts must not leave stale part dirs
+        from the wider run — read_results reads every part dir, so stale
+        dirs mean silently duplicated documents."""
+        from tableextraction_ray.state.checkpoint import read_results, run_partitioned
+
+        out = str(tmp_path / "out3")
+        run_partitioned(t1_corpus, out, num_parts=4)
+        totals = run_partitioned(t1_corpus, out, num_parts=2)
+        assert totals["stale_parts_removed"] == 4  # all 4 carry num_parts=4
+        assert totals["skipped_parts"] == 0
+        golden = {
+            r["doc_id"]: r["spans"]
+            for r in pq.read_table(t1_corpus + "/golden.parquet").to_pylist()
+        }
+        got = _spans_by_doc(read_results(out))
+        assert got == golden  # exactly once each, schema unchanged
+
+    def test_written_schema_is_result_schema(self, t1_corpus, tmp_path):
+        from tableextraction_ray.state.checkpoint import run_partitioned
+
+        out = str(tmp_path / "out4")
+        run_partitioned(t1_corpus, out, num_parts=2)
+        tbl = pq.read_table(os.path.join(out, "part=00000"))
+        assert tbl.schema.names == ["doc_id", "spans"]  # no internal columns
+
     def test_partition_assignment_deterministic(self):
         from tableextraction_ray.state.checkpoint import doc_partition
 
