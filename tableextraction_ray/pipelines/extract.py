@@ -43,6 +43,9 @@ from ..stages.decode import decode_pages_task
 from ..stages.ocr_stage import ocr_cells_task
 
 HEAVY_OCR_BACKENDS = {"easyocr"}
+# Model-based detectors hold a loaded network per actor; morphology is a
+# pure function and stays a plain task.
+HEAVY_DETECT_BACKENDS = {"maskrcnn", "tatr"}
 
 
 @dataclass
@@ -59,6 +62,12 @@ class ExtractConfig:
     decode_pool: tuple[int, int] | None = None
     ocr_pool: tuple[int, int] | None = None
     ocr_backend: str = "synthetic-glyph"
+    # Detector backends (stages/registry.py): 'morphology' (deterministic
+    # default) | 'maskrcnn' | 'tatr'. Model backends run as actor pools
+    # (model loaded once per actor) and are a pure config change on a
+    # cluster with torch installed.
+    table_backend: str = "morphology"
+    cell_backend: str = "morphology"
     # 'actors' (default): stateful stages are autoscaling actor pools —
     # stable parallelism at every cluster size. 'tasks': cheap-state
     # backends as plain tasks with per-worker cached state; measured
@@ -144,12 +153,34 @@ def _build_work_stream(
             batch_size=cfg.decode_batch_size,
             batch_format="pyarrow",
         )
-    work = work.map_batches(
-        detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
-    work = work.map_batches(
-        grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
-    )
+    if cfg.table_backend in HEAVY_DETECT_BACKENDS:
+        from ..stages.detect import DetectTables
+
+        work = work.map_batches(
+            DetectTables,
+            fn_constructor_kwargs={"backend": cfg.table_backend},
+            concurrency=(1, max(2, cpus // 2)),
+            batch_size=cfg.detect_batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        work = work.map_batches(
+            detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+        )
+    if cfg.cell_backend in HEAVY_DETECT_BACKENDS:
+        from ..stages.grid import GridCells
+
+        work = work.map_batches(
+            GridCells,
+            fn_constructor_kwargs={"backend": cfg.cell_backend},
+            concurrency=(1, max(2, cpus // 2)),
+            batch_size=cfg.detect_batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        work = work.map_batches(
+            grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+        )
     if cfg.use_actors():
         work = work.map_batches(
             OcrCells,

@@ -24,6 +24,27 @@ from .explode import work_table
 
 
 def detect_tables(batch: pa.Table) -> pa.Table:
+    """Default morphology path (plain task; no model state to hold)."""
+    return _detect_with(batch, geometry.detect_table_regions)
+
+
+class DetectTables:
+    """Registry-dispatched table detection for heavy model backends
+    (maskrcnn / tatr): the detector (model on device) is built ONCE per
+    actor here, selected by ``ExtractConfig(table_backend=...)`` — the
+    config-change-not-code-change contract the OCR stage already follows
+    (ocr_stage.OcrCells)."""
+
+    def __init__(self, backend: str = "morphology"):
+        from .registry import get_backend
+
+        self.detector = get_backend("table_detector", backend)()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _detect_with(batch, self.detector)
+
+
+def _detect_with(batch: pa.Table, detector) -> pa.Table:
     mask = pc.equal(batch["kind"], "media")
     if not pc.any(mask).as_py():
         return batch
@@ -61,7 +82,7 @@ def detect_tables(batch: pa.Table) -> pa.Table:
         if h <= 0 or w <= 0 or not img:
             continue  # unreadable payload: marker only (decode error row)
         page = image_from_row(img, h, w)
-        for table_no, (x1, y1, x2, y2) in enumerate(geometry.detect_table_regions(page)):
+        for table_no, (x1, y1, x2, y2) in enumerate(detector(page)):
             crop = page[y1 : y2 + 1, x1 : x2 + 1]
             add(
                 doc_id, offset, "table", ref, table_no,

@@ -20,6 +20,26 @@ from .explode import work_table
 
 
 def grid_to_cells(batch: pa.Table) -> pa.Table:
+    """Default morphology path (plain task; no model state to hold)."""
+    return _grid_with(batch, geometry.grid_cells)
+
+
+class GridCells:
+    """Registry-dispatched cell detection for heavy model backends
+    (maskrcnn / tatr), model built ONCE per actor; selected by
+    ``ExtractConfig(cell_backend=...)`` (same contract as DetectTables /
+    OcrCells)."""
+
+    def __init__(self, backend: str = "morphology"):
+        from .registry import get_backend
+
+        self.cell_fn = get_backend("cell_detector", backend)()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _grid_with(batch, self.cell_fn)
+
+
+def _grid_with(batch: pa.Table, cell_fn) -> pa.Table:
     mask = pc.equal(batch["kind"], "table")
     if not pc.any(mask).as_py():
         return batch
@@ -32,7 +52,7 @@ def grid_to_cells(batch: pa.Table) -> pa.Table:
     )}
     for row in tables.to_pylist():
         table_img = image_from_row(row["img"], row["img_h"], row["img_w"])
-        for (x1, y1, x2, y2) in geometry.grid_cells(table_img):
+        for (x1, y1, x2, y2) in cell_fn(table_img):
             crop = table_img[min(y1, y2) : max(y1, y2), min(x1, x2) : max(x1, x2)]
             cols["doc_id"].append(row["doc_id"])
             cols["offset"].append(row["offset"])

@@ -72,31 +72,145 @@ class MorphologyTableDetector:
         return geometry.detect_table_regions(page)
 
 
+_DETECTION_CLASSES = ("__background__", "table", "plot")
+_CELL_CLASSES = ("__background__", "cell", "head")
+
+
+def _build_maskrcnn(torch, weights_path: str, n_classes: int):
+    """Mask R-CNN resnet50-FPN-v2 with the reference's head surgery
+    (inference.py:26-40: 91-class COCO skeleton, cls/bbox/mask heads
+    re-sized to the fine-tuned class count) loaded from ``ckpt['model']``
+    onto cuda-when-available. Shared by both Mask R-CNN backends; built
+    ONCE per actor — the reference re-runs all of this per page
+    (inference.py:12-67 called from detection.py:103-110)."""
+    import torch.nn as nn  # pragma: no cover - torch absent in sandbox
+    import torchvision  # pragma: no cover
+
+    model = torchvision.models.detection.maskrcnn_resnet50_fpn_v2(  # pragma: no cover
+        weights=None, num_classes=91
+    )
+    model.roi_heads.box_predictor.cls_score = nn.Linear(1024, n_classes, bias=True)  # pragma: no cover
+    model.roi_heads.box_predictor.bbox_pred = nn.Linear(1024, n_classes * 4, bias=True)  # pragma: no cover
+    model.roi_heads.mask_predictor.mask_fcn_logits = nn.Conv2d(  # pragma: no cover
+        256, n_classes, kernel_size=(1, 1), stride=(1, 1)
+    )
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")  # pragma: no cover
+    ckpt = torch.load(weights_path, map_location=device)  # pragma: no cover
+    model.load_state_dict(ckpt["model"])  # pragma: no cover
+    return model.to(device).eval(), device  # pragma: no cover
+
+
+def _maskrcnn_detections(torch, model, device, page, score_threshold: float):
+    """One forward pass -> [(label_idx, score, (x1, y1, x2, y2))] above the
+    threshold. The reference keeps detections whose score is STRICTLY above
+    threshold and relies on torchvision returning scores sorted descending
+    (infer_utils.py:32-48 list truncation); the explicit mask here is
+    order-independent but selects the same set. Boxes are int-truncated
+    exactly as infer_utils.py:42."""
+    gray = page if page.ndim == 2 else page[..., 0]  # pragma: no cover
+    rgb = torch.from_numpy(gray).float().div_(255.0)  # pragma: no cover
+    tensor = rgb.unsqueeze(0).expand(3, -1, -1).unsqueeze(0).to(device)  # pragma: no cover
+    with torch.no_grad():  # pragma: no cover
+        out = model(tensor)[0]
+    dets = []  # pragma: no cover
+    scores = out["scores"].detach().cpu().numpy()  # pragma: no cover
+    boxes = out["boxes"].detach().cpu().numpy()  # pragma: no cover
+    labels = out["labels"].detach().cpu().numpy()  # pragma: no cover
+    for score, box, label in zip(scores, boxes, labels):  # pragma: no cover
+        if score > score_threshold:
+            dets.append(
+                (int(label), float(score), (int(box[0]), int(box[1]), int(box[2]), int(box[3])))
+            )
+    return dets  # pragma: no cover
+
+
 @register("table_detector", "maskrcnn")
 class MaskRcnnTableDetector:
-    """Mask R-CNN table/plot detector (reference maskrcnn/inference.py:12-67,
-    classes ['__background__','table','plot'], score >= 0.8). Model loads
-    ONCE here in __init__ — the reference reloads per page."""
+    """Mask R-CNN table/plot detector (reference maskrcnn/inference.py:12-67
+    via detection.py:80-122 get_tables_maskrcnn: classes
+    ['__background__','table','plot'], keep label 'table', score > 0.8).
+    The body is complete; only the torch/torchvision import is gated — on a
+    GPU cluster this backend is a config change
+    (``ExtractConfig(table_backend='maskrcnn')``), not a code change. Model
+    loads ONCE here in __init__ — the reference reloads per page."""
 
     def __init__(self, weights_path: str = "weights/detect_table_plot.pth", score_threshold: float = 0.8):
-        torch = _require("torch", "Mask R-CNN table detection (GPU cluster)")
-        self.torch = torch  # pragma: no cover
-        self.score_threshold = score_threshold
+        self.torch = _require("torch", "Mask R-CNN table detection (GPU cluster)")
+        self.score_threshold = score_threshold  # pragma: no cover
+        self.model, self.device = _build_maskrcnn(  # pragma: no cover
+            self.torch, weights_path, len(_DETECTION_CLASSES)
+        )
 
-    def __call__(self, page):  # pragma: no cover
-        raise NotImplementedError
+    def __call__(self, page):  # pragma: no cover - torch absent
+        return [
+            box
+            for label, _score, box in _maskrcnn_detections(
+                self.torch, self.model, self.device, page, self.score_threshold
+            )
+            if _DETECTION_CLASSES[label] == "table"
+        ]
 
 
 @register("table_detector", "tatr")
 class TatrTableDetector:
-    """DETR r18 PubTables-1M detection backend (reference detection.py:32-77,
-    label '1', score >= 0.9); post-processing via tableextraction_ray.tatr."""
+    """Table Transformer (DETR r18, PubTables-1M) detection backend
+    (reference detection.py:32-77 get_tables_detr + transformer/core.py:84-144
+    TableRecognizer: ImageNet-normalize, forward, bbox postprocess, keep
+    class 'table' at score >= 0.9). Inference goes through the public
+    HuggingFace ``transformers`` port of the same architecture instead of
+    the reference's vendored DETR training fork; the body is complete and
+    gated only on the torch + transformers imports."""
 
-    def __init__(self, weights_path: str = "weights/pubtables1m_detection_detr_r18.pth", score_threshold: float = 0.9):
-        _require("torch", "TATR/DETR table detection (GPU cluster)")
+    def __init__(
+        self,
+        model_name: str = "microsoft/table-transformer-detection",
+        score_threshold: float = 0.9,
+    ):
+        self.torch = _require("torch", "TATR/DETR table detection (GPU cluster)")
+        transformers = _require("transformers", "TATR/DETR table detection (GPU cluster)")  # pragma: no cover
+        self.score_threshold = score_threshold  # pragma: no cover
+        self.device = self.torch.device("cuda" if self.torch.cuda.is_available() else "cpu")  # pragma: no cover
+        self.model = (  # pragma: no cover
+            transformers.TableTransformerForObjectDetection.from_pretrained(model_name)
+            .to(self.device)
+            .eval()
+        )
 
-    def __call__(self, page):  # pragma: no cover
-        raise NotImplementedError
+    def _predict(self, page):  # pragma: no cover - torch absent
+        """ImageNet-normalized forward + softmax/box postprocess (the
+        transformers equivalent of core.py:116-131 predict); returns
+        [(label_name, score, (x1, y1, x2, y2))] in page pixels."""
+        import numpy as np
+
+        torch = self.torch
+        gray = page if page.ndim == 2 else page[..., 0]
+        rgb = np.repeat(gray[..., None], 3, axis=2).astype("float32") / 255.0
+        mean = np.asarray([0.485, 0.456, 0.406], dtype="float32")
+        std = np.asarray([0.229, 0.224, 0.225], dtype="float32")
+        tensor = torch.from_numpy(((rgb - mean) / std).transpose(2, 0, 1)).unsqueeze(0).to(self.device)
+        with torch.no_grad():
+            out = self.model(pixel_values=tensor)
+        probs = out.logits.softmax(-1)[0, :, :-1]  # drop 'no object'
+        scores, labels = probs.max(-1)
+        h, w = gray.shape
+        dets = []
+        id2label = self.model.config.id2label
+        for score, label, (cx, cy, bw, bh) in zip(
+            scores.tolist(), labels.tolist(), out.pred_boxes[0].tolist()
+        ):
+            x1 = int((cx - bw / 2) * w)
+            y1 = int((cy - bh / 2) * h)
+            x2 = int((cx + bw / 2) * w)
+            y2 = int((cy + bh / 2) * h)
+            dets.append((id2label[label], score, (x1, y1, x2, y2)))
+        return dets
+
+    def __call__(self, page):  # pragma: no cover - torch absent
+        return [
+            box
+            for label, score, box in self._predict(page)
+            if score >= self.score_threshold and label == "table"
+        ]
 
 
 # --- cell detection -------------------------------------------------------
@@ -115,28 +229,111 @@ class MorphologyCellDetector:
 
 @register("cell_detector", "maskrcnn")
 class MaskRcnnCellDetector:
-    """Mask R-CNN cell detector (reference detection.py:174-218,
-    best_cell_detection.pth, score >= 0.6, cells sorted (x1, y1))."""
+    """Mask R-CNN cell detector (reference detection.py:174-218
+    get_cells_maskrcnn: best_cell_detection.pth, score > 0.6, every box
+    kept regardless of label, cells sorted (x1, y1)). Complete body, torch
+    import gated; model built once per actor via the shared
+    :func:`_build_maskrcnn`."""
 
     def __init__(self, weights_path: str = "weights/best_cell_detection.pth", score_threshold: float = 0.6):
-        _require("torch", "Mask R-CNN cell detection (GPU cluster)")
+        self.torch = _require("torch", "Mask R-CNN cell detection (GPU cluster)")
+        self.score_threshold = score_threshold  # pragma: no cover
+        self.model, self.device = _build_maskrcnn(  # pragma: no cover
+            self.torch, weights_path, len(_CELL_CLASSES)
+        )
 
-    def __call__(self, table_image):  # pragma: no cover
-        raise NotImplementedError
+    def __call__(self, table_image):  # pragma: no cover - torch absent
+        cells = [
+            box
+            for _label, _score, box in _maskrcnn_detections(
+                self.torch, self.model, self.device, table_image, self.score_threshold
+            )
+        ]
+        return sorted(cells, key=lambda c: (c[0], c[1]))  # detection.py:199
 
 
 @register("cell_detector", "tatr")
 class TatrCellDetector:
-    """TATR structure-recognition backend (reference detection.py:141-171,
-    125 queries, score >= 0.9) -> tatr.objects_to_structures ->
-    structure_to_cells. Keeps per-table grouping (reference bug that
-    flattens cells across tables is NOT reproduced, SURVEY.md §2.3)."""
+    """TATR structure-recognition backend (reference detection.py:141-171
+    get_cells_detr: TATR-v1.1-All, 125 queries, score >= 0.9) through the
+    public transformers port, then the in-repo post-processing library
+    (tatr.apply_class_thresholds -> objects_to_structures ->
+    structure_to_cells) instead of the reference's raw box dump — the
+    reference appends EVERY structure-class box (rows, columns, headers)
+    as a 'cell' and flattens across tables (documented bug, SURVEY.md
+    §2.3); here the structure classes are composed into actual grid cell
+    boxes per table. Complete body, torch + transformers imports gated."""
 
-    def __init__(self, weights_path: str = "weights/TATR-v1.1-All-msft.pth", score_threshold: float = 0.9):
-        _require("torch", "TATR structure recognition (GPU cluster)")
+    #: reference transformer/core.py structure_config.json thresholds per
+    #: class, as used by tatr.apply_class_thresholds.
+    CLASS_THRESHOLDS = {
+        "table": 0.5,
+        "table row": 0.5,
+        "table column": 0.5,
+        "table column header": 0.5,
+        "table projected row header": 0.5,
+        "table spanning cell": 0.5,
+        "no object": 10.0,
+    }
 
-    def __call__(self, table_image):  # pragma: no cover
-        raise NotImplementedError
+    def __init__(
+        self,
+        model_name: str = "microsoft/table-transformer-structure-recognition",
+        score_threshold: float = 0.9,
+    ):
+        self.torch = _require("torch", "TATR structure recognition (GPU cluster)")
+        transformers = _require("transformers", "TATR structure recognition (GPU cluster)")  # pragma: no cover
+        self.score_threshold = score_threshold  # pragma: no cover
+        self.device = self.torch.device("cuda" if self.torch.cuda.is_available() else "cpu")  # pragma: no cover
+        self.model = (  # pragma: no cover
+            transformers.TableTransformerForObjectDetection.from_pretrained(model_name)
+            .to(self.device)
+            .eval()
+        )
+
+    def __call__(self, table_image):  # pragma: no cover - torch absent
+        import numpy as np
+
+        from .. import tatr
+
+        torch = self.torch
+        gray = table_image if table_image.ndim == 2 else table_image[..., 0]
+        rgb = np.repeat(gray[..., None], 3, axis=2).astype("float32") / 255.0
+        mean = np.asarray([0.485, 0.456, 0.406], dtype="float32")
+        std = np.asarray([0.229, 0.224, 0.225], dtype="float32")
+        tensor = torch.from_numpy(((rgb - mean) / std).transpose(2, 0, 1)).unsqueeze(0).to(self.device)
+        with torch.no_grad():
+            out = self.model(pixel_values=tensor)
+        probs = out.logits.softmax(-1)[0, :, :-1]
+        scores, labels = probs.max(-1)
+        h, w = gray.shape
+        id2label = self.model.config.id2label
+        objects = []
+        for score, label, (cx, cy, bw, bh) in zip(
+            scores.tolist(), labels.tolist(), out.pred_boxes[0].tolist()
+        ):
+            objects.append(
+                {
+                    "label": id2label[label],
+                    "score": score,
+                    "bbox": [
+                        (cx - bw / 2) * w,
+                        (cy - bh / 2) * h,
+                        (cx + bw / 2) * w,
+                        (cy + bh / 2) * h,
+                    ],
+                }
+            )
+        objects = tatr.apply_class_thresholds(objects, self.CLASS_THRESHOLDS)
+        structures = tatr.objects_to_structures_refined(
+            objects, tokens=[], class_thresholds=self.CLASS_THRESHOLDS
+        )
+        cells = tatr.refined_structure_to_cells(structures, tokens=[])
+        boxes = [
+            (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            for b in (c["bbox"] for c in cells)
+        ]
+        return sorted(boxes, key=lambda c: (c[1], c[0]))
 
 
 # --- OCR ------------------------------------------------------------------
