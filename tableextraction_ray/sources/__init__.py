@@ -1,6 +1,6 @@
 """Dataset sources for the engine's storage layouts."""
 
-from .annotations import parse_pascal_voc, read_pascal_voc
+from .annotations import parse_pascal_voc, read_coco, read_pascal_voc, voc_to_coco
 from .corpus import read_documents, read_golden
 from .media import read_media
 from .rasterize import FileRasterizer, ingest_files
@@ -10,6 +10,8 @@ __all__ = [
     "ingest_files",
     "parse_pascal_voc",
     "read_pascal_voc",
+    "read_coco",
+    "voc_to_coco",
     "read_documents",
     "read_golden",
     "read_media",
