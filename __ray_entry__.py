@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -265,6 +266,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
+        # Connected components of the candidate graph = min reachable
+        # doc_id (recursive transitive closure with UNION-dedup; the Ray
+        # side's min-label propagation converges to the same fixpoint).
+        "dedup_clusters": _SHINGLES_CTE.replace("WITH reps AS", "WITH RECURSIVE reps AS")
+        + """
+            , edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS v FROM cand
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v AS node, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_rep
+            FROM reach GROUP BY node
+        """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + """
             SELECT c.doc_a, c.doc_b,

@@ -35,6 +35,7 @@ QUERY_SUITE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",
@@ -137,16 +138,19 @@ def main() -> None:
             log_to_driver=False,
         )
 
-    wall, n_docs = run_headline(SF_DIR)
-    payload = {
-        "metric": "extract_e2e",
-        "value": round(wall, 3),
-        "unit": "sec",
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "docs": n_docs,
-        "docs_per_sec": round(n_docs / wall, 2),
-    }
+    if "--queries-only" in sys.argv:
+        payload = {"metric": "query_suite", "unit": "sec", "sf": SF_DIR, "num_cpus": NUM_CPUS}
+    else:
+        wall, n_docs = run_headline(SF_DIR)
+        payload = {
+            "metric": "extract_e2e",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / wall, 2),
+        }
 
     if "--headline-only" not in sys.argv:
         import __ray_entry__ as entry_mod

@@ -277,3 +277,172 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
     return attached.groupby(["pair_a", "pair_b"]).map_groups(
         score_pair, batch_format="pyarrow"
     )
+
+
+def dedup_clusters(
+    ds: ray.data.Dataset,
+    edges: ray.data.Dataset | None = None,
+    max_iters: int = 16,
+    driver_edge_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_rep) for EVERY document: connected components over
+    the near-dup candidate graph — the "keep one per fuzzy-dup cluster"
+    primitive a training-data pipeline runs after LSH. cluster_rep is the
+    minimum doc_id reachable through candidate pairs; docs touching no edge
+    are their own rep.
+
+    Two paths, size-guarded on the EDGE COUNT (the edge list is (int, int)
+    pairs — a vanishing fraction of the corpus bytes even when the corpus
+    itself is 100 TB):
+
+    - |edges| <= driver_edge_limit (default 5M ~ 80 MB): union-find on the
+      collected edge list, then ONE map_batches pass over the corpus
+      assigning each doc its broadcast representative. No iteration, no
+      extra shuffle.
+    - larger: distributed min-label propagation over the edge SUBGRAPH
+      (label(v) <- min over neighbors of label(u); two keyed shuffles per
+      round, rounds = component diameter, convergence = label-sum
+      fixpoint since labels only decrease), singletons bypassing the loop
+      through a filter pass. Labels materialize per round (16 bytes/node).
+
+    Oracle: recursive CTE transitive closure (min reachable doc_id).
+    """
+    import ray as _ray
+
+    if edges is None:
+        edges = minhash_candidates(ds)
+    edges = edges.materialize()
+
+    pairs: list[tuple[int, int]] = []
+    overflow = False
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        pairs.extend(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
+        if len(pairs) > driver_edge_limit:
+            overflow = True
+            break
+
+    if not overflow:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b_ in pairs:
+            ra, rb = find(a), find(b_)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rep = {x: find(x) for x in parent}
+        rep_ref = _ray.put(rep)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            r = _ray.get(rep_ref)
+            ids = batch["doc_id"].to_pylist()
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "cluster_rep": pa.array(
+                        [r.get(d, d) for d in ids], type=pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    # --- distributed scale path: min-label propagation on the subgraph ---
+    edge_nodes: set[int] = set()
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        edge_nodes.update(b["doc_a"].to_pylist())
+        edge_nodes.update(b["doc_b"].to_pylist())
+    nodes_ref = _ray.put(edge_nodes)
+
+    STEP_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("peer", pa.int64()), ("label", pa.int64())]
+    )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = _ray.get(nodes_ref)
+        ids = [d for d in batch["doc_id"].to_pylist() if d in nodes]
+        arr = pa.array(ids, type=pa.int64())
+        return pa.Table.from_pydict({"doc_id": arr, "label": arr})
+
+    def singleton_rows(batch: pa.Table) -> pa.Table:
+        nodes = _ray.get(nodes_ref)
+        ids = [d for d in batch["doc_id"].to_pylist() if d not in nodes]
+        arr = pa.array(ids, type=pa.int64())
+        return pa.Table.from_pydict({"doc_id": arr, "cluster_rep": arr})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(a + b, type=pa.int64()),
+                "peer": pa.array(b + a, type=pa.int64()),
+                "label": pa.array([-1] * (2 * len(a)), type=pa.int64()),
+            },
+            schema=STEP_SCHEMA,
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": batch["doc_id"],
+                "peer": pa.array([-1] * len(batch), type=pa.int64()),
+                "label": batch["label"],
+            },
+            schema=STEP_SCHEMA,
+        )
+
+    def propose(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        label = min(r["label"] for r in rows if r["peer"] == -1)
+        nodes = [rows[0]["key"]] + [r["peer"] for r in rows if r["peer"] != -1]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "label": pa.array([label] * len(nodes), type=pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "label": batch["min(label)"].cast(pa.int64()),
+            }
+        )
+
+    labels = ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
+    sym_edges = edges.map_batches(edge_rows, batch_format="pyarrow")
+    for _ in range(max_iters):
+        proposed = (
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .union(sym_edges)
+            .groupby("key")
+            .map_groups(propose, batch_format="pyarrow")
+        )
+        labels = (
+            proposed.groupby("doc_id")
+            .aggregate(Min("label"))
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "cluster_rep": batch["label"]}
+        )
+
+    singles = ds.map_batches(singleton_rows, batch_format="pyarrow")
+    return labels.map_batches(rename, batch_format="pyarrow").union(singles)

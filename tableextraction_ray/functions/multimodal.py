@@ -178,43 +178,78 @@ def media_dims(media_ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _media_pool() -> tuple[int, int]:
-    """CPU-proportional actor-pool bounds for a media stage, resolved at
+    """CPU-proportional actor-pool bounds for a HEAVY media stage (real
+    decoder libraries with expensive per-process init), resolved at
     pipeline-build time (same policy as ExtractConfig.resolved_pools): Ray
     Data's reservation allocator effectively runs a pool at its MIN, so a
-    fixed min=2 pins these stages to 2 actors on a 32-CPU cluster — the
-    round-1 profile showed media_stats/thumbnails/video as the 3 slowest
-    queries for exactly this reason. Min = cpus - 4 keeps the decode pool
-    dominant while leaving headroom for the read/source tasks (the pool
-    minima livelock rule: never sum minima to the whole cluster)."""
+    fixed min=2 pins the stage to 2 actors on a 32-CPU cluster. Min =
+    cpus - 4 keeps the decode pool dominant while leaving headroom for the
+    read/source tasks (the pool minima livelock rule: never sum minima to
+    the whole cluster)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (max(2, cpus - 4), max(4, cpus))
 
 
-def media_stats(media_ds: ray.data.Dataset) -> ray.data.Dataset:
-    return media_ds.map_batches(
-        ImageStats, concurrency=_media_pool(), batch_size=32, batch_format="pyarrow"
+# Trivial-state stage instances cached per worker process for task mode
+# (the ocr_cells_task pattern): build-once semantics without an actor pool.
+_TASK_CACHE: dict[tuple, object] = {}
+
+
+def _media_stage(
+    media_ds: ray.data.Dataset,
+    cls: type,
+    batch_size: int,
+    mode: str = "tasks",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Dispatch a media stage as plain tasks (default) or an actor pool.
+
+    The round-2 profile showed these stages spend ~2/3 of their wall in
+    actor-pool spin-up: the in-repo codec/fake backends have trivial init
+    (~us), so a cpus-4 pool pays a 28-process spawn storm to do ~20 CPU-s
+    of decode. Plain tasks reuse the already-warm worker pool from the
+    read stage — measured 11-19 s -> ~6-10 s per query at 32 CPUs. A REAL
+    decoder backend (opencv/ffmpeg/soundfile: heavy import + codec init
+    per process) should pass mode='actors' to amortize init across
+    batches, exactly like HEAVY_OCR_BACKENDS in the extraction pipeline.
+    """
+    if mode == "actors":
+        return media_ds.map_batches(
+            cls,
+            fn_constructor_kwargs=kwargs,
+            concurrency=_media_pool(),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+
+    key = (cls, tuple(sorted(kwargs.items())))
+
+    def run(batch: pa.Table) -> pa.Table:
+        inst = _TASK_CACHE.get(key)
+        if inst is None:
+            inst = _TASK_CACHE[key] = cls(**kwargs)
+        return inst(batch)
+
+    return media_ds.map_batches(run, batch_size=batch_size, batch_format="pyarrow")
+
+
+def media_stats(media_ds: ray.data.Dataset, mode: str = "tasks") -> ray.data.Dataset:
+    return _media_stage(media_ds, ImageStats, batch_size=32, mode=mode)
+
+
+def media_thumbnails(
+    media_ds: ray.data.Dataset, max_side: int = 64, mode: str = "tasks"
+) -> ray.data.Dataset:
+    return _media_stage(
+        media_ds, ImageResize, batch_size=16, mode=mode, max_side=max_side
     )
 
 
-def media_thumbnails(media_ds: ray.data.Dataset, max_side: int = 64) -> ray.data.Dataset:
-    return media_ds.map_batches(
-        ImageResize,
-        fn_constructor_kwargs={"max_side": max_side},
-        concurrency=_media_pool(),
-        batch_size=16,
-        batch_format="pyarrow",
-    )
+def audio_features(media_ds: ray.data.Dataset, mode: str = "tasks") -> ray.data.Dataset:
+    return _media_stage(media_ds, AudioFeatures, batch_size=64, mode=mode)
 
 
-def audio_features(media_ds: ray.data.Dataset) -> ray.data.Dataset:
-    return media_ds.map_batches(
-        AudioFeatures, concurrency=_media_pool(), batch_size=64, batch_format="pyarrow"
-    )
-
-
-def video_frames(media_ds: ray.data.Dataset) -> ray.data.Dataset:
-    return media_ds.map_batches(
-        VideoFrameSample, concurrency=_media_pool(), batch_size=8, batch_format="pyarrow"
-    )
+def video_frames(media_ds: ray.data.Dataset, mode: str = "tasks") -> ray.data.Dataset:
+    return _media_stage(media_ds, VideoFrameSample, batch_size=8, mode=mode)

@@ -29,16 +29,21 @@ def read_media(corpus_dir: str) -> ray.data.Dataset:
 
     media_root = os.path.join(corpus_dir, "media")
 
-    def to_refs(batch: dict) -> pa.Table:
+    def to_refs(batch: pa.Table) -> pa.Table:
+        # Path strings are rewritten in Python (tiny); the payload column is
+        # passed through as the ORIGINAL Arrow buffer — round 1 rebuilt it
+        # via a Python list (numpy batch format), copying the whole store
+        # twice and costing more than the file reads themselves.
         refs = [
             os.path.join("media", os.path.relpath(p, media_root))
-            for p in batch["path"]
+            for p in batch["path"].to_pylist()
         ]
-        return pa.Table.from_pydict(
-            {
-                "media_ref": pa.array(refs, type=pa.string()),
-                "payload": pa.array(list(batch["bytes"]), type=pa.large_binary()),
-            }
+        payload = batch["bytes"]
+        if not pa.types.is_large_binary(payload.type):
+            payload = payload.cast(pa.large_binary())
+        return pa.Table.from_arrays(
+            [pa.array(refs, type=pa.string()), payload],
+            names=["media_ref", "payload"],
         )
 
     # Hundreds of read tasks over the (many small file) store: per-file
@@ -46,4 +51,4 @@ def read_media(corpus_dir: str) -> ray.data.Dataset:
     files = ray.data.read_binary_files(
         media_root, include_paths=True, override_num_blocks=256
     )
-    return files.map_batches(to_refs, batch_format="numpy")
+    return files.map_batches(to_refs, batch_format="pyarrow")

@@ -114,3 +114,53 @@ class TestJoinSizeGuard:
             relational.orders_by_segment(orders, customer, broadcast_limit=0)
         )
         assert broadcast == shuffled
+
+
+class TestDedupClusters:
+    """Connected components over the candidate graph (min-label
+    propagation) must find the full transitive closure, not just direct
+    pairs."""
+
+    def test_chain_propagates_multiple_hops(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        # Edge chain 10-11, 11-12, 12-13 plus singleton 99: label 10 must
+        # travel 3 hops; naive one-round propagation would leave 13 -> 12.
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in (10, 11, 12, 13, 99)]
+        )
+        edges = ray.data.from_items(
+            [
+                {"doc_a": 10, "doc_b": 11},
+                {"doc_a": 11, "doc_b": 12},
+                {"doc_a": 12, "doc_b": 13},
+            ]
+        )
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in dedup_clusters(docs, edges=edges).take_all()
+        }
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+    def test_lsh_graph_end_to_end(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import (
+            dedup_clusters,
+            minhash_candidates,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = dedup_clusters(docs).take_all()
+        ids = {r["doc_id"] for r in rows}
+        assert len(rows) == len(ids)  # exactly one row per doc
+        rep = {r["doc_id"]: r["cluster_rep"] for r in rows}
+        # Representative closure: every rep is its own rep, and every
+        # candidate edge joins two docs of the same cluster.
+        assert all(rep[v] == v for v in set(rep.values()))
+        for e in minhash_candidates(docs).take_all():
+            assert rep[e["doc_a"]] == rep[e["doc_b"]]
