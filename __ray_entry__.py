@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
+        "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
+        "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -329,6 +331,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, cos_fp5 FROM pairs WHERE cos_fp5 >= 35000
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # Hex-parse of the first 8 md5 digits via a position-weighted list
+        # comprehension (DuckDB has no hex->int cast); same bucket math as
+        # the Ray side's int(md5[:8], 16) % 100.
+        "split_assign": """
+            WITH h AS (
+                SELECT doc_id,
+                       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       CAST(list_sum([
+                           CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)
+                           << ((8 - i) * 4)
+                           for i in range(1, 9)
+                       ]) % 100 AS BIGINT) AS bucket
+                FROM h
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 10 THEN 'test'
+                        WHEN bucket < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
+        """,
+        "normalize_text": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text),
+                                          '[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]', ' ', 'g'),
+                           '[ \t\n\r\v\f]+', ' ', 'g'), ' ') AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text, length(norm_text) AS n_norm_chars FROM n
+        """,
         "token_stats": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w

@@ -36,6 +36,8 @@ QUERY_SUITE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "split_assign",
+    "normalize_text",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

@@ -276,3 +276,66 @@ def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: ray.data.Dataset,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """(doc_id, bucket, split) — deterministic train/val/test assignment:
+    bucket = first 8 hex digits of md5(salt:doc_id) mod 100. Content-hash
+    splitting is the only split that survives re-partitioning, resumes and
+    corpus growth at 100 TB (row-number splits shift when any shard
+    changes); salt isolates independent splits. Pure per-row map — no
+    shuffle, no state. Oracle: identical md5 expression in DuckDB."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = [
+            int(_md5(f"{salt}:{d}")[:8], 16) % 100 for d in ids
+        ]
+        split = [
+            "test" if b < test_pct else ("val" if b < test_pct + val_pct else "train")
+            for b in buckets
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, norm_text, n_norm_chars) — canonical text normalization for
+    dedup/fingerprint keys: lowercase (ASCII), strip non-alphanumeric to
+    spaces, collapse whitespace runs, trim. The standard pre-pass before
+    exact dedup so trivially-reformatted copies collide. Vectorized-safe
+    per-row map, ASCII discipline shared with the oracle (Python
+    str.lower() on ASCII == DuckDB lower())."""
+    import re
+
+    non_alnum = re.compile(f"[^{ALPHA_CLASS}{DIGIT_CLASS}{SPACE_CLASS}]")
+    spaces = re.compile(f"[{SPACE_CLASS}]+")
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            cleaned = non_alnum.sub(" ", t.lower())
+            collapsed = spaces.sub(" ", cleaned).strip(" ")
+            out.append(collapsed)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": pa.array(out, type=pa.string()),
+                "n_norm_chars": pa.array([len(t) for t in out], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+

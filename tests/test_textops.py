@@ -1,0 +1,56 @@
+"""Unit tests for split_assign / normalize_text (SURVEY.md §2.11)."""
+
+import hashlib
+
+import ray.data
+
+from tableextraction_ray.functions.textstats import normalize_text, split_assign
+
+
+class TestSplitAssign:
+    def test_matches_reference_hash_and_is_stable(self, ray_session):
+        docs = ray.data.from_items([{"doc_id": i} for i in range(200)])
+        rows = {r["doc_id"]: r for r in split_assign(docs).take_all()}
+        for d in (0, 7, 42, 199):
+            b = int(hashlib.md5(f"split:{d}".encode()).hexdigest()[:8], 16) % 100
+            assert rows[d]["bucket"] == b
+            want = "test" if b < 10 else ("val" if b < 20 else "train")
+            assert rows[d]["split"] == want
+        # roughly proportional split at n=200
+        counts = {}
+        for r in rows.values():
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert counts["train"] > counts.get("val", 0)
+        assert set(counts) <= {"train", "val", "test"}
+
+    def test_salt_isolates_splits(self, ray_session):
+        docs = ray.data.from_items([{"doc_id": i} for i in range(100)])
+        a = {r["doc_id"]: r["bucket"] for r in split_assign(docs, salt="a").take_all()}
+        b = {r["doc_id"]: r["bucket"] for r in split_assign(docs, salt="b").take_all()}
+        assert a != b
+
+
+class TestNormalizeText:
+    def test_normalization_rules(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "  HeLLo,,  WORLD!!  Привет---МИР  x9 "},
+                {"doc_id": 2, "text": "\t\n"},
+                {"doc_id": 3, "text": "a.b,c"},
+            ]
+        )
+        rows = {r["doc_id"]: r for r in normalize_text(docs).take_all()}
+        assert rows[1]["norm_text"] == "hello world привет мир x9"
+        assert rows[1]["n_norm_chars"] == len(rows[1]["norm_text"])
+        assert rows[2]["norm_text"] == ""
+        assert rows[3]["norm_text"] == "a b c"
+
+    def test_reformatted_copies_collide(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "The  Quick Brown FOX!"},
+                {"doc_id": 2, "text": "the quick... brown fox"},
+            ]
+        )
+        rows = [r["norm_text"] for r in normalize_text(docs).take_all()]
+        assert rows[0] == rows[1]
