@@ -153,41 +153,50 @@ def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
     return distinct.map_batches(project, batch_format="pyarrow")
 
 
-def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
+def ngram_jaccard(
+    ds: ray.data.Dataset, semi_join: bool = False
+) -> ray.data.Dataset:
     """(doc_a, doc_b, jaccard_fp6) — exact 3-gram Jaccard for every LSH
     candidate pair, fixed-point 1e6.
 
-    Fully distributed verification join: only the candidate DOC-ID SET is
-    broadcast (ints — tiny even when shingle payloads aren't); shingle sets
-    travel through two doc-key/pair-key shuffles, never through the driver:
+    Fully distributed verification join; shingle sets travel through two
+    doc-key/pair-key shuffles, never through the driver:
 
         pairs -> 2 side rows (join_key=doc, pair)      # explode
-        union(shingles-of-candidate-docs, side rows)
+        union(docs, side rows)
           .groupby(doc) -> attach shingles to each side
           .groupby(pair) -> intersect the two sides -> jaccard
 
-    The candidate id-set broadcast is the one non-streaming piece: at 10^9+
-    candidates swap it for a pure semi-join — tag (doc_id, text) rows into
-    the SAME doc-key shuffle and shingle inside ``attach`` only when side
-    rows are present in the group (trades the driver set for shipping
-    non-candidate texts through one shuffle).
+    Two ways to avoid shingling non-candidate docs:
+
+    - ``semi_join=False`` (default): broadcast the candidate DOC-ID SET
+      (ints — tiny at sandbox scale) and shingle only members before the
+      doc-key shuffle. One driver-held set, minimal shuffle payload.
+    - ``semi_join=True`` (the 10^9-candidate path): no driver set at all —
+      every (doc_id, text) row rides the SAME doc-key shuffle as the side
+      rows, and the text is shingled inside ``attach`` ONLY when side rows
+      are present in its group. Trades the unbounded driver set for
+      shipping texts through one keyed exchange; equivalence with the
+      broadcast path is asserted in tests.
     """
     import ray
 
     from . import fp
 
     # Materialize the candidate pipeline ONCE: it is consumed twice below
-    # (the needed-id scan here and the explode_sides branch), and an
+    # (the needed-id scan and the explode_sides branch), and an
     # unmaterialized Dataset re-executes per consumption — round 1 ran the
     # whole LSH banding twice. The materialized candidate set is tiny
     # ((int, int) pairs), so pinning its blocks in the object store is free
     # relative to re-running the shuffle.
     cand = minhash_candidates(ds).materialize()
-    needed_set = set()
-    for batch in cand.iter_batches(batch_format="pyarrow"):
-        needed_set.update(batch["doc_a"].to_pylist())
-        needed_set.update(batch["doc_b"].to_pylist())
-    needed_ref = ray.put(needed_set)
+    needed_ref = None
+    if not semi_join:
+        needed_set = set()
+        for batch in cand.iter_batches(batch_format="pyarrow"):
+            needed_set.update(batch["doc_a"].to_pylist())
+            needed_set.update(batch["doc_b"].to_pylist())
+        needed_ref = ray.put(needed_set)
 
     SIDE_SCHEMA = pa.schema(
         [
@@ -195,6 +204,7 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
             ("pair_a", pa.int64()),
             ("pair_b", pa.int64()),
             ("shingles", pa.list_(pa.string())),
+            ("text", pa.string()),
         ]
     )
 
@@ -210,11 +220,13 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
                 "pair_a": pa.array(pa_, type=pa.int64()),
                 "pair_b": pa.array(pb, type=pa.int64()),
                 "shingles": pa.array([None] * len(ids), type=pa.list_(pa.string())),
+                "text": pa.array([""] * len(ids), type=pa.string()),
             },
             schema=SIDE_SCHEMA,
         )
 
     def doc_shingles(batch: pa.Table) -> pa.Table:
+        """Broadcast path: shingle candidate members up front."""
         needed = ray.get(needed_ref)
         ids, sh = [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
@@ -227,18 +239,38 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
                 "pair_a": pa.array([-1] * len(ids), type=pa.int64()),
                 "pair_b": pa.array([-1] * len(ids), type=pa.int64()),
                 "shingles": pa.array(sh, type=pa.list_(pa.string())),
+                "text": pa.array([""] * len(ids), type=pa.string()),
+            },
+            schema=SIDE_SCHEMA,
+        )
+
+    def doc_texts(batch: pa.Table) -> pa.Table:
+        """Semi-join path: every doc rides the shuffle, text unshingled."""
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pair_a": pa.array([-1] * n, type=pa.int64()),
+                "pair_b": pa.array([-1] * n, type=pa.int64()),
+                "shingles": pa.array([None] * n, type=pa.list_(pa.string())),
+                "text": batch["text"],
             },
             schema=SIDE_SCHEMA,
         )
 
     def attach(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
-        sh = next((r["shingles"] for r in rows if r["pair_a"] == -1), None) or []
-        out = [
-            {**r, "shingles": sh}
-            for r in rows
-            if r["pair_a"] != -1
-        ]
+        sides = [r for r in rows if r["pair_a"] != -1]
+        if not sides:
+            return pa.Table.from_pylist([], schema=SIDE_SCHEMA)
+        doc = next((r for r in rows if r["pair_a"] == -1), None)
+        if doc is None:
+            sh = []
+        elif doc["shingles"] is not None:
+            sh = doc["shingles"]
+        else:
+            sh = shingle_set(doc["text"])  # semi-join: shingle on demand
+        out = [{**r, "shingles": sh, "text": ""} for r in sides]
         return pa.Table.from_pylist(out, schema=SIDE_SCHEMA)
 
     def score_pair(group: pa.Table) -> pa.Table:
@@ -268,9 +300,10 @@ def ngram_jaccard(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     sides = cand.map_batches(explode_sides, batch_format="pyarrow")
-    shingles = ds.map_batches(doc_shingles, batch_format="pyarrow")
+    doc_fn = doc_texts if semi_join else doc_shingles
+    docs_side = ds.map_batches(doc_fn, batch_format="pyarrow")
     attached = (
-        shingles.union(sides)
+        docs_side.union(sides)
         .groupby("doc_id")
         .map_groups(attach, batch_format="pyarrow")
     )

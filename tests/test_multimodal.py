@@ -79,3 +79,35 @@ class TestIvf:
             key=lambda r: (r["query_id"], -r["cos_fp5"], r["vec_id"]),
         )
         assert exact == full
+
+
+class TestKmeansQuantizer:
+    """kmeans_centroids must beat the first-nlist-vectors quantizer where
+    it matters: clustered data whose head vectors all come from one
+    cluster (the pathological case for the toy init)."""
+
+    def test_refined_centroids_follow_clusters(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from tableextraction_ray.functions import similarity as S
+
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((4, 16)) * 4
+        vecs = []
+        for i in range(400):
+            c = centers[i // 100]  # head vectors (vec_id<8) all in cluster 0
+            vecs.append({"vec_id": i, "embedding": (c + rng.standard_normal(16) * 0.1).tolist()})
+        ds = ray.data.from_items(vecs)
+        init = np.asarray([vecs[i]["embedding"] for i in range(8)])
+        refined = S.kmeans_centroids(ds, init, iters=3)
+
+        mat = np.asarray([v["embedding"] for v in vecs])
+
+        def quant_quality(cent):
+            # mean cosine of each vector to its nearest centroid — the
+            # quantity IVF cell quality is made of
+            cos = S._cos_matrix(S._quantize(mat), S._quantize(cent))
+            return float(cos.max(axis=1).mean())
+
+        assert quant_quality(refined) > quant_quality(init) + 0.05

@@ -164,3 +164,19 @@ class TestDedupClusters:
         assert all(rep[v] == v for v in set(rep.values()))
         for e in minhash_candidates(docs).take_all():
             assert rep[e["doc_a"]] == rep[e["doc_b"]]
+
+
+class TestNgramJaccardSemiJoin:
+    def test_semi_join_equals_broadcast(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import ngram_jaccard
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        key = lambda r: (r["doc_a"], r["doc_b"])
+        broadcast = sorted(ngram_jaccard(docs).take_all(), key=key)
+        semi = sorted(ngram_jaccard(docs, semi_join=True).take_all(), key=key)
+        assert broadcast == semi
+        assert len(broadcast) > 0
