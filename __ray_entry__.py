@@ -226,11 +226,27 @@ sh AS (
                         for i in range(len(w) - 2)]) AS shingles
   FROM toks WHERE len(w) >= 3
 ),
-sig AS (
+xs AS (
+  -- 60-bit base hash per shingle: hex-parse of md5(s)[1:15] (the same
+  -- position-weighted trick as the split_assign oracle).
   SELECT doc_id,
-         [list_min([md5(p::VARCHAR || ':' || s) for s in shingles])
-          for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+         [list_sum([
+              CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+              << ((15 - i) * 4)
+              for i in range(1, 16)
+          ]) for s in shingles] AS xs
   FROM sh
+),
+sig AS (
+  -- affine permutations min((2p+3)*x + 7p+1 mod 2^61-1); HUGEINT widens
+  -- the product past 64 bits before the modulus brings it back.
+  SELECT doc_id,
+         [list_min([
+              CAST((CAST(2*p + 3 AS HUGEINT) * x + (7*p + 1))
+                   % 2305843009213693951 AS BIGINT)
+              for x in xs])
+          for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+  FROM xs
 ),
 bands AS (
   SELECT doc_id, b.band,

@@ -77,9 +77,27 @@ def shingle_set(text: str) -> list[str]:
     return list(seen)
 
 
-def minhash_signature(shingles: list[str]) -> list[str]:
+#: Mersenne prime modulus for the affine permutation family.
+M61 = (1 << 61) - 1
+
+
+def shingle_base_hash(s: str) -> int:
+    """60-bit integer base hash: first 15 hex digits of md5 (fits BIGINT,
+    so the DuckDB oracle can hex-parse it exactly)."""
+    return int(_md5(s)[:15], 16)
+
+
+def minhash_signature(shingles: list[str]) -> list[int]:
+    """Standard affine-permutation minhash: ONE md5 per shingle, then
+    ``min((a_p * x + b_p) mod (2^61 - 1))`` per permutation with
+    a_p = 2p + 3, b_p = 7p + 1. Round 1 hashed md5(f"{p}:{s}") per
+    (perm, shingle) — 16x the md5 calls, ~72 CPU-s per bench-tier pass in
+    banding alone; the affine family is the textbook construction and
+    reproduces bit-for-bit in SQL integer arithmetic."""
+    xs = [shingle_base_hash(s) for s in shingles]
     return [
-        min(_md5(f"{p}:{s}") for s in shingles) for p in range(NUM_PERMS)
+        min(((2 * p + 3) * x + 7 * p + 1) % M61 for x in xs)
+        for p in range(NUM_PERMS)
     ]
 
 
@@ -92,7 +110,9 @@ def _band_rows(batch: pa.Table) -> pa.Table:
         sig = minhash_signature(sh)
         h = _md5(text)
         for b in range(NUM_BANDS):
-            key = _md5("|".join(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            key = _md5(
+                "|".join(str(v) for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])
+            )
             doc_ids.append(doc_id)
             bands.append(b)
             keys.append(key)
