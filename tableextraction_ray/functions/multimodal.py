@@ -31,23 +31,35 @@ class ImageStats:
     (trivial) codec; kept as an actor pool to model the real-image case
     where the decoder (libjpeg/opencv) is expensive to initialize."""
 
-    def __init__(self, ink_threshold: int = INK_THRESHOLD):
+    def __init__(self, ink_threshold: int = INK_THRESHOLD, on_error: str = "skip"):
         self.ink_threshold = ink_threshold
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from . import fp
 
-        w_out, h_out, ink_out = [], [], []
-        for payload in batch["payload"].to_pylist():
-            img = decode_gray(payload)
+        refs, w_out, h_out, ink_out = [], [], [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                img = decode_gray(payload)
+            except Exception:
+                # Poison-pill tolerance: one corrupt object out of 10^10
+                # must not kill the catalog pass (extraction's decode stage
+                # has the same degrade-don't-die contract).
+                if self.on_error == "raise":
+                    raise
+                continue
             h, w = img.shape
             ink = float((img < self.ink_threshold).mean())
+            refs.append(ref)
             w_out.append(w)
             h_out.append(h)
             ink_out.append(fp(ink, 6))
         return pa.Table.from_pydict(
             {
-                "media_ref": batch["media_ref"],
+                "media_ref": pa.array(refs, type=pa.string()),
                 "width": pa.array(w_out, type=pa.int32()),
                 "height": pa.array(h_out, type=pa.int32()),
                 "ink_fp6": pa.array(ink_out, type=pa.int64()),
@@ -60,15 +72,21 @@ class ImageResize:
     downsample to ``max_side`` and PNG re-encode. Real pixels in, real
     pixels out."""
 
-    def __init__(self, max_side: int = 64):
+    def __init__(self, max_side: int = 64, on_error: str = "skip"):
         self.max_side = max_side
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs, thumbs, ws, hs = [], [], [], []
         for ref, payload in zip(
             batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
         ):
-            img = decode_gray(payload)
+            try:
+                img = decode_gray(payload)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                continue  # poison-pill tolerance (see ImageStats)
             h, w = img.shape
             scale = max(1, (max(h, w) + self.max_side - 1) // self.max_side)
             thumb = img[::scale, ::scale]

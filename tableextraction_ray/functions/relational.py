@@ -275,22 +275,34 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         )
 
     def build_sessions(group: pa.Table) -> pa.Table:
+        """Vectorized per-group sweep: session boundaries are
+        ``diff(ts) > gap`` and sessions fall out of one cumsum — a hot user
+        with 10^6 events costs one numpy sort, not a Python loop (skew
+        tolerance asserted in tests/test_scale_paths.py)."""
+        import numpy as np
+
         user = group["user_id"][0].as_py()
-        ts = sorted(t.value for t in group["ts"])  # microseconds
-        sessions = []
-        start = prev = ts[0]
-        count = 1
-        session_no = 0
-        for t in ts[1:]:
-            if t - prev > gap_us:
-                sessions.append((session_no, count, start, prev))
-                session_no += 1
-                start = t
-                count = 1
-            else:
-                count += 1
-            prev = t
-        sessions.append((session_no, count, start, prev))
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        if len(ts) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_no": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "start_ts": pa.array([], type=pa.string()),
+                    "end_ts": pa.array([], type=pa.string()),
+                }
+            )
+        new_session = np.empty(len(ts), dtype=bool)
+        new_session[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_session[1:])
+        starts_idx = np.flatnonzero(new_session)
+        ends_idx = np.append(starts_idx[1:] - 1, len(ts) - 1)
+        counts = np.diff(np.append(starts_idx, len(ts)))
+        sessions = [
+            (int(i), int(c), int(ts[s]), int(ts[e]))
+            for i, (c, s, e) in enumerate(zip(counts, starts_idx, ends_idx))
+        ]
 
         def fmt(us: int) -> str:
             import datetime
@@ -439,8 +451,6 @@ def purchase_asof_join(events: ray.data.Dataset) -> ray.data.Dataset:
     search; timestamps stay exact integer microseconds. Ties (same user,
     same ts) keep the max purchase event_id — matching the deduped DuckDB
     ASOF JOIN oracle deterministically."""
-    import bisect
-
     def project(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(
             batch["event_type"], value_set=pa.array(["click", "purchase"])
@@ -465,39 +475,40 @@ def purchase_asof_join(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def sweep(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        user = rows[0]["user_id"]
-        # Dedupe same-ts purchases to the max event_id (deterministic ties).
-        purchases: dict[int, int] = {}
-        for r in rows:
-            if r["kind"] == "purchase":
-                ts = r["ts_us"]
-                purchases[ts] = max(purchases.get(ts, -1), r["event_id"])
-        p_ts = sorted(purchases)
-        out = []
-        for r in rows:
-            if r["kind"] != "click":
-                continue
-            i = bisect.bisect_right(p_ts, r["ts_us"]) - 1
-            if i >= 0:
-                out.append(
-                    {
-                        "click_id": r["event_id"],
-                        "user_id": user,
-                        "purchase_id": purchases[p_ts[i]],
-                        "lag_us": r["ts_us"] - p_ts[i],
-                    }
-                )
-            else:
-                out.append(
-                    {
-                        "click_id": r["event_id"],
-                        "user_id": user,
-                        "purchase_id": None,
-                        "lag_us": None,
-                    }
-                )
-        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+        """Vectorized per-group sweep (hot-user skew tolerance): purchase
+        dedupe is a lexsort + last-per-ts mask, the as-of lookup one
+        searchsorted — no per-event Python loop."""
+        import numpy as np
+
+        user = group["user_id"][0].as_py()
+        is_click = pc.equal(group["kind"], "click")
+        clicks = group.filter(is_click)
+        purchases = group.filter(pc.invert(is_click))
+        c_ts = clicks["ts_us"].to_numpy(zero_copy_only=False)
+        c_id = clicks["event_id"].to_numpy(zero_copy_only=False)
+        p_ts = purchases["ts_us"].to_numpy(zero_copy_only=False)
+        p_id = purchases["event_id"].to_numpy(zero_copy_only=False)
+        # Dedupe same-ts purchases to the max event_id (deterministic ties):
+        # sort by (ts, event_id) and keep the last row of each ts run.
+        order = np.lexsort((p_id, p_ts))
+        p_ts, p_id = p_ts[order], p_id[order]
+        if len(p_ts):
+            last = np.append(p_ts[1:] != p_ts[:-1], True)
+            p_ts, p_id = p_ts[last], p_id[last]
+        idx = np.searchsorted(p_ts, c_ts, side="right") - 1
+        has = idx >= 0
+        safe = np.clip(idx, 0, None)
+        purchase_id = np.where(has, p_id[safe] if len(p_id) else -1, -1)
+        lag = np.where(has, c_ts - (p_ts[safe] if len(p_ts) else 0), -1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(c_id, type=pa.int64()),
+                pa.array(np.full(len(c_id), user), type=pa.int64()),
+                pa.array(purchase_id, type=pa.int64(), mask=~has),
+                pa.array(lag, type=pa.int64(), mask=~has),
+            ],
+            schema=OUT_SCHEMA,
+        )
 
     return (
         events.map_batches(project, batch_format="pyarrow")

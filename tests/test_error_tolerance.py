@@ -50,3 +50,52 @@ class TestErrorTolerance:
         a = out[~out.doc_id.isin(broken)].sort_values(["doc_id", "offset"]).reset_index(drop=True)
         b = clean[~clean.doc_id.isin(broken)].sort_values(["doc_id", "offset"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestMultimodalPoisonPills:
+    """A corrupt media payload must not kill a catalog pass: the stage
+    skips the row (or raises under on_error='raise')."""
+
+    def _media_ds(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.png import encode_gray
+        import numpy as np
+
+        good = encode_gray(np.full((8, 6), 255, dtype=np.uint8))
+        return ray.data.from_items(
+            [
+                {"media_ref": "m/good.png", "payload": good},
+                {"media_ref": "m/bad.png", "payload": b"\x89PNGgarbage"},
+                {"media_ref": "m/empty.png", "payload": b""},
+            ]
+        )
+
+    def test_stats_skips_corrupt(self, ray_session):
+        from tableextraction_ray.functions.multimodal import media_stats
+
+        rows = media_stats(self._media_ds(ray_session)).take_all()
+        assert [r["media_ref"] for r in rows] == ["m/good.png"]
+        assert rows[0]["width"] == 6 and rows[0]["height"] == 8
+
+    def test_thumbnails_skip_corrupt(self, ray_session):
+        from tableextraction_ray.functions.multimodal import media_thumbnails
+
+        rows = media_thumbnails(self._media_ds(ray_session)).take_all()
+        assert [r["media_ref"] for r in rows] == ["m/good.png"]
+
+    def test_raise_mode_propagates(self, ray_session):
+        import pytest
+        import ray.exceptions
+
+        from tableextraction_ray.functions.multimodal import ImageStats
+
+        import pyarrow as pa
+
+        batch = pa.Table.from_pydict(
+            {"media_ref": ["x"], "payload": [b"notapng"]}
+        )
+        with pytest.raises(Exception):
+            ImageStats(on_error="raise")(batch)
+        # skip mode on the same batch yields an empty table
+        assert len(ImageStats()(batch)) == 0

@@ -180,3 +180,35 @@ class TestNgramJaccardSemiJoin:
         semi = sorted(ngram_jaccard(docs, semi_join=True).take_all(), key=key)
         assert broadcast == semi
         assert len(broadcast) > 0
+
+
+class TestSessionizeHotKey:
+    def test_hot_user_completes_fast(self, ray_session):
+        """Skew tolerance: one user owning 200k events (a hot key that
+        lands in a single group) must sessionize in a vectorized sweep,
+        not a per-event Python loop."""
+        import time
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.relational import sessionize
+
+        n = 200_000
+        # every 10 minutes, with a 2-hour gap after each 1000 events
+        base = np.arange(n, dtype=np.int64) * 600_000_000
+        base += (np.arange(n, dtype=np.int64) // 1000) * 7_200_000_000
+        t = pa.Table.from_pydict(
+            {
+                "user_id": pa.array(np.full(n, 7), type=pa.int64()),
+                "ts": pa.array(base, type=pa.timestamp("us")),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        t0 = time.time()
+        rows = sessionize(ds, gap_minutes=30).take_all()
+        wall = time.time() - t0
+        assert len(rows) == n // 1000
+        assert all(r["n_events"] == 1000 for r in rows)
+        assert wall < 30  # loose bound: one numpy sweep, not 200k Python steps
