@@ -318,17 +318,8 @@ def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
     exact dedup so trivially-reformatted copies collide. Vectorized-safe
     per-row map, ASCII discipline shared with the oracle (Python
     str.lower() on ASCII == DuckDB lower())."""
-    import re
-
-    non_alnum = re.compile(f"[^{ALPHA_CLASS}{DIGIT_CLASS}{SPACE_CLASS}]")
-    spaces = re.compile(f"[{SPACE_CLASS}]+")
-
     def batch_fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch["text"].to_pylist():
-            cleaned = non_alnum.sub(" ", t.lower())
-            collapsed = spaces.sub(" ", cleaned).strip(" ")
-            out.append(collapsed)
+        out = [normalize_string(t) for t in batch["text"].to_pylist()]
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"],
@@ -339,3 +330,22 @@ def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
 
+
+
+_NORM_RES = None
+
+
+def normalize_string(t: str) -> str:
+    """The pure normalization kernel behind normalize_text (exposed for
+    direct reuse and property tests): lowercase, non-alphanumerics to
+    spaces, whitespace runs collapsed, trimmed."""
+    global _NORM_RES
+    if _NORM_RES is None:
+        import re
+
+        _NORM_RES = (
+            re.compile(f"[^{ALPHA_CLASS}{DIGIT_CLASS}{SPACE_CLASS}]"),
+            re.compile(f"[{SPACE_CLASS}]+"),
+        )
+    non_alnum, spaces = _NORM_RES
+    return spaces.sub(" ", non_alnum.sub(" ", t.lower())).strip(" ")

@@ -74,3 +74,49 @@ class TestPlotProperties:
         assert len(merged) <= len(pts)
         if pts:
             assert len(merged) >= 1
+
+
+class TestMinhashProperties:
+    """Affine-permutation minhash (dedup.py): pure-function properties."""
+
+    @given(st.lists(st.text(alphabet="abcdef gh", min_size=1, max_size=12), min_size=1, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_signature_is_set_function(self, shingles):
+        from tableextraction_ray.functions.dedup import NUM_PERMS, M61, minhash_signature
+
+        sig = minhash_signature(shingles)
+        assert len(sig) == NUM_PERMS
+        assert all(0 <= v < M61 for v in sig)
+        # order/multiplicity invariance (min over a set)
+        assert minhash_signature(list(reversed(shingles)) + shingles) == sig
+
+    @given(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=10),
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=10),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_subset_monotonicity(self, a, b):
+        """sig(a | b) is the element-wise min of sig(a) and sig(b) — the
+        algebra the banded-LSH collision probability rests on."""
+        from tableextraction_ray.functions.dedup import minhash_signature
+
+        sa, sb, sab = (
+            minhash_signature(a),
+            minhash_signature(b),
+            minhash_signature(a + b),
+        )
+        assert sab == [min(x, y) for x, y in zip(sa, sb)]
+
+
+class TestNormalizeProperties:
+    @given(st.text(max_size=60))
+    @settings(max_examples=80, deadline=None)
+    def test_idempotent_and_shape(self, t):
+        """normalize(normalize(x)) == normalize(x); output is single-spaced
+        lowercase with no leading/trailing space."""
+        from tableextraction_ray.functions.textstats import normalize_string as norm
+
+        out = norm(t)
+        assert norm(out) == out
+        assert "  " not in out
+        assert out == out.strip(" ")
