@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
+        "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
+        "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -370,6 +372,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 20 THEN 'val'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        "token_freq": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS n FROM toks
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "redact_text": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                     '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted,
+                   len(regexp_extract_all(text, 'https?://[^ \t\n\r\v\f]+'))
+                 + len(regexp_extract_all(
+                       regexp_replace(text, 'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                 + len(regexp_extract_all(
+                       regexp_replace(
+                         regexp_replace(text, 'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                       '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_redactions
+            FROM documents
         """,
         "normalize_text": r"""
             WITH n AS (

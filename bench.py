@@ -38,6 +38,8 @@ QUERY_SUITE = [
     "dedup_clusters",
     "split_assign",
     "normalize_text",
+    "token_freq",
+    "redact_text",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

@@ -349,3 +349,77 @@ def normalize_string(t: str) -> str:
         )
     non_alnum, spaces = _NORM_RES
     return spaces.sub(" ", non_alnum.sub(" ", t.lower())).strip(" ")
+
+
+def token_freq(ds: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
+    """(token, n) — the corpus-wide top-k most frequent tokens. The
+    canonical vocabulary-building pass, shuffle-disciplined: each batch
+    pre-counts its tokens into (token, count) partials (a batch of 10^4
+    docs collapses to ~vocab-size rows), the groupby sums partials, and
+    only the global top-k leaves the aggregate. Total order (n desc,
+    token asc) makes the k-boundary deterministic for the oracle."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(ascii_tokens(t))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"token": batch["token"], "n": batch["sum(n)"].cast(pa.int64())}
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def redact_text(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, redacted, n_redactions) — scrub URLs, emails and long digit
+    runs (phone/account-shaped) to fixed placeholder tokens, in that order.
+    The standard PII/link-stripping pass before training-data release; all
+    three patterns are RE2-safe (no lookaround) so the DuckDB oracle runs
+    the identical replacements."""
+    import re
+
+    pats = [
+        (re.compile(r"https?://[^ \t\n\r\v\f]+"), "<URL>"),
+        (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"), "<EMAIL>"),
+        (re.compile(r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"), "<NUM>"),
+    ]
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        out, counts = [], []
+        for t in batch["text"].to_pylist():
+            n = 0
+            for rx, token in pats:
+                t, c = rx.subn(token, t)
+                n += c
+            out.append(t)
+            counts.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "redacted": pa.array(out, type=pa.string()),
+                "n_redactions": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

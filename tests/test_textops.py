@@ -54,3 +54,40 @@ class TestNormalizeText:
         )
         rows = [r["norm_text"] for r in normalize_text(docs).take_all()]
         assert rows[0] == rows[1]
+
+
+class TestRedactText:
+    def test_patterns_and_order(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "see https://ex.com/a?b=1 or mail a.b+c@ex-mail.co now"},
+                {"doc_id": 2, "text": "call 79161234567 or 123456 short"},
+                {"doc_id": 3, "text": "clean text"},
+                # URL containing an email-shaped substring: URL pass wins
+                {"doc_id": 4, "text": "http://x.com/a@b.com tail"},
+            ]
+        )
+        from tableextraction_ray.functions.textstats import redact_text
+
+        rows = {r["doc_id"]: r for r in redact_text(docs).take_all()}
+        assert rows[1]["redacted"] == "see <URL> or mail <EMAIL> now"
+        assert rows[1]["n_redactions"] == 2
+        assert rows[2]["redacted"] == "call <NUM> or 123456 short"  # 6 digits kept
+        assert rows[2]["n_redactions"] == 1
+        assert rows[3]["redacted"] == "clean text"
+        assert rows[3]["n_redactions"] == 0
+        assert rows[4]["redacted"] == "<URL> tail"
+
+
+class TestTokenFreq:
+    def test_topk_with_deterministic_ties(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "b b b a a c"},
+                {"doc_id": 2, "text": "a d c"},
+            ]
+        )
+        from tableextraction_ray.functions.textstats import token_freq
+
+        rows = token_freq(docs, k=3).take_all()
+        assert [(r["token"], r["n"]) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
