@@ -9,8 +9,9 @@ Scale notes (the 100 TB story):
   shuffle-light near-dup join (no O(n^2) compare; only same-bucket pairs).
 - n-gram Jaccard: exact verification over the LSH candidates only.
 
-The MinHash permutations are md5-keyed (``md5(f"{perm}:{shingle}")``), so the
-DuckDB oracle can reproduce them bit-for-bit.
+MinHash signatures use one md5 base hash per shingle plus affine integer
+permutations mod 2^61-1, so the DuckDB oracle reproduces them bit-for-bit
+in SQL arithmetic.
 """
 
 from __future__ import annotations
@@ -127,7 +128,9 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
+def minhash_candidates(
+    ds: ray.data.Dataset, distinct: bool = True
+) -> ray.data.Dataset:
     """(doc_a, doc_b) — distinct candidate near-dup pairs from LSH banding,
     among EXACT-DISTINCT representatives: within a bucket, docs with
     identical text collapse to their minimum doc_id before pair expansion
@@ -162,15 +165,21 @@ def minhash_candidates(ds: ray.data.Dataset) -> ray.data.Dataset:
     pairs = bands.groupby(["band", "key"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
+    if not distinct:
+        # A pair colliding in b bands appears b times; callers whose
+        # downstream is per-pair-idempotent (ngram_jaccard's pair-key
+        # groupby) can skip this whole all-to-all.
+        return pairs
+
     # Distinct across bands: a tiny groupby on the pair key.
-    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    deduped = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"]}
         )
 
-    return distinct.map_batches(project, batch_format="pyarrow")
+    return deduped.map_batches(project, batch_format="pyarrow")
 
 
 def ngram_jaccard(
@@ -209,7 +218,10 @@ def ngram_jaccard(
     # whole LSH banding twice. The materialized candidate set is tiny
     # ((int, int) pairs), so pinning its blocks in the object store is free
     # relative to re-running the shuffle.
-    cand = minhash_candidates(ds).materialize()
+    # distinct=False skips one all-to-all: duplicate (a, b) side rows from
+    # multi-band collisions are harmless — score_pair emits exactly one row
+    # per pair-key group either way.
+    cand = minhash_candidates(ds, distinct=False).materialize()
     needed_ref = None
     if not semi_join:
         needed_set = set()
