@@ -67,6 +67,7 @@ def _read_embeddings_head(sf_dir: str, m: int):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tableextraction_ray.functions import (
+        sketch,
         dedup,
         multimodal,
         plots,
@@ -135,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
+        "events_hourly_users": lambda sf: sketch.hourly_users(
+            _read(sf, "events", ["user_id", "ts"])
+        ),
+        "events_hourly_users_hll": lambda sf: sketch.hourly_users_hll(
+            _read(sf, "events", ["user_id", "ts"])
+        ),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -372,6 +379,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 20 THEN 'val'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        "events_hourly_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "token_freq": r"""
             WITH toks AS (

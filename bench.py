@@ -40,6 +40,8 @@ QUERY_SUITE = [
     "normalize_text",
     "token_freq",
     "redact_text",
+    "events_hourly_users",
+    "events_hourly_users_hll",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

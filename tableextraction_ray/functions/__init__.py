@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     plots,
     relational,
     similarity,
+    sketch,
     textstats,
 )
 

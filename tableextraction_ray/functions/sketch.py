@@ -1,0 +1,140 @@
+"""Distinct-count operators over the event stream: exact two-phase and a
+HyperLogLog sketch.
+
+The two sides of the 100 TB cardinality story:
+
+- ``hourly_users``: EXACT distinct counting, two-phase — per-batch local
+  (hour, user) dedup shrinks the exchange, one keyed groupby dedups
+  globally, a per-key count follows. The shuffle moves one row per
+  distinct (hour, user) — never per event. SQL oracle: COUNT(DISTINCT).
+- ``hourly_users_hll``: ONE-pass approximate counting — each batch folds
+  its events into fixed 2^p-register HyperLogLog partials, the groupby
+  merges registers by elementwise max (associative + commutative +
+  idempotent, so re-execution/retries can't corrupt it), the estimator
+  runs per key. Memory per key is 2^p bytes regardless of cardinality;
+  this is what replaces the exact groupby when the distinct set itself
+  no longer fits a shuffle. Deterministic md5 hashing; no SQL oracle
+  (approximate) — the error bound vs the exact operator is asserted in
+  tests (standard error ~1.04/sqrt(2^p)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count
+
+HLL_P = 12  # 4096 registers, ~1.6 % standard error
+
+
+def _hour_col(batch: pa.Table) -> pa.Array:
+    return pc.strftime(
+        pc.floor_temporal(batch["ts"], unit="hour"), format="%Y-%m-%d %H:00:00"
+    )
+
+
+def hourly_users(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(hour, n_users) — exact distinct users per hour, two-phase."""
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {"hour": _hour_col(batch), "user_id": batch["user_id"]}
+        )
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    distinct = (
+        events.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count())
+    )
+
+    def drop_user(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"hour": batch["hour"]})
+
+    agg = (
+        distinct.map_batches(drop_user, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"hour": batch["hour"], "n_users": batch["count()"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _hll_estimate(registers: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = float(len(registers))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -registers.astype(np.float64)).sum()
+    if est <= 2.5 * m:
+        zeros = int((registers == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hourly_users_hll(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(hour, n_users_est) — approximate distinct users per hour in one
+    pass: per-batch HLL partials, register-max merge per hour."""
+    m = 1 << HLL_P
+
+    PARTIAL_SCHEMA = pa.schema(
+        [("hour", pa.string()), ("registers", pa.list_(pa.int8()))]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = _hour_col(batch).to_pylist()
+        users = batch["user_id"].to_pylist()
+        per_hour: dict[str, np.ndarray] = {}
+        for h, u in zip(hours, users):
+            regs = per_hour.get(h)
+            if regs is None:
+                regs = per_hour[h] = np.zeros(m, dtype=np.int8)
+            _hll_fold_one(regs, u)
+        return pa.Table.from_pydict(
+            {
+                "hour": pa.array(list(per_hour.keys()), type=pa.string()),
+                "registers": pa.array(
+                    [r.tolist() for r in per_hour.values()],
+                    type=pa.list_(pa.int8()),
+                ),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        hour = group["hour"][0].as_py()
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group["registers"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.int8), out=regs)
+        return pa.Table.from_pydict(
+            {
+                "hour": pa.array([hour], type=pa.string()),
+                "n_users_est": pa.array([_hll_estimate(regs)], type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _hll_fold_one(registers: np.ndarray, uid) -> None:
+    m = 1 << HLL_P
+    h = int.from_bytes(hashlib.md5(str(uid).encode()).digest()[:8], "big")
+    idx = h & (m - 1)
+    rest = h >> HLL_P
+    rank = (64 - HLL_P) - rest.bit_length() + 1
+    if rank > registers[idx]:
+        registers[idx] = rank
