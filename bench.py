@@ -147,15 +147,28 @@ def main() -> None:
     if "--queries-only" in sys.argv:
         payload = {"metric": "query_suite", "unit": "sec", "sf": SF_DIR, "num_cpus": NUM_CPUS}
     else:
-        wall, n_docs = run_headline(SF_DIR)
+        # Best-of-2 in-session headline runs (all raw walls reported):
+        # single cold runs on this box vary far beyond the code's own
+        # run-to-run differences (45% spread observed on identical
+        # commits), same protocol as --scaling. --headline-only (the
+        # scaling child) stays single-run — the parent does its own
+        # best-of-2 across processes.
+        attempts = 1 if "--headline-only" in sys.argv else 2
+        walls = []
+        n_docs = 0
+        for _ in range(attempts):
+            wall, n_docs = run_headline(SF_DIR)
+            walls.append(round(wall, 3))
+        wall = min(walls)
         payload = {
             "metric": "extract_e2e",
-            "value": round(wall, 3),
+            "value": wall,
             "unit": "sec",
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "docs": n_docs,
             "docs_per_sec": round(n_docs / wall, 2),
+            "all_walls": walls,
         }
 
     if "--headline-only" not in sys.argv:
