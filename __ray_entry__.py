@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users_hll": lambda sf: sketch.hourly_users_hll(
             _read(sf, "events", ["user_id", "ts"])
         ),
+        "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
+            _read(sf, "events", ["ts", "value"])
+        ),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -384,6 +387,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        # Explicit rank convention (1-based ceil(q*n/100), integer ceil
+        # division) so percentile selection is float-free on both sides.
+        "events_hourly_percentiles": """
+            WITH v AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            ),
+            r AS (
+                SELECT hour, value_c,
+                       ROW_NUMBER() OVER (PARTITION BY hour ORDER BY value_c) AS rn,
+                       COUNT(*) OVER (PARTITION BY hour) AS n
+                FROM v
+            )
+            SELECT hour,
+                   MAX(n) AS n_events,
+                   MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value_c END) AS p50_c,
+                   MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value_c END) AS p95_c,
+                   MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_c END) AS p99_c
+            FROM r GROUP BY hour
         """,
         "token_freq": r"""
             WITH toks AS (

@@ -42,6 +42,7 @@ QUERY_SUITE = [
     "redact_text",
     "events_hourly_users",
     "events_hourly_users_hll",
+    "events_hourly_percentiles",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

@@ -138,3 +138,45 @@ def _hll_fold_one(registers: np.ndarray, uid) -> None:
     rank = (64 - HLL_P) - rest.bit_length() + 1
     if rank > registers[idx]:
         registers[idx] = rank
+
+
+def hourly_value_percentiles(
+    events: ray.data.Dataset, qs: tuple[int, ...] = (50, 95, 99)
+) -> ray.data.Dataset:
+    """(hour, n_events, p50_c, p95_c, p99_c) — exact per-hour latency-style
+    percentiles over integer cents. Rank convention is explicit so the SQL
+    oracle matches bit-for-bit: the q-th percentile is the value at 1-based
+    rank ceil(q*n/100) in ascending order, computed with integer ceil
+    division ((q*n + 99) // 100 — no float rounding anywhere). Each hour
+    sorts inside its group (numpy), so a group costs one vectorized sort;
+    hour-key grouping bounds group count, and value payloads are 8-byte
+    ints through the shuffle."""
+    import numpy as np
+
+    from .relational import _cents
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"hour": _hour_col(batch), "value_c": _cents(batch["value"])}
+        )
+
+    names = [f"p{q}_c" for q in qs]
+
+    def percentiles(group: pa.Table) -> pa.Table:
+        hour = group["hour"][0].as_py()
+        vals = np.sort(group["value_c"].to_numpy(zero_copy_only=False))
+        n = len(vals)
+        out = {
+            "hour": pa.array([hour], type=pa.string()),
+            "n_events": pa.array([n], type=pa.int64()),
+        }
+        for q, name in zip(qs, names):
+            rank = (q * n + 99) // 100  # 1-based ceil rank
+            out[name] = pa.array([int(vals[rank - 1])], type=pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(percentiles, batch_format="pyarrow")
+    )

@@ -51,3 +51,29 @@ class TestHourlyUsers:
             for r in sketch.hourly_users_hll(_events().repartition(17)).take_all()
         )
         assert a == b
+
+
+class TestHourlyPercentiles:
+    def test_rank_convention(self, ray_session):
+        """p-th percentile = value at 1-based rank ceil(q*n/100)."""
+        import datetime
+
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import hourly_value_percentiles
+
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        events = ray.data.from_items(
+            [
+                {"ts": base + datetime.timedelta(minutes=i), "value": float(v)}
+                for i, v in enumerate([5, 1, 4, 2, 3])  # cents: 100..500
+            ]
+        )
+        rows = hourly_value_percentiles(events).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        # n=5: p50 rank ceil(2.5)=3 -> 300; p95 rank ceil(4.75)=5 -> 500
+        assert r["n_events"] == 5
+        assert r["p50_c"] == 300
+        assert r["p95_c"] == 500
+        assert r["p99_c"] == 500
