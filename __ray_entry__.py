@@ -301,10 +301,24 @@ def oracle_sql() -> dict[str, str]:
         # side's min-label propagation converges to the same fixpoint).
         "dedup_clusters": _SHINGLES_CTE.replace("WITH reps AS", "WITH RECURSIVE reps AS")
         + """
-            , edges AS (
-                SELECT doc_a AS u, doc_b AS v FROM cand
+            , dup_edges AS (
+                -- exact-copy star edges (copy -> min-doc_id representative):
+                -- cand is generated among distinct-text reps only, so
+                -- these reconnect exact copies to their cluster.
+                SELECT rep AS doc_a, doc_id AS doc_b FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep
+                    FROM documents
+                ) WHERE doc_id != rep
+            ),
+            all_pairs AS (
+                SELECT doc_a, doc_b FROM cand
                 UNION ALL
-                SELECT doc_b AS u, doc_a AS v FROM cand
+                SELECT doc_a, doc_b FROM dup_edges
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM all_pairs
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS v FROM all_pairs
             ),
             reach(node, label) AS (
                 SELECT doc_id, doc_id FROM documents

@@ -344,6 +344,40 @@ def ngram_jaccard(
     )
 
 
+def exact_dup_edges(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_a, doc_b) — one edge from each exact-copy document to its
+    minimum-doc_id representative (a star per duplicated text, enough to
+    connect the component). Same md5 groupby shape as exact_dedup; only
+    (hash, doc_id) pairs shuffle."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "text_md5": pa.array(
+                    [_md5(t) for t in batch["text"].to_pylist()], type=pa.string()
+                ),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    def star(group: pa.Table) -> pa.Table:
+        ids = sorted(group["doc_id"].to_pylist())
+        rep = ids[0]
+        others = ids[1:]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([rep] * len(others), type=pa.int64()),
+                "doc_b": pa.array(others, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(star, batch_format="pyarrow")
+    )
+
+
 def dedup_clusters(
     ds: ray.data.Dataset,
     edges: ray.data.Dataset | None = None,
@@ -375,7 +409,10 @@ def dedup_clusters(
     import ray as _ray
 
     if edges is None:
-        edges = minhash_candidates(ds)
+        # Near-dup candidates PLUS exact-copy edges: minhash_candidates
+        # collapses identical texts to one representative (skew guard), so
+        # without these edges an exact copy would sit in its own cluster.
+        edges = minhash_candidates(ds).union(exact_dup_edges(ds))
     edges = edges.materialize()
 
     pairs: list[tuple[int, int]] = []

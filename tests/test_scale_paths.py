@@ -144,6 +144,22 @@ class TestDedupClusters:
         }
         assert got == {10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
 
+    def test_exact_copies_share_cluster(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "same text here ok now"},
+                {"doc_id": 2, "text": "same text here ok now"},
+                {"doc_id": 5, "text": "same text here ok now"},
+                {"doc_id": 3, "text": "other words entirely different stuff"},
+            ]
+        )
+        got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(docs).take_all()}
+        assert got == {1: 1, 2: 1, 5: 1, 3: 3}
+
     def test_lsh_graph_end_to_end(self, ray_session):
         import ray.data
 
