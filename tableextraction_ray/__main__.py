@@ -7,6 +7,7 @@ web UI (``main.py:20-56``) and ad-hoc notebook runs, shaped for
     python -m tableextraction_ray datagen   --out DIR [--tier t1|t2|bench | --n-docs N]
     python -m tableextraction_ray verify    --corpus DIR                         # span equality vs golden
     python -m tableextraction_ray ingest    --input DIR --out DIR [--dpi N]      # raw PDF/image files -> corpus
+    python -m tableextraction_ray query     NAME --sf DIR [--out DIR] [--list]   # any registered pipeline/operator
 
 Owns its Ray session (guarded init), unlike the library modules.
 """
@@ -102,6 +103,45 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if n_bad == 0 else 1
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    import importlib.util
+    import os
+
+    # queries() lives in the repo-root driver contract module; resolve it
+    # relative to the package so the CLI works from any cwd.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = mod.queries()
+    if args.list or not args.name:
+        oracles = set(mod.oracle_sql())
+        for name in sorted(registry):
+            kind = "sql-verified" if name in oracles else "rows-only"
+            print(f"{name:28s} {kind}")
+        return 0
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    result = registry[args.name](args.sf)
+    if not isinstance(result, ray.data.Dataset):
+        import ray.data as rd
+
+        result = rd.from_pandas(result) if hasattr(result, "columns") else rd.from_arrow(result)
+    if args.out:
+        result.write_parquet(args.out)
+        print(json.dumps({"query": args.name, "rows": result.count(), "out": args.out}))
+    else:
+        rows = result.take(args.limit)
+        print(json.dumps({"query": args.name, "rows_shown": len(rows)}))
+        for r in rows:
+            print(json.dumps(r, default=str))
+    return 0
+
+
 def cmd_ingest(args: argparse.Namespace) -> int:
     """Raw PDF/image files -> an extraction-ready corpus (documents.parquet
     + media store). The real front door for non-synthetic data."""
@@ -150,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--out", required=True, help="corpus directory to create")
     i.add_argument("--dpi", type=int, default=300)
     i.set_defaults(fn=cmd_ingest)
+
+    q = sub.add_parser("query", help="run any registered pipeline/operator")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None)
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -120,3 +120,29 @@ class TestIngestEndToEnd:
         kinds_report = [s["kind"] for s in result["report"]]
         assert kinds_report[0] == "media" and "text" in kinds_report
         assert [s["kind"] for s in result["photo"]] == ["media"]
+
+
+class TestQueryCli:
+    def test_list_and_run(self, ray_session, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "tableextraction_ray", "query", "--list"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0
+        assert "dedup_exact" in out.stdout and "sql-verified" in out.stdout
+
+        dest = str(tmp_path / "q")
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "tableextraction_ray", "query",
+                "fingerprint", "--sf", "/root/testdata/sf0.001", "--out", dest,
+            ],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        assert payload["rows"] == 500  # sf0.001 documents
