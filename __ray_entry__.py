@@ -67,6 +67,7 @@ def _read_embeddings_head(sf_dir: str, m: int):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tableextraction_ray.functions import (
+        curate,
         sketch,
         dedup,
         multimodal,
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
             _read(sf, "events", ["ts", "value"])
         ),
+        "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -288,7 +290,7 @@ WITH qe AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "dedup_exact": """
             SELECT md5(text) AS text_md5,
                    MIN(doc_id) AS keep_doc_id,
@@ -644,3 +646,15 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_no
         """,
     }
+
+    # Composition pipeline: the curation oracle is built FROM the component
+    # oracles (subquery per component), so its contract is exactly the
+    # conjunction of the already-verified parts.
+    d["curate_corpus"] = f"""
+        SELECT c.doc_id, s.split, q.alpha_fp6
+        FROM ({d['dedup_clusters']}) c
+        JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
+        JOIN ({d['split_assign']}) s ON s.doc_id = c.doc_id
+        WHERE c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
+    return d

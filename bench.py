@@ -43,6 +43,7 @@ QUERY_SUITE = [
     "events_hourly_users",
     "events_hourly_users_hll",
     "events_hourly_percentiles",
+    "curate_corpus",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

@@ -14,6 +14,7 @@ comparison is bit-stable.
 """
 
 from . import (  # noqa: F401
+    curate,
     dedup,
     multimodal,
     plots,

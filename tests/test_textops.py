@@ -91,3 +91,23 @@ class TestTokenFreq:
 
         rows = token_freq(docs, k=3).take_all()
         assert [(r["token"], r["n"]) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
+
+
+class TestCurateCorpus:
+    def test_keeps_reps_above_quality_gate(self, ray_session):
+        from tableextraction_ray.functions.curate import curate_corpus
+
+        docs = ray.data.from_items(
+            [
+                # exact copies: only min doc_id can survive
+                {"doc_id": 1, "text": "good clean alphabetic text content here"},
+                {"doc_id": 2, "text": "good clean alphabetic text content here"},
+                # all-digit junk: fails the alpha gate
+                {"doc_id": 3, "text": "1234567 890123 456789 000111"},
+                # distinct good doc
+                {"doc_id": 4, "text": "another perfectly fine document body"},
+            ]
+        )
+        rows = {r["doc_id"]: r for r in curate_corpus(docs).take_all()}
+        assert set(rows) == {1, 4}
+        assert all(r["split"] in ("train", "val", "test") for r in rows.values())
