@@ -566,11 +566,18 @@ def oracle_sql() -> dict[str, str]:
         # media files the Ray query reads (the corpus tier for the driver's
         # sf0.01 correctness run is t2, deterministic path). hex(content)
         # chars 33-48 are bytes 17-24: big-endian width then height.
+        # Pinned to the t2 media store: the driver's correctness gate runs
+        # Ray query and oracle side-by-side at sf=0.01 (contract), whose
+        # corpus tier is t2 (_SF_TO_TIER); other tiers have no SQL twin for
+        # this one (the oracle string cannot take sf_dir). Signature filter
+        # mirrors the Ray side's skip-on-corrupt contract.
         "media_dims": """
             SELECT replace(filename, '/tmp/graft_corpus/t2/', '') AS media_ref,
                    ('0x' || substring(hex(content), 33, 8))::INT AS width,
                    ('0x' || substring(hex(content), 41, 8))::INT AS height
             FROM read_blob('/tmp/graft_corpus/t2/media/*/p*.png')
+            WHERE octet_length(content) >= 24
+              AND substring(hex(content), 1, 16) = '89504E470D0A1A0A'
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -523,6 +523,7 @@ def dedup_clusters(
     labels = ds.map_batches(init_labels, batch_format="pyarrow").materialize()
     prev_sum = labels.sum("label")
     sym_edges = edges.map_batches(edge_rows, batch_format="pyarrow")
+    converged = False
     for _ in range(max_iters):
         proposed = (
             labels.map_batches(label_rows, batch_format="pyarrow")
@@ -538,8 +539,19 @@ def dedup_clusters(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Fail loudly: returning partially-propagated labels would silently
+        # violate the keep-one-per-cluster contract (and diverge from the
+        # transitive-closure oracle) on a component whose diameter exceeds
+        # max_iters.
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iters} rounds (component diameter exceeds max_iters); "
+            f"raise max_iters"
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

@@ -179,14 +179,25 @@ def media_dims(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     hash-verified against a DuckDB ``read_blob`` oracle that parses the same
     header bytes (oracle_sql 'media_dims')."""
 
+    PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
     def batch_fn(batch: pa.Table) -> pa.Table:
-        ws, hs = [], []
-        for payload in batch["payload"].to_pylist():
+        refs, ws, hs = [], [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            # Signature + length validation: a truncated or non-PNG object
+            # must be SKIPPED (the same degrade-don't-die contract as
+            # ImageStats), not recorded with garbage header bytes. The
+            # DuckDB oracle applies the identical signature filter.
+            if len(payload) < 24 or payload[:8] != PNG_SIG:
+                continue
+            refs.append(ref)
             ws.append(int.from_bytes(payload[16:20], "big"))
             hs.append(int.from_bytes(payload[20:24], "big"))
         return pa.Table.from_pydict(
             {
-                "media_ref": batch["media_ref"],
+                "media_ref": pa.array(refs, type=pa.string()),
                 "width": pa.array(ws, type=pa.int32()),
                 "height": pa.array(hs, type=pa.int32()),
             }
@@ -204,9 +215,9 @@ def _media_pool() -> tuple[int, int]:
     cpus - 4 keeps the decode pool dominant while leaving headroom for the
     read/source tasks (the pool minima livelock rule: never sum minima to
     the whole cluster)."""
-    import ray
+    from ..util import cluster_cpus
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = cluster_cpus()
     return (max(2, cpus - 4), max(4, cpus))
 
 

@@ -102,6 +102,10 @@ def orders_by_segment(
                 "price_c": _cents(batch["o_totalprice"]),
             }
         )
+        # Inner-join semantics (same as the oracle AND the shuffle
+        # fallback): orders whose custkey has no customer row are dropped,
+        # not aggregated under a NULL segment — the two paths must agree.
+        t = t.filter(pc.is_valid(t["c_mktsegment"]))
         g = t.group_by(["c_mktsegment"]).aggregate(
             [("price_c", "count"), ("price_c", "sum")]
         )

@@ -94,9 +94,9 @@ class ExtractConfig:
         (observed at num_cpus=4 when minima summed to the CPU count)."""
         decode, ocr = self.decode_pool, self.ocr_pool
         if decode is None or ocr is None:
-            import ray
+            from ..util import cluster_cpus
 
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            cpus = cluster_cpus()
             decode_min = 1 if cpus < 16 else 2
             # OCR (the dominant stage) gets nearly everything: Ray Data's
             # reservation allocator effectively pins an actor pool at its
@@ -109,9 +109,9 @@ class ExtractConfig:
         return decode, ocr
 
     def cluster_cpus(self) -> int:
-        import ray
+        from ..util import cluster_cpus
 
-        return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return cluster_cpus()
 
 
 def documents_path(corpus_dir: str) -> str:

@@ -120,19 +120,25 @@ def voc_to_coco(
 
     def to_coco(batch: pa.Table) -> pa.Table:
         rows = []
-        per_file: dict[str, int] = {}
         for r in batch.to_pylist():
-            seq = per_file.get(r["filename"], 0)
-            per_file[r["filename"]] = seq + 1
             cid = keep.get(r["label"])
             if cid is None:
                 continue
             w = r["xmax"] - r["xmin"]
             h = r["ymax"] - r["ymin"]
+            # ann_id from CONTENT (filename + label + bbox), never a batch
+            # sequence counter: one file's boxes split across batches would
+            # restart a counter and collide/shift with partitioning. Exact
+            # duplicate annotations (same file, label AND bbox) collapse to
+            # one id — they are semantically one annotation.
+            ann_key = (
+                f"{r['filename']}#{r['label']}#"
+                f"{r['xmin']},{r['ymin']},{r['xmax']},{r['ymax']}"
+            )
             rows.append(
                 {
                     "image_id": _stable_id(r["filename"]),
-                    "ann_id": _stable_id(f"{r['filename']}#{seq}"),
+                    "ann_id": _stable_id(ann_key),
                     "filename": r["filename"],
                     "category_id": cid,
                     "x": r["xmin"],

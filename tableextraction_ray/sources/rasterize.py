@@ -162,9 +162,16 @@ class IngestFiles:
         self.rasterizer = FileRasterizer(dpi=dpi)
 
     def __call__(self, batch: dict) -> pa.Table:
+        import zlib
+
         rows = []
         for path, payload in zip(batch["path"], batch["bytes"]):
-            doc_id = os.path.splitext(os.path.basename(path))[0]
+            # Disambiguate same-stem inputs (a/scan.pdf vs b/scan.pdf vs
+            # scan.png): a bare basename would collide in doc_id AND in the
+            # media store (last writer wins). The full-path crc makes the
+            # id deterministic per source file and unique across the tree.
+            stem = os.path.splitext(os.path.basename(path))[0]
+            doc_id = f"{stem}-{zlib.crc32(path.encode('utf-8')) & 0xFFFFFFFF:08x}"
             spans = []
             for page_no, page in enumerate(self.rasterizer.rasterize(path, bytes(payload))):
                 ref = f"media/{doc_id}/p{page_no}.png"
@@ -193,9 +200,9 @@ def ingest_files(
     ``ds.write_parquet(corpus_dir + '/documents.parquet')`` to complete a
     corpus the extraction pipeline can run on."""
     if concurrency is None:
-        import ray
+        from ..util import cluster_cpus
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        cpus = cluster_cpus()
         concurrency = (max(1, cpus - 4), max(2, cpus))
     files = ray.data.read_binary_files(input_dir, include_paths=True)
     return files.map_batches(

@@ -105,21 +105,24 @@ class TestIngestEndToEnd:
         docs = ingest_files(str(raw), corpus)
         docs.write_parquet(os.path.join(corpus, "documents.parquet"))
 
+        # doc_id = stem + path-crc suffix (same-stem disambiguation)
         rows = {r["doc_id"]: r["spans"] for r in docs.take_all()}
-        assert set(rows) == {"report", "photo"}
-        assert [s["kind"] for s in rows["report"]] == ["media"]
-        assert os.path.exists(os.path.join(corpus, rows["report"][0]["media_ref"]))
+        by_stem = {d.split("-")[0]: d for d in rows}
+        assert set(by_stem) == {"report", "photo"}
+        report = by_stem["report"]
+        assert [s["kind"] for s in rows[report]] == ["media"]
+        assert os.path.exists(os.path.join(corpus, rows[report][0]["media_ref"]))
 
         result = {
             r["doc_id"]: r["spans"]
             for r in build_extraction_pipeline(corpus).take_all()
         }
-        assert set(result) == {"report", "photo"}
+        assert set(result) == set(rows)
         # The rendered table page yields its media marker + text spans; the
         # noise image degrades to a bare marker.
-        kinds_report = [s["kind"] for s in result["report"]]
+        kinds_report = [s["kind"] for s in result[report]]
         assert kinds_report[0] == "media" and "text" in kinds_report
-        assert [s["kind"] for s in result["photo"]] == ["media"]
+        assert [s["kind"] for s in result[by_stem["photo"]]] == ["media"]
 
 
 class TestQueryCli:
@@ -146,3 +149,31 @@ class TestQueryCli:
         assert out.returncode == 0, out.stderr[-500:]
         payload = json.loads(out.stdout.strip().splitlines()[-1])
         assert payload["rows"] == 500  # sf0.001 documents
+
+
+class TestIngestStemCollision:
+    def test_same_stem_files_get_distinct_docs(self, ray_session, tmp_path):
+        import os
+
+        import numpy as np
+
+        from tableextraction_ray import png
+        from tableextraction_ray.sources import ingest_files
+
+        raw = tmp_path / "raw"
+        (raw / "a").mkdir(parents=True)
+        (raw / "b").mkdir(parents=True)
+        img_a = np.full((32, 32), 10, dtype=np.uint8)
+        img_b = np.full((32, 32), 240, dtype=np.uint8)
+        (raw / "a" / "scan.png").write_bytes(png.encode_gray(img_a))
+        (raw / "b" / "scan.png").write_bytes(png.encode_gray(img_b))
+
+        corpus = str(tmp_path / "corpus")
+        rows = ingest_files(str(raw), corpus).take_all()
+        assert len(rows) == 2
+        ids = {r["doc_id"] for r in rows}
+        assert len(ids) == 2  # no collision
+        refs = {r["spans"][0]["media_ref"] for r in rows}
+        assert len(refs) == 2  # distinct media store entries
+        payloads = {open(os.path.join(corpus, ref), "rb").read() for ref in refs}
+        assert len(payloads) == 2  # neither file overwrote the other
