@@ -1,7 +1,12 @@
 """Dataset sources for the engine's storage layouts."""
 
 from .annotations import parse_pascal_voc, read_coco, read_pascal_voc, voc_to_coco
-from .corpus import read_documents, read_golden
+from .corpus import (
+    read_documents,
+    read_documents_csv,
+    read_documents_jsonl,
+    read_golden,
+)
 from .media import read_media
 from .rasterize import FileRasterizer, ingest_files
 
@@ -13,6 +18,8 @@ __all__ = [
     "read_coco",
     "voc_to_coco",
     "read_documents",
+    "read_documents_csv",
+    "read_documents_jsonl",
     "read_golden",
     "read_media",
 ]

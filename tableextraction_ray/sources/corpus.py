@@ -24,3 +24,76 @@ def read_documents(
 
 def read_golden(corpus_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(corpus_dir, "golden.parquet"))
+
+
+def _span_type():
+    import pyarrow as pa
+
+    return pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+
+def read_documents_jsonl(path: str) -> ray.data.Dataset:
+    """JSONL corpus -> the documents schema. Each line is
+    ``{"doc_id": ..., "spans": [{kind, text, media_ref, offset}, ...]}``
+    (missing span fields default to '' / position). One read task per
+    shard file via ``ray.data.read_json``; the schema normalization runs
+    in the task that parsed the shard."""
+    import pyarrow as pa
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        spans_out = []
+        for spans in batch["spans"].to_pylist():
+            norm = []
+            for i, s in enumerate(spans or []):
+                # read_json materializes absent struct fields as None (the
+                # key exists), so defaults apply on None, not missing keys.
+                off = s.get("offset")
+                norm.append(
+                    {
+                        "kind": str(s.get("kind") or "text"),
+                        "text": str(s.get("text") or ""),
+                        "media_ref": str(s.get("media_ref") or ""),
+                        "offset": int(off) if off is not None else i,
+                    }
+                )
+            spans_out.append(norm)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "spans": pa.array(spans_out, type=_span_type()),
+            }
+        )
+
+    return ray.data.read_json(path).map_batches(normalize, batch_format="pyarrow")
+
+
+def read_documents_csv(path: str) -> ray.data.Dataset:
+    """Flat (doc_id, text) CSV -> the documents schema: each row becomes a
+    single text span at offset 0 — the shape a plain text corpus lands in
+    before any media is attached."""
+    import pyarrow as pa
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        spans = [
+            [{"kind": "text", "text": t or "", "media_ref": "", "offset": 0}]
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "spans": pa.array(spans, type=_span_type()),
+            }
+        )
+
+    return ray.data.read_csv(path).map_batches(to_docs, batch_format="pyarrow")

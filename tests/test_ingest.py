@@ -177,3 +177,41 @@ class TestIngestStemCollision:
         assert len(refs) == 2  # distinct media store entries
         payloads = {open(os.path.join(corpus, ref), "rb").read() for ref in refs}
         assert len(payloads) == 2  # neither file overwrote the other
+
+
+class TestAlternateCorpusFormats:
+    def test_jsonl_roundtrip_matches_parquet_schema(self, ray_session, tmp_path):
+        import json
+
+        from tableextraction_ray.sources import read_documents, read_documents_jsonl
+
+        lines = [
+            {"doc_id": "d1", "spans": [
+                {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "media/d1/p0.png", "offset": 1},
+            ]},
+            {"doc_id": "d2", "spans": [{"kind": "text", "text": "world"}]},  # defaults
+        ]
+        f = tmp_path / "docs.jsonl"
+        f.write_text("\n".join(json.dumps(x) for x in lines))
+        ds = read_documents_jsonl(str(f))
+        # schema matches the parquet documents source exactly
+        parquet_schema = read_documents("/tmp/graft_corpus/t1").schema()
+        # pyarrow names the list child 'item' or 'element' depending on the
+        # writer; the types are identical modulo that label.
+        norm = lambda ts: [str(t).replace("item:", "element:") for t in ts]
+        assert norm(ds.schema().types) == norm(parquet_schema.types)
+        rows = {r["doc_id"]: r["spans"] for r in ds.take_all()}
+        assert rows["d1"][1]["media_ref"] == "media/d1/p0.png"
+        assert rows["d2"][0]["offset"] == 0 and rows["d2"][0]["media_ref"] == ""
+
+    def test_csv_single_span_docs(self, ray_session, tmp_path):
+        from tableextraction_ray.sources import read_documents_csv
+
+        f = tmp_path / "docs.csv"
+        f.write_text("doc_id,text\na,alpha beta\nb,gamma\n")
+        rows = {r["doc_id"]: r["spans"] for r in read_documents_csv(str(f)).take_all()}
+        assert rows["a"] == [
+            {"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 0}
+        ]
+        assert rows["b"][0]["text"] == "gamma"
