@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["ts", "value"])
         ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
+        "stratified_sample": lambda sf: textstats.stratified_sample(
+            docs(sf, ["doc_id", "source"])
+        ),
         # -- similarity search --
         # head_ds: the tiny query/centroid set comes from a
         # predicate-pushed-down read (vec_id < m row filter at the parquet
@@ -424,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value_c END) AS p95_c,
                    MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_c END) AS p99_c
             FROM r GROUP BY hour
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id, rk FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR))
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
         """,
         "token_freq": r"""
             WITH toks AS (

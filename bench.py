@@ -44,6 +44,7 @@ QUERY_SUITE = [
     "events_hourly_users_hll",
     "events_hourly_percentiles",
     "curate_corpus",
+    "stratified_sample",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",

@@ -423,3 +423,55 @@ def redact_text(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset, k: int = 5, salt: str = "sample"
+) -> ray.data.Dataset:
+    """(source, doc_id, rk) — k documents per source group, chosen by
+    deterministic md5 priority (the eval-set construction primitive:
+    reproducible across runs, partitionings and corpus growth within a
+    group, unlike reservoir sampling which depends on traversal order).
+    Per-batch pre-pruning keeps at most k rows per (block, source) before
+    the groupby, so the shuffle moves O(k x sources x blocks), never the
+    corpus. Oracle: ROW_NUMBER() over the same md5 ordering."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        by_src: dict[str, list[tuple[str, int]]] = {}
+        for src, doc_id in zip(
+            batch["source"].to_pylist(), batch["doc_id"].to_pylist()
+        ):
+            by_src.setdefault(src, []).append((_md5(f"{salt}:{doc_id}"), doc_id))
+        srcs, prios, ids = [], [], []
+        for src, rows in by_src.items():
+            for prio, doc_id in sorted(rows)[:k]:  # local top-k by priority
+                srcs.append(src)
+                prios.append(prio)
+                ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(srcs, type=pa.string()),
+                "prio": pa.array(prios, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["prio"].to_pylist(), group["doc_id"].to_pylist())
+        )[:k]
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [group["source"][0].as_py()] * len(rows), type=pa.string()
+                ),
+                "doc_id": pa.array([d for _, d in rows], type=pa.int64()),
+                "rk": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -111,3 +111,26 @@ class TestCurateCorpus:
         rows = {r["doc_id"]: r for r in curate_corpus(docs).take_all()}
         assert set(rows) == {1, 4}
         assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+class TestStratifiedSample:
+    def test_k_per_group_deterministic(self, ray_session):
+        from tableextraction_ray.functions.textstats import stratified_sample
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "source": f"s{i % 3}"} for i in range(60)]
+        )
+        a = sorted(
+            (r["source"], r["rk"], r["doc_id"])
+            for r in stratified_sample(docs, k=4).take_all()
+        )
+        b = sorted(
+            (r["source"], r["rk"], r["doc_id"])
+            for r in stratified_sample(docs.repartition(7), k=4).take_all()
+        )
+        assert a == b  # partition-invariant
+        per_src = {}
+        for src, rk, _ in a:
+            per_src.setdefault(src, []).append(rk)
+        assert all(sorted(v) == [1, 2, 3, 4] for v in per_src.values())
+        assert set(per_src) == {"s0", "s1", "s2"}
