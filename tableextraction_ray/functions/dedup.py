@@ -183,7 +183,9 @@ def minhash_candidates(
 
 
 def ngram_jaccard(
-    ds: ray.data.Dataset, semi_join: bool = False
+    ds: ray.data.Dataset,
+    semi_join: bool | None = None,
+    candidate_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(doc_a, doc_b, jaccard_fp6) — exact 3-gram Jaccard for every LSH
     candidate pair, fixed-point 1e6.
@@ -198,15 +200,22 @@ def ngram_jaccard(
 
     Two ways to avoid shingling non-candidate docs:
 
-    - ``semi_join=False`` (default): broadcast the candidate DOC-ID SET
-      (ints — tiny at sandbox scale) and shingle only members before the
-      doc-key shuffle. One driver-held set, minimal shuffle payload.
+    - ``semi_join=False``: broadcast the candidate DOC-ID SET (ints —
+      tiny at sandbox scale) and shingle only members before the doc-key
+      shuffle. One driver-held set, minimal shuffle payload.
     - ``semi_join=True`` (the 10^9-candidate path): no driver set at all —
       every (doc_id, text) row rides the SAME doc-key shuffle as the side
       rows, and the text is shingled inside ``attach`` ONLY when side rows
       are present in its group. Trades the unbounded driver set for
       shipping texts through one keyed exchange; equivalence with the
       broadcast path is asserted in tests.
+
+    ``semi_join=None`` (default) AUTO-ROUTES on the materialized candidate
+    count (metadata-only probe, no extra pass): broadcast while the pair
+    count is at most ``candidate_limit`` (id-set <= 2x that in 8-byte
+    ints), semi-join above — the same size-guard pattern as
+    ``relational.orders_by_segment``, so nobody ships the driver-set path
+    into a 10^9-candidate corpus by accident.
     """
     import ray
 
@@ -222,6 +231,12 @@ def ngram_jaccard(
     # multi-band collisions are harmless — score_pair emits exactly one row
     # per pair-key group either way.
     cand = minhash_candidates(ds, distinct=False).materialize()
+    if semi_join is None:
+        # Auto-route: count() on a materialized dataset is metadata-only.
+        # distinct=False rows over-count true pairs by the band-collision
+        # multiplicity (<= NUM_BANDS), which only flips the guard EARLIER —
+        # the conservative direction.
+        semi_join = cand.count() > candidate_limit
     needed_ref = None
     if not semi_join:
         needed_set = set()
@@ -401,8 +416,11 @@ def dedup_clusters(
     - larger: distributed min-label propagation over the edge SUBGRAPH
       (label(v) <- min over neighbors of label(u); two keyed shuffles per
       round, rounds = component diameter, convergence = label-sum
-      fixpoint since labels only decrease), singletons bypassing the loop
-      through a filter pass. Labels materialize per round (16 bytes/node).
+      fixpoint since labels only decrease). NO driver state anywhere on
+      this path: initial labels come from a distributed distinct over the
+      edge endpoints, and the singleton bypass is a keyed anti-join
+      (docs ∪ final labels, grouped by doc_id) instead of a broadcast
+      node set. Labels materialize per round (16 bytes/node).
 
     Oracle: recursive CTE transitive closure (min reachable doc_id).
     """
@@ -414,16 +432,21 @@ def dedup_clusters(
         # without these edges an exact copy would sit in its own cluster.
         edges = minhash_candidates(ds).union(exact_dup_edges(ds))
     edges = edges.materialize()
+    # Materialized count is metadata-only — the guard probe reads no rows,
+    # and nothing is collected before we know which path we're on.
+    n_edges = edges.count()
 
-    pairs: list[tuple[int, int]] = []
-    overflow = False
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        pairs.extend(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
-        if len(pairs) > driver_edge_limit:
-            overflow = True
-            break
+    if n_edges == 0:
+        def identity(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].cast(pa.int64())
+            return pa.Table.from_pydict({"doc_id": ids, "cluster_rep": ids})
 
-    if not overflow:
+        return ds.map_batches(identity, batch_format="pyarrow")
+
+    if n_edges <= driver_edge_limit:
+        pairs: list[tuple[int, int]] = []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            pairs.extend(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -457,27 +480,30 @@ def dedup_clusters(
         return ds.map_batches(assign, batch_format="pyarrow")
 
     # --- distributed scale path: min-label propagation on the subgraph ---
-    edge_nodes: set[int] = set()
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        edge_nodes.update(b["doc_a"].to_pylist())
-        edge_nodes.update(b["doc_b"].to_pylist())
-    nodes_ref = _ray.put(edge_nodes)
-
+    # Initial labels = the DISTINCT edge endpoints, computed as a keyed
+    # groupby over the edge rows (int64 pairs through the shuffle) — the
+    # driver never holds the node set.
     STEP_SCHEMA = pa.schema(
         [("key", pa.int64()), ("peer", pa.int64()), ("label", pa.int64())]
     )
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        nodes = _ray.get(nodes_ref)
-        ids = [d for d in batch["doc_id"].to_pylist() if d in nodes]
-        arr = pa.array(ids, type=pa.int64())
-        return pa.Table.from_pydict({"doc_id": arr, "label": arr})
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.Table.from_pydict({"doc_id": batch["doc_a"].cast(pa.int64())}),
+                pa.Table.from_pydict({"doc_id": batch["doc_b"].cast(pa.int64())}),
+            ]
+        )
 
-    def singleton_rows(batch: pa.Table) -> pa.Table:
-        nodes = _ray.get(nodes_ref)
-        ids = [d for d in batch["doc_id"].to_pylist() if d not in nodes]
-        arr = pa.array(ids, type=pa.int64())
-        return pa.Table.from_pydict({"doc_id": arr, "cluster_rep": arr})
+    def self_label(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.Table.from_pydict({"doc_id": ids, "label": ids})
+
+    edge_nodes_ds = (
+        edges.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count())
+    )
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
@@ -520,7 +546,9 @@ def dedup_clusters(
             }
         )
 
-    labels = ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+    labels = edge_nodes_ds.map_batches(
+        self_label, batch_format="pyarrow"
+    ).materialize()
     prev_sum = labels.sum("label")
     sym_edges = edges.map_batches(edge_rows, batch_format="pyarrow")
     converged = False
@@ -553,10 +581,46 @@ def dedup_clusters(
             f"raise max_iters"
         )
 
-    def rename(batch: pa.Table) -> pa.Table:
+    # Singleton bypass as ONE keyed anti-join: union the corpus doc_ids
+    # (tagged label=-1) with the converged labels and resolve per doc_id —
+    # docs with a label row take it, docs without become their own rep.
+    # Only (int64, int64) rows ride the shuffle; no broadcast set.
+    RESOLVE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
         return pa.Table.from_pydict(
-            {"doc_id": batch["doc_id"], "cluster_rep": batch["label"]}
+            {"doc_id": ids, "label": pa.array([-1] * len(ids), type=pa.int64())},
+            schema=RESOLVE_SCHEMA,
         )
 
-    singles = ds.map_batches(singleton_rows, batch_format="pyarrow")
-    return labels.map_batches(rename, batch_format="pyarrow").union(singles)
+    def resolve(group: pa.Table) -> pa.Table:
+        doc_id = group["doc_id"][0].as_py()
+        lbls = [v for v in group["label"].to_pylist() if v >= 0]
+        if not any(v == -1 for v in group["label"].to_pylist()):
+            # Label row for a doc_id absent from the corpus (shouldn't
+            # happen: endpoints come from corpus-derived edges) — drop it
+            # rather than invent a document.
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([("doc_id", pa.int64()), ("cluster_rep", pa.int64())])
+            )
+        rep = min(lbls) if lbls else doc_id
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc_id], type=pa.int64()),
+                "cluster_rep": pa.array([rep], type=pa.int64()),
+            }
+        )
+
+    tagged_docs = ds.map_batches(tag_docs, batch_format="pyarrow")
+    label_side = labels.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "label": b["label"]}, schema=RESOLVE_SCHEMA
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        tagged_docs.union(label_side)
+        .groupby("doc_id")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

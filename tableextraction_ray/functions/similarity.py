@@ -75,10 +75,20 @@ def _head_rows(
             lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(m))),
             batch_format="pyarrow",
         )
-    return sorted(
+    rows = sorted(
         (r for r in head_ds.take_all() if r["vec_id"] < m),
         key=lambda r: r["vec_id"],
     )
+    if len(rows) != m:
+        # A caller-supplied head_ds pushed down with a SMALLER vec_id bound
+        # than m would silently drop queries/centroids and produce quietly
+        # wrong top-k output — fail loudly instead.
+        raise ValueError(
+            f"_head_rows: expected the {m} vectors with vec_id < {m}, got "
+            f"{len(rows)} — head_ds was read with a smaller vec_id bound "
+            f"than requested (or vec_ids are not 0..n-1 dense)"
+        )
+    return rows
 
 
 def knn_bruteforce(
@@ -249,12 +259,23 @@ def ivf_knn(
     )
 
 
-def near_dup_pairs(ds: ray.data.Dataset, threshold_fp5: int = NEAR_DUP_FP5) -> ray.data.Dataset:
+def near_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    broadcast_row_limit: int = 100_000,
+) -> ray.data.Dataset:
     """(vec_a, vec_b, cos_fp5) — all pairs with cosine >= threshold (a < b).
 
-    Sandbox-exact variant: the full (n x d) matrix is broadcast once via
-    ray.put and each batch compares its rows against all later rows — O(n^2)
-    work but O(n/b) shuffle. For 10^9+ vectors swap in lsh_near_dup."""
+    Exact variant: the full (n x d) matrix is broadcast once via ray.put
+    and each batch compares its rows against all later rows — O(n^2) work
+    but O(n/b) shuffle. Above ``broadcast_row_limit`` rows this AUTO-ROUTES
+    to ``lsh_near_dup`` (same output schema, recall >= 0.9 asserted in
+    tests) so the O(n^2) driver-materialized twin can't ship into a 10^9-
+    vector corpus by accident; the row probe is parquet metadata-only on a
+    fresh read. 100k x 64 float64 ~ 50 MB broadcast — the right ceiling
+    for an exact oracle twin."""
+    if ds.count() > broadcast_row_limit:
+        return lsh_near_dup(ds, threshold_fp5=threshold_fp5)
     all_rows = ds.take_all()
     ids = np.asarray([r["vec_id"] for r in all_rows], dtype=np.int64)
     order = np.argsort(ids)

@@ -182,6 +182,74 @@ class TestDedupClusters:
             assert rep[e["doc_a"]] == rep[e["doc_b"]]
 
 
+class TestDedupClustersDistributed:
+    """The >driver_edge_limit min-label-propagation path, forced with
+    driver_edge_limit=0: must match the union-find path exactly while
+    holding NO driver state (endpoints via keyed groupby, singleton
+    bypass via keyed anti-join)."""
+
+    def test_chain_propagates_multiple_hops_distributed(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in (10, 11, 12, 13, 99)]
+        )
+        edges = ray.data.from_items(
+            [
+                {"doc_a": 10, "doc_b": 11},
+                {"doc_a": 11, "doc_b": 12},
+                {"doc_a": 12, "doc_b": 13},
+            ]
+        )
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in dedup_clusters(docs, edges=edges, driver_edge_limit=0).take_all()
+        }
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+    def test_matches_union_find_on_lsh_graph(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        driver = {
+            r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(docs).take_all()
+        }
+        dist_rows = dedup_clusters(docs, driver_edge_limit=0).take_all()
+        dist = {r["doc_id"]: r["cluster_rep"] for r in dist_rows}
+        assert len(dist_rows) == len(dist)  # one row per doc, no dupes
+        assert dist == driver
+
+    def test_no_edges_all_singletons(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in (4, 8)]
+        )
+        empty_edges = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in dedup_clusters(
+                docs, edges=empty_edges, driver_edge_limit=0
+            ).take_all()
+        }
+        assert got == {4: 4, 8: 8}
+
+
 class TestNgramJaccardSemiJoin:
     def test_semi_join_equals_broadcast(self, ray_session):
         import ray.data
@@ -196,6 +264,39 @@ class TestNgramJaccardSemiJoin:
         semi = sorted(ngram_jaccard(docs, semi_join=True).take_all(), key=key)
         assert broadcast == semi
         assert len(broadcast) > 0
+
+
+class TestScaleAutoRouting:
+    """Size guards route the driver-state / O(n^2) oracle twins to their
+    scale-shaped variants automatically (round-2 verdict item 3)."""
+
+    def test_near_dup_pairs_routes_to_lsh(self, ray_session):
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        key = lambda r: (r["vec_a"], r["vec_b"])
+        routed = sorted(
+            similarity.near_dup_pairs(emb, broadcast_row_limit=0).take_all(), key=key
+        )
+        lsh = sorted(similarity.lsh_near_dup(emb).take_all(), key=key)
+        assert routed == lsh
+        assert len(routed) > 0
+
+    def test_ngram_jaccard_auto_semi_join(self, ray_session):
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        key = lambda r: (r["doc_a"], r["doc_b"])
+        # candidate_limit=0 forces the auto-router onto the semi-join path;
+        # output must equal the explicit broadcast path.
+        auto = sorted(dedup.ngram_jaccard(docs, candidate_limit=0).take_all(), key=key)
+        broadcast = sorted(
+            dedup.ngram_jaccard(docs, semi_join=False).take_all(), key=key
+        )
+        assert auto == broadcast
+        assert len(auto) > 0
 
 
 class TestSessionizeHotKey:
