@@ -52,6 +52,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     )
 
 
+def _parquet_count(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — zero data bytes read."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(sf_dir, f"{table}.parquet")).count_rows()
+
+
 def _read_embeddings_head(sf_dir: str, m: int):
     """Row-filtered embeddings read (vec_id < m pushed into the parquet
     scan) for fetching tiny query/centroid sets without a full table pass."""
@@ -197,9 +204,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                    "l_extendedprice", "l_discount"])
         ),
+        # dim_count from the parquet footer (zero data bytes) so the
+        # broadcast-vs-shuffle guard adds no scan over the dimension.
         "orders_by_segment": lambda sf: relational.orders_by_segment(
             _read(sf, "orders", ["o_custkey", "o_totalprice"]),
             _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            dim_count=_parquet_count(sf, "customer"),
         ),
         "events_hourly": lambda sf: relational.events_hourly(
             _read(sf, "events", ["event_type", "ts", "value"])

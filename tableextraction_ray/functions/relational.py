@@ -77,15 +77,22 @@ def orders_by_segment(
     orders: ray.data.Dataset,
     customer: ray.data.Dataset,
     broadcast_limit: int = 2_000_000,
+    dim_count: int | None = None,
 ) -> ray.data.Dataset:
     """(c_mktsegment, n_orders, total_c) — orders joined to the customer
     dimension. When the dimension fits under ``broadcast_limit`` rows it is
     broadcast once via ray.put and probed inside map_batches (no shuffle);
     above the limit it falls back to a keyed shuffle join — the customer
     table is sf-proportional in TPC-H, so an unguarded broadcast is a
-    driver-memory scale-killer at 100x (round-1 verdict #4). The count
-    probe is metadata-cheap on a parquet read."""
-    if customer.count() > broadcast_limit:
+    driver-memory scale-killer at 100x (round-1 verdict #4). Callers that
+    know the dimension's source file should pass ``dim_count`` from
+    parquet footer metadata (``pyarrow.dataset(...).count_rows()`` — zero
+    data bytes read, the ``_build_work_stream`` pattern) so the guard
+    probe never touches the Dataset; the ``customer.count()`` fallback is
+    metadata-only on a bare read but re-plans on a transformed one."""
+    if dim_count is None:
+        dim_count = customer.count()
+    if dim_count > broadcast_limit:
         return _orders_by_segment_shuffle(orders, customer)
     cust = {
         r["c_custkey"]: r["c_mktsegment"]

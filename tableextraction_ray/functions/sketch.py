@@ -92,14 +92,35 @@ def hourly_users_hll(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        hours = _hour_col(batch).to_pylist()
-        users = batch["user_id"].to_pylist()
+        # Dedup (hour, user) FIRST (same trick as the exact operator): HLL
+        # folding is idempotent per distinct user, so per-event hashing is
+        # pure waste. Then one md5 per distinct user (cached across hours)
+        # and numpy-vectorized register index / rank extraction — no
+        # per-event Python loop, no per-register branch.
+        t = pa.Table.from_pydict(
+            {"hour": _hour_col(batch), "user_id": batch["user_id"]}
+        ).group_by(["hour", "user_id"]).aggregate([])
+        hours = np.asarray(t["hour"].to_pylist())
+        users = t["user_id"].to_pylist()
+        hcache: dict = {}
+        hs = np.empty(len(users), dtype=np.uint64)
+        for i, u in enumerate(users):
+            v = hcache.get(u)
+            if v is None:
+                v = hcache[u] = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big"
+                )
+            hs[i] = v
+        idx = (hs & np.uint64(m - 1)).astype(np.int64)
+        rank = ((64 - HLL_P) - _bit_length_u64(hs >> np.uint64(HLL_P)) + 1).astype(
+            np.int8
+        )
         per_hour: dict[str, np.ndarray] = {}
-        for h, u in zip(hours, users):
-            regs = per_hour.get(h)
-            if regs is None:
-                regs = per_hour[h] = np.zeros(m, dtype=np.int8)
-            _hll_fold_one(regs, u)
+        for h in np.unique(hours):
+            sel = hours == h
+            regs = np.zeros(m, dtype=np.int8)
+            np.maximum.at(regs, idx[sel], rank[sel])
+            per_hour[str(h)] = regs
         return pa.Table.from_pydict(
             {
                 "hour": pa.array(list(per_hour.keys()), type=pa.string()),
@@ -130,7 +151,24 @@ def hourly_users_hll(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` for uint64 arrays via binary
+    decomposition — exact (no float log2, whose rounding at powers of two
+    would corrupt ranks)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    bl += x.astype(np.int64)  # x is now 0 or 1
+    return bl
+
+
 def _hll_fold_one(registers: np.ndarray, uid) -> None:
+    """Scalar reference fold (kept for tests' cross-check of the
+    vectorized batch path — hashing contract: first 8 md5 bytes
+    big-endian, rank = leading-zero count of the top 64-p bits + 1)."""
     m = 1 << HLL_P
     h = int.from_bytes(hashlib.md5(str(uid).encode()).digest()[:8], "big")
     idx = h & (m - 1)

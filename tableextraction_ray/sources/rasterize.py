@@ -157,11 +157,16 @@ class IngestFiles:
     store write happens in the task that rasterized the page — resumable
     (content-addressed paths are idempotent) and never driver-bound."""
 
-    def __init__(self, media_root: str, dpi: int = 300):
+    def __init__(self, media_root: str, dpi: int = 300, on_error: str = "skip"):
+        if on_error not in ("skip", "raise"):
+            raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
         self.media_root = media_root
         self.rasterizer = FileRasterizer(dpi=dpi)
+        self.on_error = on_error
+        self.n_skipped = 0
 
     def __call__(self, batch: dict) -> pa.Table:
+        import logging
         import zlib
 
         rows = []
@@ -172,8 +177,24 @@ class IngestFiles:
             # id deterministic per source file and unique across the tree.
             stem = os.path.splitext(os.path.basename(path))[0]
             doc_id = f"{stem}-{zlib.crc32(path.encode('utf-8')) & 0xFFFFFFFF:08x}"
+            try:
+                pages = self.rasterizer.rasterize(path, bytes(payload))
+            except (ValueError, NotImplementedError) as exc:
+                # Poison-pill contract (same as ImageStats / media_dims):
+                # one stray .txt or truncated scan in a 10^8-file tree must
+                # not abort the distributed ingest. 'raise' keeps strict
+                # runs strict; NotImplementedError (a gated backend on a
+                # machine without its dependency) stays fatal there too.
+                if self.on_error == "raise":
+                    raise
+                self.n_skipped += 1
+                logging.getLogger(__name__).warning(
+                    "ingest_files: skipping %s (%s); %d skipped by this worker",
+                    path, exc, self.n_skipped,
+                )
+                continue
             spans = []
-            for page_no, page in enumerate(self.rasterizer.rasterize(path, bytes(payload))):
+            for page_no, page in enumerate(pages):
                 ref = f"media/{doc_id}/p{page_no}.png"
                 out_path = os.path.join(self.media_root, ref)
                 os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -193,12 +214,18 @@ def ingest_files(
     corpus_dir: str,
     dpi: int = 300,
     concurrency: tuple[int, int] | None = None,
+    on_error: str = "skip",
 ) -> ray.data.Dataset:
     """Distributed raw-file ingestion: every PDF/image under ``input_dir``
     becomes one interleaved document whose pages live in ``corpus_dir``'s
     media store. Returns the (doc_id, spans) Dataset — write it with
     ``ds.write_parquet(corpus_dir + '/documents.parquet')`` to complete a
-    corpus the extraction pipeline can run on."""
+    corpus the extraction pipeline can run on.
+
+    ``on_error='skip'`` (default) skips unsupported extensions and
+    undecodable payloads with a counted warning — the repo's degrade-
+    don't-die contract; pass ``'raise'`` for strict runs where any
+    unreadable input should abort."""
     if concurrency is None:
         from ..util import cluster_cpus
 
@@ -207,7 +234,11 @@ def ingest_files(
     files = ray.data.read_binary_files(input_dir, include_paths=True)
     return files.map_batches(
         IngestFiles,
-        fn_constructor_kwargs={"media_root": corpus_dir, "dpi": dpi},
+        fn_constructor_kwargs={
+            "media_root": corpus_dir,
+            "dpi": dpi,
+            "on_error": on_error,
+        },
         concurrency=concurrency,
         batch_size=4,  # pages are large; keep payload batches small
         batch_format="numpy",

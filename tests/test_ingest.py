@@ -215,3 +215,32 @@ class TestAlternateCorpusFormats:
             {"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 0}
         ]
         assert rows["b"][0]["text"] == "gamma"
+
+
+class TestIngestErrorTolerance:
+    def test_skip_mode_survives_stray_and_corrupt_files(self, ray_session, tmp_path):
+        from tableextraction_ray.sources import ingest_files
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        img = np.full((16, 16), 99, dtype=np.uint8)
+        (raw / "good.png").write_bytes(png.encode_gray(img))
+        (raw / "notes.txt").write_bytes(b"a stray readme in the crawl tree")
+        (raw / "trunc.png").write_bytes(b"\x89PNG\r\n\x1a\n only a header")
+
+        corpus = str(tmp_path / "corpus")
+        rows = ingest_files(str(raw), corpus).take_all()  # default on_error='skip'
+        assert len(rows) == 1
+        assert rows[0]["doc_id"].startswith("good-")
+
+    def test_raise_mode_stays_strict(self, ray_session, tmp_path):
+        import ray.exceptions
+
+        from tableextraction_ray.sources import ingest_files
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        (raw / "notes.txt").write_bytes(b"boom")
+        corpus = str(tmp_path / "corpus")
+        with pytest.raises(Exception, match="unsupported media kind"):
+            ingest_files(str(raw), corpus, on_error="raise").take_all()
