@@ -250,22 +250,40 @@ def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     import numpy as np
 
     def batch_fn(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        # Token-hash cache shared across the batch: natural text repeats
+        # its vocabulary heavily, and the bit-vote weighs MULTIPLICITY, so
+        # hashing each distinct token once and weighting its bit row by
+        # the count is bit-identical to hashing every occurrence
+        # (ones = sum_tokens bit = sum_distinct count*bit) at a fraction
+        # of the md5 calls.
+        cache: dict[str, bytes] = {}
+
+        def h8(w: str) -> bytes:
+            v = cache.get(w)
+            if v is None:
+                v = cache[w] = hashlib.md5(w.encode("utf-8")).digest()[:8][::-1]
+            return v
+
         out = []
         for t in batch["text"].to_pylist():
             toks = ascii_tokens(t)
             if not toks:
                 out.append(f"{0:016x}")
                 continue
-            # One md5 per token, then a single vectorized bit-vote:
-            # unpack the first 8 digest bytes to a (n_tokens, 64) bit
-            # matrix; column sums > n/2 set the simhash bit. Bit order
-            # matches the scalar `(h >> b) & 1` convention (LSB-first).
+            counts = Counter(toks)
+            # One md5 per DISTINCT token, then a count-weighted vectorized
+            # bit-vote: unpack the first 8 digest bytes to a
+            # (n_distinct, 64) bit matrix; weighted column sums > n/2 set
+            # the simhash bit. Bit order matches the scalar
+            # `(h >> b) & 1` convention (LSB-first).
             digests = np.frombuffer(
-                b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8][::-1] for w in toks),
-                dtype=np.uint8,
-            ).reshape(len(toks), 8)
+                b"".join(h8(w) for w in counts), dtype=np.uint8
+            ).reshape(len(counts), 8)
             bits = np.unpackbits(digests, axis=1, bitorder="little")
-            ones = bits.sum(axis=0, dtype=np.int64)
+            weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            ones = weights @ bits
             sh_bits = (2 * ones > len(toks)).astype(np.uint8)
             sh = int.from_bytes(
                 np.packbits(sh_bits, bitorder="little").tobytes(), "little"
