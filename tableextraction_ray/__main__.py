@@ -142,6 +142,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_grits(args: argparse.Namespace) -> int:
+    """Corpus-level GriTS: extraction cells vs golden cells, mean per
+    metric (reference transformer/src/grits.py:813+ 'grits' mode)."""
+    _ray_init()
+    from tableextraction_ray import metrics
+    from tableextraction_ray.datagen import golden_cells
+    from tableextraction_ray.pipelines.extract import build_cells_pipeline
+
+    pred = build_cells_pipeline(args.corpus)
+    gold = golden_cells(args.corpus)
+    result = metrics.grits_corpus(pred, gold, per_table=args.per_table)
+    for row in result.take_all():
+        print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_ingest(args: argparse.Namespace) -> int:
     """Raw PDF/image files -> an extraction-ready corpus (documents.parquet
     + media store). The real front door for non-synthetic data."""
@@ -190,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--out", required=True, help="corpus directory to create")
     i.add_argument("--dpi", type=int, default=300)
     i.set_defaults(fn=cmd_ingest)
+
+    g = sub.add_parser("grits", help="corpus-level GriTS vs golden cells")
+    g.add_argument("--corpus", required=True)
+    g.add_argument("--per-table", action="store_true")
+    g.set_defaults(fn=cmd_grits)
 
     q = sub.add_parser("query", help="run any registered pipeline/operator")
     q.add_argument("name", nargs="?", default=None)

@@ -326,3 +326,60 @@ def generate_corpus(
     with open(manifest_path, "w") as f:
         json.dump({"n_docs": n, "seed": seed, "tier": tier}, f)
     return out_dir
+
+
+def golden_cells(corpus_dir: str) -> "ray.data.Dataset":
+    """Ground-truth cell rows (``metrics.CELL_ROW_COLUMNS`` schema) for a
+    generated corpus — the GOLD side of ``metrics.grits_corpus``. Derived
+    from the same deterministic doc specs that produced the corpus (seed
+    from MANIFEST.json), entirely distributed: each task regenerates the
+    logical tables for its slice of doc_ids and emits
+    ``render.logical_cell_rects`` with the golden OCR normalization —
+    never touching the rendered images."""
+    import ray.data
+
+    from .render import logical_cell_rects, ocr_text
+
+    with open(os.path.join(corpus_dir, "MANIFEST.json")) as f:
+        seed = json.load(f)["seed"]
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id in batch["doc_id"].to_pylist():
+            spec = make_doc_spec(int(doc_id.rsplit("-", 1)[1]), seed)
+            for offset, (kind, payload) in enumerate(spec.spans):
+                if kind != "media":
+                    continue
+                for table_no, table in enumerate(payload.tables):
+                    for rect, raw in logical_cell_rects(table):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "offset": offset,
+                                "table_no": table_no,
+                                "x1": rect[0],
+                                "y1": rect[1],
+                                "x2": rect[2],
+                                "y2": rect[3],
+                                "text": ocr_text(raw),
+                            }
+                        )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("offset", pa.int64()),
+                    ("table_no", pa.int64()),
+                    ("x1", pa.int64()),
+                    ("y1", pa.int64()),
+                    ("x2", pa.int64()),
+                    ("y2", pa.int64()),
+                    ("text", pa.string()),
+                ]
+            ),
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(corpus_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(cells, batch_format="pyarrow")

@@ -105,6 +105,161 @@ def grits_loc(
     return grits(grid_a, grid_b, iou)
 
 
+def table_grid(
+    pairs: Sequence[tuple[tuple[int, int, int, int], str]]
+) -> list[list[str]]:
+    """Reading-order text grid from (rect, text) cell pairs: rows grouped by
+    y1 within the reference epsilon (structure.group_cells, builder.py:11-57),
+    each row sorted by (x1, y1) — the grid representation corpus GriTS
+    scores (reference grits.py:813+ builds its grids from cell dicts the
+    same way)."""
+    from .structure import group_cells
+
+    if not pairs:
+        return []
+    text_of = {tuple(rect): text for rect, text in pairs}
+    _, rows = group_cells([tuple(rect) for rect, _ in pairs])
+    return [
+        [text_of[c] for c in sorted(row, key=lambda c: (c[0], c[1]))]
+        for row in rows
+    ]
+
+
+def _origin_normalize(
+    pairs: Sequence[tuple[tuple[int, int, int, int], str]]
+) -> list[tuple[tuple[int, int, int, int], str]]:
+    """Translate cell rects so the table's min corner is (0, 0) — makes
+    GriTS_Loc comparable between coordinate frames that differ only by the
+    crop origin (pipeline crops vs logical table-local rects)."""
+    if not pairs:
+        return []
+    x0 = min(r[0] for r, _ in pairs)
+    y0 = min(r[1] for r, _ in pairs)
+    return [((r[0] - x0, r[1] - y0, r[2] - x0, r[3] - y0), t) for r, t in pairs]
+
+
+#: Cell-row schema shared by grits_corpus inputs (pred and gold sides):
+#: one row per detected/expected cell, keyed (doc_id, offset, table_no).
+CELL_ROW_COLUMNS = ("doc_id", "offset", "table_no", "x1", "y1", "x2", "y2", "text")
+
+
+def grits_corpus(pred_cells, gold_cells, per_table: bool = False):
+    """Corpus-level GriTS evaluation (reference grits.py:813+ ``grits()``:
+    per-table metric dicts accumulated over a dataset, then means): a
+    distributed aggregation over two cell-row datasets with columns
+    ``CELL_ROW_COLUMNS``.
+
+    Shape: tag each side, union, ONE (doc_id, offset, table_no) keyed
+    groupby computing per-table GriTS_Con / GriTS_Top / GriTS_Loc +
+    adjacency P/R/F1 (fixed-point 1e6 ints so downstream hashes are
+    float-free), then a tiny global mean reduce. Tables present on only
+    one side score 0 (grid vs empty), mirroring the reference's treatment
+    of unmatched tables. Only (key ints + cell text/geometry) rows ride
+    the shuffle — never images.
+
+    Returns the one-row summary Dataset (n_tables + mean_* columns), or
+    the per-table metric Dataset when ``per_table=True``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Mean
+
+    # Local import keeps this module importable without ray for the pure
+    # metric functions above.
+    from .functions import fp
+
+    def fp_scale(x: float) -> int:
+        return fp(x * 1000000.0, 0)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in CELL_ROW_COLUMNS}
+            cols["side"] = pa.array([side] * len(batch), type=pa.string())
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    def score(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        sides: dict[str, list] = {"pred": [], "gold": []}
+        for r in rows:
+            sides[r["side"]].append(((r["x1"], r["y1"], r["x2"], r["y2"]), r["text"]))
+        pred, gold = sides["pred"], sides["gold"]
+        pg, gg = table_grid(pred), table_grid(gold)
+        con = grits_con(pg, gg)
+        top = grits_top(
+            [[(1, 1)] * len(r) for r in pg], [[(1, 1)] * len(r) for r in gg]
+        )
+        pn, gn = _origin_normalize(pred), _origin_normalize(gold)
+        loc = grits(
+            table_grid_boxes(pn), table_grid_boxes(gn), _iou_boxes
+        )
+        precision, recall, f1 = adjacency_f1(pg, gg)
+        first = rows[0]
+        return pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": first["doc_id"],
+                    "offset": first["offset"],
+                    "table_no": first["table_no"],
+                    "grits_con_fp6": fp_scale(con),
+                    "grits_top_fp6": fp_scale(top),
+                    "grits_loc_fp6": fp_scale(loc),
+                    "adj_precision_fp6": fp_scale(precision),
+                    "adj_recall_fp6": fp_scale(recall),
+                    "adj_f1_fp6": fp_scale(f1),
+                }
+            ]
+        )
+
+    per = (
+        pred_cells.map_batches(tag("pred"), batch_format="pyarrow")
+        .union(gold_cells.map_batches(tag("gold"), batch_format="pyarrow"))
+        .groupby(["doc_id", "offset", "table_no"])
+        .map_groups(score, batch_format="pyarrow")
+    )
+    if per_table:
+        return per
+
+    metric_cols = [
+        "grits_con_fp6",
+        "grits_top_fp6",
+        "grits_loc_fp6",
+        "adj_precision_fp6",
+        "adj_recall_fp6",
+        "adj_f1_fp6",
+    ]
+    agg = per.aggregate(Count(), *(Mean(c) for c in metric_cols))
+
+    def summarize(row: dict) -> pa.Table:
+        out = {"n_tables": pa.array([row["count()"]], type=pa.int64())}
+        for c in metric_cols:
+            out[f"mean_{c}"] = pa.array(
+                [int(round(row[f"mean({c})"]))], type=pa.int64()
+            )
+        return pa.Table.from_pydict(out)
+
+    import ray.data
+
+    return ray.data.from_arrow(summarize(agg))
+
+
+def table_grid_boxes(
+    pairs: Sequence[tuple[tuple[int, int, int, int], str]]
+) -> list[list[tuple[int, int, int, int]]]:
+    """Reading-order grid of cell BOXES (same row grouping as table_grid)."""
+    from .structure import group_cells
+
+    if not pairs:
+        return []
+    _, rows = group_cells([tuple(rect) for rect, _ in pairs])
+    return [sorted(row, key=lambda c: (c[0], c[1])) for row in rows]
+
+
+def _iou_boxes(a, b) -> float:
+    from .tatr import iou
+
+    return iou(tuple(a), tuple(b))
+
+
 def adjacency_relations(grid: list[list[str]]) -> set[tuple[str, str, str]]:
     """Direct horizontal/vertical adjacency pairs of non-empty cell texts —
     the basis of the adjacency P/R/F1 metric (reference

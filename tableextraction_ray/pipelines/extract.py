@@ -223,6 +223,32 @@ def build_extraction_pipeline(
     return work.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")
 
 
+def build_cells_pipeline(
+    corpus_dir: str,
+    config: ExtractConfig | None = None,
+    docs: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Cell-level intermediate of the same DAG (one row per OCR'd cell,
+    ``metrics.CELL_ROW_COLUMNS`` schema) — the prediction side of the
+    corpus GriTS evaluation harness (reference grits.py:813+ scores a
+    dataset of tables; here the 'dataset of tables' is this stream grouped
+    per (doc_id, offset, table_no)). No shuffle: the groupby happens
+    inside ``metrics.grits_corpus``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..metrics import CELL_ROW_COLUMNS
+
+    cfg = config or ExtractConfig()
+    work, _ = _build_work_stream(corpus_dir, cfg, docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], pa.scalar("cell")))
+        return pa.Table.from_pydict({c: t[c] for c in CELL_ROW_COLUMNS})
+
+    return work.map_batches(project, batch_format="pyarrow")
+
+
 def build_serialization_pipeline(
     corpus_dir: str,
     config: ExtractConfig | None = None,
