@@ -124,12 +124,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return verify_against_golden(_corpus_for(sf_dir), mismatches_only=True)
 
+    def extract_verify_dualdpi(sf_dir: str):
+        # Two-DPI production flow (reference extractor.py:24-33): detect on
+        # the cheap raster, OCR the sharp one. Fixed small tier (the dual-
+        # DPI corpus stores k^2 x the pixels); rows=0 IS the golden gate.
+        from tableextraction_ray.datagen import generate_corpus
+        from tableextraction_ray.pipelines.verify import verify_against_golden
+
+        corpus = generate_corpus("/tmp/graft_corpus/t1hi", tier="t1hi")
+        return verify_against_golden(corpus, mismatches_only=True)
+
     return {
         # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
         "extract_spans": extract_spans,
         "extract_serialized": extract_serialized,
         "extract_filtered": extract_filtered,
         "extract_verify": extract_verify,
+        "extract_verify_dualdpi": extract_verify_dualdpi,
         # -- deduplication --
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(

@@ -49,7 +49,15 @@ TIERS = {
     # (read fan-out, actor-pool ramp, shuffle setup) — required for a clean
     # N->4N scaling-efficiency measurement.
     "bench": 60000,
+    # Dual-DPI production-parity tier (reference extractor.py:24-33: detect
+    # at 50 DPI, OCR at 500): pages stored at TIER_HIDPI_SCALE[x] the base
+    # resolution; the pipeline detects on the cheap downscale and crops/OCRs
+    # the sharp raster (ExtractConfig(dpi_scale=...)).
+    "t1hi": 32,
 }
+
+#: High-DPI page upscale factor per tier (1 = single-resolution corpus).
+TIER_HIDPI_SCALE = {"t1hi": 3}
 
 FAMILIES = [
     "grid_simple",
@@ -186,8 +194,14 @@ def media_ref_for(doc_id: str, page_no: int) -> str:
     return f"media/{doc_id}/p{page_no}.png"
 
 
-def build_doc(doc_index: int, seed: int = SEED) -> dict:
-    """Materialize one document: input spans, media payloads, golden spans."""
+def build_doc(doc_index: int, seed: int = SEED, hidpi_scale: int = 1) -> dict:
+    """Materialize one document: input spans, media payloads, golden spans.
+
+    ``hidpi_scale > 1`` stores each page at k x the base raster (exact
+    nearest-neighbor upscale — how a higher-DPI rasterization of the same
+    ruled/glyph content looks, reference preprocessing.py:10-28 dpi arg).
+    Golden spans are IDENTICAL to the base corpus: resolution changes the
+    pixels, never the content."""
     spec = make_doc_spec(doc_index, seed)
     in_spans: list[dict] = []
     golden: list[dict] = []
@@ -203,6 +217,10 @@ def build_doc(doc_index: int, seed: int = SEED) -> dict:
         else:
             ref = media_ref_for(spec.doc_id, page_no)
             page_img, _bboxes = render_page(payload.tables, title=payload.title)
+            if hidpi_scale > 1:
+                page_img = np.kron(
+                    page_img, np.ones((hidpi_scale, hidpi_scale), dtype=np.uint8)
+                )
             media.append((ref, png.encode_gray(page_img)))
             in_spans.append(
                 {"kind": "media", "text": "", "media_ref": ref, "offset": offset}
@@ -257,11 +275,16 @@ def generate_corpus(
     Parallelized over documents with ray.data when a session is active;
     output is identical either way (per-doc determinism)."""
     n = n_docs if n_docs is not None else TIERS[tier]
+    hidpi_scale = TIER_HIDPI_SCALE.get(tier, 1)
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("n_docs") == n and m.get("seed") == seed:
+        if (
+            m.get("n_docs") == n
+            and m.get("seed") == seed
+            and m.get("hidpi_scale", 1) == hidpi_scale
+        ):
             return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -274,7 +297,10 @@ def generate_corpus(
         # Media files are written inside the tasks; the small doc/golden
         # tables come back to the driver for one consolidated write.
         def gen_tables(batch: pa.Table) -> pa.Table:
-            docs = [build_doc(int(i), seed) for i in batch["id"].to_pylist()]
+            docs = [
+                build_doc(int(i), seed, hidpi_scale=hidpi_scale)
+                for i in batch["id"].to_pylist()
+            ]
             d, g, _m = _write_batch(docs, out_dir)
             import io
 
@@ -298,7 +324,7 @@ def generate_corpus(
         gold_tbl = pa.concat_tables(gold_parts).sort_by("doc_id")
         media_tbl = None  # media sidecar built below only for small tiers
     else:
-        docs = [build_doc(i, seed) for i in range(n)]
+        docs = [build_doc(i, seed, hidpi_scale=hidpi_scale) for i in range(n)]
         doc_tbl, gold_tbl, media_tbl = _write_batch(docs, out_dir)
 
     # documents.parquet is a DIRECTORY of ~256-doc shards: reads parallelize
@@ -324,7 +350,9 @@ def generate_corpus(
     if media_tbl is not None:
         pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
     with open(manifest_path, "w") as f:
-        json.dump({"n_docs": n, "seed": seed, "tier": tier}, f)
+        json.dump(
+            {"n_docs": n, "seed": seed, "tier": tier, "hidpi_scale": hidpi_scale}, f
+        )
     return out_dir
 
 

@@ -78,6 +78,12 @@ class ExtractConfig:
     # Optional semantic gate (reference recognition.py:78-97): drop tables
     # whose combined cell text fails the fuzzy keyword classifier.
     classify_filter: bool = False
+    # Two-DPI production flow (reference extractor.py:24-33: rasterize at
+    # 50 AND 500 DPI, detect tables on the cheap pages, crop/OCR the sharp
+    # ones; resize_tables_cells detection.py:607-628 scales the boxes).
+    # dpi_scale = high/low ratio; the corpus stores the HIGH raster and
+    # detection/grid run on its exact k x subsample. 1 = single-resolution.
+    dpi_scale: int = 1
 
     def use_actors(self) -> bool:
         if self.stage_mode == "actors":
@@ -118,11 +124,32 @@ def documents_path(corpus_dir: str) -> str:
     return os.path.join(corpus_dir, "documents.parquet")
 
 
+def _resolve_dpi(corpus_dir: str, cfg: ExtractConfig) -> ExtractConfig:
+    """Dual-DPI corpora advertise their high-raster factor in
+    MANIFEST.json (datagen TIER_HIDPI_SCALE); pick it up automatically so
+    every pipeline flavor (extract / serialize / cells / verify) runs the
+    detect-cheap-OCR-sharp flow on such a corpus without per-call-site
+    config."""
+    if cfg.dpi_scale != 1:
+        return cfg
+    manifest = os.path.join(corpus_dir, "MANIFEST.json")
+    if os.path.exists(manifest):
+        import dataclasses
+        import json
+
+        with open(manifest) as f:
+            k = int(json.load(f).get("hidpi_scale", 1))
+        if k > 1:
+            return dataclasses.replace(cfg, dpi_scale=k)
+    return cfg
+
+
 def _build_work_stream(
     corpus_dir: str, cfg: ExtractConfig, docs: ray.data.Dataset | None
 ) -> tuple[ray.data.Dataset, int]:
     """Shared explode -> decode -> detect -> grid -> OCR stream; returns the
     cell-level work stream and the cluster CPU count for shuffle sizing."""
+    cfg = _resolve_dpi(corpus_dir, cfg)
     cpus = cfg.cluster_cpus()
     if docs is None:
         # Block granularity scales with DATA (~64 docs/block, floor of 10
@@ -158,40 +185,55 @@ def _build_work_stream(
 
         work = work.map_batches(
             DetectTables,
-            fn_constructor_kwargs={"backend": cfg.table_backend},
+            fn_constructor_kwargs={
+                "backend": cfg.table_backend,
+                "dpi_scale": cfg.dpi_scale,
+            },
             concurrency=(1, max(2, cpus // 2)),
             batch_size=cfg.detect_batch_size,
             batch_format="pyarrow",
         )
     else:
         work = work.map_batches(
-            detect_tables, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+            functools.partial(detect_tables, dpi_scale=cfg.dpi_scale),
+            batch_size=cfg.detect_batch_size,
+            batch_format="pyarrow",
         )
     if cfg.cell_backend in HEAVY_DETECT_BACKENDS:
         from ..stages.grid import GridCells
 
         work = work.map_batches(
             GridCells,
-            fn_constructor_kwargs={"backend": cfg.cell_backend},
+            fn_constructor_kwargs={
+                "backend": cfg.cell_backend,
+                "dpi_scale": cfg.dpi_scale,
+            },
             concurrency=(1, max(2, cpus // 2)),
             batch_size=cfg.detect_batch_size,
             batch_format="pyarrow",
         )
     else:
         work = work.map_batches(
-            grid_to_cells, batch_size=cfg.detect_batch_size, batch_format="pyarrow"
+            functools.partial(grid_to_cells, dpi_scale=cfg.dpi_scale),
+            batch_size=cfg.detect_batch_size,
+            batch_format="pyarrow",
         )
     if cfg.use_actors():
         work = work.map_batches(
             OcrCells,
-            fn_constructor_kwargs={"backend": cfg.ocr_backend},
+            fn_constructor_kwargs={
+                "backend": cfg.ocr_backend,
+                "dpi_scale": cfg.dpi_scale,
+            },
             concurrency=ocr_pool,
             batch_size=cfg.ocr_batch_size,
             batch_format="pyarrow",
         )
     else:
         work = work.map_batches(
-            functools.partial(ocr_cells_task, backend=cfg.ocr_backend),
+            functools.partial(
+                ocr_cells_task, backend=cfg.ocr_backend, dpi_scale=cfg.dpi_scale
+            ),
             batch_size=cfg.ocr_batch_size,
             batch_format="pyarrow",
         )

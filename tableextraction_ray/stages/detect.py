@@ -23,9 +23,9 @@ from .decode import image_from_row
 from .explode import work_table
 
 
-def detect_tables(batch: pa.Table) -> pa.Table:
+def detect_tables(batch: pa.Table, dpi_scale: int = 1) -> pa.Table:
     """Default morphology path (plain task; no model state to hold)."""
-    return _detect_with(batch, geometry.detect_table_regions)
+    return _detect_with(batch, geometry.detect_table_regions, dpi_scale)
 
 
 class DetectTables:
@@ -35,16 +35,17 @@ class DetectTables:
     config-change-not-code-change contract the OCR stage already follows
     (ocr_stage.OcrCells)."""
 
-    def __init__(self, backend: str = "morphology"):
+    def __init__(self, backend: str = "morphology", dpi_scale: int = 1):
         from .registry import get_backend
 
         self.detector = get_backend("table_detector", backend)()
+        self.dpi_scale = dpi_scale
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _detect_with(batch, self.detector)
+        return _detect_with(batch, self.detector, self.dpi_scale)
 
 
-def _detect_with(batch: pa.Table, detector) -> pa.Table:
+def _detect_with(batch: pa.Table, detector, dpi_scale: int = 1) -> pa.Table:
     mask = pc.equal(batch["kind"], "media")
     if not pc.any(mask).as_py():
         return batch
@@ -82,6 +83,32 @@ def _detect_with(batch: pa.Table, detector) -> pa.Table:
         if h <= 0 or w <= 0 or not img:
             continue  # unreadable payload: marker only (decode error row)
         page = image_from_row(img, h, w)
+        if dpi_scale > 1:
+            # Two-DPI production flow (reference extractor.py:24-33 +
+            # detection.py:98-122): DETECT on the cheap low-DPI raster
+            # (exact k x subsample of the stored high-DPI page — how the
+            # same vector content rasterizes at dpi/k), then crop the
+            # SHARP page for downstream cell detection + OCR. Low bbox
+            # (x1..x2 inclusive) maps to high rows [x1*k, (x2+1)*k) —
+            # the inclusive-bbox translation of resize_tables_cells'
+            # int-truncation scaling (detection.py:607-628).
+            low = page[::dpi_scale, ::dpi_scale]
+            for table_no, (x1, y1, x2, y2) in enumerate(detector(low)):
+                crop = page[
+                    y1 * dpi_scale : (y2 + 1) * dpi_scale,
+                    x1 * dpi_scale : (x2 + 1) * dpi_scale,
+                ]
+                add(
+                    doc_id, offset, "table", ref, table_no,
+                    (
+                        x1 * dpi_scale,
+                        y1 * dpi_scale,
+                        (x2 + 1) * dpi_scale - 1,
+                        (y2 + 1) * dpi_scale - 1,
+                    ),
+                    crop.tobytes(), crop.shape[0], crop.shape[1],
+                )
+            continue
         for table_no, (x1, y1, x2, y2) in enumerate(detector(page)):
             crop = page[y1 : y2 + 1, x1 : x2 + 1]
             add(

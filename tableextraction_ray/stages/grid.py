@@ -19,9 +19,9 @@ from .decode import image_from_row
 from .explode import work_table
 
 
-def grid_to_cells(batch: pa.Table) -> pa.Table:
+def grid_to_cells(batch: pa.Table, dpi_scale: int = 1) -> pa.Table:
     """Default morphology path (plain task; no model state to hold)."""
-    return _grid_with(batch, geometry.grid_cells)
+    return _grid_with(batch, geometry.grid_cells, dpi_scale)
 
 
 class GridCells:
@@ -30,16 +30,17 @@ class GridCells:
     ``ExtractConfig(cell_backend=...)`` (same contract as DetectTables /
     OcrCells)."""
 
-    def __init__(self, backend: str = "morphology"):
+    def __init__(self, backend: str = "morphology", dpi_scale: int = 1):
         from .registry import get_backend
 
         self.cell_fn = get_backend("cell_detector", backend)()
+        self.dpi_scale = dpi_scale
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _grid_with(batch, self.cell_fn)
+        return _grid_with(batch, self.cell_fn, self.dpi_scale)
 
 
-def _grid_with(batch: pa.Table, cell_fn) -> pa.Table:
+def _grid_with(batch: pa.Table, cell_fn, dpi_scale: int = 1) -> pa.Table:
     mask = pc.equal(batch["kind"], "table")
     if not pc.any(mask).as_py():
         return batch
@@ -52,7 +53,19 @@ def _grid_with(batch: pa.Table, cell_fn) -> pa.Table:
     )}
     for row in tables.to_pylist():
         table_img = image_from_row(row["img"], row["img_h"], row["img_w"])
-        for (x1, y1, x2, y2) in cell_fn(table_img):
+        if dpi_scale > 1:
+            # Two-DPI flow: reconstruct the grid on the CHEAP raster (the
+            # exact k x subsample of the high-DPI crop), then scale the
+            # cell rects to high-DPI coordinates with the reference's
+            # int-truncation semantics (geometry.scale_cells, reference
+            # detection.py:607-628 resize_tables_cells) and crop the
+            # SHARP image for OCR — detect cheap, OCR sharp.
+            rects = geometry.scale_cells(
+                cell_fn(table_img[::dpi_scale, ::dpi_scale]), 1, dpi_scale
+            )
+        else:
+            rects = cell_fn(table_img)
+        for (x1, y1, x2, y2) in rects:
             crop = table_img[min(y1, y2) : max(y1, y2), min(x1, x2) : max(x1, x2)]
             cols["doc_id"].append(row["doc_id"])
             cols["offset"].append(row["offset"])

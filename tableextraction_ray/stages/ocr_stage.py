@@ -24,11 +24,19 @@ from .registry import get_backend
 
 
 class OcrCells:
-    def __init__(self, backend: str = "synthetic-glyph"):
+    def __init__(self, backend: str = "synthetic-glyph", dpi_scale: int = 1):
         # Registry-resolved recognizer, constructed ONCE per actor. For
         # 'easyocr' the gated constructor raises NotImplementedError when
         # torch/easyocr are absent (its body is complete — registry.py).
+        # ``dpi_scale``: input-resolution normalization for the two-DPI
+        # flow — the synthetic glyph recognizer reads base-scale glyphs,
+        # so high-DPI crops are exact-subsampled back before recognition
+        # (the deterministic analog of EasyOCR resizing every crop to its
+        # fixed 64x600 network input, reference
+        # easy_ocr/user_network/fine-tuned_easyocr.yaml). A real OCR
+        # backend would consume the sharp crop directly (dpi_scale left 1).
         self.backend = backend
+        self.dpi_scale = dpi_scale if backend == "synthetic-glyph" else 1
         self.recognize = get_backend("ocr", backend)()
         if backend == "synthetic-glyph":
             # Force-build the glyph decode table once per actor.
@@ -51,7 +59,10 @@ class OcrCells:
             if h <= 0 or w <= 0 or not img:
                 texts.append("")
                 continue
-            decoded = self.recognize(image_from_row(img, h, w))
+            crop = image_from_row(img, h, w)
+            if self.dpi_scale > 1:
+                crop = crop[:: self.dpi_scale, :: self.dpi_scale]
+            decoded = self.recognize(crop)
             texts.append(remove_hyphenated_words(decoded + " ") if decoded else "")
 
         out = work_table(
@@ -75,11 +86,14 @@ class OcrCells:
 # worker processes, so this is the same build-once-recognize-many semantics
 # as the actor pool, without pool management. Used for deterministic
 # (cheap-state) backends; heavy model backends run as real actor pools.
-_TASK_INSTANCE: dict[str, OcrCells] = {}
+_TASK_INSTANCE: dict[tuple[str, int], OcrCells] = {}
 
 
-def ocr_cells_task(batch: pa.Table, backend: str = "synthetic-glyph") -> pa.Table:
-    inst = _TASK_INSTANCE.get(backend)
+def ocr_cells_task(
+    batch: pa.Table, backend: str = "synthetic-glyph", dpi_scale: int = 1
+) -> pa.Table:
+    key = (backend, dpi_scale)
+    inst = _TASK_INSTANCE.get(key)
     if inst is None:
-        inst = _TASK_INSTANCE[backend] = OcrCells(backend=backend)
+        inst = _TASK_INSTANCE[key] = OcrCells(backend=backend, dpi_scale=dpi_scale)
     return inst(batch)

@@ -76,13 +76,20 @@ _DETECTION_CLASSES = ("__background__", "table", "plot")
 _CELL_CLASSES = ("__background__", "cell", "head")
 
 
-def _build_maskrcnn(torch, weights_path: str, n_classes: int):
+def _build_maskrcnn(torch, weights_path: str, n_classes: int, quantized: bool = False):
     """Mask R-CNN resnet50-FPN-v2 with the reference's head surgery
     (inference.py:26-40: 91-class COCO skeleton, cls/bbox/mask heads
     re-sized to the fine-tuned class count) loaded from ``ckpt['model']``
     onto cuda-when-available. Shared by both Mask R-CNN backends; built
     ONCE per actor — the reference re-runs all of this per page
-    (inference.py:12-67 called from detection.py:103-110)."""
+    (inference.py:12-67 called from detection.py:103-110).
+
+    ``quantized=True`` applies post-load int8 DYNAMIC quantization to the
+    Linear layers (reference README.md:282-290 / TableExtraction.ipynb
+    cells 23-26 ``torch.quantization.quantize_dynamic(model,
+    {torch.nn.Linear}, dtype=torch.qint8)``) — the reference's memory/CPU
+    relief option for clusters without GPUs; forces CPU (dynamic
+    quantization is a CPU path)."""
     import torch.nn as nn  # pragma: no cover - torch absent in sandbox
     import torchvision  # pragma: no cover
 
@@ -94,10 +101,17 @@ def _build_maskrcnn(torch, weights_path: str, n_classes: int):
     model.roi_heads.mask_predictor.mask_fcn_logits = nn.Conv2d(  # pragma: no cover
         256, n_classes, kernel_size=(1, 1), stride=(1, 1)
     )
-    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")  # pragma: no cover
+    device = torch.device(  # pragma: no cover
+        "cuda" if (torch.cuda.is_available() and not quantized) else "cpu"
+    )
     ckpt = torch.load(weights_path, map_location=device)  # pragma: no cover
     model.load_state_dict(ckpt["model"])  # pragma: no cover
-    return model.to(device).eval(), device  # pragma: no cover
+    model = model.to(device).eval()  # pragma: no cover
+    if quantized:  # pragma: no cover
+        model = torch.quantization.quantize_dynamic(
+            model, {torch.nn.Linear}, dtype=torch.qint8
+        )
+    return model, device  # pragma: no cover
 
 
 def _maskrcnn_detections(torch, model, device, page, score_threshold: float):
@@ -134,11 +148,16 @@ class MaskRcnnTableDetector:
     (``ExtractConfig(table_backend='maskrcnn')``), not a code change. Model
     loads ONCE here in __init__ — the reference reloads per page."""
 
-    def __init__(self, weights_path: str = "weights/detect_table_plot.pth", score_threshold: float = 0.8):
+    def __init__(
+        self,
+        weights_path: str = "weights/detect_table_plot.pth",
+        score_threshold: float = 0.8,
+        quantized: bool = False,
+    ):
         self.torch = _require("torch", "Mask R-CNN table detection (GPU cluster)")
         self.score_threshold = score_threshold  # pragma: no cover
         self.model, self.device = _build_maskrcnn(  # pragma: no cover
-            self.torch, weights_path, len(_DETECTION_CLASSES)
+            self.torch, weights_path, len(_DETECTION_CLASSES), quantized=quantized
         )
 
     def __call__(self, page):  # pragma: no cover - torch absent
@@ -235,11 +254,16 @@ class MaskRcnnCellDetector:
     import gated; model built once per actor via the shared
     :func:`_build_maskrcnn`."""
 
-    def __init__(self, weights_path: str = "weights/best_cell_detection.pth", score_threshold: float = 0.6):
+    def __init__(
+        self,
+        weights_path: str = "weights/best_cell_detection.pth",
+        score_threshold: float = 0.6,
+        quantized: bool = False,
+    ):
         self.torch = _require("torch", "Mask R-CNN cell detection (GPU cluster)")
         self.score_threshold = score_threshold  # pragma: no cover
         self.model, self.device = _build_maskrcnn(  # pragma: no cover
-            self.torch, weights_path, len(_CELL_CLASSES)
+            self.torch, weights_path, len(_CELL_CLASSES), quantized=quantized
         )
 
     def __call__(self, table_image):  # pragma: no cover - torch absent
