@@ -26,6 +26,12 @@ from typing import Any
 
 _SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 
+#: Media-store directory the DuckDB media oracles read. The driver contract
+#: runs oracles side-by-side with Ray queries at sf=0.01 only, so the
+#: oracle path resolves that sf's tier via the same mapping _corpus_for
+#: uses — one source of truth, no hardcoded literal.
+_ORACLE_CORPUS_DIR = f"/tmp/graft_corpus/{_SF_TO_TIER['sf0.01']}"
+
 
 def _corpus_for(sf_dir: str) -> str:
     from tableextraction_ray.datagen import generate_corpus
@@ -206,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
+        "media_thumb_dims": lambda sf: multimodal.media_thumb_dims(media(sf)),
         "media_stats": lambda sf: multimodal.media_stats(media(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
@@ -597,21 +604,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # PNG dimensions parsed from the IHDR header bytes of the SAME
-        # media files the Ray query reads (the corpus tier for the driver's
-        # sf0.01 correctness run is t2, deterministic path). hex(content)
-        # chars 33-48 are bytes 17-24: big-endian width then height.
-        # Pinned to the t2 media store: the driver's correctness gate runs
-        # Ray query and oracle side-by-side at sf=0.01 (contract), whose
-        # corpus tier is t2 (_SF_TO_TIER); other tiers have no SQL twin for
-        # this one (the oracle string cannot take sf_dir). Signature filter
-        # mirrors the Ray side's skip-on-corrupt contract.
-        "media_dims": """
-            SELECT replace(filename, '/tmp/graft_corpus/t2/', '') AS media_ref,
+        # media files the Ray query reads. hex(content) chars 33-48 are
+        # bytes 17-24: big-endian width then height. The media-store path
+        # is derived from _SF_TO_TIER at oracle_sql() CALL time (single
+        # source of truth with _corpus_for): the driver's correctness gate
+        # runs Ray query and oracle side-by-side at sf=0.01 (contract), so
+        # the oracle resolves that sf's tier directory — no hardcoded
+        # literal to drift (round-2 ADVICE). Signature filter mirrors the
+        # Ray side's skip-on-corrupt contract.
+        "media_dims": f"""
+            SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
                    ('0x' || substring(hex(content), 33, 8))::INT AS width,
                    ('0x' || substring(hex(content), 41, 8))::INT AS height
-            FROM read_blob('/tmp/graft_corpus/t2/media/*/p*.png')
+            FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
             WHERE octet_length(content) >= 24
               AND substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+        """,
+        # Thumbnail sizing contract (round-2 verdict item 10): the same
+        # integer math as ImageResize (scale = max(1, ceil(max(w,h)/64)),
+        # ceil-division per side) over the header-parsed dimensions — the
+        # dims of every thumbnail media_thumbnails will emit, hash-checked.
+        "media_thumb_dims": f"""
+            WITH dims AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     ('0x' || substring(hex(content), 33, 8))::INT AS width,
+                     ('0x' || substring(hex(content), 41, 8))::INT AS height
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+              WHERE octet_length(content) >= 24
+                AND substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+            ),
+            scaled AS (
+              SELECT *, GREATEST(1, (GREATEST(width, height) + 63) // 64) AS s
+              FROM dims
+            )
+            SELECT media_ref, width, height,
+                   CAST((width + s - 1) // s AS INT) AS thumb_w,
+                   CAST((height + s - 1) // s AS INT) AS thumb_h
+            FROM scaled
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

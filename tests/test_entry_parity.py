@@ -60,10 +60,14 @@ class TestContract:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, con, ray_session):
-    # media_dims' oracle reads the DRIVER-tier corpus media files (sf0.01 ->
-    # /tmp/graft_corpus/t2 — the one corpus-path-dependent oracle), so its
-    # query must run at the same sf.
-    sf_dir = "/root/testdata/sf0.01" if name == "media_dims" else SF_DIR
+    # The media oracles read the DRIVER-tier corpus media files (sf0.01 ->
+    # /tmp/graft_corpus/t2, resolved via entry_mod._ORACLE_CORPUS_DIR — the
+    # corpus-path-dependent oracles), so their queries must run at that sf.
+    sf_dir = (
+        "/root/testdata/sf0.01"
+        if name in ("media_dims", "media_thumb_dims")
+        else SF_DIR
+    )
     ray_df = _canon(_to_pandas(QUERIES[name](sf_dir)))
     sql_df = _canon(con.execute(ORACLES[name]).fetch_df())
     assert list(ray_df.columns) == list(sql_df.columns), (

@@ -111,3 +111,24 @@ class TestKmeansQuantizer:
             return float(cos.max(axis=1).mean())
 
         assert quant_quality(refined) > quant_quality(init) + 0.05
+
+
+class TestThumbDimsContract:
+    def test_thumb_dims_match_real_resize(self, ray_session, t1_corpus):
+        """media_thumb_dims (metadata-only, SQL-oracled) predicts EXACTLY
+        the dimensions media_thumbnails produces by real decode+resize —
+        joining the two covers the thumbnail pipeline's sizing contract."""
+        from tableextraction_ray.functions import multimodal
+        from tableextraction_ray.sources import read_media
+
+        media = read_media(t1_corpus)
+        predicted = {
+            r["media_ref"]: (r["thumb_w"], r["thumb_h"])
+            for r in multimodal.media_thumb_dims(media).take_all()
+        }
+        actual = {
+            r["media_ref"]: (r["thumb_w"], r["thumb_h"])
+            for r in multimodal.media_thumbnails(media).take_all()
+        }
+        assert predicted == actual
+        assert len(actual) > 0
