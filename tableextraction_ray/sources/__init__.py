@@ -9,6 +9,7 @@ from .corpus import (
 )
 from .media import read_media
 from .rasterize import FileRasterizer, ingest_files
+from .tokens import PdfTokenExtractor, read_page_tokens, tokens_for_page
 
 __all__ = [
     "FileRasterizer",
