@@ -528,13 +528,23 @@ def dedup_clusters(
         )
 
     def propose(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        label = min(r["label"] for r in rows if r["peer"] == -1)
-        nodes = [rows[0]["key"]] + [r["peer"] for r in rows if r["peer"] != -1]
+        # Vectorized: a heavy-duplicate node can carry millions of incident
+        # edges in one group — no per-row Python here.
+        import numpy as np
+
+        peers = group["peer"].to_numpy(zero_copy_only=False)
+        labels_np = group["label"].to_numpy(zero_copy_only=False)
+        is_label_row = peers == -1
+        label = int(labels_np[is_label_row].min())
+        nodes = np.concatenate(
+            [group["key"].to_numpy(zero_copy_only=False)[:1], peers[~is_label_row]]
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(nodes, type=pa.int64()),
-                "label": pa.array([label] * len(nodes), type=pa.int64()),
+                "label": pa.array(
+                    np.full(len(nodes), label, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -595,16 +605,19 @@ def dedup_clusters(
         )
 
     def resolve(group: pa.Table) -> pa.Table:
+        import numpy as np
+
         doc_id = group["doc_id"][0].as_py()
-        lbls = [v for v in group["label"].to_pylist() if v >= 0]
-        if not any(v == -1 for v in group["label"].to_pylist()):
+        lbls = group["label"].to_numpy(zero_copy_only=False)
+        if not (lbls == -1).any():
             # Label row for a doc_id absent from the corpus (shouldn't
             # happen: endpoints come from corpus-derived edges) — drop it
             # rather than invent a document.
             return pa.Table.from_pylist(
                 [], schema=pa.schema([("doc_id", pa.int64()), ("cluster_rep", pa.int64())])
             )
-        rep = min(lbls) if lbls else doc_id
+        pos = lbls[lbls >= 0]
+        rep = int(pos.min()) if len(pos) else doc_id
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array([doc_id], type=pa.int64()),
