@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         "dedup_simhash": lambda sf: textstats.simhash64(docs(sf, ["doc_id", "text"])),
+        "dedup_simhash_pairs": lambda sf: dedup.simhash_near_dup(
+            docs(sf, ["doc_id", "text"])
+        ),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
@@ -171,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["ts", "value"])
         ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
+        "canonical_docs": lambda sf: curate.canonical_docs(docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: textstats.stratified_sample(
             docs(sf, ["doc_id", "source"])
         ),
@@ -254,6 +258,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles. Shared fragments keep the Ray and SQL sides literally in
 # sync on tokenization/shingling/fixed-point formulas.
 # --------------------------------------------------------------------------
+
+# 64-bit SimHash as an INTEGER (UBIGINT v per doc, empty docs -> 0),
+# shared by the fingerprint-hex oracle (dedup_simhash) and the
+# Hamming-ball pairs oracle (dedup_simhash_pairs).
+_SIMHASH_INT_CTE = r"""
+WITH stoks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+  FROM documents
+),
+stok AS (
+  SELECT doc_id, len(w) AS n, unnest(w) AS t FROM stoks
+),
+shv AS (
+  -- token hash = first 8 md5 bytes as big-endian uint64
+  -- (== Python int(md5(w).hexdigest()[:16], 16))
+  SELECT doc_id, n, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+  FROM stok
+),
+svotes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CAST((h >> CAST(b.b AS INT)) & 1 AS BIGINT)) AS ones,
+         MAX(n) AS n
+  FROM shv, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+simint AS (
+  SELECT d.doc_id, COALESCE(s.v, 0::UBIGINT) AS v
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           SUM(CASE WHEN 2 * ones > n
+                    THEN (1::UBIGINT << CAST(b AS INT))
+                    ELSE 0::UBIGINT END) AS v
+    FROM svotes GROUP BY doc_id
+  ) s USING (doc_id)
+)
+"""
 
 _SHINGLES_CTE = r"""
 WITH reps AS (
@@ -530,38 +570,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'cyr' ELSE 'lat' END AS pred_lang
             FROM documents
         """,
-        "dedup_simhash": r"""
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
-              FROM documents
-            ),
-            tok AS (
-              SELECT doc_id, len(w) AS n, unnest(w) AS t FROM toks
-            ),
-            hv AS (
-              -- token hash = first 8 md5 bytes as big-endian uint64
-              -- (== Python int(md5(w).hexdigest()[:16], 16))
-              SELECT doc_id, n, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
-              FROM tok
-            ),
-            votes AS (
-              SELECT doc_id, b.b AS b,
-                     SUM(CAST((h >> CAST(b.b AS INT)) & 1 AS BIGINT)) AS ones,
-                     MAX(n) AS n
-              FROM hv, (SELECT unnest(range(64)) AS b) b
-              GROUP BY doc_id, b.b
-            ),
-            sh AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN 2 * ones > n
-                              THEN (1::UBIGINT << CAST(b AS INT))
-                              ELSE 0::UBIGINT END) AS v
-              FROM votes GROUP BY doc_id
+        "dedup_simhash": _SIMHASH_INT_CTE + """
+            SELECT doc_id,
+                   lower(lpad(to_hex(v), 16, '0')) AS simhash
+            FROM simint
+        """,
+        # Hamming-ball near-dup pairs among distinct-fingerprint
+        # representatives (Manku et al. WWW'07, 64-bit / k=3). The Ray
+        # side's band-bucket groupby is recall-lossless by pigeonhole, so
+        # the exact O(n^2) bit_count(xor) join IS its contract.
+        "dedup_simhash_pairs": _SIMHASH_INT_CTE + """
+            , simreps AS (
+              SELECT MIN(doc_id) AS doc_id, v FROM simint GROUP BY v
             )
-            SELECT d.doc_id,
-                   COALESCE(lower(lpad(to_hex(CAST(v AS UBIGINT)), 16, '0')),
-                            '0000000000000000') AS simhash
-            FROM documents d LEFT JOIN sh USING (doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM simreps a JOIN simreps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
         """,
         # Character-class counts use the literal classes from
         # textstats.ALPHA_CLASS/DIGIT_CLASS/SPACE_CLASS; ratio formula is the
@@ -726,5 +751,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
         JOIN ({d['split_assign']}) s ON s.doc_id = c.doc_id
         WHERE c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
+    # Canonical selection: window-rank composition of the cluster and
+    # quality oracles — keep the best-quality member per fuzzy-dup cluster.
+    d["canonical_docs"] = f"""
+        WITH ranked AS (
+          SELECT c.cluster_rep, c.doc_id, q.alpha_fp6,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+                                    ORDER BY q.alpha_fp6 DESC, c.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n
+          FROM ({d['dedup_clusters']}) c
+          JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
+        )
+        SELECT cluster_rep, doc_id AS canon_doc_id,
+               alpha_fp6 AS canon_alpha_fp6, CAST(n AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """
     return d

@@ -107,3 +107,104 @@ def curate_corpus(
         )
 
     return merged.groupby("doc_id").map_groups(merge, batch_format="pyarrow")
+
+
+def canonical_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(cluster_rep, canon_doc_id, canon_alpha_fp6, n_members) — one row
+    per fuzzy-dup cluster naming the member a curation pipeline should
+    KEEP: the highest-quality document (max alphabetic-character ratio,
+    ties to the lowest doc_id) rather than curate_corpus's arbitrary
+    min-doc_id representative. This is the "canonical selection" step of
+    a dedup pipeline — collapse each near-dup cluster to its best copy.
+
+    Join shape: clusters and quality are tagged, unioned and merged in one
+    groupby(doc_id) (same single-shuffle pattern as curate_corpus), then
+    one groupby(cluster_rep) picks the winner — two keyed shuffles total,
+    both over (int, int) rows; text never moves. The DuckDB oracle is the
+    window-rank composition of the two component oracles.
+    """
+    MERGE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("src", pa.int8()),
+            ("rep", pa.int64()),
+            ("alpha_fp6", pa.int64()),
+        ]
+    )
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "src": pa.array([0] * n, type=pa.int8()),
+                "rep": batch["cluster_rep"],
+                "alpha_fp6": pa.array([-1] * n, type=pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def tag_quality(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "src": pa.array([1] * n, type=pa.int8()),
+                "rep": pa.array([-1] * n, type=pa.int64()),
+                "alpha_fp6": batch["alpha_fp6"],
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    merged = dedup_clusters(ds).map_batches(
+        tag_clusters, batch_format="pyarrow"
+    ).union(quality_score(ds).map_batches(tag_quality, batch_format="pyarrow"))
+
+    DOC_SCHEMA = pa.schema(
+        [("rep", pa.int64()), ("doc_id", pa.int64()), ("alpha_fp6", pa.int64())]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        doc_id = group["doc_id"][0].as_py()
+        rep = alpha = None
+        for r in group.to_pylist():
+            if r["src"] == 0:
+                rep = r["rep"]
+            else:
+                alpha = r["alpha_fp6"]
+        if rep is None or alpha is None:
+            return pa.Table.from_pylist([], schema=DOC_SCHEMA)
+        return pa.Table.from_pylist(
+            [{"rep": rep, "doc_id": doc_id, "alpha_fp6": alpha}], schema=DOC_SCHEMA
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("cluster_rep", pa.int64()),
+            ("canon_doc_id", pa.int64()),
+            ("canon_alpha_fp6", pa.int64()),
+            ("n_members", pa.int64()),
+        ]
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        best = min(rows, key=lambda r: (-r["alpha_fp6"], r["doc_id"]))
+        return pa.Table.from_pylist(
+            [
+                {
+                    "cluster_rep": rows[0]["rep"],
+                    "canon_doc_id": best["doc_id"],
+                    "canon_alpha_fp6": best["alpha_fp6"],
+                    "n_members": len(rows),
+                }
+            ],
+            schema=OUT_SCHEMA,
+        )
+
+    return (
+        merged.groupby("doc_id")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("rep")
+        .map_groups(pick, batch_format="pyarrow")
+    )

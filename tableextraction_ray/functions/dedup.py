@@ -637,3 +637,110 @@ def dedup_clusters(
         .groupby("doc_id")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def simhash_near_dup(
+    ds: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming) — every pair of distinct-fingerprint
+    representatives whose 64-bit SimHash fingerprints differ in at most
+    ``max_hamming`` bits, with the EXACT Hamming distance attached.
+
+    This is the Manku-Jarvelin-Sarlos WWW'07 near-duplicate detector
+    (64-bit simhash, k=3) expressed Ray-Data-first, and unlike MinHash
+    LSH it is EXACT: the 64 bits split into ``max_hamming + 1`` disjoint
+    bands, and by pigeonhole any pair within the Hamming ball agrees on
+    at least one whole band — so a keyed groupby on (band, band_bits) is
+    a lossless candidate generator and the in-bucket verify emits
+    precisely the Hamming-ball pair set. Zero recall loss, hash-checkable
+    against a DuckDB bit_count(xor(...)) oracle.
+
+    Scale shape (100 TB story):
+    - identical fingerprints collapse FIRST (min doc_id per simhash via
+      one keyed groupby on the 8-byte fingerprint) — the same
+      heavy-duplicate skew guard as minhash_candidates' exact-text
+      collapse; pairs among identical-fingerprint docs are the
+      fingerprint groups' own output (dedup-exact star), not pair rows.
+    - band rows are (int64 key, int64 doc_id, int64 fingerprint) — the
+      text never rides any shuffle.
+    - a pair colliding in several bands is emitted only by its FIRST
+      equal band, decided locally from the two fingerprints in hand —
+      no distinct-pairs all-to-all afterwards.
+    """
+    import numpy as np
+
+    from .textstats import simhash64
+
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError("max_hamming + 1 must divide 64 (e.g. 3, 7, 15)")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    sh = simhash64(ds)
+
+    # -- collapse identical fingerprints to their min-doc_id representative
+    reps = sh.groupby("simhash").aggregate(Min("doc_id", alias_name="doc_id"))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        hexes = batch["simhash"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = np.array([int(h, 16) for h in hexes], dtype=np.uint64)
+        n = len(fp)
+        keys, out_ids, out_fp = [], [], []
+        for j in range(n_bands):
+            val = (fp >> np.uint64(j * width)) & np.uint64(mask)
+            # key encodes (band j, band value) in one int64
+            keys.append(val.astype(np.int64) | np.int64(j << width))
+            out_ids.append(ids)
+            out_fp.append(fp.view(np.int64))
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(np.concatenate(keys) if n else [], type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_ids) if n else [], type=pa.int64()),
+                "fp": pa.array(np.concatenate(out_fp) if n else [], type=pa.int64()),
+            }
+        )
+
+    PAIR_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = len(group)
+        if m < 2:
+            return pa.Table.from_pylist([], schema=PAIR_SCHEMA)
+        band_j = int(group["bkey"][0].as_py()) >> width
+        order = np.argsort(group["doc_id"].to_numpy(zero_copy_only=False))
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        fp = group["fp"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+        x = fp[:, None] ^ fp[None, :]
+        ham = np.unpackbits(x.view(np.uint8).reshape(m, m, 8), axis=2).sum(
+            axis=2, dtype=np.int64
+        )
+        iu, ju = np.triu_indices(m, 1)
+        ok = ham[iu, ju] <= max_hamming
+        iu, ju = iu[ok], ju[ok]
+        if not len(iu):
+            return pa.Table.from_pylist([], schema=PAIR_SCHEMA)
+        # first-equal-band ownership: emit only if no EARLIER band also
+        # matches for this pair (locally decidable from the fingerprints)
+        own = np.ones(len(iu), dtype=bool)
+        for j in range(band_j):
+            bv = (fp >> np.uint64(j * width)) & np.uint64(mask)
+            own &= bv[iu] != bv[ju]
+        iu, ju = iu[own], ju[own]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(ids[iu], type=pa.int64()),
+                "doc_b": pa.array(ids[ju], type=pa.int64()),
+                "hamming": pa.array(ham[iu, ju], type=pa.int64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+    return (
+        reps.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(verify, batch_format="pyarrow")
+    )

@@ -329,3 +329,97 @@ class TestSessionizeHotKey:
         assert len(rows) == n // 1000
         assert all(r["n_events"] == 1000 for r in rows)
         assert wall < 30  # loose bound: one numpy sweep, not 200k Python steps
+
+
+class TestSimhashNearDup:
+    """simhash_near_dup: pigeonhole banding is EXACT — output must equal
+    the brute-force Hamming-ball pair set among distinct-fingerprint
+    representatives, with no duplicate pair rows."""
+
+    def _docs(self):
+        import ray
+
+        base = "the quick brown fox jumps over the lazy dog " * 12
+        texts = [base + f"tail{i}" for i in range(40)]
+        # near-dups: light edits of doc 0
+        texts += [base + "tail0 x", base + "tail0 y z"]
+        # exact fingerprint copies (identical text)
+        texts += [base + "tail7"] * 3
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+
+    @staticmethod
+    def _brute(ds, max_hamming):
+        import numpy as np
+
+        from tableextraction_ray.functions.textstats import simhash64
+
+        rows = simhash64(ds).take_all()
+        by_fp = {}
+        for r in rows:
+            v = int(r["simhash"], 16)
+            by_fp[v] = min(by_fp.get(v, r["doc_id"]), r["doc_id"])
+        reps = sorted((d, v) for v, d in by_fp.items())
+        out = set()
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                h = bin(reps[i][1] ^ reps[j][1]).count("1")
+                if h <= max_hamming:
+                    out.add((reps[i][0], reps[j][0], h))
+        return out
+
+    def test_matches_bruteforce_exactly(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        ds = self._docs()
+        got_rows = dedup.simhash_near_dup(ds, max_hamming=3).take_all()
+        got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got_rows]
+        assert len(got) == len(set(got)), "duplicate pair rows (band ownership)"
+        assert set(got) == self._brute(ds, 3)
+
+    def test_wider_ball_seven(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        ds = self._docs()
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.simhash_near_dup(ds, max_hamming=7).take_all()
+        }
+        assert got == self._brute(ds, 7)
+
+    def test_identical_fingerprints_collapse(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions import dedup
+
+        # 200 identical docs: one fingerprint rep, zero pair rows (pairs
+        # among identical fingerprints are the dedup-exact star's output)
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": "same text here"} for i in range(200)]
+        )
+        assert dedup.simhash_near_dup(ds).take_all() == []
+
+
+class TestCanonicalDocs:
+    def test_picks_best_quality_member(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions import curate
+
+        # Two exact-copy clusters with different alpha ratios + a singleton.
+        # alpha ratio: letters/(len) — "aaaa bbbb" beats "a1b2 c3d4".
+        docs = [
+            {"doc_id": 0, "text": "alpha heavy words entirely letters"},
+            {"doc_id": 1, "text": "alpha heavy words entirely letters"},
+            {"doc_id": 5, "text": "numb3r h3avy 12345 67890"},
+        ]
+        out = {
+            r["cluster_rep"]: r
+            for r in curate.canonical_docs(ray.data.from_items(docs)).take_all()
+        }
+        assert set(out) == {0, 5}
+        assert out[0]["n_members"] == 2
+        # equal quality in the copy cluster -> tie broken to lowest doc_id
+        assert out[0]["canon_doc_id"] == 0
+        assert out[5]["canon_doc_id"] == 5 and out[5]["n_members"] == 1
