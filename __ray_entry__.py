@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_dup(
             docs(sf, ["doc_id", "text"])
         ),
+        "decontaminate": lambda sf: dedup.decontaminate(docs(sf, ["doc_id", "text"])),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
@@ -574,6 +575,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    lower(lpad(to_hex(v), 16, '0')) AS simhash
             FROM simint
+        """,
+        # Benchmark decontamination: train docs sharing any distinct
+        # word-3-gram shingle with any test doc. Joins on the SAME 60-bit
+        # md5 shingle hash the Ray side shuffles, so equality holds by
+        # construction, hash collisions included.
+        "decontaminate": r"""
+            WITH sp AS (
+              SELECT doc_id,
+                     CAST(list_sum([
+                         CAST(strpos('0123456789abcdef',
+                              substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1))
+                              - 1 AS BIGINT) << ((8 - i) * 4)
+                         for i in range(1, 9)
+                     ]) % 100 AS BIGINT) AS bucket
+              FROM documents
+            ),
+            side AS (
+              SELECT doc_id, CASE WHEN bucket < 10 THEN 1 ELSE 0 END AS is_test
+              FROM sp WHERE bucket < 10 OR bucket >= 20
+            ),
+            dtoks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            dshl AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM dtoks WHERE len(w) >= 3
+            ),
+            dex AS (
+              SELECT doc_id,
+                     [list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                               AS BIGINT) << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles] AS hs
+              FROM dshl
+            ),
+            exf AS (SELECT doc_id, unnest(hs) AS h FROM dex),
+            tsh AS (
+              SELECT DISTINCT h FROM exf JOIN side USING (doc_id) WHERE is_test = 1
+            )
+            SELECT e.doc_id, COUNT(*) AS n_shared_shingles
+            FROM exf e JOIN side s USING (doc_id) JOIN tsh t ON e.h = t.h
+            WHERE s.is_test = 0
+            GROUP BY e.doc_id
         """,
         # Hamming-ball near-dup pairs among distinct-fingerprint
         # representatives (Manku et al. WWW'07, 64-bit / k=3). The Ray

@@ -744,3 +744,83 @@ def simhash_near_dup(
         .groupby("bkey")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """(doc_id, n_shared_shingles) — TRAIN-split documents that share at
+    least one distinct word-3-gram shingle with ANY TEST-split document,
+    with the count of distinct shared shingles: the benchmark-
+    decontamination scan a training-data pipeline runs before shipping a
+    corpus (n-gram-overlap contamination, as popularized by the GPT-3
+    appendix-C / Dolma decontamination recipes). Splits are
+    textstats.split_assign's content-hash buckets recomputed inline
+    (same salt/percent contract); val docs are neither side.
+
+    Scale shape: docs explode to (shingle_hash, doc_id, is_test) rows —
+    the 60-bit md5-based shingle_base_hash, so the text itself never
+    rides the shuffle — then ONE keyed groupby per shingle emits one row
+    per train doc in any bucket that also contains a test doc (linear in
+    bucket size, never quadratic: membership, not pairs), and a second
+    (int-only) groupby counts distinct shared shingles per train doc.
+    Stopword-heavy shingles shared by millions of docs cost O(bucket),
+    not O(bucket^2). The DuckDB oracle joins on the SAME 60-bit hash
+    expression, so output equality is by construction, collisions
+    included.
+    """
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_t: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            b = int(_md5(f"{salt}:{d}")[:8], 16) % 100
+            if test_pct <= b < test_pct + val_pct:
+                continue  # val: neither side of the contamination check
+            is_test = 1 if b < test_pct else 0
+            for s in shingle_set(t):
+                out_h.append(shingle_base_hash(s))
+                out_d.append(d)
+                out_t.append(is_test)
+        return pa.Table.from_pydict(
+            {
+                "sh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "is_test": pa.array(out_t, type=pa.int8()),
+            }
+        )
+
+    HIT_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+    def hits(group: pa.Table) -> pa.Table:
+        is_t = group["is_test"].to_numpy(zero_copy_only=False)
+        if not is_t.any() or is_t.all():
+            return pa.Table.from_pylist([], schema=HIT_SCHEMA)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[is_t == 0], type=pa.int64())},
+            schema=HIT_SCHEMA,
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(hits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shared_shingles": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

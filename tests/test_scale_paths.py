@@ -423,3 +423,30 @@ class TestCanonicalDocs:
         # equal quality in the copy cluster -> tie broken to lowest doc_id
         assert out[0]["canon_doc_id"] == 0
         assert out[5]["canon_doc_id"] == 5 and out[5]["n_members"] == 1
+
+
+class TestDecontaminate:
+    def test_known_overlap_and_val_exclusion(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.dedup import _md5, decontaminate
+
+        def bucket(d):
+            return int(_md5(f"split:{d}")[:8], 16) % 100
+
+        test_id = next(d for d in range(1000) if bucket(d) < 10)
+        val_id = next(d for d in range(1000) if 10 <= bucket(d) < 20)
+        tr = [d for d in range(1000) if bucket(d) >= 20][:3]
+        shared = "alpha beta gamma delta"  # shingles: a-b-g, b-g-d
+        docs = [
+            {"doc_id": test_id, "text": shared},
+            {"doc_id": val_id, "text": shared},  # val: neither side
+            {"doc_id": tr[0], "text": shared + " epsilon"},  # shares 2
+            {"doc_id": tr[1], "text": "zeta eta theta iota"},  # clean
+            {"doc_id": tr[2], "text": "x y alpha beta gamma"},  # shares 1
+        ]
+        out = {
+            r["doc_id"]: r["n_shared_shingles"]
+            for r in decontaminate(ray.data.from_items(docs)).take_all()
+        }
+        assert out == {tr[0]: 2, tr[2]: 1}
