@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis --
         "fingerprint": lambda sf: textstats.fingerprint(docs(sf, ["doc_id", "text"])),
         "token_stats": lambda sf: textstats.token_stats(docs(sf, ["doc_id", "text"])),
+        "repetition_stats": lambda sf: textstats.repetition_stats(
+            docs(sf, ["doc_id", "text"])
+        ),
         "lang_stats": lambda sf: textstats.lang_stats(
             docs(sf, ["doc_id", "lang", "n_chars"])
         ),
@@ -667,6 +670,50 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS DOUBLE)
                      / len(w) * 1e6 + 0.5) AS BIGINT) END AS mean_tok_len_fp6
             FROM chars c JOIN toks USING (doc_id)
+        """,
+        # Gopher/MassiveText repetition signals; tie-break for the top
+        # 2-gram is (count DESC, gram ASC) in both engines (ASCII binary
+        # collation == Python string order).
+        "repetition_stats": r"""
+            WITH rtoks AS (
+              SELECT doc_id, length(text) AS total,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS g
+              FROM rtoks WHERE len(w) >= 2
+            ),
+            bic AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY doc_id, g),
+            bitop AS (
+              SELECT doc_id, n * length(g) AS chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, g) AS rn
+              FROM bic
+            ),
+            tri AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                             for i in range(len(w) - 2)]) AS g
+              FROM rtoks WHERE len(w) >= 3
+            ),
+            tric AS (SELECT doc_id, g, COUNT(*) AS n FROM tri GROUP BY doc_id, g),
+            tridup AS (
+              SELECT doc_id, SUM(n * length(g)) AS chars
+              FROM tric WHERE n > 1 GROUP BY doc_id
+            )
+            SELECT r.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CASE WHEN total = 0 OR b.chars IS NULL THEN 0
+                        ELSE CAST(FLOOR(CAST(b.chars AS DOUBLE) / total * 1e6
+                                        + 0.5) AS BIGINT) END AS top_bigram_char_fp6,
+                   CASE WHEN total = 0 OR t.chars IS NULL THEN 0
+                        ELSE CAST(FLOOR(CAST(t.chars AS DOUBLE) / total * 1e6
+                                        + 0.5) AS BIGINT) END AS dup_trigram_char_fp6
+            FROM rtoks r
+            LEFT JOIN (SELECT doc_id, chars FROM bitop WHERE rn = 1) b USING (doc_id)
+            LEFT JOIN tridup t USING (doc_id)
         """,
         "token_regex_stats": r"""
             SELECT doc_id,

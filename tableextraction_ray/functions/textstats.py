@@ -493,3 +493,63 @@ def stratified_sample(
         .groupby("source")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def repetition_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, top_bigram_char_fp6, dup_trigram_char_fp6) —
+    the Gopher/MassiveText repetition quality signals (Rae et al. 2021,
+    Table A1) over the ASCII-whitespace token contract:
+
+    - top_bigram_char_fp6: fraction of the document's characters covered
+      by occurrences of its MOST FREQUENT word 2-gram (count ties break
+      to the lexicographically smallest gram), where one occurrence
+      covers len(w1) + 1 + len(w2) characters.
+    - dup_trigram_char_fp6: fraction of characters covered by word
+      3-grams that occur MORE THAN ONCE (sum over duplicated grams of
+      count * gram length; overlaps counted per occurrence, so the value
+      may exceed 1e6 for degenerate texts — the contract is deterministic
+      arithmetic, not a probability).
+
+    Both are 1e6 fixed-point via the shared floor(x*1e6+0.5) formula on
+    integer-exact inputs, so the DuckDB oracle hashes identically. Pure
+    per-row map — no shuffle, no state; the repetition gate a
+    training-data pipeline applies alongside quality_score."""
+    from collections import Counter
+
+    from . import fp
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n_toks, top_bi, dup_tri = [], [], []
+        for t in batch["text"].to_pylist():
+            toks = ascii_tokens(t)
+            total = len(t)
+            n_toks.append(len(toks))
+            if len(toks) < 2 or total == 0:
+                top_bi.append(0)
+            else:
+                c2 = Counter(
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                )
+                # max count, ties to lexicographically smallest gram
+                g, n = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+                top_bi.append(fp(n * len(g) / total, 6))
+            if len(toks) < 3 or total == 0:
+                dup_tri.append(0)
+            else:
+                c3 = Counter(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                covered = sum(
+                    n * len(g) for g, n in c3.items() if n > 1
+                )
+                dup_tri.append(fp(covered / total, 6))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_toks, type=pa.int64()),
+                "top_bigram_char_fp6": pa.array(top_bi, type=pa.int64()),
+                "dup_trigram_char_fp6": pa.array(dup_tri, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

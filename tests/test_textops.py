@@ -134,3 +134,33 @@ class TestStratifiedSample:
             per_src.setdefault(src, []).append(rk)
         assert all(sorted(v) == [1, 2, 3, 4] for v in per_src.values())
         assert set(per_src) == {"s0", "s1", "s2"}
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import repetition_stats
+
+        # "a b a b a b": 11 chars, bigram "a b" x3 (len 3 -> 9 chars),
+        # trigrams "a b a" x2 + "b a b" x2 (len 5 -> 20 chars, overlaps
+        # counted per occurrence so the fraction exceeds 1).
+        out = repetition_stats(
+            ray.data.from_items(
+                [
+                    {"doc_id": 1, "text": "a b a b a b"},
+                    {"doc_id": 2, "text": "all distinct words here"},
+                    {"doc_id": 3, "text": ""},
+                ]
+            )
+        ).take_all()
+        r = {x["doc_id"]: x for x in out}
+        assert r[1]["n_tokens"] == 6
+        assert r[1]["top_bigram_char_fp6"] == 818182  # floor(9/11*1e6+0.5)
+        assert r[1]["dup_trigram_char_fp6"] == 1818182  # floor(20/11*1e6+0.5)
+        assert r[2]["dup_trigram_char_fp6"] == 0
+        assert r[2]["top_bigram_char_fp6"] > 0  # some bigram still covers chars
+        assert r[3] == {
+            "doc_id": 3, "n_tokens": 0,
+            "top_bigram_char_fp6": 0, "dup_trigram_char_fp6": 0,
+        }
