@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: textstats.repetition_stats(
             docs(sf, ["doc_id", "text"])
         ),
+        "char_budget_prefix": lambda sf: textstats.char_budget_prefix(
+            docs(sf, ["doc_id", "n_chars"])
+        ),
         "lang_stats": lambda sf: textstats.lang_stats(
             docs(sf, ["doc_id", "lang", "n_chars"])
         ),
@@ -808,6 +811,15 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Ordered prefix-sum budget cut (inclusive running char total).
+        "char_budget_prefix": """
+            SELECT doc_id, n_chars, cum_chars FROM (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id)
+                          AS BIGINT) AS cum_chars
+              FROM documents
+            ) WHERE cum_chars <= 40000
         """,
         "distinct_sources": """
             SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source

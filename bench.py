@@ -36,7 +36,12 @@ QUERY_SUITE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_clusters",
+    "canonical_docs",
+    "decontaminate",
+    "repetition_stats",
+    "char_budget_prefix",
     "split_assign",
     "normalize_text",
     "token_freq",

@@ -553,3 +553,84 @@ def repetition_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def char_budget_prefix(
+    ds: ray.data.Dataset, budget: int = 40_000
+) -> ray.data.Dataset:
+    """(doc_id, n_chars, cum_chars) — the doc_id-ordered PREFIX of the
+    corpus whose running character total stays within ``budget``
+    (cum_chars is the inclusive running sum; a doc is kept iff its
+    cum_chars <= budget). This is the budget-subsetting op of a training
+    run ("take documents in canonical order until N tokens"), and under
+    the hood a DISTRIBUTED ORDERED PREFIX SUM — the engine primitive:
+
+    1. sort by doc_id (range partition; at 100 TB the corpus is already
+       id-partitioned on storage and the sort is a no-op read order),
+       materialize so block boundaries are stable;
+    2. pass 1 reads ONE (first_doc_id, block_sum) pair per BLOCK
+       (map_batches with batch_size=None = one batch per block) — the
+       driver holds one tiny row per block, never per row;
+    3. the driver prefix-sums the per-block totals into per-block
+       offsets keyed by first_doc_id and broadcasts them via ray.put;
+    4. pass 2 adds offset + within-block cumsum and filters. Rows never
+       leave their block; the only driver state is O(#blocks).
+
+    Oracle: SUM(n_chars) OVER (ORDER BY doc_id) window."""
+    import numpy as np
+
+    import ray as _ray
+
+    sorted_ds = ds.sort("doc_id").materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"first_id": pa.array([], type=pa.int64()),
+                 "block_sum": pa.array([], type=pa.int64())}
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = int(batch["n_chars"].to_numpy(zero_copy_only=False).sum())
+        return pa.Table.from_pydict(
+            {
+                "first_id": pa.array([int(ids.min())], type=pa.int64()),
+                "block_sum": pa.array([s], type=pa.int64()),
+            }
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: r["first_id"],
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for m in metas:
+        offsets[m["first_id"]] = run
+        run += m["block_sum"]
+    off_ref = _ray.put(offsets)
+
+    def add_cumsum(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_chars": pa.array([], type=pa.int64()),
+                 "cum_chars": pa.array([], type=pa.int64())}
+            )
+        off = _ray.get(off_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(nc) + off[int(ids.min())]
+        keep = cum <= budget
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), type=pa.int64()),
+                "n_chars": pa.array(nc[keep], type=pa.int64()),
+                "cum_chars": pa.array(cum[keep], type=pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        add_cumsum, batch_format="pyarrow", batch_size=None
+    )

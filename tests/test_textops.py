@@ -164,3 +164,46 @@ class TestRepetitionStats:
             "doc_id": 3, "n_tokens": 0,
             "top_bigram_char_fp6": 0, "dup_trigram_char_fp6": 0,
         }
+
+
+class TestCharBudgetPrefix:
+    def test_matches_manual_prefix_sum_across_blocks(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import char_budget_prefix
+
+        # shuffled input across several blocks; n_chars varies
+        items = [
+            {"doc_id": d, "n_chars": (d * 37) % 101 + 1} for d in range(100)
+        ]
+        import random
+
+        rng = random.Random(7)
+        rng.shuffle(items)
+        ds = ray.data.from_items(items, override_num_blocks=8)
+        budget = 2000
+        out = sorted(
+            char_budget_prefix(ds, budget=budget).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        run, expect = 0, []
+        for d in range(100):
+            nc = (d * 37) % 101 + 1
+            run += nc
+            if run <= budget:
+                expect.append({"doc_id": d, "n_chars": nc, "cum_chars": run})
+        assert out == expect
+        assert 0 < len(out) < 100  # budget actually cuts mid-corpus
+
+    def test_budget_covers_all(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import char_budget_prefix
+
+        ds = ray.data.from_items(
+            [{"doc_id": d, "n_chars": 10} for d in range(20)],
+            override_num_blocks=4,
+        )
+        out = char_budget_prefix(ds, budget=10_000).take_all()
+        assert len(out) == 20
+        assert max(r["cum_chars"] for r in out) == 200
