@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_budget_prefix": lambda sf: textstats.char_budget_prefix(
             docs(sf, ["doc_id", "n_chars"])
         ),
+        "epoch_shuffle": lambda sf: textstats.epoch_shuffle(docs(sf, ["doc_id"])),
         "lang_stats": lambda sf: textstats.lang_stats(
             docs(sf, ["doc_id", "lang", "n_chars"])
         ),
@@ -811,6 +812,19 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Deterministic epoch-0 permutation: rank by the 60-bit hex parse
+        # of md5('epoch0:' || doc_id), ties by doc_id.
+        "epoch_shuffle": r"""
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY list_sum([
+                       CAST(strpos('0123456789abcdef',
+                            substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), i, 1))
+                            - 1 AS BIGINT) << ((15 - i) * 4)
+                       for i in range(1, 16)
+                     ]), doc_id) AS BIGINT) AS rank
+            FROM documents
         """,
         # Ordered prefix-sum budget cut (inclusive running char total).
         "char_budget_prefix": """

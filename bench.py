@@ -42,6 +42,7 @@ QUERY_SUITE = [
     "decontaminate",
     "repetition_stats",
     "char_budget_prefix",
+    "epoch_shuffle",
     "split_assign",
     "normalize_text",
     "token_freq",

@@ -634,3 +634,90 @@ def char_budget_prefix(
     return sorted_ds.map_batches(
         add_cumsum, batch_format="pyarrow", batch_size=None
     )
+
+
+def epoch_shuffle(ds: ray.data.Dataset, epoch: int = 0) -> ray.data.Dataset:
+    """(doc_id, rank) — the deterministic global training-order
+    permutation for one epoch: documents ordered by the 60-bit integer
+    parse of md5(f"epoch{epoch}:{doc_id}") (ties broken by doc_id),
+    rank = 1-based position in that order. Content-hash epoch shuffling
+    is reproducible across reruns, resumes and repartitioning — the
+    property a 100 TB training job needs from its data order — and each
+    epoch is an independent permutation via the salt.
+
+    Shape: one hash map, ONE range-partitioning sort on the (int, int)
+    key pair, then global ranks via the same block-offset pattern as
+    char_budget_prefix (one (first_key, row_count) row per block to the
+    driver; O(#blocks) driver state; rows never leave their block).
+
+    Oracle: ROW_NUMBER() OVER (ORDER BY same-hash-expression, doc_id)."""
+    import numpy as np
+
+    import ray as _ray
+
+    salt = f"epoch{epoch}:"
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ks = [int(_md5(f"{salt}{d}")[:15], 16) for d in ids]
+        return pa.Table.from_pydict(
+            {
+                "skey": pa.array(ks, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(key_batch, batch_format="pyarrow")
+        .sort(["skey", "doc_id"])
+        .materialize()
+    )
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"first_skey": pa.array([], type=pa.int64()),
+                 "first_id": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "first_skey": pa.array([batch["skey"][0].as_py()], type=pa.int64()),
+                "first_id": pa.array([batch["doc_id"][0].as_py()], type=pa.int64()),
+                "n": pa.array([len(batch)], type=pa.int64()),
+            }
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: (r["first_skey"], r["first_id"]),
+    )
+    offsets: dict[tuple[int, int], int] = {}
+    run = 0
+    for m in metas:
+        offsets[(m["first_skey"], m["first_id"])] = run
+        run += m["n"]
+    off_ref = _ray.put(offsets)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "rank": pa.array([], type=pa.int64())}
+            )
+        off = _ray.get(off_ref)[
+            (batch["skey"][0].as_py(), batch["doc_id"][0].as_py())
+        ]
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "rank": pa.array(
+                    np.arange(off + 1, off + n + 1, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)

@@ -207,3 +207,34 @@ class TestCharBudgetPrefix:
         out = char_budget_prefix(ds, budget=10_000).take_all()
         assert len(out) == 20
         assert max(r["cum_chars"] for r in out) == 200
+
+
+class TestEpochShuffle:
+    def test_rank_is_dense_permutation_matching_hash_order(self, ray_session):
+        import hashlib
+
+        import ray
+
+        from tableextraction_ray.functions.textstats import epoch_shuffle
+
+        ids = list(range(200))
+        ds = ray.data.from_items(
+            [{"doc_id": d} for d in ids], override_num_blocks=7
+        )
+        out = epoch_shuffle(ds, epoch=0).take_all()
+        assert sorted(r["rank"] for r in out) == list(range(1, 201))
+        key = lambda d: (
+            int(hashlib.md5(f"epoch0:{d}".encode()).hexdigest()[:15], 16), d
+        )
+        expect = {d: i + 1 for i, d in enumerate(sorted(ids, key=key))}
+        assert {r["doc_id"]: r["rank"] for r in out} == expect
+
+    def test_epochs_differ(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import epoch_shuffle
+
+        ds = ray.data.from_items([{"doc_id": d} for d in range(50)])
+        e0 = {r["doc_id"]: r["rank"] for r in epoch_shuffle(ds, 0).take_all()}
+        e1 = {r["doc_id"]: r["rank"] for r in epoch_shuffle(ds, 1).take_all()}
+        assert e0 != e1
