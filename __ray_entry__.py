@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "n_chars"])
         ),
         "epoch_shuffle": lambda sf: textstats.epoch_shuffle(docs(sf, ["doc_id"])),
+        "pack_sequences": lambda sf: textstats.pack_sequences(
+            docs(sf, ["doc_id", "n_chars"])
+        ),
         "lang_stats": lambda sf: textstats.lang_stats(
             docs(sf, ["doc_id", "lang", "n_chars"])
         ),
@@ -812,6 +815,34 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Greedy next-fit packing replayed per shard by a recursive CTE
+        # (the same sequential fold the Ray side runs inside map_groups).
+        "pack_sequences": r"""
+            WITH RECURSIVE prows AS (
+              SELECT CAST(doc_id // 64 AS BIGINT) AS shard, doc_id,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id // 64
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            pk AS (
+              SELECT shard, doc_id, n_chars, rn,
+                     CAST(0 AS BIGINT) AS seq_no,
+                     CAST(0 AS BIGINT) AS offset_chars,
+                     n_chars AS fill
+              FROM prows WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.doc_id, r.n_chars, r.rn,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.seq_no ELSE p.seq_no + 1 END,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.fill + r.n_chars ELSE r.n_chars END
+              FROM pk p JOIN prows r ON r.shard = p.shard AND r.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, seq_no, offset_chars FROM pk
         """,
         # Deterministic epoch-0 permutation: rank by the 60-bit hex parse
         # of md5('epoch0:' || doc_id), ties by doc_id.

@@ -43,6 +43,7 @@ QUERY_SUITE = [
     "repetition_stats",
     "char_budget_prefix",
     "epoch_shuffle",
+    "pack_sequences",
     "split_assign",
     "normalize_text",
     "token_freq",

@@ -721,3 +721,72 @@ def epoch_shuffle(ds: ray.data.Dataset, epoch: int = 0) -> ray.data.Dataset:
         )
 
     return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences(
+    ds: ray.data.Dataset, capacity: int = 1000, shard_size: int = 64
+) -> ray.data.Dataset:
+    """(shard, doc_id, seq_no, offset_chars) — greedy NEXT-FIT sequence
+    packing: within each fixed doc_id shard (doc_id // shard_size),
+    documents in doc_id order are appended to the current sequence while
+    the running character total fits ``capacity``; a doc that does not
+    fit starts the next sequence (seq_no increments; an oversize doc
+    occupies a sequence alone — truncation is the tokenizer's concern,
+    not the packer's). offset_chars is the doc's start position inside
+    its sequence.
+
+    Packing is SHARDED on purpose: global greedy packing is a sequential
+    fold (each bin boundary depends on the entire prefix — it cannot be
+    summarized per block the way a prefix SUM can), while per-shard
+    packing is embarrassingly parallel, deterministic under
+    repartitioning, and is what production pre-training pipelines
+    actually do (pack within a stored shard, never across the corpus).
+    One keyed groupby on the shard id; only (int, int) pairs shuffle.
+
+    Oracle: recursive-CTE replay of the same fold per shard."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "shard": pc.divide(ids, pa.scalar(shard_size, type=pa.int64())),
+                "doc_id": ids,
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("seq_no", pa.int64()),
+            ("offset_chars", pa.int64()),
+        ]
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+        out = []
+        seq_no, fill = 0, 0
+        for i, r in enumerate(rows):
+            if i > 0 and fill + r["n_chars"] > capacity:
+                seq_no += 1
+                fill = 0
+            out.append(
+                {
+                    "shard": r["shard"],
+                    "doc_id": r["doc_id"],
+                    "seq_no": seq_no,
+                    "offset_chars": fill,
+                }
+            )
+            fill += r["n_chars"]
+        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )

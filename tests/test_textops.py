@@ -238,3 +238,44 @@ class TestEpochShuffle:
         e0 = {r["doc_id"]: r["rank"] for r in epoch_shuffle(ds, 0).take_all()}
         e1 = {r["doc_id"]: r["rank"] for r in epoch_shuffle(ds, 1).take_all()}
         assert e0 != e1
+
+
+class TestPackSequences:
+    def test_next_fit_semantics(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import pack_sequences
+
+        # one shard (ids 0..5, shard_size 64): capacity 100
+        # 40+40 fit seq0; 30 doesn't (80+30>100) -> seq1; 120 oversize
+        # alone -> seq2; 50+50 -> seq3
+        docs = [
+            {"doc_id": 0, "n_chars": 40},
+            {"doc_id": 1, "n_chars": 40},
+            {"doc_id": 2, "n_chars": 30},
+            {"doc_id": 3, "n_chars": 120},
+            {"doc_id": 4, "n_chars": 50},
+            {"doc_id": 5, "n_chars": 50},
+        ]
+        out = sorted(
+            pack_sequences(
+                ray.data.from_items(docs), capacity=100
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [(r["seq_no"], r["offset_chars"]) for r in out] == [
+            (0, 0), (0, 40), (1, 0), (2, 0), (3, 0), (3, 50),
+        ]
+
+    def test_shards_pack_independently(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import pack_sequences
+
+        # ids 0 and 64 land in different shards -> both start at seq 0
+        docs = [{"doc_id": 0, "n_chars": 10}, {"doc_id": 64, "n_chars": 10}]
+        out = {
+            r["doc_id"]: (r["shard"], r["seq_no"], r["offset_chars"])
+            for r in pack_sequences(ray.data.from_items(docs)).take_all()
+        }
+        assert out == {0: (0, 0, 0), 64: (1, 0, 0)}
