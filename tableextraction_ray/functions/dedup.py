@@ -430,7 +430,13 @@ def dedup_clusters(
         # Near-dup candidates PLUS exact-copy edges: minhash_candidates
         # collapses identical texts to one representative (skew guard), so
         # without these edges an exact copy would sit in its own cluster.
-        edges = minhash_candidates(ds).union(exact_dup_edges(ds))
+        # distinct=False: connected components are idempotent to duplicate
+        # edges (union-find re-union and min-label re-propagation are
+        # no-ops), so the pair-distinct all-to-all inside
+        # minhash_candidates is pure waste here — skip it. The edge-count
+        # guard below then counts band-duplicated pairs, which only makes
+        # the driver-memory guard MORE conservative.
+        edges = minhash_candidates(ds, distinct=False).union(exact_dup_edges(ds))
     edges = edges.materialize()
     # Materialized count is metadata-only — the guard probe reads no rows,
     # and nothing is collected before we know which path we're on.
