@@ -172,6 +172,17 @@ def main() -> None:
         attempts = 1 if "--headline-only" in sys.argv else 3
         walls = []
         n_docs = 0
+        if attempts > 1:
+            # Untimed warm-up on the tiny t1 corpus (32 docs): spawns the
+            # Ray worker pool and loads every module the pipeline imports,
+            # so all three timed runs measure the PLAN, not process
+            # startup (the first cold run used to carry ~35 s of worker
+            # spin-up: walls like [100, 62, 68] on an identical plan).
+            # The bench-tier corpus itself is untouched — each timed run
+            # still reads its input from disk. --headline-only (the
+            # scaling child) stays a true cold single run; both scaling
+            # levels pay the same spin-up, so the ratio is unaffected.
+            run_headline("/root/testdata/sf0.001")
         for _ in range(attempts):
             wall, n_docs = run_headline(SF_DIR)
             walls.append(round(wall, 3))
