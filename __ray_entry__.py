@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: textstats.pack_sequences(
             docs(sf, ["doc_id", "n_chars"])
         ),
+        "source_quality_report": lambda sf: textstats.source_quality_report(
+            docs(sf, ["doc_id", "source", "text"])
+        ),
         "lang_stats": lambda sf: textstats.lang_stats(
             docs(sf, ["doc_id", "lang", "n_chars"])
         ),
@@ -815,6 +818,29 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Per-source rollup of the quality_score alpha feature (exact
+        # integer sums; same alpha_fp6 formula as the quality oracle).
+        "source_quality_report": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g'))
+                       AS n_alpha
+              FROM documents
+            ),
+            a AS (
+              SELECT source, total,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT)
+                     END AS alpha_fp6
+              FROM chars
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(total) AS BIGINT) AS sum_chars,
+                   CAST(SUM(alpha_fp6) AS BIGINT) AS sum_alpha_fp6,
+                   MIN(alpha_fp6) AS min_alpha_fp6,
+                   MAX(alpha_fp6) AS max_alpha_fp6
+            FROM a GROUP BY source
         """,
         # Greedy next-fit packing replayed per shard by a recursive CTE
         # (the same sequential fold the Ray side runs inside map_groups).

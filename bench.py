@@ -44,6 +44,7 @@ QUERY_SUITE = [
     "char_budget_prefix",
     "epoch_shuffle",
     "pack_sequences",
+    "source_quality_report",
     "split_assign",
     "normalize_text",
     "token_freq",

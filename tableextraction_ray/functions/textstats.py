@@ -172,12 +172,16 @@ TOKEN_REGEX = (
 )
 
 
-def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
+def quality_score(
+    ds: ray.data.Dataset, passthrough: tuple[str, ...] = ()
+) -> ray.data.Dataset:
     """(doc_id, n_chars_t, alpha_fp6, digit_fp6, punct_fp6, stop_fp6,
     mean_tok_len_fp6) — document quality features: character-class ratios,
     stopword ratio and mean whitespace-token length, all 1e6 fixed-point
     via the shared floor(x*1e6+0.5) formula (IEEE-double deterministic on
-    integer inputs, so the SQL oracle hashes identically)."""
+    integer inputs, so the SQL oracle hashes identically). ``passthrough``
+    columns from the input ride along unchanged (e.g. source for the
+    per-source rollup)."""
     import re
 
     from . import fp
@@ -210,6 +214,8 @@ def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
             cols["mean_tok_len_fp6"].append(ratio(sum_len, len(toks)))
         out = {"doc_id": batch["doc_id"]}
         out.update({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        for c in passthrough:
+            out[c] = batch[c]
         return pa.Table.from_pydict(out)
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
@@ -790,3 +796,59 @@ def pack_sequences(
         .groupby("shard")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_docs, sum_chars, sum_alpha_fp6, min_alpha_fp6,
+    max_alpha_fp6) — the per-source corpus health rollup a curation team
+    reads before weighting sources. Exact integer sums (consumers derive
+    means as sum/n at display time — no float drift in the contract).
+
+    Pre-aggregation pattern: each batch collapses to AT MOST ONE ROW PER
+    SOURCE inside map_batches (pandas groupby on the quality columns)
+    BEFORE the keyed shuffle, so the all-to-all moves O(#sources x
+    #blocks) rows regardless of corpus size — the combiner discipline
+    every aggregation in this repo follows, here over the quality_score
+    operator's own output."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    q = quality_score(ds, passthrough=("source",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_chars=("n_chars_t", "sum"),
+            sum_alpha_fp6=("alpha_fp6", "sum"),
+            min_alpha_fp6=("alpha_fp6", "min"),
+            max_alpha_fp6=("alpha_fp6", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        q.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs"),
+            Sum("sum_chars"),
+            Sum("sum_alpha_fp6"),
+            Min("min_alpha_fp6"),
+            Max("max_alpha_fp6"),
+        )
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_docs": batch["sum(n_docs)"].cast(pa.int64()),
+                "sum_chars": batch["sum(sum_chars)"].cast(pa.int64()),
+                "sum_alpha_fp6": batch["sum(sum_alpha_fp6)"].cast(pa.int64()),
+                "min_alpha_fp6": batch["min(min_alpha_fp6)"].cast(pa.int64()),
+                "max_alpha_fp6": batch["max(max_alpha_fp6)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

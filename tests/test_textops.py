@@ -279,3 +279,30 @@ class TestPackSequences:
             for r in pack_sequences(ray.data.from_items(docs)).take_all()
         }
         assert out == {0: (0, 0, 0), 64: (1, 0, 0)}
+
+
+class TestSourceQualityReport:
+    def test_exact_sums_and_extremes(self, ray_session):
+        import ray
+
+        from tableextraction_ray.functions.textstats import (
+            quality_score,
+            source_quality_report,
+        )
+
+        docs = [
+            {"doc_id": 0, "source": "web", "text": "abc def"},
+            {"doc_id": 1, "source": "web", "text": "a1 b2 c3"},
+            {"doc_id": 2, "source": "book", "text": "pure words only"},
+        ]
+        ds = ray.data.from_items(docs)
+        alpha = {
+            r["doc_id"]: r["alpha_fp6"] for r in quality_score(ds).take_all()
+        }
+        out = {r["source"]: r for r in source_quality_report(ds).take_all()}
+        assert out["web"]["n_docs"] == 2
+        assert out["web"]["sum_chars"] == 15
+        assert out["web"]["sum_alpha_fp6"] == alpha[0] + alpha[1]
+        assert out["web"]["min_alpha_fp6"] == min(alpha[0], alpha[1])
+        assert out["web"]["max_alpha_fp6"] == max(alpha[0], alpha[1])
+        assert out["book"]["n_docs"] == 1 and out["book"]["sum_alpha_fp6"] == alpha[2]
