@@ -892,6 +892,52 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE cum_chars <= 40000
         """,
+        # Full HyperLogLog replay: same md5 hash, same 12-bit bucket /
+        # 52-bit rank split, register max per (hour, idx), then the
+        # BIT-REPRODUCIBLE estimator — the harmonic sum as the exact
+        # integer S = sum(2^(53-r)) and one fixed IEEE-double expression
+        # (see sketch._hll_estimate). Approximate vs reality, EXACT vs
+        # the algorithm: the sketch is deterministic given the hash.
+        "events_hourly_users_hll": """
+            WITH du AS (
+              SELECT DISTINCT strftime(date_trunc('hour', ts),
+                                       '%Y-%m-%d %H:00:00') AS hour, user_id
+              FROM events
+            ),
+            hhx AS (
+              SELECT hour,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS h
+              FROM du
+            ),
+            rr AS (
+              SELECT hour, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT hour, idx, MAX(r) AS r FROM rr GROUP BY hour, idx),
+            agg AS (
+              SELECT hour,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY hour
+            ),
+            estv AS (
+              SELECT hour, 4096 - n_present AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(s_present AS HUGEINT)
+                              + (4096 - n_present)
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM agg
+            )
+            SELECT hour,
+                   CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                   THEN 4096 * ln(4096.0 / zeros)
+                                   ELSE raw END + 0.5) AS BIGINT) AS n_users_est
+            FROM estv
+        """,
         "distinct_sources": """
             SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
         """,

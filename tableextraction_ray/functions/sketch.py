@@ -13,9 +13,13 @@ The two sides of the 100 TB cardinality story:
   idempotent, so re-execution/retries can't corrupt it), the estimator
   runs per key. Memory per key is 2^p bytes regardless of cardinality;
   this is what replaces the exact groupby when the distinct set itself
-  no longer fits a shuffle. Deterministic md5 hashing; no SQL oracle
-  (approximate) — the error bound vs the exact operator is asserted in
-  tests (standard error ~1.04/sqrt(2^p)).
+  no longer fits a shuffle. Deterministic md5 hashing — and since the
+  sketch is deterministic GIVEN the hash, it now has a full DuckDB
+  oracle: same bucket/rank split, register max in SQL, and a
+  bit-reproducible estimator (exact integer harmonic sum, one fixed
+  IEEE-double expression — see ``_hll_estimate``). Approximate vs
+  reality, exact vs the algorithm; the error bound vs the exact
+  operator stays asserted in tests (standard error ~1.04/sqrt(2^p)).
 """
 
 from __future__ import annotations
@@ -71,15 +75,25 @@ def hourly_users(events: ray.data.Dataset) -> ray.data.Dataset:
 
 def _hll_estimate(registers: np.ndarray) -> int:
     """Standard HLL estimator with the small-range linear-counting
-    correction (Flajolet et al. 2007)."""
+    correction (Flajolet et al. 2007), in a BIT-REPRODUCIBLE form: the
+    harmonic sum 2^-r is computed as the exact integer S = sum(2^(53-r))
+    (rank <= 53 so every term is integral; Python int is arbitrary
+    precision), then ONE fixed sequence of IEEE-double ops —
+    ((alpha*m)*m)*2^53 / double(S) — so the DuckDB oracle evaluating the
+    same expression over the same integer S reproduces the estimate
+    bit-for-bit (summation-order float drift is what this kills). Ties
+    round via floor(est + 0.5), matching SQL FLOOR."""
+    import math
+
     m = float(len(registers))
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.power(2.0, -registers.astype(np.float64)).sum()
+    s_int = sum(1 << (53 - int(r)) for r in registers)
+    est = alpha * m * m * 9007199254740992.0 / float(s_int)
     if est <= 2.5 * m:
         zeros = int((registers == 0).sum())
         if zeros:
-            est = m * np.log(m / zeros)
-    return int(round(est))
+            est = m * math.log(m / zeros)
+    return int(math.floor(est + 0.5))
 
 
 def hourly_users_hll(events: ray.data.Dataset) -> ray.data.Dataset:
