@@ -459,6 +459,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, cos_fp5 FROM pairs WHERE cos_fp5 >= 35000
         """,
+        # Full LSH replay: md5-derived integer hyperplanes (uniform in
+        # [-1e6, 1e6]) dotted against the 1e6-quantized vectors — every
+        # dot is an exact integer, so bucket signatures match the Ray
+        # side bit-for-bit; candidates verify with the same fixed-point
+        # cosine expression as embedding_near_dup. Approximate vs the
+        # exact pair set (recall ~0.97 by construction), EXACT vs the
+        # algorithm.
+        "embedding_near_dup_lsh": _QUANT_CTE
+        + """,
+            pld AS (
+              SELECT i.i AS p_i, d.d AS d,
+                     CAST(('0x' || substring(md5('plane:42:'
+                            || CAST(i.i AS VARCHAR) || ':'
+                            || CAST(d.d AS VARCHAR)), 1, 8))::UBIGINT
+                          % 2000001 AS BIGINT) - 1000000 AS c
+              FROM (SELECT unnest(range(200)) AS i) i,
+                   (SELECT unnest(range(64)) AS d) d
+            ),
+            dots AS (
+              SELECT e.vec_id, p.p_i, SUM(e.q[p.d + 1] * p.c) AS dot
+              FROM qe e CROSS JOIN pld p
+              GROUP BY e.vec_id, p.p_i
+            ),
+            sigs AS (
+              SELECT vec_id, p_i // 5 AS tbl,
+                     SUM(CASE WHEN dot > 0
+                              THEN (1 << (p_i % 5)) ELSE 0 END) AS bucket
+              FROM dots GROUP BY vec_id, p_i // 5
+            ),
+            lcand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sigs a JOIN sigs b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+            ),
+            lpairs AS (
+              SELECT c.vec_a, c.vec_b,
+                     CAST(FLOOR(
+                       list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                       / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM lcand c
+              JOIN qe a ON a.vec_id = c.vec_a
+              JOIN qe b ON b.vec_id = c.vec_b
+            )
+            SELECT vec_a, vec_b, cos_fp5 FROM lpairs WHERE cos_fp5 >= 35000
+        """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         # Hex-parse of the first 8 md5 digits via a position-weighted list
         # comprehension (DuckDB has no hex->int cast); same bucket math as

@@ -335,14 +335,28 @@ def lsh_near_dup(
     tables (e.g. b=8, r=16: recall 0.99, 65k buckets/table) and pre-collapse
     exactly-identical vectors (``dedup.exact_dedup`` on the vector bytes) so
     heavy duplicates can't blow up a bucket quadratically."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_tables * n_planes))
+    # md5-derived INTEGER hyperplanes (uniform in [-1e6, 1e6] per
+    # component), dotted against the 1e6-quantized vectors: every product
+    # term is <= ~6e12 and every 64-term partial sum < 2^53, so the signs
+    # are EXACT integers regardless of summation order — which makes the
+    # whole LSH (buckets included) bit-replayable by the DuckDB oracle.
+    # (Gaussian planes gave the same measured recall — sign-LSH only
+    # needs a symmetric component distribution at this dimensionality —
+    # but their float dots pinned the query to a rows-only check.)
+    import hashlib as _hl
+
+    total = n_tables * n_planes
+    planes = np.empty((dim, total), dtype=np.float64)
+    for i in range(total):
+        for d in range(dim):
+            h = int(_hl.md5(f"plane:{seed}:{i}:{d}".encode()).hexdigest()[:8], 16)
+            planes[d, i] = float(h % 2000001 - 1000000)
     planes_ref = ray.put(planes)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def bucket(batch: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
-        mat = _stack(batch)
+        mat = _quantize(_stack(batch))
         n = mat.shape[0]
         bits = ((mat @ planes) > 0).reshape(n, n_tables, n_planes)
         packed = bits @ weights  # (n, n_tables) bucket ints
