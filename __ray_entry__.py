@@ -1023,6 +1023,94 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({d['split_assign']}) s ON s.doc_id = c.doc_id
         WHERE c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
     """
+    # Full IVF replay (deterministic since the k-means moved to exact
+    # integer arithmetic): init = first-16 vectors, 2 Lloyd passes with
+    # lowest-cid tie-breaks and floor(sum/count + 0.5) centroid updates,
+    # stable nprobe=4 probe selection, nearest-bucket assignment, exact
+    # fixed-point cosine top-10. Approximate vs brute force (recall
+    # asserted in tests), EXACT vs the algorithm.
+    def _cosx(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}.q[i+1] * {b}.q[i+1] for i in range(len({a}.q))])"
+            f" / (sqrt({a}.nsq) * sqrt({b}.nsq)))"
+        )
+
+    def _lloyd(prev: str, n: int) -> str:
+        return f"""
+            a{n} AS (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_cosx('e', 'c')} DESC, c.cid) AS rn
+              FROM qe e CROSS JOIN {prev} c
+            ),
+            m{n} AS (
+              SELECT a.cid, d.d,
+                     CAST(FLOOR(CAST(SUM(e.q[d.d + 1]) AS DOUBLE) / COUNT(*)
+                                + 0.5) AS BIGINT) AS qc
+              FROM (SELECT vec_id, cid FROM a{n} WHERE rn = 1) a
+              JOIN qe e USING (vec_id)
+              CROSS JOIN dims d
+              GROUP BY a.cid, d.d
+            ),
+            g{n} AS (
+              SELECT cid, list(qc ORDER BY d) AS q, SUM(qc * qc) AS nsq
+              FROM m{n} GROUP BY cid
+            ),
+            c{n} AS (
+              SELECT p.cid, COALESCE(g.q, p.q) AS q,
+                     COALESCE(g.nsq, p.nsq) AS nsq
+              FROM {prev} p LEFT JOIN g{n} g USING (cid)
+            )"""
+
+    d["knn_ivf"] = (
+        _QUANT_CTE
+        + """,
+            dims AS (SELECT unnest(range(64)) AS d),
+            c0 AS (SELECT vec_id AS cid, q, nsq FROM qe WHERE vec_id < 16),"""
+        + _lloyd("c0", 1)
+        + ","
+        + _lloyd("c1", 2)
+        + f""",
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT qr.vec_id AS query_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY qr.vec_id
+                                          ORDER BY {_cosx('qr', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM (SELECT vec_id, q, nsq FROM qe WHERE vec_id < 8) qr
+                CROSS JOIN c2 c
+              ) WHERE rn <= 4
+            ),
+            vb AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_cosx('e', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM qe e CROSS JOIN c2 c
+              ) WHERE rn = 1
+            ),
+            icand AS (
+              SELECT p.query_id, v.vec_id
+              FROM probes p JOIN vb v ON v.cid = p.cid
+              WHERE v.vec_id != p.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     CAST(FLOOR({_cosx('a', 'b')} * 1e5 + 0.5) AS BIGINT)
+                       AS cos_fp5
+              FROM icand c
+              JOIN qe a ON a.vec_id = c.query_id
+              JOIN qe b ON b.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cos_fp5 FROM (
+              SELECT query_id, vec_id, cos_fp5,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_fp5 DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """
+    )
     # Canonical selection: window-rank composition of the cluster and
     # quality oracles — keep the best-quality member per fuzzy-dup cluster.
     d["canonical_docs"] = f"""

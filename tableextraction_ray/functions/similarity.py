@@ -154,43 +154,54 @@ def kmeans_centroids(
     small because IVF only needs balanced cells, not converged ones."""
     import ray as _ray
 
-    cent = np.asarray(init, dtype=np.float64)
-    nlist, dim = cent.shape
+    # EXACT-INTEGER Lloyd: vectors and centroids live in the shared 1e6
+    # fixed-point domain, partials carry INTEGER component sums (|q| <=
+    # ~6e6 x corpus rows fits int64 with 9 digits to spare), and the new
+    # centroid is floor(sum/count + 0.5) back in the same domain. Integer
+    # addition is order-independent, so the refinement is DETERMINISTIC
+    # under any partitioning/retry interleaving — and bit-replayable by
+    # the DuckDB oracle (assignment ties: lowest centroid id, matching
+    # np.argmax's first-max). Returns QUANTIZED centroids (float64-held
+    # exact ints, ready for _cos_matrix).
+    cent_q = _quantize(np.asarray(init, dtype=np.float64))
+    nlist, dim = cent_q.shape
     for _ in range(iters):
-        cent_ref = _ray.put(cent)
+        cent_ref = _ray.put(cent_q)
 
         def partial(batch: pa.Table) -> pa.Table:
             c = _ray.get(cent_ref)
-            mat = _stack(batch)
-            assign = np.argmax(_cos_matrix(_quantize(mat), _quantize(c)), axis=1)
+            mat_q = _quantize(_stack(batch))
+            assign = np.argmax(_cos_matrix(mat_q, c), axis=1)
             cids, sums, counts = [], [], []
             for cid in np.unique(assign):
-                sel = mat[assign == cid]
+                sel = mat_q[assign == cid]
                 cids.append(int(cid))
-                sums.append(sel.sum(axis=0).tolist())
+                sums.append(sel.sum(axis=0).astype(np.int64).tolist())
                 counts.append(int(sel.shape[0]))
             return pa.Table.from_pydict(
                 {
                     "cid": pa.array(cids, type=pa.int64()),
-                    "vec_sum": pa.array(sums, type=pa.list_(pa.float64())),
+                    "vec_sum": pa.array(sums, type=pa.list_(pa.int64())),
                     "count": pa.array(counts, type=pa.int64()),
                 }
             )
 
-        sums = np.zeros((nlist, dim))
-        counts = np.zeros(nlist)
+        sums = np.zeros((nlist, dim), dtype=np.int64)
+        counts = np.zeros(nlist, dtype=np.int64)
         for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
             for cid, vs, n in zip(
                 b["cid"].to_pylist(), b["vec_sum"].to_pylist(), b["count"].to_pylist()
             ):
-                sums[cid] += np.asarray(vs)
+                sums[cid] += np.asarray(vs, dtype=np.int64)
                 counts[cid] += n
         nonempty = counts > 0
-        cent = cent.copy()
-        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
-    return cent
+        cent_q = cent_q.copy()
+        cent_q[nonempty] = np.floor(
+            sums[nonempty].astype(np.float64) / counts[nonempty, None] + 0.5
+        )
+    return cent_q
 
 
 def ivf_knn(
@@ -216,14 +227,20 @@ def ivf_knn(
         [r["embedding"] for r in head if r["vec_id"] < nlist], dtype=np.float64
     )
     if kmeans_iters > 0:
-        init = kmeans_centroids(ds, init, iters=kmeans_iters)
-    cent = _quantize(init)
+        cent = kmeans_centroids(ds, init, iters=kmeans_iters)  # already quantized
+    else:
+        cent = _quantize(init)
     q_rows = [r for r in head if r["vec_id"] < n_queries]
     q_ids = [r["vec_id"] for r in q_rows]
     q_mat = _quantize(np.asarray([r["embedding"] for r in q_rows], dtype=np.float64))
-    # Probe set per query: its nprobe nearest centroids.
+    # Probe set per query: its nprobe nearest centroids (stable sort —
+    # ties resolve to the lowest centroid id, matching the oracle's
+    # ORDER BY cos DESC, cid).
     q_cent_cos = _cos_matrix(q_mat, cent)
-    probes = [set(np.argsort(-q_cent_cos[i])[:nprobe].tolist()) for i in range(len(q_ids))]
+    probes = [
+        set(np.argsort(-q_cent_cos[i], kind="stable")[:nprobe].tolist())
+        for i in range(len(q_ids))
+    ]
     state_ref = ray.put((q_ids, q_mat, cent, probes))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
