@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 16),
         ),
+        "semantic_dedup": lambda sf: similarity.semantic_dedup(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 16),
+        ),
         "embedding_near_dup": lambda sf: similarity.near_dup_pairs(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
@@ -1062,7 +1066,9 @@ def oracle_sql() -> dict[str, str]:
               FROM {prev} p LEFT JOIN g{n} g USING (cid)
             )"""
 
-    d["knn_ivf"] = (
+    # Shared prefix for the k-means-based embedding oracles: quantized
+    # vectors + the 2-pass exact-integer Lloyd refinement ending in c2.
+    ivf_cent = (
         _QUANT_CTE
         + """,
             dims AS (SELECT unnest(range(64)) AS d),
@@ -1070,6 +1076,9 @@ def oracle_sql() -> dict[str, str]:
         + _lloyd("c0", 1)
         + ","
         + _lloyd("c1", 2)
+    )
+    d["knn_ivf"] = (
+        ivf_cent
         + f""",
             probes AS (
               SELECT query_id, cid FROM (
@@ -1109,6 +1118,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos_fp5 DESC, vec_id) AS rn
               FROM scored
             ) WHERE rn <= 10
+        """
+    )
+    # SemDeDup replay: same exact-integer k-means assignment (vb), then a
+    # within-cluster dominance self-join — v is dropped iff some
+    # lower-vec_id cluster-mate sits at quantized cosine >= threshold.
+    d["semantic_dedup"] = (
+        ivf_cent
+        + f""",
+            vb AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_cosx('e', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM qe e CROSS JOIN c2 c
+              ) WHERE rn = 1
+            ),
+            sim AS (
+              SELECT v.vec_id,
+                     CAST(FLOOR({_cosx('a', 'b')} * 1e5 + 0.5) AS BIGINT)
+                       AS cos_fp5
+              FROM vb v
+              JOIN vb w ON w.cid = v.cid AND w.vec_id < v.vec_id
+              JOIN qe a ON a.vec_id = v.vec_id
+              JOIN qe b ON b.vec_id = w.vec_id
+            ),
+            dropped AS (
+              SELECT DISTINCT vec_id FROM sim WHERE cos_fp5 >= 35000
+            )
+            SELECT v.vec_id, v.cid, (dr.vec_id IS NULL) AS keep
+            FROM vb v LEFT JOIN dropped dr USING (vec_id)
         """
     )
     # Canonical selection: window-rank composition of the cluster and

@@ -56,6 +56,7 @@ QUERY_SUITE = [
     "stratified_sample",
     "knn_cosine",
     "knn_ivf",
+    "semantic_dedup",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "fingerprint",

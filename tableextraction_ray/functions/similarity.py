@@ -276,6 +276,90 @@ def ivf_knn(
     )
 
 
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    nlist: int = 16,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    kmeans_iters: int = 2,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(vec_id, cid, keep) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the embedding space with
+    k-means, then inside each cluster drop every vector that has a
+    semantic near-duplicate among its lower-id cluster-mates.
+
+    Deterministic keep rule (SQL-replayable, no greedy chain): vector v
+    is dropped iff some u in the SAME cluster has ``u.vec_id < v.vec_id``
+    and ``cos(u, v) >= threshold`` — i.e. the lowest-id member of every
+    near-dup dominance relation survives. This is the published
+    "keep one representative per duplicate neighborhood" semantics with
+    an id-order tie-break instead of the paper's arbitrary one.
+
+    Exactness: clustering is the exact-integer Lloyd refinement
+    (``kmeans_centroids``) over 1e6 fixed-point components; assignment
+    ties go to the lowest centroid id (np.argmax first-max); in-cluster
+    cosines use the shared quantized contract. The whole operator is
+    bit-replayable by a DuckDB oracle.
+
+    Scale shape: centroids are broadcast once (``ray.put``); assignment
+    is one vectorized matmul per batch; the only shuffle is ONE keyed
+    groupby on cid. Within-cluster work is O(m^2) on cluster size m —
+    the published algorithm's cost — so at 10^9+ vectors size ``nlist``
+    so clusters stay ~100k (the paper also operates per-cluster
+    pairwise); skewed clusters are bounded because k-means balances
+    cells by construction."""
+    head = _head_rows(ds, head_ds, nlist)
+    init = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    if kmeans_iters > 0:
+        cent = kmeans_centroids(ds, init, iters=kmeans_iters)
+    else:
+        cent = _quantize(init)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _quantize(_stack(batch))
+        cid = np.argmax(_cos_matrix(mat, c), axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "cid": pa.array(cid),
+            }
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(vec_ids)
+        vec_ids = vec_ids[order]
+        cid = group["cid"][0].as_py()
+        if len(vec_ids) == 1:
+            keep = np.ones(1, dtype=bool)
+        else:
+            mat = _quantize(
+                np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
+            )
+            cos = _fp5(_cos_matrix(mat, mat))
+            # row i is dropped iff any strictly-lower-id column j has
+            # cos >= threshold (strict lower triangle).
+            dominated = np.tril(cos >= threshold_fp5, k=-1).any(axis=1)
+            keep = ~dominated
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids),
+                "cid": pa.array(np.full(len(vec_ids), cid, dtype=np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
 def near_dup_pairs(
     ds: ray.data.Dataset,
     threshold_fp5: int = NEAR_DUP_FP5,

@@ -81,6 +81,51 @@ class TestIvf:
         assert exact == full
 
 
+class TestSemanticDedup:
+    def test_keep_rule_matches_local_recompute(self, ray_session):
+        """Replay the dominance rule locally from the operator's own
+        cluster assignments: v is dropped iff a lower-id cluster-mate has
+        quantized cosine >= threshold."""
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in similarity.semantic_dedup(emb).take_all()}
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.take_all()
+        }
+        assert set(out) == set(vecs)
+        by_cid: dict[int, list[int]] = {}
+        for vid, r in out.items():
+            by_cid.setdefault(r["cid"], []).append(vid)
+        n_dropped = 0
+        for members in by_cid.values():
+            members.sort()
+            mat = similarity._quantize(np.asarray([vecs[v] for v in members]))
+            cos = similarity._fp5(similarity._cos_matrix(mat, mat))
+            for i, vid in enumerate(members):
+                dominated = bool((cos[i, :i] >= similarity.NEAR_DUP_FP5).any())
+                assert out[vid]["keep"] == (not dominated), vid
+                n_dropped += dominated
+        assert n_dropped > 0  # the threshold must actually bite
+        # lowest id of every cluster is always kept
+        for members in by_cid.values():
+            assert out[min(members)]["keep"]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        a = sorted(
+            similarity.semantic_dedup(emb).take_all(), key=lambda r: r["vec_id"]
+        )
+        b = sorted(
+            similarity.semantic_dedup(emb.repartition(13)).take_all(),
+            key=lambda r: r["vec_id"],
+        )
+        assert a == b
+
+
 class TestKmeansQuantizer:
     """kmeans_centroids must beat the first-nlist-vectors quantizer where
     it matters: clustered data whose head vectors all come from one
