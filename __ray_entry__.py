@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
+        "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
+            docs(sf, ["doc_id", "text"])
+        ),
         "events_hourly_users": lambda sf: sketch.hourly_users(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -621,6 +624,46 @@ def oracle_sql() -> dict[str, str]:
                    len([t for t in w if t IN ('the','and','of','a','in')]) AS n_stopwords,
                    CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS BIGINT) AS sum_token_len
             FROM toks
+        """,
+        # Same 60-bit md5 hash expression as the Ray side's
+        # shingle_base_hash, so grouping equality (collisions included) is
+        # by construction; rare = bigram with global occurrence count 1.
+        "rare_bigram_rate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            xb AS (
+              SELECT doc_id,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) AS bh
+              FROM bg
+            ),
+            counts AS (SELECT bh, COUNT(*) AS c FROM xb GROUP BY bh),
+            rare AS (
+              SELECT x.doc_id, COUNT(*) AS n_rare
+              FROM xb x JOIN counts c ON c.bh = x.bh AND c.c = 1
+              GROUP BY x.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, GREATEST(len(w) - 1, 0) AS n_bigrams FROM toks
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare,
+                   CASE WHEN t.n_bigrams > 0
+                        THEN CAST(FLOOR(CAST(COALESCE(r.n_rare, 0) AS DOUBLE)
+                                        * 1e6 / t.n_bigrams + 0.5) AS BIGINT)
+                        ELSE 0 END AS rare_fp6
+            FROM tot t LEFT JOIN rare r USING (doc_id)
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -49,6 +49,7 @@ QUERY_SUITE = [
     "normalize_text",
     "token_freq",
     "redact_text",
+    "rare_bigram_rate",
     "events_hourly_users",
     "events_hourly_users_hll",
     "events_hourly_percentiles",

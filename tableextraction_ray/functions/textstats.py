@@ -798,6 +798,121 @@ def pack_sequences(
     )
 
 
+def rare_bigram_rate(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, n_rare, rare_fp6) — corpus-rarity novelty
+    signal: the fraction of a document's word-bigram occurrences whose
+    bigram appears EXACTLY ONCE in the whole corpus. The exact-integer
+    stand-in for the CCNet/KenLM perplexity gate (Wenzek et al. 2020):
+    documents dominated by corpus-unique n-grams are the high-perplexity
+    outliers a curation pipeline routes to review, and unlike a log-prob
+    LM score the rate is pure integer arithmetic, so it replays
+    bit-for-bit in SQL.
+
+    Scale shape: docs explode to (bh, doc_id, c) rows — the shared 60-bit
+    md5 bigram hash with in-doc multiplicity pre-combined (one md5 per
+    DISTINCT bigram per doc; the text never rides the shuffle). ONE keyed
+    groupby on bh emits a (doc_id, 1) rare mark per global-singleton
+    bigram (sum(c) == 1 implies one occurrence in one doc); the marks ride
+    a tagged union with the per-doc bigram totals into a second int-only
+    doc_id groupby — no join operator, two keyed shuffles total, driver
+    holds nothing. The oracle hashes with the SAME 60-bit expression, so
+    equality is by construction, collisions included."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import shingle_base_hash
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_c: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = ascii_tokens(t)
+            cnt = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            for bg, c in cnt.items():
+                out_h.append(shingle_base_hash(bg))
+                out_d.append(d)
+                out_c.append(c)
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "c": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    MERGE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("n_rare", pa.int64())]
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, nbg = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(d)
+            nbg.append(max(len(ascii_tokens(t)) - 1, 0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bigrams": pa.array(nbg, type=pa.int64()),
+                "n_rare": pa.array([0] * len(ids), type=pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def singleton_marks(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = group["c"].to_numpy(zero_copy_only=False)
+        if c.sum() != 1:
+            return pa.Table.from_pylist([], schema=MERGE_SCHEMA)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    [group["doc_id"][int(np.argmax(c))].as_py()], type=pa.int64()
+                ),
+                "n_bigrams": pa.array([0], type=pa.int64()),
+                "n_rare": pa.array([1], type=pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    marks = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bh")
+        .map_groups(singleton_marks, batch_format="pyarrow")
+    )
+    merged = (
+        ds.map_batches(totals, batch_format="pyarrow")
+        .union(marks)
+        .groupby("doc_id")
+        .aggregate(Sum("n_bigrams"), Sum("n_rare"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nbg = batch["sum(n_bigrams)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = batch["sum(n_rare)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.zeros(len(nbg), dtype=np.int64)
+        nz = nbg > 0
+        rate[nz] = np.floor(
+            nr[nz].astype(np.float64) * 1e6 / nbg[nz] + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bigrams": pa.array(nbg),
+                "n_rare": pa.array(nr),
+                "rare_fp6": pa.array(rate),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(source, n_docs, sum_chars, sum_alpha_fp6, min_alpha_fp6,
     max_alpha_fp6) — the per-source corpus health rollup a curation team

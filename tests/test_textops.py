@@ -306,3 +306,50 @@ class TestSourceQualityReport:
         assert out["web"]["min_alpha_fp6"] == min(alpha[0], alpha[1])
         assert out["web"]["max_alpha_fp6"] == max(alpha[0], alpha[1])
         assert out["book"]["n_docs"] == 1 and out["book"]["sum_alpha_fp6"] == alpha[2]
+
+
+class TestRareBigramRate:
+    def test_hand_computed(self, ray_session):
+        from tableextraction_ray.functions.textstats import rare_bigram_rate
+
+        # bigrams: d0: "a b","b c" ; d1: "a b","b d" ; d2: "x y" ; d3: ""
+        # global counts: "a b":2, "b c":1, "b d":1, "x y":1
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "a b c"},
+                {"doc_id": 1, "text": "a b d"},
+                {"doc_id": 2, "text": "x y"},
+                {"doc_id": 3, "text": "solo"},
+            ]
+        )
+        out = {r["doc_id"]: r for r in rare_bigram_rate(docs).take_all()}
+        assert len(out) == 4
+        assert out[0]["n_bigrams"] == 2 and out[0]["n_rare"] == 1
+        assert out[0]["rare_fp6"] == 500000
+        assert out[1]["n_bigrams"] == 2 and out[1]["n_rare"] == 1
+        assert out[2]["n_bigrams"] == 1 and out[2]["n_rare"] == 1
+        assert out[2]["rare_fp6"] == 1000000
+        assert out[3]["n_bigrams"] == 0 and out[3]["n_rare"] == 0
+        assert out[3]["rare_fp6"] == 0
+
+    def test_in_doc_repeat_is_not_rare(self, ray_session):
+        from tableextraction_ray.functions.textstats import rare_bigram_rate
+
+        # "p q" occurs twice inside ONE doc -> global count 2 -> not rare
+        docs = ray.data.from_items([{"doc_id": 7, "text": "p q p q"}])
+        (r,) = rare_bigram_rate(docs).take_all()
+        # bigrams: "p q","q p","p q" -> n=3; "q p" is the only singleton
+        assert r["n_bigrams"] == 3 and r["n_rare"] == 1
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import rare_bigram_rate
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"w{i % 17} common w{i % 5} tail{i}"} for i in range(120)]
+        )
+        a = sorted(rare_bigram_rate(docs).take_all(), key=lambda r: r["doc_id"])
+        b = sorted(
+            rare_bigram_rate(docs.repartition(11)).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
