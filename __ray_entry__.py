@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         "decontaminate": lambda sf: dedup.decontaminate(docs(sf, ["doc_id", "text"])),
+        "dedup_spans": lambda sf: dedup.dedup_spans(docs(sf, ["doc_id", "text"])),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
@@ -624,6 +625,61 @@ def oracle_sql() -> dict[str, str]:
                    len([t for t in w if t IN ('the','and','of','a','in')]) AS n_stopwords,
                    CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS BIGINT) AS sum_token_len
             FROM toks
+        """,
+        # C4 keep-first span dedup replay: non-overlapping 4-token spans,
+        # survivor = lowest (doc_id, idx) occurrence per 60-bit span hash
+        # (same expression as the Ray side — equality holds collisions
+        # included); clean_text = surviving spans + remainder tokens.
+        "dedup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            ch AS (
+              SELECT t.doc_id, i.i AS idx,
+                     list_aggregate(w[i.i*4+1 : i.i*4+4], 'string_agg', ' ') AS c
+              FROM toks t
+              JOIN (SELECT unnest(range((SELECT MAX(len(w)) FROM toks))) AS i) i
+                ON i.i < CAST(FLOOR(len(t.w) / 4) AS BIGINT)
+            ),
+            xh AS (
+              SELECT doc_id, idx, c,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(c), j, 1)) - 1
+                              AS BIGINT) << ((15 - j) * 4)
+                         for j in range(1, 16)
+                     ]) AS sh
+              FROM ch
+            ),
+            ranked AS (
+              SELECT doc_id, idx, c,
+                     ROW_NUMBER() OVER (PARTITION BY sh
+                                        ORDER BY doc_id, idx) AS rn
+              FROM xh
+            ),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(c, ' ' ORDER BY idx) AS kept_text,
+                     COUNT(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            rem AS (
+              SELECT doc_id,
+                     CAST(FLOOR(len(w) / 4) AS BIGINT) AS n_chunks,
+                     list_aggregate(
+                         w[CAST(FLOOR(len(w) / 4) AS BIGINT) * 4 + 1 : len(w)],
+                         'string_agg', ' ') AS remainder
+              FROM toks
+            )
+            SELECT r.doc_id,
+                   r.n_chunks,
+                   r.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped,
+                   CASE
+                     WHEN k.kept_text IS NOT NULL AND r.remainder IS NOT NULL
+                       THEN k.kept_text || ' ' || r.remainder
+                     ELSE COALESCE(k.kept_text, r.remainder, '')
+                   END AS clean_text
+            FROM rem r LEFT JOIN kept k USING (doc_id)
         """,
         # Same 60-bit md5 hash expression as the Ray side's
         # shingle_base_hash, so grouping equality (collisions included) is

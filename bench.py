@@ -40,6 +40,7 @@ QUERY_SUITE = [
     "dedup_clusters",
     "canonical_docs",
     "decontaminate",
+    "dedup_spans",
     "repetition_stats",
     "char_budget_prefix",
     "epoch_shuffle",

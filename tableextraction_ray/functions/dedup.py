@@ -830,3 +830,131 @@ def decontaminate(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_spans(ds: ray.data.Dataset, chunk_n: int = 4) -> ray.data.Dataset:
+    """(doc_id, n_chunks, n_dropped, clean_text) — C4-style span-level
+    deduplication (Raffel et al. 2020 used three-sentence spans: "we
+    removed all but one of any three-sentence span occurring more than
+    once"): the corpus is cut into NON-OVERLAPPING ``chunk_n``-token
+    spans, and every occurrence of a repeated span is dropped EXCEPT the
+    globally-first one (lowest (doc_id, chunk_idx) — deterministic
+    ownership). ``clean_text`` is the surviving spans in original order
+    plus the trailing ``len % chunk_n`` remainder tokens (never part of a
+    full span, always kept).
+
+    Scale shape: spans explode to int-only (span_hash, doc_id, idx) rows
+    — the shared 60-bit md5 hash, text never rides the wide shuffle. ONE
+    keyed groupby per span hash emits (doc_id, idx) drop-marks for every
+    occurrence but the minimum; marks ride a tagged union with the
+    (doc_id, text) rows into a doc_id groupby that re-chunks the text
+    locally (deterministic re-tokenization) and drops the marked spans.
+    Two keyed shuffles, no join operator, no driver state; the oracle
+    hashes with the same 60-bit expression, so equality is by
+    construction, collisions included."""
+    import numpy as np
+
+    from .textstats import ascii_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_i: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = ascii_tokens(t)
+            for i in range(len(toks) // chunk_n):
+                out_h.append(
+                    shingle_base_hash(" ".join(toks[i * chunk_n : (i + 1) * chunk_n]))
+                )
+                out_d.append(d)
+                out_i.append(i)
+        return pa.Table.from_pydict(
+            {
+                "sh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "idx": pa.array(out_i, type=pa.int64()),
+            }
+        )
+
+    # Tagged-union schema: text rows carry idx = -1; drop-marks carry
+    # text = NULL.
+    MERGE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("idx", pa.int64()), ("text", pa.string())]
+    )
+
+    def drop_marks(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.Table.from_pylist([], schema=MERGE_SCHEMA)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        i = group["idx"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((i, d))[0]  # globally-first occurrence survives
+        mask = np.ones(len(d), dtype=bool)
+        mask[keep] = False
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d[mask], type=pa.int64()),
+                "idx": pa.array(i[mask], type=pa.int64()),
+                "text": pa.array([None] * int(mask.sum()), type=pa.string()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "idx": pa.array([-1] * batch.num_rows, type=pa.int64()),
+                "text": batch["text"],
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("n_dropped", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        doc_id = group["doc_id"][0].as_py()
+        text = None
+        dropped: set[int] = set()
+        for idx, t in zip(group["idx"].to_pylist(), group["text"].to_pylist()):
+            if idx == -1:
+                text = t
+            else:
+                dropped.add(idx)
+        toks = ascii_tokens(text)
+        nfull = len(toks) // chunk_n
+        pieces = [
+            " ".join(toks[i * chunk_n : (i + 1) * chunk_n])
+            for i in range(nfull)
+            if i not in dropped
+        ]
+        rem = toks[nfull * chunk_n :]
+        if rem:
+            pieces.append(" ".join(rem))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc_id], type=pa.int64()),
+                "n_chunks": pa.array([nfull], type=pa.int64()),
+                "n_dropped": pa.array([len(dropped)], type=pa.int64()),
+                "clean_text": pa.array([" ".join(pieces)], type=pa.string()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    marks = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(drop_marks, batch_format="pyarrow")
+    )
+    return (
+        ds.map_batches(tag_docs, batch_format="pyarrow")
+        .union(marks)
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

@@ -450,3 +450,57 @@ class TestDecontaminate:
             for r in decontaminate(ray.data.from_items(docs)).take_all()
         }
         assert out == {tr[0]: 2, tr[2]: 1}
+
+
+class TestDedupSpans:
+    def test_keep_first_semantics(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_spans
+
+        # 4-token spans; "a b c d" appears in docs 0 (idx 0) and 1 (idx 1)
+        # and twice in doc 2 -> only doc 0 idx 0 survives.
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "a b c d tail0"},
+                {"doc_id": 1, "text": "p q r s a b c d x"},
+                {"doc_id": 2, "text": "a b c d a b c d"},
+            ]
+        )
+        out = {r["doc_id"]: r for r in dedup_spans(docs).take_all()}
+        assert out[0]["n_chunks"] == 1 and out[0]["n_dropped"] == 0
+        assert out[0]["clean_text"] == "a b c d tail0"
+        # doc 1: span "p q r s" unique (kept), "a b c d" dropped, rem "x"
+        assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 1
+        assert out[1]["clean_text"] == "p q r s x"
+        # doc 2: both spans dropped, no remainder
+        assert out[2]["n_chunks"] == 2 and out[2]["n_dropped"] == 2
+        assert out[2]["clean_text"] == ""
+
+    def test_short_doc_remainder_only(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_spans
+
+        docs = ray.data.from_items([{"doc_id": 5, "text": "one two three"}])
+        (r,) = dedup_spans(docs).take_all()
+        assert r["n_chunks"] == 0 and r["n_dropped"] == 0
+        assert r["clean_text"] == "one two three"
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_spans
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": i, "text": " ".join(f"w{(i * 7 + j) % 13}" for j in range(9))}
+                for i in range(80)
+            ]
+        )
+        a = sorted(dedup_spans(docs).take_all(), key=lambda r: r["doc_id"])
+        b = sorted(
+            dedup_spans(docs.repartition(9)).take_all(), key=lambda r: r["doc_id"]
+        )
+        assert a == b
+        assert any(r["n_dropped"] > 0 for r in a)
