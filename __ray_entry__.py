@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_regex_stats": lambda sf: textstats.token_regex_stats(
             docs(sf, ["doc_id", "text"])
         ),
+        "quality_percentile": lambda sf: textstats.quality_percentile(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
@@ -830,6 +833,36 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS DOUBLE)
                      / len(w) * 1e6 + 0.5) AS BIGINT) END AS mean_tok_len_fp6
             FROM chars c JOIN toks USING (doc_id)
+        """,
+        # Per-source percentile rank of the alpha quality ratio; rank =
+        # ROW_NUMBER ordered by (alpha_fp6, doc_id) inside the source —
+        # same deterministic tie-break as the Ray block-offset ranks.
+        "quality_percentile": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END
+                       AS alpha_fp6
+              FROM chars
+            ),
+            ranked AS (
+              SELECT doc_id, source, alpha_fp6,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY alpha_fp6, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM q
+            )
+            SELECT doc_id, source, alpha_fp6,
+                   CASE WHEN cnt > 1
+                        THEN CAST(FLOOR(CAST(rn - 1 AS DOUBLE) * 1e6 / (cnt - 1)
+                                        + 0.5) AS BIGINT)
+                        ELSE 0 END AS pct_fp6
+            FROM ranked
         """,
         # Gopher/MassiveText repetition signals; tie-break for the top
         # 2-gram is (count DESC, gram ASC) in both engines (ASCII binary

@@ -51,6 +51,7 @@ QUERY_SUITE = [
     "token_freq",
     "redact_text",
     "rare_bigram_rate",
+    "quality_percentile",
     "events_hourly_users",
     "events_hourly_users_hll",
     "events_hourly_percentiles",

@@ -798,6 +798,135 @@ def pack_sequences(
     )
 
 
+def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, source, alpha_fp6, pct_fp6) — each document's quality
+    PERCENTILE within its source: pct = floor((rank-1) * 1e6 /
+    (n_source-1) + 0.5) with rank = row_number ordered by (alpha_fp6,
+    doc_id) inside the source (deterministic tie-break), 0 for a
+    single-doc source. The source-balanced filtering primitive: "keep
+    each source's top X%" compares pct_fp6 against one constant instead
+    of per-source thresholds computed driver-side.
+
+    Distributed rank WITHOUT a per-source group materialization (a single
+    web-scale source would exceed any worker): ONE global sort by
+    (source, alpha_fp6, doc_id), then the char_budget_prefix block-offset
+    machinery keyed by source — pass 1 reads one tiny (first-row key,
+    per-source counts) row per block, the driver prefix-sums counts into
+    per-(block, source) rank offsets (driver state O(#blocks + #sources)),
+    pass 2 adds offset + within-block position. Rows never leave their
+    block after the sort."""
+    import numpy as np
+
+    import ray as _ray
+
+    q = quality_score(ds, passthrough=("source",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "alpha_fp6": batch["alpha_fp6"].cast(pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        q.map_batches(project, batch_format="pyarrow")
+        .sort(["source", "alpha_fp6", "doc_id"])
+        .materialize()
+    )
+
+    META_SCHEMA = pa.schema(
+        [
+            ("first_source", pa.string()),
+            ("first_alpha", pa.int64()),
+            ("first_doc", pa.int64()),
+            ("source", pa.string()),
+            ("count", pa.int64()),
+        ]
+    )
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pylist([], schema=META_SCHEMA)
+        src = batch["source"].to_pylist()
+        fs, fa, fd = src[0], batch["alpha_fp6"][0].as_py(), batch["doc_id"][0].as_py()
+        rows = []
+        # sources are contiguous inside a sorted block
+        run_src, run_n = src[0], 0
+        for s in src:
+            if s != run_src:
+                rows.append((run_src, run_n))
+                run_src, run_n = s, 0
+            run_n += 1
+        rows.append((run_src, run_n))
+        return pa.Table.from_pydict(
+            {
+                "first_source": pa.array([fs] * len(rows)),
+                "first_alpha": pa.array([fa] * len(rows), type=pa.int64()),
+                "first_doc": pa.array([fd] * len(rows), type=pa.int64()),
+                "source": pa.array([r[0] for r in rows]),
+                "count": pa.array([r[1] for r in rows], type=pa.int64()),
+            },
+            schema=META_SCHEMA,
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: (r["first_source"], r["first_alpha"], r["first_doc"]),
+    )
+    offsets: dict[tuple, dict[str, int]] = {}
+    running: dict[str, int] = {}
+    for m in metas:
+        key = (m["first_source"], m["first_alpha"], m["first_doc"])
+        offsets.setdefault(key, {}).setdefault(m["source"], running.get(m["source"], 0))
+        running[m["source"]] = running.get(m["source"], 0) + m["count"]
+    state_ref = _ray.put((offsets, dict(running)))
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("alpha_fp6", pa.int64()),
+            ("pct_fp6", pa.int64()),
+        ]
+    )
+
+    def add_pct(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        offsets, totals = _ray.get(state_ref)
+        src = batch["source"].to_pylist()
+        key = (src[0], batch["alpha_fp6"][0].as_py(), batch["doc_id"][0].as_py())
+        block_off = offsets[key]
+        pct = np.empty(len(src), dtype=np.int64)
+        pos_in_src = 0
+        prev = src[0]
+        for i, s in enumerate(src):
+            if s != prev:
+                pos_in_src = 0
+                prev = s
+            rank = block_off.get(s, 0) + pos_in_src  # 0-based
+            n = totals[s]
+            pct[i] = (
+                int(np.floor(rank * 1e6 / (n - 1) + 0.5)) if n > 1 else 0
+            )
+            pos_in_src += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "alpha_fp6": batch["alpha_fp6"].cast(pa.int64()),
+                "pct_fp6": pa.array(pct),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return sorted_ds.map_batches(add_pct, batch_format="pyarrow", batch_size=None)
+
+
 def rare_bigram_rate(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_bigrams, n_rare, rare_fp6) — corpus-rarity novelty
     signal: the fraction of a document's word-bigram occurrences whose

@@ -353,3 +353,50 @@ class TestRareBigramRate:
             key=lambda r: r["doc_id"],
         )
         assert a == b
+
+
+class TestQualityPercentile:
+    def test_hand_computed_with_single_doc_source(self, ray_session):
+        from tableextraction_ray.functions.textstats import quality_percentile
+
+        # alpha ratios: d0 "aaaa"=1.0, d1 "aa11"=0.5, d2 "1111"=0.0 (src A)
+        # d3 solo source B -> pct 0
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "aaaa", "source": "A"},
+                {"doc_id": 1, "text": "aa11", "source": "A"},
+                {"doc_id": 2, "text": "1111", "source": "A"},
+                {"doc_id": 3, "text": "zz", "source": "B"},
+            ]
+        )
+        out = {r["doc_id"]: r for r in quality_percentile(docs).take_all()}
+        assert out[2]["pct_fp6"] == 0
+        assert out[1]["pct_fp6"] == 500000
+        assert out[0]["pct_fp6"] == 1000000
+        assert out[3]["pct_fp6"] == 0
+
+    def test_tie_break_and_block_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import quality_percentile
+
+        # many identical alpha values -> ranks decided by doc_id
+        docs = [
+            {"doc_id": i, "text": "abc" if i % 3 else "ab1", "source": f"s{i % 4}"}
+            for i in range(120)
+        ]
+        a = sorted(
+            quality_percentile(ray.data.from_items(docs)).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            quality_percentile(ray.data.from_items(docs).repartition(17)).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+        # within a source, equal alpha -> pct strictly increasing by doc_id
+        by_src: dict[str, list] = {}
+        for r in a:
+            by_src.setdefault(r["source"], []).append(r)
+        for rows in by_src.values():
+            rows.sort(key=lambda r: (r["alpha_fp6"], r["doc_id"]))
+            pcts = [r["pct_fp6"] for r in rows]
+            assert pcts == sorted(pcts) and len(set(pcts)) == len(pcts)
