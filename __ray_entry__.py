@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
         ),
+        "props_key_stats": lambda sf: relational.props_key_stats(
+            _read(sf, "events", ["event_type", "props"])
+        ),
         "events_hourly_users": lambda sf: sketch.hourly_users(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -194,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: similarity.ivf_knn(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 16),
+        ),
+        "label_centroid_stats": lambda sf: similarity.label_centroid_stats(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"])
         ),
         "semantic_dedup": lambda sf: similarity.semantic_dedup(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -969,6 +975,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        # Same RE2-class extraction expression as the Ray side's Arrow
+        # extract_regex kernel — parity by construction on the flat
+        # integer-field telemetry shape.
+        "props_key_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+              FROM events
+              WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) != ''
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_with_key,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k
+            FROM x GROUP BY event_type
+        """,
         "events_hourly": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
@@ -1252,6 +1275,44 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """
     )
+    # Label-centroid replay: exact-integer per-label component sums,
+    # floor(sum/count + 0.5) centroid, quantized cosine of each member to
+    # its own centroid, integer sum + floored mean.
+    d["label_centroid_stats"] = """
+        WITH qe AS (
+          SELECT label,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(64)) AS d),
+        csum AS (
+          SELECT label, d.d,
+                 CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS qc
+          FROM qe CROSS JOIN dims d GROUP BY label, d.d
+        ),
+        cent AS (
+          SELECT label, list(qc ORDER BY d) AS cq, SUM(qc * qc) AS cnsq
+          FROM csum GROUP BY label
+        ),
+        scored AS (
+          SELECT e.label,
+                 CAST(FLOOR(
+                   (list_sum([e.q[i+1] * c.cq[i+1] for i in range(len(e.q))])
+                    / (sqrt(list_sum([e.q[i+1] * e.q[i+1]
+                                      for i in range(len(e.q))]))
+                       * sqrt(c.cnsq)))
+                   * 1e5 + 0.5) AS BIGINT) AS cos_fp5
+          FROM qe e JOIN cent c USING (label)
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(cos_fp5) AS BIGINT) AS sum_cos_fp5,
+               CAST(FLOOR(CAST(SUM(cos_fp5) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS mean_cos_fp5
+        FROM scored GROUP BY label
+    """
     # SemDeDup replay: same exact-integer k-means assignment (vb), then a
     # within-cluster dominance self-join — v is dropped iff some
     # lower-vec_id cluster-mate sits at quantized cosine >= threshold.

@@ -60,6 +60,8 @@ QUERY_SUITE = [
     "knn_cosine",
     "knn_ivf",
     "semantic_dedup",
+    "label_centroid_stats",
+    "props_key_stats",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "fingerprint",

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -526,3 +526,63 @@ def purchase_asof_join(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("user_id")
         .map_groups(sweep, batch_format="pyarrow")
     )
+
+
+def props_key_stats(events: ray.data.Dataset, key: str = "k") -> ray.data.Dataset:
+    """(event_type, n_with_key, sum_k, min_k, max_k) — semi-structured
+    metadata extraction: pull the integer ``key`` field out of the JSON
+    ``props`` payload and roll it up per event type. The extraction is a
+    VECTORIZED Arrow regexp kernel (`pc.extract_regex` with
+    ``"key": (int)``) — zero Python per row; the oracle uses the same
+    RE2-class expression, so parity is by construction. (A general JSON
+    payload needs a real parser stage — this operator's contract is the
+    flat integer-field case, which covers the overwhelmingly common
+    telemetry shape.) Events whose props lack the key are counted out.
+
+    Combiner discipline: each batch collapses to one row per event_type
+    via an Arrow group_by BEFORE the keyed shuffle."""
+    import pyarrow.compute as _pc
+
+    pattern = r'"' + key + r'":\s*(?P<v>-?\d+)'  # extract_regex needs a named group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _pc.extract_regex(batch["props"], pattern)
+        vals = _pc.cast(_pc.struct_field(m, "v"), pa.int64())
+        t = pa.Table.from_pydict(
+            {"event_type": batch["event_type"], "k": vals}
+        ).filter(_pc.is_valid(vals))
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "n_with_key": pa.array([], type=pa.int64()),
+                    "sum_k": pa.array([], type=pa.int64()),
+                    "min_k": pa.array([], type=pa.int64()),
+                    "max_k": pa.array([], type=pa.int64()),
+                }
+            )
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(
+            ["event_type", "n_with_key", "sum_k", "min_k", "max_k"]
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_with_key"), Sum("sum_k"), Min("min_k"), Max("max_k"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "n_with_key": batch["sum(n_with_key)"].cast(pa.int64()),
+                "sum_k": batch["sum(sum_k)"].cast(pa.int64()),
+                "min_k": batch["min(min_k)"].cast(pa.int64()),
+                "max_k": batch["max(max_k)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

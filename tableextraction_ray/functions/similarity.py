@@ -360,6 +360,105 @@ def semantic_dedup(
     )
 
 
+def label_centroid_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(label, n_vecs, sum_cos_fp5, mean_cos_fp5) — class-prototype
+    diagnostics over a labeled embedding table: the integer centroid of
+    each label (exact fixed-point component sums, floor(sum/count + 0.5)
+    back into the 1e6 domain — the kmeans_centroids update rule) and the
+    cohesion of the class around it (sum and mean of each member's
+    quantized cosine to its own centroid). The label-quality probe a
+    curation pipeline runs on classifier/teacher labels: a low
+    mean-cosine label is incoherent (mislabeled or multi-modal) and gets
+    routed to review.
+
+    Scale shape: pass 1 is the kmeans partial-sum sweep keyed by label
+    (driver combines O(#labels x dim) integers — #labels is small by
+    construction of a label space); centroids broadcast once via
+    ray.put; pass 2 scores members against their own centroid in one
+    vectorized matmul per batch with per-batch partial sums, then ONE
+    tiny keyed groupby. Exact integer arithmetic end-to-end, so the
+    whole operator replays bit-for-bit in SQL."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        mat_q = _quantize(_stack(batch))
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        ls, sums, counts = [], [], []
+        for lb in np.unique(labels):
+            sel = mat_q[labels == lb]
+            ls.append(int(lb))
+            sums.append(sel.sum(axis=0).astype(np.int64).tolist())
+            counts.append(int(sel.shape[0]))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "vec_sum": pa.array(sums, type=pa.list_(pa.int64())),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for b in ds.map_batches(part_sums, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lb, vs, n in zip(
+            b["label"].to_pylist(), b["vec_sum"].to_pylist(), b["count"].to_pylist()
+        ):
+            if lb in sums:
+                sums[lb] += np.asarray(vs, dtype=np.int64)
+                counts[lb] += n
+            else:
+                sums[lb] = np.asarray(vs, dtype=np.int64)
+                counts[lb] = n
+    cent = {
+        lb: np.floor(sums[lb].astype(np.float64) / counts[lb] + 0.5)
+        for lb in sums
+    }
+    cent_ref = _ray.put(cent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cent_ref)
+        mat_q = _quantize(_stack(batch))
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        ls, ns, cs = [], [], []
+        for lb in np.unique(labels):
+            sel = mat_q[labels == lb]
+            cos = _fp5(_cos_matrix(sel, c[int(lb)][None, :])[:, 0])
+            ls.append(int(lb))
+            ns.append(int(sel.shape[0]))
+            cs.append(int(cos.sum()))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "n_vecs": pa.array(ns, type=pa.int64()),
+                "sum_cos_fp5": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_vecs"), Sum("sum_cos_fp5"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n_vecs)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum(sum_cos_fp5)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = np.floor(s.astype(np.float64) / n + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "n_vecs": pa.array(n),
+                "sum_cos_fp5": pa.array(s),
+                "mean_cos_fp5": pa.array(mean),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def near_dup_pairs(
     ds: ray.data.Dataset,
     threshold_fp5: int = NEAR_DUP_FP5,

@@ -177,3 +177,45 @@ class TestThumbDimsContract:
         }
         assert predicted == actual
         assert len(actual) > 0
+
+
+class TestLabelCentroidStats:
+    def test_perfect_cohesion_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions import similarity as S
+
+        # two labels, each a point mass -> every member IS the centroid,
+        # cosine exactly 1.0 (fp5 = 100000)
+        items = [
+            {"vec_id": i, "embedding": ([1.0, 0.0] * 8 if i % 2 else [0.0, 1.0] * 8),
+             "label": i % 2}
+            for i in range(40)
+        ]
+        ds = ray.data.from_items(items)
+        out = {r["label"]: r for r in S.label_centroid_stats(ds).take_all()}
+        assert out[0]["n_vecs"] == 20 and out[1]["n_vecs"] == 20
+        assert out[0]["mean_cos_fp5"] == 100000
+        assert out[1]["sum_cos_fp5"] == 20 * 100000
+        a = sorted(S.label_centroid_stats(ds).take_all(), key=lambda r: r["label"])
+        b = sorted(
+            S.label_centroid_stats(ds.repartition(7)).take_all(),
+            key=lambda r: r["label"],
+        )
+        assert a == b
+
+    def test_incoherent_label_scores_lower(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from tableextraction_ray.functions import similarity as S
+
+        rng = np.random.default_rng(3)
+        items = []
+        base = rng.standard_normal(16)
+        for i in range(30):  # coherent label 0
+            items.append({"vec_id": i, "embedding": (base + rng.standard_normal(16) * 0.05).tolist(), "label": 0})
+        for i in range(30, 60):  # incoherent label 1
+            items.append({"vec_id": i, "embedding": rng.standard_normal(16).tolist(), "label": 1})
+        out = {r["label"]: r for r in S.label_centroid_stats(ray.data.from_items(items)).take_all()}
+        assert out[0]["mean_cos_fp5"] > out[1]["mean_cos_fp5"]

@@ -206,3 +206,23 @@ class TestPlotDigitize:
         assert len(out["points"]) == 3
         # y decreases as x increases -> negative slope
         assert out["coeffs"][-2] < 0
+
+
+class TestPropsKeyStats:
+    def test_missing_key_and_negative_values(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.relational import props_key_stats
+
+        events = ray.data.from_items(
+            [
+                {"event_type": "a", "props": '{"k": 5}'},
+                {"event_type": "a", "props": '{"k": -3}'},
+                {"event_type": "a", "props": '{"other": 9}'},
+                {"event_type": "b", "props": '{"k":7}'},
+            ]
+        )
+        out = {r["event_type"]: r for r in props_key_stats(events).take_all()}
+        assert out["a"]["n_with_key"] == 2
+        assert out["a"]["sum_k"] == 2 and out["a"]["min_k"] == -3 and out["a"]["max_k"] == 5
+        assert out["b"]["n_with_key"] == 1 and out["b"]["sum_k"] == 7
