@@ -961,6 +961,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((height + s - 1) // s AS INT) AS thumb_h
             FROM scaled
         """,
+        # Full replay of the deterministic audio fake: the fake hashes
+        # md5 of the UPPERCASE HEX of the payload precisely so this oracle
+        # exists (DuckDB md5() is VARCHAR-only and its BLOB cast escapes
+        # non-UTF8 bytes; hex(content) is exact). Digest bytes 0-3/4/5-8
+        # become duration/channels/rms via the same mod arithmetic.
+        "audio_features": f"""
+            WITH d AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     md5(hex(content)) AS dg
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            )
+            SELECT media_ref,
+                   1000 + ('0x' || substring(dg, 1, 8))::BIGINT % 60000
+                     AS duration_ms,
+                   CAST(1 + ('0x' || substring(dg, 9, 2))::BIGINT % 2 AS INT)
+                     AS n_channels,
+                   ('0x' || substring(dg, 11, 8))::BIGINT % 1000000 AS rms_fp6
+            FROM d
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

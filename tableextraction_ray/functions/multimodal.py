@@ -108,7 +108,11 @@ class AudioFeatures:
     """media -> (media_ref, duration_ms, n_channels, rms_fp6): audio
     feature extraction. ``backend='soundfile'`` is the real path (absent in
     sandbox); ``backend='fake'`` derives deterministic pseudo-features from
-    the payload hash — same schema, same batching, same actor lifecycle."""
+    the payload hash — same schema, same batching, same actor lifecycle.
+    The fake hashes md5 of the UPPERCASE HEX of the payload (not the raw
+    bytes): DuckDB's md5() only accepts VARCHAR and its BLOB->VARCHAR cast
+    escapes non-UTF8 bytes, while hex(content) is exact — so the hex
+    domain makes the whole fake bit-replayable by the SQL oracle."""
 
     def __init__(self, backend: str = "fake"):
         if backend != "fake":  # pragma: no cover - real audio libs absent
@@ -121,7 +125,7 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, ch, rms = [], [], []
         for payload in batch["payload"].to_pylist():
-            h = hashlib.md5(payload).digest()
+            h = hashlib.md5(payload.hex().upper().encode()).digest()
             dur.append(1000 + int.from_bytes(h[:4], "big") % 60000)
             ch.append(1 + h[4] % 2)
             rms.append(int.from_bytes(h[5:9], "big") % 1000000)

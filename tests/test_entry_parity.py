@@ -65,7 +65,7 @@ def test_query_matches_oracle(name, con, ray_session):
     # corpus-path-dependent oracles), so their queries must run at that sf.
     sf_dir = (
         "/root/testdata/sf0.01"
-        if name in ("media_dims", "media_thumb_dims")
+        if name in ("media_dims", "media_thumb_dims", "audio_features")
         else SF_DIR
     )
     ray_df = _canon(_to_pandas(QUERIES[name](sf_dir)))
