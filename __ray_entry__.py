@@ -183,6 +183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
         "canonical_docs": lambda sf: curate.canonical_docs(docs(sf, ["doc_id", "text"])),
+        "curate_semantic": lambda sf: curate.curate_semantic(
+            docs(sf, ["doc_id", "text"]),
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 16),
+        ),
         "stratified_sample": lambda sf: textstats.stratified_sample(
             docs(sf, ["doc_id", "source"])
         ),
@@ -1363,6 +1368,16 @@ def oracle_sql() -> dict[str, str]:
             FROM vb v LEFT JOIN dropped dr USING (vec_id)
         """
     )
+    # Cross-modal curation: conjunction of the semantic-dedup, text-
+    # cluster and quality component oracles joined on the shared id space
+    # (vec_id == doc_id by the corpus contract).
+    d["curate_semantic"] = f"""
+        SELECT s.vec_id AS doc_id, s.cid, q.alpha_fp6
+        FROM ({d['semantic_dedup']}) s
+        JOIN ({d['dedup_clusters']}) c ON c.doc_id = s.vec_id
+        JOIN ({d['quality_score']}) q ON q.doc_id = s.vec_id
+        WHERE s.keep AND c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
     # Canonical selection: window-rank composition of the cluster and
     # quality oracles — keep the best-quality member per fuzzy-dup cluster.
     d["canonical_docs"] = f"""

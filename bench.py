@@ -39,6 +39,7 @@ QUERY_SUITE = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "canonical_docs",
+    "curate_semantic",
     "decontaminate",
     "dedup_spans",
     "repetition_stats",

@@ -208,3 +208,115 @@ def canonical_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("rep")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def curate_semantic(
+    docs_ds: ray.data.Dataset,
+    emb_ds: ray.data.Dataset,
+    alpha_min_fp6: int = ALPHA_MIN_FP6,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, cid, alpha_fp6) — CROSS-MODAL curation: keep a document
+    iff (a) its TEXT is its own fuzzy-dedup-cluster representative,
+    (b) its EMBEDDING survives semantic dedup (no lower-id semantic
+    near-duplicate in its k-means cell), and (c) it clears the quality
+    gate. The two-table composition a modern pipeline ships — lexical
+    dedup alone misses paraphrases, semantic dedup alone misses
+    boilerplate — joined on the shared id space (vec_id == doc_id by the
+    corpus contract).
+
+    Join shape: the three component outputs are tagged with -1 sentinels
+    for the fields they don't carry, unioned, and merged in ONE keyed
+    hash aggregate (groupby(doc_id).max over the sentinel columns —
+    every real value is >= 0, so max picks the present value) followed
+    by a vectorized Arrow filter. Fully vectorized: no per-group Python,
+    no driver id-sets; each component keeps its own internal scale
+    shape. The oracle is COMPOSED from the components' own oracle SQL,
+    so the contract is exactly the conjunction of the parts."""
+    from .dedup import dedup_clusters
+    from .similarity import semantic_dedup
+    from .textstats import quality_score
+
+    MERGE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cid", pa.int64()),
+            ("keep", pa.int64()),
+            ("rep", pa.int64()),
+            ("alpha", pa.int64()),
+        ]
+    )
+
+    def _neg(n: int) -> pa.Array:
+        return pa.array([-1] * n, type=pa.int64())
+
+    def tag_sem(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["vec_id"].cast(pa.int64()),
+                "cid": batch["cid"].cast(pa.int64()),
+                "keep": pc.cast(batch["keep"], pa.int64()),
+                "rep": _neg(n),
+                "alpha": _neg(n),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def tag_clus(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cid": _neg(n),
+                "keep": _neg(n),
+                "rep": batch["cluster_rep"].cast(pa.int64()),
+                "alpha": _neg(n),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def tag_q(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cid": _neg(n),
+                "keep": _neg(n),
+                "rep": _neg(n),
+                "alpha": batch["alpha_fp6"].cast(pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    merged = (
+        semantic_dedup(emb_ds, head_ds=head_ds)
+        .map_batches(tag_sem, batch_format="pyarrow")
+        .union(
+            dedup_clusters(docs_ds).map_batches(tag_clus, batch_format="pyarrow")
+        )
+        .union(quality_score(docs_ds).map_batches(tag_q, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .max(["cid", "keep", "rep", "alpha"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch["max(keep)"]
+        rep = batch["max(rep)"]
+        alpha = batch["max(alpha)"]
+        # keep==1 implies the semantic row was present (so cid is real);
+        # rep==doc_id implies the cluster row; alpha>=min implies quality.
+        mask = pc.and_(
+            pc.and_(pc.equal(keep, 1), pc.equal(rep, batch["doc_id"])),
+            pc.greater_equal(alpha, alpha_min_fp6),
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["max(cid)"], alpha],
+            names=["doc_id", "cid", "alpha_fp6"],
+        ).filter(mask)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

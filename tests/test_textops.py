@@ -400,3 +400,28 @@ class TestQualityPercentile:
             rows.sort(key=lambda r: (r["alpha_fp6"], r["doc_id"]))
             pcts = [r["pct_fp6"] for r in rows]
             assert pcts == sorted(pcts) and len(set(pcts)) == len(pcts)
+
+
+class TestCurateSemantic:
+    def test_conjunction_of_components(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.curate import curate_semantic
+        from tableextraction_ray.functions.dedup import dedup_clusters
+        from tableextraction_ray.functions.similarity import semantic_dedup
+        from tableextraction_ray.functions.textstats import quality_score
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        out = {r["doc_id"]: r for r in curate_semantic(docs, emb).take_all()}
+        keeps = {r["vec_id"]: r for r in semantic_dedup(emb).take_all()}
+        reps = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(docs).take_all()}
+        alphas = {r["doc_id"]: r["alpha_fp6"] for r in quality_score(docs).take_all()}
+        expected = {
+            d for d in reps
+            if keeps[d]["keep"] and reps[d] == d and alphas[d] >= 500000
+        }
+        assert set(out) == expected and len(expected) > 0
+        for d, r in out.items():
+            assert r["cid"] == keeps[d]["cid"] and r["alpha_fp6"] == alphas[d]
