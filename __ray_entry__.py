@@ -249,6 +249,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": lambda sf: textstats.quality_percentile(
             docs(sf, ["doc_id", "text", "source"])
         ),
+        "source_cap": lambda sf: textstats.source_cap(
+            docs(sf, ["doc_id", "text", "source"]), cap=8
+        ),
+        # n_docs from the parquet footer (zero data bytes) — same pattern
+        # as orders_by_segment's dim_count guard probe.
+        "tfidf_top_terms": lambda sf: textstats.tfidf_top_terms(
+            docs(sf, ["doc_id", "text"]),
+            n_docs=_parquet_count(sf, "documents"),
+        ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
@@ -874,6 +883,69 @@ def oracle_sql() -> dict[str, str]:
                                         + 0.5) AS BIGINT)
                         ELSE 0 END AS pct_fp6
             FROM ranked
+        """,
+        # RefinedWeb-style per-source cap: top 8 docs per source by
+        # quality, top_rank deterministic via (alpha DESC, doc_id DESC)
+        # — the exact reverse of the ascending rank the Ray side sorts by.
+        "source_cap": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END
+                       AS alpha_fp6
+              FROM chars
+            )
+            SELECT doc_id, source, alpha_fp6, top_rank FROM (
+              SELECT doc_id, source, alpha_fp6,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY alpha_fp6 DESC, doc_id DESC)
+                       AS top_rank
+              FROM q
+            ) WHERE top_rank <= 8
+        """,
+        # Classic tf-idf distinctive terms: lowercase [A-Za-z]+ tokens,
+        # score = tf * floor(1e6*ln(N/df)+0.5) — Python math.log and
+        # DuckDB ln are both platform libm (verified bit-equal over 5e3
+        # samples), and N/df is one exact-integer IEEE division, so the
+        # int64 score hashes identically. Vocab = df>=2 capped to the top
+        # 65536 terms by (df DESC, term ASC), mirroring the Ray side's
+        # bounded-broadcast vocabulary.
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            vocab AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1
+              HAVING COUNT(DISTINCT doc_id) >= 2
+              ORDER BY df DESC, term LIMIT 65536
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * CAST(FLOOR(ln(CAST(n.n AS DOUBLE)
+                                           / CAST(v.df AS DOUBLE)) * 1e6
+                                        + 0.5) AS BIGINT) AS score_fp6
+              FROM tf JOIN vocab v USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score_fp6 DESC, term)
+                          AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, score_fp6, rnk
+            FROM ranked WHERE rnk <= 3
         """,
         # Gopher/MassiveText repetition signals; tie-break for the top
         # 2-gram is (count DESC, gram ASC) in both engines (ASCII binary

@@ -40,6 +40,8 @@ QUERY_SUITE = [
     "dedup_clusters",
     "canonical_docs",
     "curate_semantic",
+    "source_cap",
+    "tfidf_top_terms",
     "decontaminate",
     "dedup_spans",
     "repetition_stats",

@@ -798,25 +798,23 @@ def pack_sequences(
     )
 
 
-def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, source, alpha_fp6, pct_fp6) — each document's quality
-    PERCENTILE within its source: pct = floor((rank-1) * 1e6 /
-    (n_source-1) + 0.5) with rank = row_number ordered by (alpha_fp6,
-    doc_id) inside the source (deterministic tie-break), 0 for a
-    single-doc source. The source-balanced filtering primitive: "keep
-    each source's top X%" compares pct_fp6 against one constant instead
-    of per-source thresholds computed driver-side.
+def _ranked_by_source(ds: ray.data.Dataset):
+    """Distributed dense 0-based row_number within ``source`` ordered by
+    (alpha_fp6, doc_id) — the shared core of quality_percentile and
+    source_cap. Returns ``(sorted_ds, state_ref)`` where ``sorted_ds`` is
+    the materialized globally-sorted projection (doc_id, source,
+    alpha_fp6) and ``state_ref`` is a ``ray.put`` of
+    ``(block_offsets, per_source_totals)`` keyed by each block's first
+    row.
 
-    Distributed rank WITHOUT a per-source group materialization (a single
-    web-scale source would exceed any worker): ONE global sort by
-    (source, alpha_fp6, doc_id), then the char_budget_prefix block-offset
+    Rank WITHOUT a per-source group materialization (a single web-scale
+    source would exceed any worker): ONE global sort by (source,
+    alpha_fp6, doc_id), then the char_budget_prefix block-offset
     machinery keyed by source — pass 1 reads one tiny (first-row key,
     per-source counts) row per block, the driver prefix-sums counts into
     per-(block, source) rank offsets (driver state O(#blocks + #sources)),
     pass 2 adds offset + within-block position. Rows never leave their
     block after the sort."""
-    import numpy as np
-
     import ray as _ray
 
     q = quality_score(ds, passthrough=("source",))
@@ -883,7 +881,47 @@ def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
         key = (m["first_source"], m["first_alpha"], m["first_doc"])
         offsets.setdefault(key, {}).setdefault(m["source"], running.get(m["source"], 0))
         running[m["source"]] = running.get(m["source"], 0) + m["count"]
-    state_ref = _ray.put((offsets, dict(running)))
+    return sorted_ds, _ray.put((offsets, dict(running)))
+
+
+def _block_ranks(batch: pa.Table, state) -> "tuple":
+    """Per-row (0-based rank within source, source total) for one block of
+    the _ranked_by_source sorted stream — numpy arrays, no copies of the
+    batch."""
+    import numpy as np
+
+    offsets, totals = state
+    src = batch["source"].to_pylist()
+    key = (src[0], batch["alpha_fp6"][0].as_py(), batch["doc_id"][0].as_py())
+    block_off = offsets[key]
+    rank = np.empty(len(src), dtype=np.int64)
+    n = np.empty(len(src), dtype=np.int64)
+    pos_in_src = 0
+    prev = src[0]
+    for i, s in enumerate(src):
+        if s != prev:
+            pos_in_src = 0
+            prev = s
+        rank[i] = block_off.get(s, 0) + pos_in_src  # 0-based
+        n[i] = totals[s]
+        pos_in_src += 1
+    return rank, n
+
+
+def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, source, alpha_fp6, pct_fp6) — each document's quality
+    PERCENTILE within its source: pct = floor((rank-1) * 1e6 /
+    (n_source-1) + 0.5) with rank = row_number ordered by (alpha_fp6,
+    doc_id) inside the source (deterministic tie-break), 0 for a
+    single-doc source. The source-balanced filtering primitive: "keep
+    each source's top X%" compares pct_fp6 against one constant instead
+    of per-source thresholds computed driver-side. Rank machinery:
+    see _ranked_by_source."""
+    import numpy as np
+
+    import ray as _ray
+
+    sorted_ds, state_ref = _ranked_by_source(ds)
 
     OUT_SCHEMA = pa.schema(
         [
@@ -897,23 +935,10 @@ def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
     def add_pct(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.Table.from_pylist([], schema=OUT_SCHEMA)
-        offsets, totals = _ray.get(state_ref)
-        src = batch["source"].to_pylist()
-        key = (src[0], batch["alpha_fp6"][0].as_py(), batch["doc_id"][0].as_py())
-        block_off = offsets[key]
-        pct = np.empty(len(src), dtype=np.int64)
-        pos_in_src = 0
-        prev = src[0]
-        for i, s in enumerate(src):
-            if s != prev:
-                pos_in_src = 0
-                prev = s
-            rank = block_off.get(s, 0) + pos_in_src  # 0-based
-            n = totals[s]
-            pct[i] = (
-                int(np.floor(rank * 1e6 / (n - 1) + 0.5)) if n > 1 else 0
-            )
-            pos_in_src += 1
+        rank, n = _block_ranks(batch, _ray.get(state_ref))
+        pct = np.where(
+            n > 1, np.floor(rank * 1e6 / np.maximum(n - 1, 1) + 0.5), 0
+        ).astype(np.int64)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
@@ -925,6 +950,53 @@ def quality_percentile(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return sorted_ds.map_batches(add_pct, batch_format="pyarrow", batch_size=None)
+
+
+def source_cap(ds: ray.data.Dataset, cap: int = 8) -> ray.data.Dataset:
+    """(doc_id, source, alpha_fp6, top_rank) — each source's TOP ``cap``
+    documents by quality (alpha ratio), top_rank = 1 for the best.
+    The RefinedWeb-style per-domain cap: no single domain may contribute
+    more than ``cap`` documents to the curated corpus, and the ones it
+    does contribute are its best. Ordering is (alpha_fp6 DESC, doc_id
+    DESC) — the exact reverse of the ascending (alpha_fp6, doc_id) rank,
+    so top_rank = n_source - rank0 and the tie-break is deterministic.
+
+    Same ONE-sort + block-offset rank machinery as quality_percentile
+    (_ranked_by_source): no per-source group materialization, driver
+    state O(#blocks + #sources), the cap filter is a vectorized in-block
+    mask."""
+    import numpy as np
+
+    import ray as _ray
+
+    sorted_ds, state_ref = _ranked_by_source(ds)
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("alpha_fp6", pa.int64()),
+            ("top_rank", pa.int64()),
+        ]
+    )
+
+    def keep_top(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        rank, n = _block_ranks(batch, _ray.get(state_ref))
+        top_rank = n - rank  # 1-based from the best (sort was ascending)
+        mask = top_rank <= cap
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "alpha_fp6": batch["alpha_fp6"].cast(pa.int64()),
+                "top_rank": pa.array(top_rank),
+            },
+            schema=OUT_SCHEMA,
+        ).filter(pa.array(mask))
+
+    return sorted_ds.map_batches(keep_top, batch_format="pyarrow", batch_size=None)
 
 
 def rare_bigram_rate(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -1096,3 +1168,108 @@ def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    min_df: int = 2,
+    vocab_max: int = 65536,
+    n_docs: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, score_fp6, rnk) — each document's ``k`` most
+    DISTINCTIVE terms by classic tf-idf: score = tf * floor(1e6 *
+    ln(N/df) + 0.5) over lowercase alphabetic word tokens, ranked by
+    (score DESC, term ASC). The keyword-extraction / topic-signal
+    primitive of a text-curation pipeline.
+
+    Exact-integer contract: tf and df are exact counts; N/df is one IEEE
+    double division of two exact integers and ln() is the platform libm
+    in BOTH engines (Python math.log and DuckDB ln — verified bit-equal),
+    so score_fp6 is the same int64 on both sides.
+
+    Scale shape: two passes. Pass A builds the document-frequency table
+    with an IN-BATCH combiner (each block emits one (term, n_docs) row
+    per distinct term) -> one keyed groupby(term) -> min_df prune +
+    (df DESC, term ASC) truncation to ``vocab_max`` — the standard
+    bounded-vocabulary cap that makes the broadcast O(V), not O(corpus).
+    The idf table is computed driver-side over the <=V vocab rows and
+    ray.put ONCE. Pass B is purely per-document: tf + lookup + top-k
+    inside map_batches — no shuffle touches the text."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray as _ray
+
+    word_re = re.compile(r"[A-Za-z]+")
+
+    if n_docs is None:
+        n_docs = ds.count()  # metadata-only on a bare parquet read
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            df.update({w.lower() for w in word_re.findall(t)})
+        terms = sorted(df)
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "nd": pa.array([df[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("nd")
+    )
+    vocab_rows = (
+        df_ds.map_batches(
+            lambda b: b.rename_columns(["term", "df"]),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"df >= {int(min_df)}")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(vocab_max)
+        .take_all()
+    )
+    idf = {
+        r["term"]: math.floor(math.log(n_docs / r["df"]) * 1e6 + 0.5)
+        for r in vocab_rows
+    }
+    idf_ref = _ray.put(idf)
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("score_fp6", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        idf = _ray.get(idf_ref)
+        out = {c: [] for c in ("doc_id", "term", "tf", "score_fp6", "rnk")}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            tf = Counter(w.lower() for w in word_re.findall(text))
+            scored = [
+                (t, n, n * idf[t]) for t, n in tf.items() if t in idf
+            ]
+            scored.sort(key=lambda r: (-r[2], r[0]))
+            for rnk, (t, n, s) in enumerate(scored[:k], 1):
+                out["doc_id"].append(doc_id)
+                out["term"].append(t)
+                out["tf"].append(n)
+                out["score_fp6"].append(s)
+                out["rnk"].append(rnk)
+        return pa.Table.from_pydict(
+            {c: pa.array(out[c], type=OUT_SCHEMA.field(c).type) for c in out},
+            schema=OUT_SCHEMA,
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")

@@ -425,3 +425,105 @@ class TestCurateSemantic:
         assert set(out) == expected and len(expected) > 0
         for d, r in out.items():
             assert r["cid"] == keeps[d]["cid"] and r["alpha_fp6"] == alphas[d]
+
+class TestSourceCap:
+    def test_keeps_top_by_quality(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_cap
+
+        # source "a": 5 docs with distinct alpha ratios; cap=2 keeps best 2
+        docs = [
+            {"doc_id": 0, "text": "11111", "source": "a"},   # alpha 0
+            {"doc_id": 1, "text": "a1111", "source": "a"},   # alpha .2
+            {"doc_id": 2, "text": "aa111", "source": "a"},   # alpha .4
+            {"doc_id": 3, "text": "aaa11", "source": "a"},   # alpha .6
+            {"doc_id": 4, "text": "aaaa1", "source": "a"},   # alpha .8
+            {"doc_id": 5, "text": "zzzzz", "source": "b"},   # alpha 1
+        ]
+        out = sorted(
+            source_cap(ray.data.from_items(docs), cap=2).take_all(),
+            key=lambda r: (r["source"], r["top_rank"]),
+        )
+        assert [(r["doc_id"], r["source"], r["top_rank"]) for r in out] == [
+            (4, "a", 1),
+            (3, "a", 2),
+            (5, "b", 1),
+        ]
+
+    def test_tie_break_and_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_cap
+
+        # all-equal alpha -> top_rank decided by doc_id DESC
+        docs = [
+            {"doc_id": i, "text": "abc", "source": f"s{i % 3}"} for i in range(30)
+        ]
+        a = sorted(
+            source_cap(ray.data.from_items(docs), cap=3).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            source_cap(
+                ray.data.from_items(docs).repartition(11), cap=3
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+        # equal alpha: the 3 highest doc_ids per source survive
+        expected = {29, 28, 27, 26, 25, 24, 23, 22, 21}
+        assert {r["doc_id"] for r in a} == expected
+        for r in a:
+            assert 1 <= r["top_rank"] <= 3
+
+class TestTfidfTopTerms:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        from tableextraction_ray.functions.textstats import tfidf_top_terms
+
+        # 4 docs; "rare" appears in 1 doc (pruned by min_df=2),
+        # "cat" in 2, "the" in all 4 (idf 0).
+        docs = [
+            {"doc_id": 0, "text": "the cat cat sat"},
+            {"doc_id": 1, "text": "the cat ran"},
+            {"doc_id": 2, "text": "the dog ran rare"},
+            {"doc_id": 3, "text": "the dog"},
+        ]
+        out = sorted(
+            tfidf_top_terms(ray.data.from_items(docs), k=2).take_all(),
+            key=lambda r: (r["doc_id"], r["rnk"]),
+        )
+        idf = lambda df: math.floor(math.log(4 / df) * 1e6 + 0.5)
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 0: cat tf=2 (df 2), sat pruned (df 1), the score 0
+        assert [(r["term"], r["tf"], r["score_fp6"]) for r in by_doc[0]] == [
+            ("cat", 2, 2 * idf(2)),
+            ("the", 1, 0),
+        ]
+        # doc 2: dog and ran tie on score (both df=2, tf=1) -> term ASC
+        assert [(r["term"], r["rnk"]) for r in by_doc[2]] == [
+            ("dog", 1),
+            ("ran", 2),
+        ]
+        # "rare" (df=1) never appears anywhere
+        assert all(r["term"] != "rare" for r in out)
+
+    def test_partition_invariance_and_case(self, ray_session):
+        from tableextraction_ray.functions.textstats import tfidf_top_terms
+
+        docs = [
+            {"doc_id": i, "text": f"Alpha BETA gamma{i % 5} alpha beta"}
+            for i in range(40)
+        ]
+        a = sorted(
+            tfidf_top_terms(ray.data.from_items(docs)).take_all(),
+            key=lambda r: (r["doc_id"], r["rnk"]),
+        )
+        b = sorted(
+            tfidf_top_terms(ray.data.from_items(docs).repartition(13)).take_all(),
+            key=lambda r: (r["doc_id"], r["rnk"]),
+        )
+        assert a == b and len(a) > 0
+        # Alpha/alpha fold to one term with tf=2
+        r0 = [r for r in a if r["doc_id"] == 0 and r["term"] == "alpha"]
+        assert r0 and r0[0]["tf"] == 2
