@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"]),
             n_docs=_parquet_count(sf, "documents"),
         ),
+        "chunk_documents": lambda sf: textstats.chunk_documents(
+            docs(sf, ["doc_id", "text"])
+        ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
@@ -946,6 +949,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_fp6, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        # Sliding-window chunker: windows of 64 whitespace tokens every 48.
+        # The filter start=0 OR start-48+64 < n is monotone in start, so it
+        # equals the Ray side's break-on-first-covered rule; chunk_id =
+        # start/stride is gap-free below the cut. List slice w[a:b] is
+        # 1-based inclusive in DuckDB.
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(range(0, greatest(len(w), 1), 48)) AS start
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(start / 48 AS BIGINT) AS chunk_id,
+                   CAST(start AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
+                   array_to_string(w[start + 1 : LEAST(start + 64, n)], ' ')
+                     AS chunk_text
+            FROM starts
+            WHERE n > 0 AND (start = 0 OR start - 48 + 64 < n)
         """,
         # Gopher/MassiveText repetition signals; tie-break for the top
         # 2-gram is (count DESC, gram ASC) in both engines (ASCII binary

@@ -42,6 +42,7 @@ QUERY_SUITE = [
     "curate_semantic",
     "source_cap",
     "tfidf_top_terms",
+    "chunk_documents",
     "decontaminate",
     "dedup_spans",
     "repetition_stats",

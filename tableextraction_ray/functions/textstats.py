@@ -1273,3 +1273,54 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset, chunk_tokens: int = 64, stride: int = 48
+) -> ray.data.Dataset:
+    """(doc_id, chunk_id, start_tok, n_tok, chunk_text) — fixed-size
+    sliding-window chunking: windows of ``chunk_tokens`` whitespace
+    tokens starting every ``stride`` tokens (overlap = chunk_tokens -
+    stride), the context-window preparation step before tokenize/pack.
+    Deterministic stop rule: emit start=0, then further starts only
+    while the PREVIOUS window did not already reach the end
+    (start - stride + chunk_tokens < n) — so the tail partial window is
+    kept but no window fully contained in its predecessor is emitted.
+    Empty docs emit no chunks. Purely per-document 1->N fan-out inside
+    map_batches: no shuffle, text rides once, output blocks are
+    re-chunked by Ray's streaming executor."""
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {c: [] for c in ("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(text)
+            n = len(toks)
+            if n == 0:
+                continue
+            for cid, start in enumerate(range(0, n, stride)):
+                if start > 0 and start - stride + chunk_tokens >= n:
+                    break
+                win = toks[start : start + chunk_tokens]
+                out["doc_id"].append(doc_id)
+                out["chunk_id"].append(cid)
+                out["start_tok"].append(start)
+                out["n_tok"].append(len(win))
+                out["chunk_text"].append(" ".join(win))
+        return pa.Table.from_pydict(
+            {c: pa.array(out[c], type=OUT_SCHEMA.field(c).type) for c in out},
+            schema=OUT_SCHEMA,
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

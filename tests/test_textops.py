@@ -527,3 +527,53 @@ class TestTfidfTopTerms:
         # Alpha/alpha fold to one term with tf=2
         r0 = [r for r in a if r["doc_id"] == 0 and r["term"] == "alpha"]
         assert r0 and r0[0]["tf"] == 2
+
+class TestChunkDocuments:
+    def test_windows_and_stop_rule(self, ray_session):
+        from tableextraction_ray.functions.textstats import chunk_documents
+
+        toks = " ".join(str(i) for i in range(10))  # 10 tokens
+        docs = [
+            {"doc_id": 0, "text": toks},
+            {"doc_id": 1, "text": "only three tokens"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": " ".join(str(i) for i in range(4))},  # n == C
+        ]
+        out = sorted(
+            chunk_documents(
+                ray.data.from_items(docs), chunk_tokens=4, stride=3
+            ).take_all(),
+            key=lambda r: (r["doc_id"], r["chunk_id"]),
+        )
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 0: starts 0,3,6 cover to 10; start 9 is skipped (6+4 >= 10)
+        assert [(r["start_tok"], r["n_tok"], r["chunk_text"]) for r in by_doc[0]] == [
+            (0, 4, "0 1 2 3"),
+            (3, 4, "3 4 5 6"),
+            (6, 4, "6 7 8 9"),
+        ]
+        # doc 1: single short window
+        assert [(r["start_tok"], r["n_tok"]) for r in by_doc[1]] == [(0, 3)]
+        # empty doc -> no chunks
+        assert 2 not in by_doc
+        # n == chunk size -> exactly one window (start 3 covered by start 0)
+        assert [(r["start_tok"], r["n_tok"]) for r in by_doc[3]] == [(0, 4)]
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import chunk_documents
+
+        docs = [
+            {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(i % 7 * 30))}
+            for i in range(25)
+        ]
+        a = sorted(
+            chunk_documents(ray.data.from_items(docs)).take_all(),
+            key=lambda r: (r["doc_id"], r["chunk_id"]),
+        )
+        b = sorted(
+            chunk_documents(ray.data.from_items(docs).repartition(9)).take_all(),
+            key=lambda r: (r["doc_id"], r["chunk_id"]),
+        )
+        assert a == b and len(a) > 0
