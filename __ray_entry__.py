@@ -32,6 +32,10 @@ _SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 #: uses — one source of truth, no hardcoded literal.
 _ORACLE_CORPUS_DIR = f"/tmp/graft_corpus/{_SF_TO_TIER['sf0.01']}"
 
+#: Fixed BM25 query set (terms from the synthetic documents vocabulary);
+#: the oracle's VALUES list below mirrors these exactly — keep in sync.
+BM25_QUERIES = ["hash join merge", "window stream batch", "filter sort key"]
+
 
 def _corpus_for(sf_dir: str) -> str:
     from tableextraction_ray.datagen import generate_corpus
@@ -86,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         plots,
         relational,
+        retrieval,
         similarity,
         textstats,
     )
@@ -260,6 +265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "chunk_documents": lambda sf: textstats.chunk_documents(
             docs(sf, ["doc_id", "text"])
+        ),
+        "bm25_topk": lambda sf: retrieval.bm25_topk(
+            docs(sf, ["doc_id", "text"]),
+            queries=BM25_QUERIES,
+            n_docs=_parquet_count(sf, "documents"),
         ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
@@ -949,6 +959,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_fp6, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        # BM25 top-5 per query — full exact-integer rational replay
+        # (functions/retrieval.py module docstring): Lucene positive idf
+        # via the shared libm-ln fp6 contract, contributions cleared to
+        # integers by multiplying through with 1e6*T, HUGEINT division
+        # (// truncation == Python floor on positives). VALUES mirrors
+        # BM25_QUERIES; k1=1.2 b=0.75 -> constants 2200*1000, 1200*250,
+        # 1200*750.
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            q(query_id, term) AS (VALUES
+              (0,'hash'),(0,'join'),(0,'merge'),
+              (1,'window'),(1,'stream'),(1,'batch'),
+              (2,'filter'),(2,'sort'),(2,'key')),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n, COUNT(*) AS t
+              FROM toks
+            ),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     (CAST(CAST(FLOOR(ln(CAST(2*tot.n + 2 AS DOUBLE)
+                                         / CAST(2*df.df + 1 AS DOUBLE)) * 1e6
+                                      + 0.5) AS BIGINT) AS HUGEINT)
+                        * tf.tf * 2200 * 1000 * tot.t)
+                     // (CAST(tf.tf AS HUGEINT) * 1000000 * tot.t
+                         + CAST(1200 * 250 AS HUGEINT) * tot.t
+                         + CAST(1200 * 750 AS HUGEINT) * dl.dl * tot.n) AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
+              FROM contrib GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp6 DESC, doc_id)
+                          AS rnk
+              FROM scores
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_fp6,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
         """,
         # Sliding-window chunker: windows of 64 whitespace tokens every 48.
         # The filter start=0 OR start-48+64 < n is monotone in start, so it

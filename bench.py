@@ -43,6 +43,7 @@ QUERY_SUITE = [
     "source_cap",
     "tfidf_top_terms",
     "chunk_documents",
+    "bm25_topk",
     "decontaminate",
     "dedup_spans",
     "repetition_stats",
