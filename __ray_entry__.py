@@ -208,6 +208,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 16),
         ),
+        "knn_pq": lambda sf: similarity.pq_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 16),
+        ),
+        "knn_pq_rerank": lambda sf: similarity.pq_topk_rerank(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 16),
+        ),
         "label_centroid_stats": lambda sf: similarity.label_centroid_stats(
             _read(sf, "embeddings", ["vec_id", "embedding", "label"])
         ),
@@ -1461,6 +1469,137 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY cos_fp5 DESC, vec_id) AS rn
               FROM scored
+            ) WHERE rn <= 10
+        """
+    )
+    # Full PQ/ADC replay (deterministic — exact-integer L2 Lloyd per
+    # subspace): subvectors = 8-dim slices of the quantized embedding,
+    # codebook init = first-16 vectors' slices, 2 Lloyd passes with
+    # lowest-cid tie-breaks under the L2 key |c|^2 - 2<x,c> (|x|^2 is
+    # constant per row), floor(sum/count + 0.5) codeword updates, then the
+    # ADC score SUM_m <q_m, codeword[m][code_m(x)]> — every intermediate an
+    # exact integer < 2^53, so DOUBLE arithmetic replays numpy bit-for-bit.
+    def _l2x(a: str, b: str, sd: int = 8) -> str:
+        return (
+            f"({b}.nsq - 2 * list_sum([{a}.qs[i+1] * {b}.qs[i+1] "
+            f"for i in range({sd})]))"
+        )
+
+    def _pq_lloyd(prev: str, n: int, sd: int = 8) -> str:
+        return f"""
+            pa{n} AS (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                        ORDER BY {_l2x('s', 'c', sd)}, c.cid) AS rn
+              FROM sub s JOIN {prev} c USING (m)
+            ),
+            pm{n} AS (
+              SELECT a.m, a.cid, d.d,
+                     CAST(FLOOR(CAST(SUM(s.qs[d.d + 1]) AS DOUBLE) / COUNT(*)
+                                + 0.5) AS BIGINT) AS qc
+              FROM (SELECT vec_id, m, cid FROM pa{n} WHERE rn = 1) a
+              JOIN sub s USING (vec_id, m)
+              CROSS JOIN sdims d
+              GROUP BY a.m, a.cid, d.d
+            ),
+            pg{n} AS (
+              SELECT m, cid, list(qc ORDER BY d) AS qs,
+                     CAST(SUM(qc * qc) AS DOUBLE) AS nsq
+              FROM pm{n} GROUP BY m, cid
+            ),
+            pc{n} AS (
+              SELECT p.m, p.cid, COALESCE(g.qs, p.qs) AS qs,
+                     COALESCE(g.nsq, p.nsq) AS nsq
+              FROM {prev} p LEFT JOIN pg{n} g USING (m, cid)
+            )"""
+
+    def _pq_prefix(msub: int, sd: int) -> str:
+        """CTE chain through ``pscored`` (ADC score per (query, vec)) for a
+        PQ index with ``msub`` subspaces of ``sd`` dims (msub * sd = 64),
+        16 codewords, init = first-16 vectors, 2 exact-integer Lloyd
+        passes."""
+        return (
+            _QUANT_CTE
+            + f""",
+            sdims AS (SELECT unnest(range({sd})) AS d),
+            sub AS (
+              SELECT e.vec_id, s.m,
+                     e.q[s.m * {sd} + 1 : s.m * {sd} + {sd}] AS qs,
+                     CAST(list_sum(
+                       [x * x
+                        for x in e.q[s.m * {sd} + 1 : s.m * {sd} + {sd}]])
+                          AS DOUBLE) AS nsq
+              FROM qe e CROSS JOIN (SELECT unnest(range({msub})) AS m) s
+            ),
+            pc0 AS (SELECT m, vec_id AS cid, qs, nsq
+                    FROM sub WHERE vec_id < 16),"""
+            + _pq_lloyd("pc0", 1, sd)
+            + ","
+            + _pq_lloyd("pc1", 2, sd)
+            + f""",
+            codes AS (
+              SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_l2x('s', 'c', sd)},
+                                                   c.cid) AS rn
+                FROM sub s JOIN pc2 c USING (m)
+              ) WHERE rn = 1
+            ),
+            plut AS (
+              SELECT q.vec_id AS query_id, c.m, c.cid,
+                     CAST(list_sum([q.qs[i+1] * c.qs[i+1]
+                                    for i in range({sd})]) AS DOUBLE) AS pdot
+              FROM (SELECT vec_id, m, qs FROM sub WHERE vec_id < 8) q
+              JOIN pc2 c USING (m)
+            ),
+            pscored AS (
+              SELECT l.query_id, k.vec_id,
+                     CAST(SUM(l.pdot) AS BIGINT) AS adot
+              FROM codes k
+              JOIN plut l ON l.m = k.m AND l.cid = k.cid
+              WHERE k.vec_id != l.query_id
+              GROUP BY l.query_id, k.vec_id
+            )"""
+        )
+
+    d["knn_pq"] = (
+        _pq_prefix(8, 8)
+        + """
+            SELECT query_id, vec_id, adot FROM (
+              SELECT query_id, vec_id, adot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adot DESC, vec_id) AS rn
+              FROM pscored
+            ) WHERE rn <= 10
+        """
+    )
+    # Two-stage replay: ADC shortlist (top-100 by adot, vec_id tie-break)
+    # over the finer 16x4 index, then exact quantized-dot rerank to top-10.
+    d["knn_pq_rerank"] = (
+        _pq_prefix(16, 4)
+        + """,
+            short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adot DESC, vec_id) AS rn
+                FROM pscored
+              ) WHERE rn <= 100
+            ),
+            rer AS (
+              SELECT s.query_id, s.vec_id,
+                     CAST(list_sum([a.q[i+1] * b.q[i+1]
+                                    for i in range(64)]) AS BIGINT) AS dot
+              FROM short s
+              JOIN qe a ON a.vec_id = s.query_id
+              JOIN qe b ON b.vec_id = s.vec_id
+            )
+            SELECT query_id, vec_id, dot FROM (
+              SELECT query_id, vec_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM rer
             ) WHERE rn <= 10
         """
     )

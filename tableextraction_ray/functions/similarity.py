@@ -616,3 +616,245 @@ def lsh_near_dup(
         )
 
     return deduped.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for 10^9+ vector ANN.
+# A 64-dim embedding becomes PQ_M uint8 codes (one per subspace), shrinking
+# the index ~32x; queries score candidates through a per-query lookup table
+# (ADC) instead of full-dimension math. Codebooks are trained with the same
+# exact-integer Lloyd machinery as kmeans_centroids, but per subspace and
+# under L2 (the standard PQ objective), so the whole operator is
+# deterministic and bit-replayable by a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 dims each)
+PQ_KSUB = 16  # codewords per subspace
+
+
+def pq_codebooks(
+    ds: ray.data.Dataset,
+    init_q: np.ndarray,
+    m_sub: int = PQ_M,
+    iters: int = 2,
+) -> np.ndarray:
+    """(m_sub, ksub, subdim) quantized codebooks from exact-integer Lloyd
+    refinement under L2, all subspaces in ONE distributed pass per
+    iteration: map_batches emits per-(subspace, codeword) integer component
+    sums + counts, the driver folds the tiny (m_sub x ksub) partials.
+
+    Exactness: vectors live in the 1e6 fixed-point domain, so the L2
+    assignment key ``|c|^2 - 2<x,c>`` is an exact integer (< 2^53 — subdim 8,
+    components <= ~2e6), argmin ties resolve to the lowest codeword id
+    (np.argmin first-min == the oracle's ORDER BY dist, cid), and the
+    centroid update is floor(sum/count + 0.5) on exact integer sums —
+    deterministic under any partitioning or retry interleaving. Empty
+    codewords keep their previous value."""
+    import ray as _ray
+
+    init_q = np.asarray(init_q, dtype=np.float64)
+    ksub, dim = init_q.shape
+    sd = dim // m_sub
+    books = np.stack([init_q[:, m * sd : (m + 1) * sd] for m in range(m_sub)])
+
+    for _ in range(iters):
+        ref = _ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bks = _ray.get(ref)
+            mat = _quantize(_stack(batch))
+            out_m, out_c, out_s, out_n = [], [], [], []
+            for m in range(m_sub):
+                x = mat[:, m * sd : (m + 1) * sd]
+                cb = bks[m]
+                # argmin ||x-c||^2 == argmin |c|^2 - 2<x,c> (|x|^2 constant
+                # per row); both terms exact integers in float64.
+                key = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+                assign = np.argmin(key, axis=1)
+                for cid in np.unique(assign):
+                    sel = x[assign == cid]
+                    out_m.append(m)
+                    out_c.append(int(cid))
+                    out_s.append(sel.sum(axis=0).astype(np.int64).tolist())
+                    out_n.append(int(sel.shape[0]))
+            return pa.Table.from_pydict(
+                {
+                    "m": pa.array(out_m, type=pa.int64()),
+                    "cid": pa.array(out_c, type=pa.int64()),
+                    "vec_sum": pa.array(out_s, type=pa.list_(pa.int64())),
+                    "count": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+        sums = np.zeros((m_sub, ksub, sd), dtype=np.int64)
+        counts = np.zeros((m_sub, ksub), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for m, cid, vs, n in zip(
+                b["m"].to_pylist(),
+                b["cid"].to_pylist(),
+                b["vec_sum"].to_pylist(),
+                b["count"].to_pylist(),
+            ):
+                sums[m, cid] += np.asarray(vs, dtype=np.int64)
+                counts[m, cid] += n
+        books = books.copy()
+        nz = counts > 0
+        books[nz] = np.floor(
+            sums[nz].astype(np.float64) / counts[nz, None] + 0.5
+        )
+    return books
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, vec_id, adot) — PQ/ADC approximate top-k by inner product
+    for the first ``n_queries`` vectors, excluding self; ties break by
+    vec_id ascending.
+
+    Scale shape: codebooks (m_sub x ksub x subdim — a few KB) broadcast
+    once via ray.put; every batch encodes its vectors to PQ codes and
+    scores ALL queries through the precomputed per-query lookup tables
+    (LUT[q][m][code] = <q_m, codeword>), an O(n * m_sub) table gather per
+    query instead of O(n * dim) float math — at 10^9 vectors only the
+    uint8 codes (not the raw vectors) would need to live in the serving
+    tier. ``adot`` (the ADC inner product of quantized vectors) is an
+    exact int64 (<= m_sub * subdim * (2e6)^2 ~ 2.6e14 < 2^53), making the
+    operator hash-replayable in SQL despite being approximate vs the
+    brute-force scan (recall asserted in tests)."""
+    head = _head_rows(ds, head_ds, max(ksub, n_queries))
+    init_q = _quantize(
+        np.asarray([r["embedding"] for r in head[:ksub]], dtype=np.float64)
+    )
+    books = pq_codebooks(ds, init_q, m_sub=m_sub, iters=iters)
+    sd = books.shape[2]
+
+    q_rows = head[:n_queries]
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_mat = _quantize(np.asarray([r["embedding"] for r in q_rows], dtype=np.float64))
+    # Per-query ADC lookup tables: LUT[qi, m, cid] = <q_m, codebook[m][cid]>
+    lut = np.stack(
+        [q_mat[:, m * sd : (m + 1) * sd] @ books[m].T for m in range(m_sub)],
+        axis=1,
+    )  # (nq, m_sub, ksub), exact integers in float64
+    state_ref = ray.put((q_ids, lut, books))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_ids, lut, bks = ray.get(state_ref)
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        n = mat.shape[0]
+        scores = np.zeros((len(q_ids), n), dtype=np.float64)
+        for m in range(m_sub):
+            x = mat[:, m * sd : (m + 1) * sd]
+            cb = bks[m]
+            key = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+            codes = np.argmin(key, axis=1)  # (n,)
+            scores += lut[:, m, :][:, codes]  # gather, still exact ints
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            mask = vec_ids != q_id
+            vids = vec_ids[mask]
+            vals = scores[qi][mask].astype(np.int64)
+            order = np.lexsort((vids, -vals))[:k]
+            out_q.extend([q_id] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_c.extend(vals[order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "adot": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: (-r["adot"], r["vec_id"]))[:k]
+        return pa.Table.from_pylist(rows, schema=group.schema)
+
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )
+
+
+def pq_topk_rerank(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m_sub: int = 16,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    rerank: int = 100,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, vec_id, dot) — two-stage PQ retrieval, the production ANN
+    shape: stage 1 scores EVERY vector through the compressed PQ codes
+    (ADC, see pq_topk) and keeps a top-``rerank`` shortlist per query;
+    stage 2 re-scores only the shortlist with the exact quantized inner
+    product and keeps the final top-k. Ties break by vec_id ascending.
+
+    Scale shape: the shortlist is n_queries x rerank ids — bounded-small
+    driver state (same class as any top-k head), broadcast once; stage 2
+    is one pass over the vector table that does full-dimension math ONLY
+    for shortlist rows (at serving scale this pass becomes point lookups
+    against the vector store keyed by vec_id). Recall is governed by
+    ``rerank``/corpus density, not by ADC rank fidelity, which is why
+    two-stage is the deployed standard. ``dot`` is an exact int64
+    (64 dims x (1e6)^2 bounds it < 2^53) — hash-replayable in SQL."""
+    short = pq_topk(
+        ds, n_queries=n_queries, k=rerank, m_sub=m_sub, ksub=ksub,
+        iters=iters, head_ds=head_ds,
+    ).take_all()
+    cand: dict[int, set[int]] = {}
+    for r in short:
+        cand.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    queries = _head_rows(ds, head_ds, n_queries)
+    q_ids = [r["vec_id"] for r in queries]
+    q_mat = _quantize(np.asarray([r["embedding"] for r in queries], dtype=np.float64))
+    cand_arrays = [
+        np.asarray(sorted(cand.get(q_id, ())), dtype=np.int64) for q_id in q_ids
+    ]
+    state_ref = ray.put((q_ids, q_mat, cand_arrays))
+
+    def batch_rerank(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, cand_arrays = ray.get(state_ref)
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_d = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            mask = np.isin(vec_ids, cand_arrays[qi])
+            if not mask.any():
+                continue
+            vids = vec_ids[mask]
+            dots = (mat[mask] @ q_mat[qi]).astype(np.int64)
+            out_q.extend([q_id] * len(vids))
+            out_v.extend(vids.tolist())
+            out_d.extend(dots.tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "dot": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: (-r["dot"], r["vec_id"]))[:k]
+        return pa.Table.from_pylist(rows, schema=group.schema)
+
+    return (
+        ds.map_batches(batch_rerank, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )

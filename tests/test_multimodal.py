@@ -219,3 +219,57 @@ class TestLabelCentroidStats:
             items.append({"vec_id": i, "embedding": rng.standard_normal(16).tolist(), "label": 1})
         out = {r["label"]: r for r in S.label_centroid_stats(ray.data.from_items(items)).take_all()}
         assert out[0]["mean_cos_fp5"] > out[1]["mean_cos_fp5"]
+
+
+class TestPq:
+    def test_recall_vs_exact_inner_product(self, ray_session):
+        """PQ/ADC ranks by approximate inner product; compare against the
+        exact quantized-dot top-k computed locally."""
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+        mat = np.floor(
+            np.asarray([r["embedding"] for r in rows], dtype=np.float64) * 1e6 + 0.5
+        )
+        exact = set()
+        for q in range(8):
+            dots = (mat @ mat[q]).astype(np.int64)
+            vids = np.arange(len(rows))
+            mask = vids != q
+            order = np.lexsort((vids[mask], -dots[mask]))[:10]
+            exact |= {(q, int(v)) for v in vids[mask][order]}
+        # Pure ADC on near-random synthetic vectors is genuinely coarse
+        # (16 codewords/subspace); the honest bar is low — the production
+        # path is the reranked variant below.
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.pq_topk(emb).take_all()
+        }
+        assert len(approx & exact) / len(exact) >= 0.25
+        # Two-stage ADC-shortlist + exact rerank recovers the true top-k.
+        rer = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.pq_topk_rerank(emb).take_all()
+        }
+        assert len(rer & exact) / len(exact) >= 0.9
+
+    def test_init_codewords_reconstruct_exactly(self, ray_session):
+        """With iters=0 the codebooks ARE the first-16 vectors' subvectors,
+        so those vectors encode losslessly and their ADC score equals the
+        exact quantized inner product."""
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+        mat = np.floor(
+            np.asarray([r["embedding"] for r in rows[:16]], dtype=np.float64) * 1e6
+            + 0.5
+        )
+        out = {
+            (r["query_id"], r["vec_id"]): r["adot"]
+            for r in similarity.pq_topk(emb, iters=0).take_all()
+        }
+        for (q, v), adot in out.items():
+            if v < 16:
+                assert adot == int(mat[q] @ mat[v])
