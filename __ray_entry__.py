@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         plots,
         relational,
         retrieval,
+        selection,
         similarity,
         textstats,
     )
@@ -173,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
+        ),
+        "dsir_weights": lambda sf: selection.dsir_weights(
+            docs(sf, ["doc_id", "text", "source"])
         ),
         "props_key_stats": lambda sf: relational.props_key_stats(
             _read(sf, "events", ["event_type", "props"])
@@ -764,6 +768,59 @@ def oracle_sql() -> dict[str, str]:
                                         * 1e6 / t.n_bigrams + 0.5) AS BIGINT)
                         ELSE 0 END AS rare_fp6
             FROM tot t LEFT JOIN rare r USING (doc_id)
+        """,
+        # DSIR importance weights: same tokenizer + 60-bit md5 bigram hash
+        # as rare_bigram_rate, bucketed mod 1024; per-bucket log-ratio is
+        # one fixed IEEE sequence (DOUBLE divide, libm ln, subtract, *1e9,
+        # floor), then pure int64 sums — bit-equal to the numpy side.
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, source,
+                     unnest([w[i+1] || ' ' || w[i+2]
+                             for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            xb AS (
+              SELECT doc_id, source,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 1024 AS bkt
+              FROM bg
+            ),
+            tot AS (
+              SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t,
+                     COUNT(*) AS r
+              FROM xb
+            ),
+            bc AS (
+              SELECT bkt,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     COUNT(*) AS cr
+              FROM xb GROUP BY bkt
+            ),
+            delta AS (
+              SELECT b.bkt,
+                     CAST(FLOOR(
+                       (ln(CAST(b.ct + 1 AS DOUBLE) / CAST(t.t + 1024 AS DOUBLE))
+                        - ln(CAST(b.cr + 1 AS DOUBLE) / CAST(t.r + 1024 AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS d
+              FROM bc b CROSS JOIN tot t
+            ),
+            sc AS (
+              SELECT x.doc_id, CAST(SUM(d.d) AS BIGINT) AS logw_fp9
+              FROM xb x JOIN delta d USING (bkt) GROUP BY x.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(s.logw_fp9, 0) AS BIGINT) AS logw_fp9
+            FROM documents d LEFT JOIN sc s USING (doc_id)
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -1,0 +1,86 @@
+"""DSIR importance-weight contract: hand-computed tiny case, direction
+sanity (target-like docs score higher), and partition invariance."""
+
+import math
+
+import numpy as np
+import ray
+import ray.data
+
+from tableextraction_ray.functions.dedup import shingle_base_hash
+from tableextraction_ray.functions.selection import dsir_weights
+
+
+def _expected(docs, target_source, n_buckets=1024):
+    """Local replay of the contract: bucket counts -> fixed-point
+    log-ratio table -> int64 per-doc dot."""
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    per_doc = {}
+    for d in docs:
+        toks = d["text"].split()
+        c = np.zeros(n_buckets, dtype=np.int64)
+        for i in range(len(toks) - 1):
+            c[shingle_base_hash(toks[i] + " " + toks[i + 1]) % n_buckets] += 1
+        per_doc[d["doc_id"]] = c
+        cr += c
+        if d["source"] == target_source:
+            ct += c
+    t, r = int(ct.sum()), int(cr.sum())
+    delta = np.floor(
+        (
+            np.log((ct + 1.0) / np.float64(t + n_buckets))
+            - np.log((cr + 1.0) / np.float64(r + n_buckets))
+        )
+        * 1e9
+    ).astype(np.int64)
+    return {i: int(c @ delta) for i, c in per_doc.items()}
+
+
+DOCS = [
+    {"doc_id": 0, "source": "wiki", "text": "alpha beta gamma alpha beta"},
+    {"doc_id": 1, "source": "wiki", "text": "alpha beta delta"},
+    {"doc_id": 2, "source": "web", "text": "spam eggs spam eggs spam"},
+    {"doc_id": 3, "source": "web", "text": "alpha beta gamma"},
+    {"doc_id": 4, "source": "web", "text": ""},
+]
+
+
+class TestDsir:
+    def test_hand_computed(self, ray_session):
+        out = {
+            r["doc_id"]: r["logw_fp9"]
+            for r in dsir_weights(
+                ray.data.from_items(DOCS), target_source="wiki"
+            ).take_all()
+        }
+        assert out == _expected(DOCS, "wiki")
+        # empty doc scores exactly zero
+        assert out[4] == 0
+
+    def test_target_like_scores_higher(self, ray_session):
+        out = {
+            r["doc_id"]: r["logw_fp9"]
+            for r in dsir_weights(
+                ray.data.from_items(DOCS), target_source="wiki"
+            ).take_all()
+        }
+        # doc 3 shares the wiki bigrams, doc 2 shares none: the wiki-like
+        # web doc must outscore the spam doc.
+        assert out[3] > out[2]
+        assert out[0] > out[2]
+
+    def test_partition_invariance(self, ray_session):
+        a = {
+            r["doc_id"]: r["logw_fp9"]
+            for r in dsir_weights(
+                ray.data.from_items(DOCS).repartition(1), target_source="wiki"
+            ).take_all()
+        }
+        b = {
+            r["doc_id"]: r["logw_fp9"]
+            for r in dsir_weights(
+                ray.data.from_items(DOCS).repartition(5), target_source="wiki"
+            ).take_all()
+        }
+        assert a == b
