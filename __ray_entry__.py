@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
             _read(sf, "events", ["ts", "value"])
         ),
+        "cms_heavy_hitters": lambda sf: sketch.cms_heavy_hitters(
+            docs(sf, ["text"])
+        ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
         "canonical_docs": lambda sf: curate.canonical_docs(docs(sf, ["doc_id", "text"])),
         "curate_semantic": lambda sf: curate.curate_semantic(
@@ -821,6 +824,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(COALESCE(s.logw_fp9, 0) AS BIGINT) AS logw_fp9
             FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        # Count-min sketch replay: same "j:token" 60-bit md5 column hash,
+        # counters rebuilt with an occurrence-count groupby, estimate =
+        # MIN over the 4 rows, one-sided threshold filter.
+        "cms_heavy_hitters": r"""
+            WITH occ AS (
+              SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+              FROM documents
+            ),
+            tc AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+            hx AS (
+              SELECT tc.t, r.j, tc.c,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef',
+                                     substr(md5(CAST(r.j AS VARCHAR) || ':' || tc.t),
+                                            i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 512 AS w
+              FROM tc CROSS JOIN (SELECT unnest(range(4)) AS j) r
+            ),
+            cnt AS (SELECT j, w, CAST(SUM(c) AS BIGINT) AS cell
+                    FROM hx GROUP BY j, w),
+            est AS (
+              SELECT h.t, MIN(c.cell) AS est_count
+              FROM hx h JOIN cnt c ON c.j = h.j AND c.w = h.w
+              GROUP BY h.t
+            )
+            SELECT t AS token, CAST(est_count AS BIGINT) AS est_count
+            FROM est WHERE est_count >= 100
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -232,3 +232,119 @@ def hourly_value_percentiles(
         .groupby("hour")
         .map_groups(percentiles, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the point-frequency complement to the HLL cardinality
+# sketch: heavy-hitter detection in bounded memory (D x W counters) with a
+# one-sided guarantee (estimate >= true count, so no heavy hitter is ever
+# missed). Deterministic md5 row hashes make the whole sketch — build,
+# probe, threshold — bit-replayable in SQL.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_col(j: int, token: str, width: int) -> int:
+    """Column of ``token`` in sketch row ``j``: 60-bit md5 base hash of
+    "j:token" mod width (same hex-parse contract as shingle_base_hash, so
+    the DuckDB oracle reproduces it digit-for-digit)."""
+    return (
+        int(hashlib.md5(f"{j}:{token}".encode()).hexdigest()[:15], 16) % width
+    )
+
+
+def cms_heavy_hitters(
+    docs: ray.data.Dataset,
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> ray.data.Dataset:
+    """(token, est_count) — every whitespace token whose count-min estimate
+    (min over ``depth`` rows of the hashed counters) reaches ``threshold``.
+    est_count >= true count always (collisions only inflate), so the output
+    is a superset of the true heavy hitters at the same threshold — the
+    standard first-pass filter before an exact count of the survivors.
+
+    Scale shape: pass 1 folds per-block D x W int64 counter partials on
+    the driver (np.add.at — same fold as dsir_weights; the sketch is KBs
+    regardless of corpus size) and broadcasts the counters once; pass 2
+    probes each block's DISTINCT tokens against the broadcast sketch and
+    emits only survivors, so the final dedup groupby shuffles heavy
+    tokens only — never the vocabulary, never occurrences."""
+    import ray as _ray
+
+    from .textstats import ascii_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counters = np.zeros((depth, width), dtype=np.int64)
+        cnt: Counter[str] = Counter()
+        for t in batch["text"].to_pylist():
+            cnt.update(ascii_tokens(t))
+        for tok, c in cnt.items():  # one md5 per (row, DISTINCT token)
+            for j in range(depth):
+                counters[j, _cms_col(j, tok, width)] += c
+        j_idx, w_idx = np.nonzero(counters)
+        return pa.Table.from_pydict(
+            {
+                "j": pa.array(j_idx.tolist(), type=pa.int64()),
+                "w": pa.array(w_idx.tolist(), type=pa.int64()),
+                "c": pa.array(counters[j_idx, w_idx].tolist(), type=pa.int64()),
+            }
+        )
+
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # np.add.at: iter_batches may concatenate several blocks' partials,
+        # repeating (j, w) cells — fancy-index += would drop repeats.
+        np.add.at(
+            counters,
+            (
+                np.asarray(b["j"].to_pylist(), dtype=np.int64),
+                np.asarray(b["w"].to_pylist(), dtype=np.int64),
+            ),
+            np.asarray(b["c"].to_pylist(), dtype=np.int64),
+        )
+    sketch_ref = _ray.put(counters)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        sk = _ray.get(sketch_ref)
+        seen: set[str] = set()
+        for t in batch["text"].to_pylist():
+            seen.update(ascii_tokens(t))
+        toks, ests = [], []
+        for tok in seen:
+            est = int(
+                min(sk[j, _cms_col(j, tok, width)] for j in range(depth))
+            )
+            if est >= threshold:
+                toks.append(tok)
+                ests.append(est)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "est_count": pa.array(ests, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    found = docs.map_batches(probe, batch_format="pyarrow")
+    # dedupe tokens seen in several blocks; the estimate is a pure function
+    # of the (global) sketch, identical everywhere — Min is just "pick one"
+    deduped = found.groupby("token").aggregate(Min("est_count"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "token": batch["token"],
+                "est_count": batch["min(est_count)"].cast(pa.int64()),
+            }
+        )
+
+    return deduped.map_batches(rename, batch_format="pyarrow")

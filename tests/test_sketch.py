@@ -136,3 +136,50 @@ class TestHllVectorizedFold:
             for r in sketch.hourly_users_hll(ray.data.from_arrow(tbl)).take_all()
         }
         assert got == expected
+
+
+class TestCms:
+    def _docs(self):
+        import ray.data
+
+        # skewed corpus: tokens h0/h1 heavy, w0..w39 light
+        items = []
+        for i in range(40):
+            items.append(
+                {"doc_id": i, "text": ("h0 " * 10 + "h1 " * 6 + f"w{i} w{i%7}")}
+            )
+        return ray.data.from_items(items)
+
+    def test_one_sided_and_no_false_negatives(self, ray_session):
+        from collections import Counter
+
+        from tableextraction_ray.functions.sketch import cms_heavy_hitters
+
+        docs = self._docs()
+        true = Counter()
+        for r in docs.take_all():
+            true.update(r["text"].split())
+        # narrow width forces collisions — the bound must still hold
+        out = {
+            r["token"]: r["est_count"]
+            for r in cms_heavy_hitters(docs, threshold=40, width=8).take_all()
+        }
+        for tok, est in out.items():
+            assert est >= true[tok]  # one-sided: never underestimates
+        for tok, c in true.items():
+            if c >= 40:
+                assert tok in out  # every true heavy hitter survives
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.sketch import cms_heavy_hitters
+
+        docs = self._docs()
+        a = sorted(
+            (r["token"], r["est_count"])
+            for r in cms_heavy_hitters(docs.repartition(1), threshold=40).take_all()
+        )
+        b = sorted(
+            (r["token"], r["est_count"])
+            for r in cms_heavy_hitters(docs.repartition(7), threshold=40).take_all()
+        )
+        assert a == b and len(a) >= 2
