@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
+        "tokenize_ids": lambda sf: textstats.tokenize_ids(
+            docs(sf, ["doc_id", "text"])
+        ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
@@ -201,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             head_ds=_read_embeddings_head(sf, 16),
         ),
         "stratified_sample": lambda sf: textstats.stratified_sample(
+            docs(sf, ["doc_id", "source"])
+        ),
+        "mixture_sample": lambda sf: textstats.mixture_sample(
             docs(sf, ["doc_id", "source"])
         ),
         # -- similarity search --
@@ -626,6 +632,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rk <= 5
         """,
+        # Temperature-mixed sampling replay: integer largest-remainder
+        # apportionment of 100 over floor(sqrt(count)*1e6) weights, then
+        # the stratified md5-priority window per source.
+        "mixture_sample": """
+            WITH sc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+            s AS (SELECT source,
+                         CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+                  FROM sc),
+            tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS S FROM s),
+            base AS (
+              SELECT source, (100 * sq) // t.S AS b, (100 * sq) % t.S AS rem
+              FROM s CROSS JOIN tot t
+            ),
+            lo AS (SELECT 100 - CAST(SUM(b) AS BIGINT) AS l FROM base),
+            quota AS (
+              SELECT source,
+                     b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                                   <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS q
+              FROM base
+            ),
+            ranked AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))
+                     ) AS rk
+              FROM documents
+            )
+            SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+            FROM ranked r JOIN quota q USING (source) WHERE r.rk <= q.q
+        """,
         "token_freq": r"""
             WITH toks AS (
                 SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
@@ -854,6 +891,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t AS token, CAST(est_count AS BIGINT) AS est_count
             FROM est WHERE est_count >= 100
+        """,
+        # Tokenizer replay: vocab = top-16 by (count DESC, token ASC)
+        # ROW_NUMBER ids, per-position LEFT JOIN, UNK = 0.
+        "tokenize_ids": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token, tid FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS tid
+                FROM occ GROUP BY t
+              ) WHERE tid <= 16
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(range(len(w))) AS pos
+              FROM toks WHERE len(w) > 0
+            ),
+            sel AS (SELECT doc_id, pos, w[pos + 1] AS t FROM pos)
+            SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+                   CAST(COALESCE(v.tid, 0) AS BIGINT) AS tid
+            FROM sel s LEFT JOIN vocab v ON v.token = s.t
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -1324,3 +1325,131 @@ def chunk_documents(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def tokenize_ids(ds: ray.data.Dataset, vocab_size: int = 16) -> ray.data.Dataset:
+    """(doc_id, pos, tid) — the tokenizer stage of a training pipeline:
+    every token occurrence mapped to its vocabulary id, exploded to one
+    row per position (the columnar token-id stream that feeds packing).
+    Vocabulary = the corpus top-``vocab_size`` tokens by (count DESC,
+    token ASC), ids 1..V in rank order; everything else is UNK = 0.
+
+    Scale shape: the vocab comes from the token_freq pass (per-block
+    Counter partials, one tiny keyed groupby, only the top-V rows reach
+    the driver — bounded state by construction) and is broadcast once via
+    ray.put; encoding is embarrassingly parallel per doc. The id stream
+    is (int, int, int) rows — the text column never leaves the encode
+    stage."""
+    vocab_rows = sorted(
+        token_freq(ds, k=vocab_size).take_all(),
+        key=lambda r: (-r["n"], r["token"]),
+    )
+    vocab = {r["token"]: i + 1 for i, r in enumerate(vocab_rows)}
+    vocab_ref = ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        out_d, out_p, out_t = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for pos, tok in enumerate(ascii_tokens(text)):
+                out_d.append(doc_id)
+                out_p.append(pos)
+                out_t.append(v.get(tok, 0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "pos": pa.array(out_p, type=pa.int64()),
+                "tid": pa.array(out_t, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: ray.data.Dataset, total: int = 100, salt: str = "mix"
+) -> ray.data.Dataset:
+    """(source, doc_id, rk) — temperature-mixed corpus sampling (the
+    multilingual-pretraining mixing rule, Conneau & Lample 2019 with
+    tau = 0.5): each source's quota is proportional to sqrt(its doc
+    count), so small sources are up-weighted relative to their raw share;
+    within a source the quota picks the same deterministic md5-priority
+    order as stratified_sample.
+
+    Integer apportionment contract (replayable, order-independent):
+    s_i = floor(sqrt(c_i) * 1e6) as int64, base_i = (total * s_i) // S
+    with S = sum s_i, and the leftover total - sum(base_i) goes +1 each
+    to the sources with the largest (total * s_i) mod S, ties to source
+    ASC — the largest-remainder method in pure integers (sqrt is one
+    correctly-rounded IEEE op, identical in numpy and DuckDB).
+
+    Scale shape: pass 1 is a per-source COUNT (tiny keyed groupby, one
+    row per source reaches the driver); quotas are O(#sources) driver
+    math broadcast once; pass 2 reuses the stratified per-block top-k
+    prune, so the shuffle moves O(max_quota x sources x blocks) id rows,
+    never documents."""
+    counts = {
+        r["source"]: r["count()"]
+        for b in ds.groupby("source").aggregate(Count()).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    srcs = sorted(counts)
+    s = {src: int(np.floor(np.sqrt(np.float64(counts[src])) * 1e6)) for src in srcs}
+    S = sum(s.values())
+    base = {src: (total * s[src]) // S for src in srcs}
+    rem = {src: (total * s[src]) % S for src in srcs}
+    leftover = total - sum(base.values())
+    for src in sorted(srcs, key=lambda x: (-rem[x], x))[:leftover]:
+        base[src] += 1
+    quota = base
+    max_q = max(quota.values()) if quota else 0
+    quota_ref = ray.put(quota)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        by_src: dict[str, list[tuple[str, int]]] = {}
+        for src, doc_id in zip(
+            batch["source"].to_pylist(), batch["doc_id"].to_pylist()
+        ):
+            if q.get(src, 0) > 0:
+                by_src.setdefault(src, []).append(
+                    (_md5(f"{salt}:{doc_id}"), doc_id)
+                )
+        srcs_o, prios, ids = [], [], []
+        for src, rows in by_src.items():
+            for prio, doc_id in sorted(rows)[: q[src]]:
+                srcs_o.append(src)
+                prios.append(prio)
+                ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(srcs_o, type=pa.string()),
+                "prio": pa.array(prios, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        src = group["source"][0].as_py()
+        rows = sorted(
+            zip(group["prio"].to_pylist(), group["doc_id"].to_pylist())
+        )[: q.get(src, 0)]
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([src] * len(rows), type=pa.string()),
+                "doc_id": pa.array([d for _, d in rows], type=pa.int64()),
+                "rk": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            }
+        )
+
+    _ = max_q  # documented bound for the shuffle width
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pick, batch_format="pyarrow")
+    )

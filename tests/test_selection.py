@@ -84,3 +84,40 @@ class TestDsir:
             ).take_all()
         }
         assert a == b
+
+
+class TestMixtureSample:
+    def test_sqrt_upweights_small_sources(self, ray_session):
+        from tableextraction_ray.functions.textstats import mixture_sample
+
+        # big: 64 docs, small: 4 docs -> raw shares 16:1, sqrt shares 4:1
+        docs = [{"doc_id": i, "source": "big"} for i in range(64)] + [
+            {"doc_id": 100 + i, "source": "small"} for i in range(4)
+        ]
+        out = mixture_sample(ray.data.from_items(docs), total=10).take_all()
+        by_src = {}
+        for r in out:
+            by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        assert sum(by_src.values()) == 10
+        # sqrt apportionment: 10 * 8/(8+2) = 8 big, 2 small (raw would be ~9.4/0.6)
+        assert by_src == {"big": 8, "small": 2}
+
+    def test_quota_sums_to_total_and_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import mixture_sample
+
+        docs = [
+            {"doc_id": i, "source": f"s{i % 7}"} for i in range(70)
+        ]
+        a = sorted(
+            (r["source"], r["doc_id"], r["rk"])
+            for r in mixture_sample(
+                ray.data.from_items(docs).repartition(1), total=23
+            ).take_all()
+        )
+        b = sorted(
+            (r["source"], r["doc_id"], r["rk"])
+            for r in mixture_sample(
+                ray.data.from_items(docs).repartition(9), total=23
+            ).take_all()
+        )
+        assert a == b and len(a) == 23

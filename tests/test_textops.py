@@ -577,3 +577,46 @@ class TestChunkDocuments:
             key=lambda r: (r["doc_id"], r["chunk_id"]),
         )
         assert a == b and len(a) > 0
+
+
+class TestTokenizeIds:
+    DOCS = [
+        {"doc_id": 0, "text": "a b a c"},
+        {"doc_id": 1, "text": "a rare1 b"},
+        {"doc_id": 2, "text": ""},
+    ]
+
+    def test_hand_computed_with_unk(self, ray_session):
+        from tableextraction_ray.functions.textstats import tokenize_ids
+
+        out = sorted(
+            (r["doc_id"], r["pos"], r["tid"])
+            for r in tokenize_ids(
+                ray.data.from_items(self.DOCS), vocab_size=2
+            ).take_all()
+        )
+        # counts: a=3, b=2, c=1, rare1=1 -> vocab {a:1, b:2}; c/rare1 -> UNK 0
+        assert out == [
+            (0, 0, 1), (0, 1, 2), (0, 2, 1), (0, 3, 0),
+            (1, 0, 1), (1, 1, 0), (1, 2, 2),
+        ]
+
+    def test_vocab_tie_break_and_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import tokenize_ids
+
+        docs = [{"doc_id": i, "text": "z y z y x"} for i in range(6)]
+        a = sorted(
+            (r["doc_id"], r["pos"], r["tid"])
+            for r in tokenize_ids(
+                ray.data.from_items(docs).repartition(1), vocab_size=2
+            ).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["pos"], r["tid"])
+            for r in tokenize_ids(
+                ray.data.from_items(docs).repartition(6), vocab_size=2
+            ).take_all()
+        )
+        assert a == b
+        # z and y tie on count: token ASC rank gives y=1, z=2; x -> UNK
+        assert a[0][2] == 2 and a[1][2] == 1 and a[4][2] == 0
