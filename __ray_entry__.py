@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": lambda sf: sketch.cms_heavy_hitters(
             docs(sf, ["text"])
         ),
+        "events_hourly_quantiles_sketch": lambda sf:
+            sketch.hourly_value_quantiles_sketch(
+                _read(sf, "events", ["ts", "value"])
+            ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
         "canonical_docs": lambda sf: curate.canonical_docs(docs(sf, ["doc_id", "text"])),
         "curate_semantic": lambda sf: curate.curate_semantic(
@@ -621,6 +625,34 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value_c END) AS p95_c,
                    MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_c END) AS p99_c
             FROM r GROUP BY hour
+        """,
+        # Histogram-sketch replay: $1 bins over cents, first bin whose
+        # cumulative count reaches the exact ceil-rank, inclusive upper
+        # edge as the estimate.
+        "events_hourly_quantiles_sketch": """
+            WITH v AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100 AS bin
+                FROM events
+            ),
+            hb AS (SELECT hour, bin, COUNT(*) AS c FROM v GROUP BY hour, bin),
+            cum AS (
+                SELECT hour, bin,
+                       SUM(c) OVER (PARTITION BY hour ORDER BY bin) AS cum,
+                       SUM(c) OVER (PARTITION BY hour) AS n
+                FROM hb
+            )
+            SELECT hour, CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p50_est_c,
+                   CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p95_est_c,
+                   CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p99_est_c
+            FROM cum GROUP BY hour
         """,
         "stratified_sample": """
             SELECT source, doc_id, rk FROM (

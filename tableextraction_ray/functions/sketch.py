@@ -348,3 +348,84 @@ def cms_heavy_hitters(
         )
 
     return deduped.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the rank-query member of the sketch trio
+# (HLL = cardinality, CMS = point frequency, histogram = quantiles): exact
+# per-key percentiles need the key's whole value set in one place (a sort),
+# while fixed-bin histograms are tiny, MERGEABLE by addition, and answer any
+# quantile with error bounded by one bin width. What replaces
+# hourly_value_percentiles when a single hour's events no longer fit a
+# group.
+# ---------------------------------------------------------------------------
+
+HIST_BIN_CENTS = 100  # $1 bins over integer cents
+
+
+def hourly_value_quantiles_sketch(
+    events: ray.data.Dataset,
+    qs: tuple[int, ...] = (50, 95, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> ray.data.Dataset:
+    """(hour, n_events, p50_est_c, p95_est_c, p99_est_c) — approximate
+    per-hour percentiles from a fixed-width histogram over integer cents:
+    bin = value_c // bin_cents, the q-th percentile estimate is the
+    INCLUSIVE upper edge ((bin+1)*bin_cents - 1) of the first bin whose
+    cumulative count reaches the exact ceil-rank (q*n + 99) // 100 — the
+    same rank convention as the exact operator, so est >= true and
+    est - true < bin_cents always (asserted in tests).
+
+    Scale shape: each block pre-combines to <= bins rows per hour, ONE
+    keyed groupby on hour folds the per-block histogram partials
+    (integer adds — associative, commutative), and the quantile walk is
+    O(bins) per hour. Value payloads never shuffle; per-key state is the
+    fixed histogram regardless of event count."""
+    from collections import Counter
+
+    from .relational import _cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = _hour_col(batch).to_pylist()
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        cnt: Counter[tuple[str, int]] = Counter(
+            zip(hours, (cents // bin_cents).tolist())
+        )
+        return pa.Table.from_pydict(
+            {
+                "hour": pa.array([h for h, _ in cnt], type=pa.string()),
+                "bin": pa.array([b for _, b in cnt], type=pa.int64()),
+                "c": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    names = [f"p{q}_est_c" for q in qs]
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        hour = group["hour"][0].as_py()
+        agg: dict[int, int] = {}
+        for b, c in zip(group["bin"].to_pylist(), group["c"].to_pylist()):
+            agg[b] = agg.get(b, 0) + c
+        n = sum(agg.values())
+        out = {
+            "hour": pa.array([hour], type=pa.string()),
+            "n_events": pa.array([n], type=pa.int64()),
+        }
+        bins = sorted(agg)
+        for q, name in zip(qs, names):
+            rank = (q * n + 99) // 100
+            cum = 0
+            est = 0
+            for b in bins:
+                cum += agg[b]
+                if cum >= rank:
+                    est = (b + 1) * bin_cents - 1
+                    break
+            out[name] = pa.array([est], type=pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )

@@ -183,3 +183,46 @@ class TestCms:
             for r in cms_heavy_hitters(docs.repartition(7), threshold=40).take_all()
         )
         assert a == b and len(a) >= 2
+
+
+class TestHistogramQuantiles:
+    def test_error_bound_vs_exact(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            hourly_value_percentiles,
+            hourly_value_quantiles_sketch,
+        )
+
+        events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        exact = {r["hour"]: r for r in hourly_value_percentiles(events).take_all()}
+        est = {
+            r["hour"]: r
+            for r in hourly_value_quantiles_sketch(events).take_all()
+        }
+        assert set(exact) == set(est)
+        for hour, e in exact.items():
+            s = est[hour]
+            assert s["n_events"] == e["n_events"]
+            for q in (50, 95, 99):
+                true_v, est_v = e[f"p{q}_c"], s[f"p{q}_est_c"]
+                assert est_v >= true_v  # one-sided: upper edge of the bin
+                assert est_v - true_v < 100  # within one bin width
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            hourly_value_quantiles_sketch,
+        )
+
+        events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        a = sorted(
+            tuple(sorted(r.items()))
+            for r in hourly_value_quantiles_sketch(events.repartition(1)).take_all()
+        )
+        b = sorted(
+            tuple(sorted(r.items()))
+            for r in hourly_value_quantiles_sketch(events.repartition(13)).take_all()
+        )
+        assert a == b
