@@ -64,6 +64,13 @@ QUERY_SUITE = [
     "stratified_sample",
     "knn_cosine",
     "knn_ivf",
+    "knn_pq",
+    "knn_pq_rerank",
+    "dsir_weights",
+    "cms_heavy_hitters",
+    "tokenize_ids",
+    "mixture_sample",
+    "events_hourly_quantiles_sketch",
     "semantic_dedup",
     "label_centroid_stats",
     "props_key_stats",
