@@ -273,3 +273,36 @@ class TestPq:
         for (q, v), adot in out.items():
             if v < 16:
                 assert adot == int(mat[q] @ mat[v])
+
+
+class TestStack:
+    def test_fast_path_matches_fallback(self):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions.similarity import _stack
+
+        uniform = pa.table(
+            {"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))}
+        )
+        m = _stack(uniform)
+        assert m.dtype == np.float64 and m.shape == (2, 2)
+        assert np.array_equal(m, [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_ragged_and_null_fall_back(self):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions.similarity import _stack
+
+        # sliced chunked column still hits the fast path correctly
+        col = pa.chunked_array(
+            [[[1.0, 2.0]], [[3.0, 4.0], [5.0, 6.0]]], type=pa.list_(pa.float32())
+        )
+        sliced = pa.table({"embedding": col.slice(1, 2)})
+        assert np.array_equal(_stack(sliced), [[3.0, 4.0], [5.0, 6.0]])
+        # ragged rows are a contract violation (embeddings are fixed-dim)
+        # and must fail loudly, same as before the fast path existed
+        ragged = pa.table(
+            {"embedding": pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float32()))}
+        )
+        with pytest.raises(ValueError):
+            _stack(ragged)
