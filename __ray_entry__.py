@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
             dim_count=_parquet_count(sf, "customer"),
         ),
+        "orders_for_segment": lambda sf: relational.orders_for_segment(
+            _read(sf, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+        ),
         "events_hourly": lambda sf: relational.events_hourly(
             _read(sf, "events", ["event_type", "ts", "value"])
         ),
@@ -1354,6 +1358,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        # Bloom-pruned semi-join: the Bloom is a pre-shuffle pruning
+        # optimization only — the exact in-shuffle verification makes the
+        # output a plain semi-join, so the oracle needs no bloom replay.
+        "orders_for_segment": """
+            WITH seg AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS o_month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_c
+            FROM orders o JOIN seg s ON s.c_custkey = o.o_custkey
+            GROUP BY 1
         """,
         # Same RE2-class extraction expression as the Ray side's Arrow
         # extract_regex kernel — parity by construction on the flat

@@ -92,6 +92,7 @@ QUERY_SUITE = [
     "video_frames",
     "pricing_summary",
     "orders_by_segment",
+    "orders_for_segment",
     "events_hourly",
     "sessionize",
     "events_sliding_window",

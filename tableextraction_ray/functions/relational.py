@@ -586,3 +586,168 @@ def props_key_stats(events: ray.data.Dataset, key: str = "k") -> ray.data.Datase
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-shuffle join pruning — the classic distributed-join
+# technique the broadcast/shuffle pair doesn't cover: when the dimension's
+# KEY SET is too big to broadcast as a hash map but the FACT side is far
+# bigger still, broadcast a Bloom filter of the keys (bits, ~10 per key)
+# and drop non-matching fact rows BEFORE the shuffle join. False positives
+# only let a few extra rows ride the shuffle; the exact join after the
+# filter keeps the output exact, so the operator is hash-checkable.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 13  # 8192 bits
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(key: int, m: int, k: int) -> list[int]:
+    """k bit positions for an integer key: 15-hex-digit slices of
+    md5("bloom:j:key") mod m — deterministic, re-derivable anywhere."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"bloom:{j}:{key}".encode()).hexdigest()[:15], 16) % m
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    keys: ray.data.Dataset,
+    column: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> np.ndarray:
+    """uint8 bit array of a Bloom filter over ``keys[column]`` — per-block
+    partial bit arrays OR-folded on the driver (m/8 KBs regardless of key
+    count; OR is associative, commutative and idempotent, so retries and
+    any partitioning produce the same bits)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m, dtype=np.uint8)
+        for key in set(batch[column].to_pylist()):
+            bits[_bloom_positions(int(key), m, k)] = 1
+        pos = np.nonzero(bits)[0]
+        return pa.Table.from_pydict({"pos": pa.array(pos.tolist(), type=pa.int64())})
+
+    bits = np.zeros(m, dtype=np.uint8)
+    for b in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bits[np.asarray(b["pos"].to_pylist(), dtype=np.int64)] = 1
+    return bits
+
+
+def orders_for_segment(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    segment: str = "BUILDING",
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> ray.data.Dataset:
+    """(o_month, n_orders, total_c) — monthly order volume for ONE customer
+    segment, exact semi-join semantics. Plan: (1) distributed filter of the
+    dimension to the segment's custkeys; (2) Bloom filter of those keys
+    broadcast once (bits, not the key set — at 10^9 keys the map no longer
+    broadcasts but ~10 bits/key still does); (3) fact rows are pruned
+    against the Bloom INSIDE map_batches before any shuffle, pre-combined
+    per (custkey, month); (4) one keyed custkey shuffle joins survivors
+    against the true key set, eliminating Bloom false positives, then a
+    tiny month groupby. The shuffle moves the segment's ~1/5 of order
+    partials plus the FP trickle instead of every order."""
+    seg_keys = customer.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], pa.scalar(segment)))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    bits_ref = ray.put(bloom_build(seg_keys, "c_custkey", m, k))
+
+    SIDE = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("is_key", pa.int64()),
+            ("o_month", pa.string()),
+            ("n", pa.int64()),
+            ("price_c", pa.int64()),
+        ]
+    )
+
+    def prune_orders(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        months = pc.strftime(
+            pc.floor_temporal(batch["o_orderdate"], unit="month"), format="%Y-%m"
+        ).to_pylist()
+        keys = batch["o_custkey"].to_pylist()
+        cents = _cents(batch["o_totalprice"]).to_pylist()
+        # membership once per DISTINCT key in the block
+        member = {
+            key: bool(bits[_bloom_positions(int(key), m, k)].all())
+            for key in set(keys)
+        }
+        agg: dict[tuple[int, str], list[int]] = {}
+        for key, mo, c in zip(keys, months, cents):
+            if member[key]:
+                cur = agg.setdefault((key, mo), [0, 0])
+                cur[0] += 1
+                cur[1] += c
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array([key for key, _ in agg], type=pa.int64()),
+                "is_key": pa.array([0] * len(agg), type=pa.int64()),
+                "o_month": pa.array([mo for _, mo in agg], type=pa.string()),
+                "n": pa.array([v[0] for v in agg.values()], type=pa.int64()),
+                "price_c": pa.array([v[1] for v in agg.values()], type=pa.int64()),
+            },
+            schema=SIDE,
+        )
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(keys, type=pa.int64()),
+                "is_key": pa.array([1] * len(keys), type=pa.int64()),
+                "o_month": pa.array([""] * len(keys), type=pa.string()),
+                "n": pa.array([0] * len(keys), type=pa.int64()),
+                "price_c": pa.array([0] * len(keys), type=pa.int64()),
+            },
+            schema=SIDE,
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        flags = group["is_key"].to_pylist()
+        if 1 not in flags:  # Bloom false positive — drop
+            return pa.Table.from_pydict(
+                {"o_month": [], "n": [], "price_c": []},
+                schema=pa.schema(
+                    [("o_month", pa.string()), ("n", pa.int64()), ("price_c", pa.int64())]
+                ),
+            )
+        mask = [f == 0 for f in flags]
+        return pa.Table.from_pydict(
+            {
+                "o_month": group["o_month"].filter(pa.array(mask)),
+                "n": group["n"].filter(pa.array(mask)),
+                "price_c": group["price_c"].filter(pa.array(mask)),
+            }
+        )
+
+    joined = (
+        orders.map_batches(prune_orders, batch_format="pyarrow")
+        .union(seg_keys.map_batches(tag_keys, batch_format="pyarrow"))
+        .groupby("c_custkey")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    agg = joined.groupby("o_month").aggregate(Sum("n"), Sum("price_c"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_month": batch["o_month"],
+                "n_orders": batch["sum(n)"].cast(pa.int64()),
+                "total_c": batch["sum(price_c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -121,3 +121,48 @@ class TestMixtureSample:
             ).take_all()
         )
         assert a == b and len(a) == 23
+
+
+class TestBloomSemiJoin:
+    def test_false_positive_stress_still_exact(self, ray_session):
+        """A 16-bit Bloom over 34 keys is nearly all-ones — almost every
+        order survives the prune — yet the in-shuffle exact verification
+        must keep the output identical to the default-size run."""
+        from tableextraction_ray.functions.relational import orders_for_segment
+
+        sf = "/root/testdata/sf0.001"
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        customer = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        stressed = sorted(
+            tuple(sorted(r.items()))
+            for r in orders_for_segment(orders, customer, m=16, k=2).take_all()
+        )
+        normal = sorted(
+            tuple(sorted(r.items()))
+            for r in orders_for_segment(orders, customer).take_all()
+        )
+        assert stressed == normal and len(normal) > 0
+
+    def test_bloom_membership_contract(self, ray_session):
+        """No false negatives ever; false-positive rate on non-keys is
+        small at the default sizing (8192 bits / 4 hashes / ~few hundred
+        keys -> well under 5%)."""
+        from tableextraction_ray.functions.relational import (
+            _bloom_positions,
+            bloom_build,
+        )
+
+        keys = ray.data.from_items([{"k": i * 7} for i in range(300)])
+        bits = bloom_build(keys, "k")
+        for i in range(300):
+            assert bits[_bloom_positions(i * 7, len(bits), 4)].all()
+        fps = sum(
+            bool(bits[_bloom_positions(x, len(bits), 4)].all())
+            for x in range(1_000_000, 1_002_000)
+        )
+        assert fps / 2000 < 0.05
