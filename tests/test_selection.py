@@ -166,3 +166,17 @@ class TestBloomSemiJoin:
             for x in range(1_000_000, 1_002_000)
         )
         assert fps / 2000 < 0.05
+
+    def test_missing_segment_is_empty(self, ray_session):
+        from tableextraction_ray.functions.relational import orders_for_segment
+
+        sf = "/root/testdata/sf0.001"
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        customer = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        out = orders_for_segment(orders, customer, segment="NO_SUCH").take_all()
+        assert out == []
