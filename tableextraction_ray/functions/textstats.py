@@ -1368,6 +1368,23 @@ def tokenize_ids(ds: ray.data.Dataset, vocab_size: int = 16) -> ray.data.Dataset
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def sqrt_apportion(counts: dict[str, int], total: int) -> dict[str, int]:
+    """Pure-integer largest-remainder apportionment of ``total`` over
+    sqrt-tempered weights s_k = floor(sqrt(counts[k]) * 1e6): base share
+    (total * s_k) // S, leftover +1 to the largest (total * s_k) mod S
+    (ties to key ASC). Order-independent and bit-replayable in SQL —
+    sqrt is one correctly-rounded IEEE op, everything after is int64."""
+    keys = sorted(counts)
+    s = {k: int(np.floor(np.sqrt(np.float64(counts[k])) * 1e6)) for k in keys}
+    big = sum(s.values())
+    base = {k: (total * s[k]) // big for k in keys}
+    rem = {k: (total * s[k]) % big for k in keys}
+    leftover = total - sum(base.values())
+    for k in sorted(keys, key=lambda x: (-rem[x], x))[:leftover]:
+        base[k] += 1
+    return base
+
+
 def mixture_sample(
     ds: ray.data.Dataset, total: int = 100, salt: str = "mix"
 ) -> ray.data.Dataset:
@@ -1397,15 +1414,7 @@ def mixture_sample(
         )
         for r in b.to_pylist()
     }
-    srcs = sorted(counts)
-    s = {src: int(np.floor(np.sqrt(np.float64(counts[src])) * 1e6)) for src in srcs}
-    S = sum(s.values())
-    base = {src: (total * s[src]) // S for src in srcs}
-    rem = {src: (total * s[src]) % S for src in srcs}
-    leftover = total - sum(base.values())
-    for src in sorted(srcs, key=lambda x: (-rem[x], x))[:leftover]:
-        base[src] += 1
-    quota = base
+    quota = sqrt_apportion(counts, total)
     max_q = max(quota.values()) if quota else 0
     quota_ref = ray.put(quota)
 
