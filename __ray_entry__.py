@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _read(sf, "events", ["ts", "value"])
             ),
         "curate_corpus": lambda sf: curate.curate_corpus(docs(sf, ["doc_id", "text"])),
+        "dedup_savings": lambda sf: curate.dedup_savings(
+            docs(sf, ["doc_id", "text", "n_chars"])
+        ),
+        "quality_histogram": lambda sf: textstats.quality_histogram(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
         "canonical_docs": lambda sf: curate.canonical_docs(docs(sf, ["doc_id", "text"])),
         "curate_semantic": lambda sf: curate.curate_semantic(
             docs(sf, ["doc_id", "text"]),
@@ -1579,6 +1585,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
         JOIN ({d['split_assign']}) s ON s.doc_id = c.doc_id
         WHERE c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
+    # Composition oracles: both built FROM already-verified component
+    # subqueries (the curate_corpus pattern).
+    d["dedup_savings"] = f"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cluster_rep != c.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+               CAST(SUM(CASE WHEN c.cluster_rep != c.doc_id THEN d.n_chars
+                             ELSE 0 END) AS BIGINT) AS chars_dropped
+        FROM ({d['dedup_clusters']}) c JOIN documents d USING (doc_id)
+    """
+    d["quality_histogram"] = f"""
+        SELECT d.source, q.alpha_fp6 // 100000 AS bin, COUNT(*) AS n_docs
+        FROM ({d['quality_score']}) q JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
     """
     # Full IVF replay (deterministic since the k-means moved to exact
     # integer arithmetic): init = first-16 vectors, 2 Lloyd passes with

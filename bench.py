@@ -61,6 +61,8 @@ QUERY_SUITE = [
     "events_hourly_users_hll",
     "events_hourly_percentiles",
     "curate_corpus",
+    "dedup_savings",
+    "quality_histogram",
     "stratified_sample",
     "knn_cosine",
     "knn_ivf",

@@ -320,3 +320,112 @@ def curate_semantic(
         ).filter(mask)
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_savings(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE row (n_docs, n_dropped, chars_total, chars_dropped) — what the
+    fuzzy-dedup pass actually buys: document and character volume removed
+    by keeping only each cluster's representative. The go/no-go number a
+    curation run reports before committing to a dedup config.
+
+    Scale shape: cluster assignments (int pairs) union a (doc_id,
+    n_chars) projection in ONE keyed doc_id groupby; the merged per-doc
+    rows collapse to per-block partial sums and a single tiny keyed
+    aggregate — text rides nothing, driver holds one row."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(ds)
+
+    MERGE = pa.schema(
+        [("doc_id", pa.int64()), ("is_chars", pa.int64()),
+         ("n_chars", pa.int64()), ("rep", pa.int64())]
+    )
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "is_chars": pa.array([0] * n, type=pa.int64()),
+                "n_chars": pa.array([0] * n, type=pa.int64()),
+                "rep": batch["cluster_rep"].cast(pa.int64()),
+            },
+            schema=MERGE,
+        )
+
+    def tag_chars(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "is_chars": pa.array([1] * n, type=pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "rep": pa.array([0] * n, type=pa.int64()),
+            },
+            schema=MERGE,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        rep = chars = None
+        for row in group.to_pylist():
+            if row["is_chars"]:
+                chars = row["n_chars"]
+            else:
+                rep = row["rep"]
+        doc_id = group["doc_id"][0].as_py()
+        dropped = 1 if rep != doc_id else 0
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_docs": pa.array([1], type=pa.int64()),
+                "n_dropped": pa.array([dropped], type=pa.int64()),
+                "chars_total": pa.array([chars], type=pa.int64()),
+                "chars_dropped": pa.array([chars if dropped else 0], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        clusters.map_batches(tag_clusters, batch_format="pyarrow")
+        .union(
+            ds.select_columns(["doc_id", "n_chars"]).map_batches(
+                tag_chars, batch_format="pyarrow"
+            )
+        )
+        .groupby("doc_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_docs": pa.array([pc.sum(batch["n_docs"]).as_py() or 0], type=pa.int64()),
+                "n_dropped": pa.array([pc.sum(batch["n_dropped"]).as_py() or 0], type=pa.int64()),
+                "chars_total": pa.array([pc.sum(batch["chars_total"]).as_py() or 0], type=pa.int64()),
+                "chars_dropped": pa.array([pc.sum(batch["chars_dropped"]).as_py() or 0], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        merged.map_batches(combine, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n_docs"), Sum("n_dropped"), Sum("chars_total"), Sum("chars_dropped")
+        )
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "n_docs": batch["sum(n_docs)"].cast(pa.int64()),
+                "n_dropped": batch["sum(n_dropped)"].cast(pa.int64()),
+                "chars_total": batch["sum(chars_total)"].cast(pa.int64()),
+                "chars_dropped": batch["sum(chars_dropped)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

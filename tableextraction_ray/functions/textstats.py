@@ -1462,3 +1462,46 @@ def mixture_sample(
         .groupby("source")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def quality_histogram(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, bin, n_docs) — distribution of the alpha quality score per
+    source in 0.1-wide bins (bin = alpha_fp6 // 100000): the
+    threshold-picking diagnostic a curation run reads before setting the
+    quality gate. Per-block (source, bin) combining collapses each block
+    to <= sources x 11 rows before ONE tiny keyed groupby."""
+    from collections import Counter
+
+    scored = quality_score(ds, passthrough=("source",))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cnt: Counter[tuple[str, int]] = Counter(
+            zip(
+                batch["source"].to_pylist(),
+                (a // 100000 for a in batch["alpha_fp6"].to_pylist()),
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([s for s, _ in cnt], type=pa.string()),
+                "bin": pa.array([b for _, b in cnt], type=pa.int64()),
+                "n": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        scored.map_batches(combine, batch_format="pyarrow")
+        .groupby(["source", "bin"])
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "bin": batch["bin"].cast(pa.int64()),
+                "n_docs": batch["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -180,3 +180,30 @@ class TestBloomSemiJoin:
         )
         out = orders_for_segment(orders, customer, segment="NO_SUCH").take_all()
         assert out == []
+
+
+class TestCurationDiagnostics:
+    def test_dedup_savings_invariants(self, ray_session):
+        from tableextraction_ray.functions.curate import dedup_savings
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+        (row,) = dedup_savings(docs).take_all()
+        assert row["n_docs"] == 500
+        assert 0 < row["n_dropped"] < row["n_docs"]
+        assert 0 < row["chars_dropped"] < row["chars_total"]
+        (row2,) = dedup_savings(docs.repartition(7)).take_all()
+        assert row == row2
+
+    def test_quality_histogram_mass_conservation(self, ray_session):
+        from tableextraction_ray.functions.textstats import quality_histogram
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        rows = quality_histogram(docs).take_all()
+        assert sum(r["n_docs"] for r in rows) == 500
+        assert all(0 <= r["bin"] <= 10 for r in rows)
