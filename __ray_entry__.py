@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_verify": extract_verify,
         "extract_verify_dualdpi": extract_verify_dualdpi,
         # -- deduplication --
+        "winnow_fingerprints": lambda sf: dedup.winnow_fingerprints(
+            docs(sf, ["doc_id", "text"])
+        ),
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
             docs(sf, ["doc_id", "text"])
@@ -957,6 +960,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
                    CAST(COALESCE(v.tid, 0) AS BIGINT) AS tid
             FROM sel s LEFT JOIN vocab v ON v.token = s.t
+        """,
+        # Winnowing replay: same 60-bit md5 5-gram hash, windows of 4
+        # consecutive gram hashes (one short window when a doc has fewer
+        # grams), MIN per window with the RIGHTMOST tie, DISTINCT picks.
+        "winnow_fingerprints": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            kg AS (
+              SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
+              FROM toks WHERE len(w) >= 5
+            ),
+            gh AS (
+              SELECT doc_id, pos,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef',
+                                     substr(md5(array_to_string(
+                                         w[pos + 1 : pos + 5], ' ')), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) AS h
+              FROM kg
+            ),
+            dn AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+            wins AS (
+              SELECT doc_id, n,
+                     unnest(range(CASE WHEN n <= 4 THEN 1 ELSE n - 3 END)) AS s,
+                     CASE WHEN n <= 4 THEN n ELSE 4 END AS wl
+              FROM dn
+            ),
+            wm AS (
+              SELECT wi.doc_id, wi.s, wi.wl, MIN(g.h) AS mh
+              FROM wins wi
+              JOIN gh g ON g.doc_id = wi.doc_id
+                   AND g.pos >= wi.s AND g.pos < wi.s + wi.wl
+              GROUP BY wi.doc_id, wi.s, wi.wl
+            ),
+            sel AS (
+              SELECT m.doc_id, MAX(g.pos) AS pos, m.mh AS fph
+              FROM wm m
+              JOIN gh g ON g.doc_id = m.doc_id AND g.h = m.mh
+                   AND g.pos >= m.s AND g.pos < m.s + m.wl
+              GROUP BY m.doc_id, m.s, m.mh
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(fph AS BIGINT) AS fph  -- HUGEINT->float64 rounds in pandas
+            FROM sel
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -33,6 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 QUERY_SUITE = [
     "extract_verify_dualdpi",
     "dedup_exact",
+    "winnow_fingerprints",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -620,3 +620,71 @@ class TestTokenizeIds:
         assert a == b
         # z and y tie on count: token ASC rank gives y=1, z=2; x -> UNK
         assert a[0][2] == 2 and a[1][2] == 1 and a[4][2] == 0
+
+
+class TestWinnowing:
+    def _local(self, text, k=5, w=4):
+        import numpy as np
+
+        from tableextraction_ray.functions.dedup import shingle_base_hash
+        from tableextraction_ray.functions.textstats import ascii_tokens
+
+        toks = ascii_tokens(text)
+        n = len(toks) - k + 1
+        if n <= 0:
+            return set()
+        hashes = [shingle_base_hash(" ".join(toks[i : i + k])) for i in range(n)]
+        picked = set()
+        for s in range(max(n - w + 1, 1)):
+            win = hashes[s : s + w]
+            m = min(win)
+            pos = s + max(i for i, h in enumerate(win) if h == m)
+            picked.add((pos, m))
+        return picked
+
+    def test_matches_reference_definition(self, ray_session):
+        from tableextraction_ray.functions.dedup import winnow_fingerprints
+
+        docs = [
+            {"doc_id": 0, "text": "a b c d e f g h i j k l"},
+            {"doc_id": 1, "text": "one two three four five six"},  # n=2
+            {"doc_id": 2, "text": "w x y z zz"},  # n=1 (single gram)
+            {"doc_id": 3, "text": "too short"},  # no gram
+        ]
+        out = {}
+        for r in winnow_fingerprints(ray.data.from_items(docs)).take_all():
+            out.setdefault(r["doc_id"], set()).add((r["pos"], r["fph"]))
+        for d in docs:
+            assert out.get(d["doc_id"], set()) == self._local(d["text"])
+
+    def test_shared_substring_guarantee(self, ray_session):
+        """The winnowing guarantee: any match of >= w+k-1 tokens between
+        two documents shares at least one selected fingerprint."""
+        from tableextraction_ray.functions.dedup import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+        docs = [
+            {"doc_id": 0, "text": "x1 x2 x3 " + shared + " x4 x5"},
+            {"doc_id": 1, "text": "y1 " + shared + " y2 y3 y4 y5 y6"},
+        ]
+        fps = {}
+        for r in winnow_fingerprints(ray.data.from_items(docs)).take_all():
+            fps.setdefault(r["doc_id"], set()).add(r["fph"])
+        assert fps[0] & fps[1]
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.dedup import winnow_fingerprints
+
+        docs = [
+            {"doc_id": i, "text": " ".join(f"t{(i * 7 + j) % 13}" for j in range(30))}
+            for i in range(20)
+        ]
+        a = sorted(
+            (r["doc_id"], r["pos"], r["fph"])
+            for r in winnow_fingerprints(ray.data.from_items(docs).repartition(1)).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["pos"], r["fph"])
+            for r in winnow_fingerprints(ray.data.from_items(docs).repartition(8)).take_all()
+        )
+        assert a == b
