@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: dedup.winnow_fingerprints(
             docs(sf, ["doc_id", "text"])
         ),
+        "winnow_overlap": lambda sf: dedup.winnow_overlap(
+            docs(sf, ["doc_id", "text"])
+        ),
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
             docs(sf, ["doc_id", "text"])
@@ -444,6 +447,49 @@ cand AS (
 
 # Quantized-embedding CTE shared by the cosine oracles: q = per-component
 # 1e6 fixed-point (exact BIGINTs), nsq = exact squared norm.
+_WINNOW_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
+  FROM toks WHERE len(w) >= 5
+),
+gh AS (
+  SELECT doc_id, pos,
+         list_sum([
+             CAST(strpos('0123456789abcdef',
+                         substr(md5(array_to_string(
+                             w[pos + 1 : pos + 5], ' ')), i, 1)) - 1
+                  AS BIGINT) << ((15 - i) * 4)
+             for i in range(1, 16)
+         ]) AS h
+  FROM kg
+),
+dn AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, n,
+         unnest(range(CASE WHEN n <= 4 THEN 1 ELSE n - 3 END)) AS s,
+         CASE WHEN n <= 4 THEN n ELSE 4 END AS wl
+  FROM dn
+),
+wm AS (
+  SELECT wi.doc_id, wi.s, wi.wl, MIN(g.h) AS mh
+  FROM wins wi
+  JOIN gh g ON g.doc_id = wi.doc_id
+       AND g.pos >= wi.s AND g.pos < wi.s + wi.wl
+  GROUP BY wi.doc_id, wi.s, wi.wl
+),
+sel AS (
+  SELECT m.doc_id, MAX(g.pos) AS pos, m.mh AS fph
+  FROM wm m
+  JOIN gh g ON g.doc_id = m.doc_id AND g.h = m.mh
+       AND g.pos >= m.s AND g.pos < m.s + m.wl
+  GROUP BY m.doc_id, m.s, m.mh
+)
+"""
+
 _QUANT_CTE = """
 WITH qe AS (
   SELECT vec_id,
@@ -964,50 +1010,27 @@ def oracle_sql() -> dict[str, str]:
         # Winnowing replay: same 60-bit md5 5-gram hash, windows of 4
         # consecutive gram hashes (one short window when a doc has fewer
         # grams), MIN per window with the RIGHTMOST tie, DISTINCT picks.
-        "winnow_fingerprints": r"""
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
-              FROM documents
-            ),
-            kg AS (
-              SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
-              FROM toks WHERE len(w) >= 5
-            ),
-            gh AS (
-              SELECT doc_id, pos,
-                     list_sum([
-                         CAST(strpos('0123456789abcdef',
-                                     substr(md5(array_to_string(
-                                         w[pos + 1 : pos + 5], ' ')), i, 1)) - 1
-                              AS BIGINT) << ((15 - i) * 4)
-                         for i in range(1, 16)
-                     ]) AS h
-              FROM kg
-            ),
-            dn AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
-            wins AS (
-              SELECT doc_id, n,
-                     unnest(range(CASE WHEN n <= 4 THEN 1 ELSE n - 3 END)) AS s,
-                     CASE WHEN n <= 4 THEN n ELSE 4 END AS wl
-              FROM dn
-            ),
-            wm AS (
-              SELECT wi.doc_id, wi.s, wi.wl, MIN(g.h) AS mh
-              FROM wins wi
-              JOIN gh g ON g.doc_id = wi.doc_id
-                   AND g.pos >= wi.s AND g.pos < wi.s + wi.wl
-              GROUP BY wi.doc_id, wi.s, wi.wl
-            ),
-            sel AS (
-              SELECT m.doc_id, MAX(g.pos) AS pos, m.mh AS fph
-              FROM wm m
-              JOIN gh g ON g.doc_id = m.doc_id AND g.h = m.mh
-                   AND g.pos >= m.s AND g.pos < m.s + m.wl
-              GROUP BY m.doc_id, m.s, m.mh
-            )
+        "winnow_fingerprints": _WINNOW_CTE + r"""
             SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
                    CAST(fph AS BIGINT) AS fph  -- HUGEINT->float64 rounds in pandas
             FROM sel
+        """,
+        # MOSS comparison replay: distinct (doc, fingerprint) picks,
+        # boilerplate fingerprints (shared by > 64 docs) dropped, pair
+        # count over the survivors, threshold >= 2.
+        "winnow_overlap": _WINNOW_CTE + r""",
+            seld AS (SELECT DISTINCT doc_id, fph FROM sel),
+            okf AS (SELECT fph FROM seld GROUP BY fph
+                    HAVING COUNT(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM seld a
+              JOIN seld b ON a.fph = b.fph AND a.doc_id < b.doc_id
+              JOIN okf o ON o.fph = a.fph
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM pairs WHERE n_shared >= 2
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -34,6 +34,7 @@ QUERY_SUITE = [
     "extract_verify_dualdpi",
     "dedup_exact",
     "winnow_fingerprints",
+    "winnow_overlap",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

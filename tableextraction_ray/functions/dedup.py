@@ -1022,3 +1022,76 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(fingerprints, batch_format="pyarrow")
+
+
+def winnow_overlap(
+    ds: ray.data.Dataset,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    k: int = 5,
+    w: int = 4,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, n_shared) — the MOSS comparison step: document pairs
+    sharing at least ``min_shared`` winnowing fingerprints (doc_a <
+    doc_b). Fingerprints shared by more than ``max_bucket`` documents are
+    boilerplate and are dropped before pairing — MOSS's over-common-
+    fingerprint rule, and the same skew guard the LSH buckets use: a
+    boilerplate hash would otherwise explode one group to O(n^2) pairs.
+
+    Scale shape: only (doc_id, fph) int pairs ride the ONE fph-keyed
+    shuffle; in-bucket pairing works on the DISTINCT doc set (a doc's
+    repeated picks of one fingerprint collapse), and the pair-count
+    groupby moves (doc_a, doc_b, 1) rows bounded by bucket_size^2 per
+    surviving fingerprint."""
+    from ray.data.aggregate import Sum
+
+    fps = winnow_fingerprints(ds, k=k, w=w)
+
+    def project(batch: pa.Table) -> pa.Table:
+        # drop pos; local (doc_id, fph) dedupe shrinks the shuffle
+        seen = sorted(set(zip(batch["doc_id"].to_pylist(), batch["fph"].to_pylist())))
+        return pa.Table.from_pydict(
+            {
+                "fph": pa.array([f for _, f in seen], type=pa.int64()),
+                "doc_id": pa.array([d for d, _ in seen], type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = sorted(set(group["doc_id"].to_pylist()))
+        out_a, out_b = [], []
+        if 2 <= len(docs) <= max_bucket:
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    out_a.append(docs[i])
+                    out_b.append(docs[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "n": pa.array([1] * len(out_a), type=pa.int64()),
+            }
+        )
+
+    counted = (
+        fps.map_batches(project, batch_format="pyarrow")
+        .groupby("fph")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch["sum(n)"].cast(pa.int64())
+        keep = pc.greater_equal(n, pa.scalar(min_shared, type=pa.int64()))
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "n_shared": n,
+            }
+        ).filter(keep)
+
+    return counted.map_batches(finish, batch_format="pyarrow")

@@ -688,3 +688,26 @@ class TestWinnowing:
             for r in winnow_fingerprints(ray.data.from_items(docs).repartition(8)).take_all()
         )
         assert a == b
+
+    def test_overlap_pairs_and_boilerplate_guard(self, ray_session):
+        from tableextraction_ray.functions.dedup import winnow_overlap
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [
+            {"doc_id": 0, "text": "x1 x2 " + shared},
+            {"doc_id": 1, "text": "y1 " + shared + " y2"},
+            {"doc_id": 2, "text": "totally different words here of course q r s t u v"},
+        ]
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnow_overlap(ray.data.from_items(docs)).take_all()
+        }
+        assert set(pairs) == {(0, 1)} and pairs[(0, 1)] >= 2
+        # boilerplate guard: a fingerprint shared by everyone is dropped
+        many = [
+            {"doc_id": i, "text": shared} for i in range(10)
+        ]
+        capped = winnow_overlap(
+            ray.data.from_items(many), max_bucket=4
+        ).take_all()
+        assert capped == []
