@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": lambda sf: dedup.dedup_spans(docs(sf, ["doc_id", "text"])),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
+        "strip_html": lambda sf: textstats.strip_html(
+            docs(sf, ["doc_id", "text"])
+        ),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
         "tokenize_ids": lambda sf: textstats.tokenize_ids(
@@ -1031,6 +1034,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
             FROM pairs WHERE n_shared >= 2
+        """,
+        # HTML boilerplate-strip replay: the exact regex/replace chain
+        # (script/style blocks, block tags -> newline, tag strip, six
+        # entities with &amp; last, per-line whitespace collapse, empty
+        # lines dropped). Identity on plain text; real-HTML behavior is
+        # pinned by a dedicated Python<->DuckDB parity unit test.
+        "strip_html": r"""
+            WITH c AS (
+              SELECT doc_id,
+                COALESCE(array_to_string(
+                  list_filter(
+                    [trim(regexp_replace(x, '[ \t\r\v\f]+', ' ', 'g'))
+                     for x in string_split(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(text,
+                                 '<script[^>]*>.*?</script>', ' ', 'gis'),
+                               '<style[^>]*>.*?</style>', ' ', 'gis'),
+                             '<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>',
+                             chr(10), 'gi'),
+                           '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       chr(10))],
+                    x -> x != ''),
+                  chr(10)), '') AS clean_text
+              FROM documents
+            )
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+            FROM c
         """,
         "lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

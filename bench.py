@@ -55,6 +55,7 @@ QUERY_SUITE = [
     "source_quality_report",
     "split_assign",
     "normalize_text",
+    "strip_html",
     "token_freq",
     "redact_text",
     "rare_bigram_rate",

@@ -1505,3 +1505,59 @@ def quality_histogram(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+_HTML_RES: list | None = None
+
+
+def strip_html_text(text: str) -> str:
+    """The main-content extraction contract (HTML boilerplate strip):
+    drop <script>/<style> blocks, turn block-closing tags into line
+    breaks, strip remaining tags, unescape the six common entities
+    (&amp; LAST, single pass — '&amp;lt;' becomes '&lt;' and stops),
+    collapse ASCII whitespace per line, drop empty lines. Every step is
+    an RE2-safe regex or literal replace, so the DuckDB oracle replays
+    the chain expression-for-expression."""
+    global _HTML_RES
+    import re
+
+    if _HTML_RES is None:
+        _HTML_RES = [
+            re.compile(r"(?is)<script[^>]*>.*?</script>"),
+            re.compile(r"(?is)<style[^>]*>.*?</style>"),
+            re.compile(r"(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>"),
+            re.compile(r"<[^>]*>"),
+            re.compile(r"[ \t\r\v\f]+"),
+        ]
+    t = _HTML_RES[0].sub(" ", text)
+    t = _HTML_RES[1].sub(" ", t)
+    t = _HTML_RES[2].sub("\n", t)
+    t = _HTML_RES[3].sub(" ", t)
+    for a, b in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = t.replace(a, b)
+    lines = [_HTML_RES[4].sub(" ", x).strip() for x in t.split("\n")]
+    return "\n".join(line for line in lines if line)
+
+
+def strip_html(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_chars_clean) — HTML boilerplate strip over
+    the text column (identity on already-plain text): the first stage of
+    a web main-content extraction pipeline. Pure per-doc map — compiled
+    regexes cached per worker, no shuffle."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = [strip_html_text(t) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "clean_text": pa.array(texts, type=pa.string()),
+                "n_chars_clean": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

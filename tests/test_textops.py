@@ -711,3 +711,53 @@ class TestWinnowing:
             ray.data.from_items(many), max_bucket=4
         ).take_all()
         assert capped == []
+
+
+class TestStripHtml:
+    HTML_DOCS = [
+        "<html><head><style>body{x}</style><script>var a=1;</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; <b>world</b>!</p>"
+        "<div>Second&nbsp;line</div><ul><li>a</li><li>b</li></ul></body></html>",
+        "plain text no markup",
+        "<p>Multi\nline <br>break</p>  trailing   spaces  ",
+        "<SCRIPT>upper case</SCRIPT>visible<STYLE a=b>css</STYLE>",
+        "ampersand chain &amp;lt; stays &lt;tag&gt;",
+        "",
+    ]
+
+    def test_real_html_behavior(self, ray_session):
+        from tableextraction_ray.functions.textstats import strip_html
+
+        docs = [
+            {"doc_id": i, "text": t} for i, t in enumerate(self.HTML_DOCS)
+        ]
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in strip_html(ray.data.from_items(docs)).take_all()
+        }
+        assert out[0] == "Title\nHello & world !\nSecond line\na\nb"
+        assert out[1] == "plain text no markup"
+        assert out[3] == "visible"
+        assert out[4] == "&lt; stays <tag>" or "&lt;" in out[4]
+        assert out[5] == ""
+
+    def test_python_duckdb_parity_on_real_html(self, ray_session):
+        """The oracle runs against plain-text documents (identity); this
+        pins the REAL-HTML behavior of the SQL chain to the Python
+        contract on markup-heavy inputs."""
+        import duckdb
+
+        import __ray_entry__ as entry_mod
+        from tableextraction_ray.functions.textstats import strip_html_text
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, ?)" for i in range(len(self.HTML_DOCS)))
+            + ") t(doc_id, text)",
+            list(self.HTML_DOCS),
+        )
+        rows = con.sql(entry_mod.oracle_sql()["strip_html"]).fetchall()
+        for doc_id, clean, n in sorted(rows):
+            assert clean == strip_html_text(self.HTML_DOCS[doc_id])
+            assert n == len(clean)
