@@ -328,90 +328,70 @@ def dedup_savings(ds: ray.data.Dataset) -> ray.data.Dataset:
     by keeping only each cluster's representative. The go/no-go number a
     curation run reports before committing to a dedup config.
 
-    Scale shape: cluster assignments (int pairs) union a (doc_id,
-    n_chars) projection in ONE keyed doc_id groupby; the merged per-doc
-    rows collapse to per-block partial sums and a single tiny keyed
-    aggregate — text rides nothing, driver holds one row."""
+    Scale shape: cluster assignments collapse to (doc_id, dropped) flags
+    AT THE SOURCE (rep != doc_id is row-local), union a (doc_id, n_chars)
+    projection, and ONE vectorized hash-aggregate groupby(doc_id) pairs
+    them — no per-doc map_groups (a 60k-tiny-group map_groups measured
+    ~4x slower than the C hash aggregate at the bench tier). Per-block
+    partial sums then collapse everything to a single tiny keyed
+    aggregate; text rides nothing, driver holds one row."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from .dedup import dedup_clusters
 
     clusters = dedup_clusters(ds)
 
-    MERGE = pa.schema(
-        [("doc_id", pa.int64()), ("is_chars", pa.int64()),
-         ("n_chars", pa.int64()), ("rep", pa.int64())]
-    )
-
     def tag_clusters(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+        dropped = pc.cast(
+            pc.not_equal(batch["cluster_rep"], batch["doc_id"]), pa.int64()
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "is_chars": pa.array([0] * n, type=pa.int64()),
-                "n_chars": pa.array([0] * n, type=pa.int64()),
-                "rep": batch["cluster_rep"].cast(pa.int64()),
-            },
-            schema=MERGE,
-        )
-
-    def tag_chars(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "is_chars": pa.array([1] * n, type=pa.int64()),
-                "n_chars": batch["n_chars"].cast(pa.int64()),
-                "rep": pa.array([0] * n, type=pa.int64()),
-            },
-            schema=MERGE,
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        rep = chars = None
-        for row in group.to_pylist():
-            if row["is_chars"]:
-                chars = row["n_chars"]
-            else:
-                rep = row["rep"]
-        doc_id = group["doc_id"][0].as_py()
-        dropped = 1 if rep != doc_id else 0
-        return pa.Table.from_pydict(
-            {
-                "k": pa.array([0], type=pa.int64()),
-                "n_docs": pa.array([1], type=pa.int64()),
-                "n_dropped": pa.array([dropped], type=pa.int64()),
-                "chars_total": pa.array([chars], type=pa.int64()),
-                "chars_dropped": pa.array([chars if dropped else 0], type=pa.int64()),
+                "dropped": dropped,
+                "n_chars": pa.array([0] * len(batch), type=pa.int64()),
             }
         )
 
-    merged = (
+    def tag_chars(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dropped": pa.array([0] * len(batch), type=pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    per_doc = (
         clusters.map_batches(tag_clusters, batch_format="pyarrow")
         .union(
             ds.select_columns(["doc_id", "n_chars"]).map_batches(
                 tag_chars, batch_format="pyarrow"
             )
         )
+        .repartition(16)  # narrow merge: tiny int rows, wide sorts cost more than the work
         .groupby("doc_id")
-        .map_groups(merge, batch_format="pyarrow")
+        .aggregate(Sum("dropped"), Sum("n_chars"))
     )
 
     def combine(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        dropped = batch["sum(dropped)"].to_numpy(zero_copy_only=False)
+        chars = batch["sum(n_chars)"].to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
             {
                 "k": pa.array([0], type=pa.int64()),
-                "n_docs": pa.array([pc.sum(batch["n_docs"]).as_py() or 0], type=pa.int64()),
-                "n_dropped": pa.array([pc.sum(batch["n_dropped"]).as_py() or 0], type=pa.int64()),
-                "chars_total": pa.array([pc.sum(batch["chars_total"]).as_py() or 0], type=pa.int64()),
-                "chars_dropped": pa.array([pc.sum(batch["chars_dropped"]).as_py() or 0], type=pa.int64()),
+                "n_docs": pa.array([len(batch)], type=pa.int64()),
+                "n_dropped": pa.array([int(dropped.sum())], type=pa.int64()),
+                "chars_total": pa.array([int(chars.sum())], type=pa.int64()),
+                "chars_dropped": pa.array(
+                    [int((chars * dropped).sum())], type=pa.int64()
+                ),
             }
         )
 
     agg = (
-        merged.map_batches(combine, batch_format="pyarrow")
+        per_doc.map_batches(combine, batch_format="pyarrow")
         .groupby("k")
         .aggregate(
             Sum("n_docs"), Sum("n_dropped"), Sum("chars_total"), Sum("chars_dropped")

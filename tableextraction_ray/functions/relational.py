@@ -663,8 +663,11 @@ def orders_for_segment(
     )
     bits_ref = ray.put(bloom_build(seg_keys, "c_custkey", m, k))
 
+    N_BUCKETS = 128
+
     SIDE = pa.schema(
         [
+            ("bucket", pa.int64()),
             ("c_custkey", pa.int64()),
             ("is_key", pa.int64()),
             ("o_month", pa.string()),
@@ -693,6 +696,9 @@ def orders_for_segment(
                 cur[1] += c
         return pa.Table.from_pydict(
             {
+                "bucket": pa.array(
+                    [key % N_BUCKETS for key, _ in agg], type=pa.int64()
+                ),
                 "c_custkey": pa.array([key for key, _ in agg], type=pa.int64()),
                 "is_key": pa.array([0] * len(agg), type=pa.int64()),
                 "o_month": pa.array([mo for _, mo in agg], type=pa.string()),
@@ -706,6 +712,7 @@ def orders_for_segment(
         keys = batch["c_custkey"].to_pylist()
         return pa.Table.from_pydict(
             {
+                "bucket": pa.array([key % N_BUCKETS for key in keys], type=pa.int64()),
                 "c_custkey": pa.array(keys, type=pa.int64()),
                 "is_key": pa.array([1] * len(keys), type=pa.int64()),
                 "o_month": pa.array([""] * len(keys), type=pa.string()),
@@ -716,27 +723,31 @@ def orders_for_segment(
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        flags = group["is_key"].to_pylist()
-        if 1 not in flags:  # Bloom false positive — drop
-            return pa.Table.from_pydict(
-                {"o_month": [], "n": [], "price_c": []},
-                schema=pa.schema(
-                    [("o_month", pa.string()), ("n", pa.int64()), ("price_c", pa.int64())]
-                ),
-            )
-        mask = [f == 0 for f in flags]
+        # bucketed exact verification: one vectorized isin per ~n/128
+        # of the key space instead of a Python map_groups call per
+        # custkey (tiny-group map_groups measured ~5x slower here)
+        flags = group["is_key"].to_numpy(zero_copy_only=False)
+        custs = group["c_custkey"].to_numpy(zero_copy_only=False)
+        true_keys = np.unique(custs[flags == 1])
+        mask = (flags == 0) & np.isin(custs, true_keys)
+        sel = pa.array(mask)
         return pa.Table.from_pydict(
             {
-                "o_month": group["o_month"].filter(pa.array(mask)),
-                "n": group["n"].filter(pa.array(mask)),
-                "price_c": group["price_c"].filter(pa.array(mask)),
+                "o_month": group["o_month"].filter(sel),
+                "n": group["n"].filter(sel),
+                "price_c": group["price_c"].filter(sel),
             }
         )
 
     joined = (
         orders.map_batches(prune_orders, batch_format="pyarrow")
         .union(seg_keys.map_batches(tag_keys, batch_format="pyarrow"))
-        .groupby("c_custkey")
+        # narrow linear merge before the keyed shuffle: the pruned
+        # partials are tiny, and a sort over 128 input blocks costs ~6 s
+        # of fixed orchestration vs ~0.6 s of actual work (same
+        # blocks-vs-sort-width separation as the flagship pipeline)
+        .repartition(16)
+        .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
     agg = joined.groupby("o_month").aggregate(Sum("n"), Sum("price_c"))
