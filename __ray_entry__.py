@@ -116,6 +116,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=cols
         )
 
+    def _parity_docs(sf_dir, parity):
+        import pyarrow as pa
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        return docs(sf_dir, ["doc_id", "text"]).map_batches(
+            keep, batch_format="pyarrow"
+        )
+
     def extract_serialized(sf_dir: str):
         from tableextraction_ray.pipelines.extract import build_serialization_pipeline
 
@@ -161,6 +175,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "text"])
         ),
         "dedup_exact": lambda sf: dedup.exact_dedup(docs(sf, ["doc_id", "text"])),
+        # incremental: odd doc_ids are the "new" crawl batch, even the
+        # existing corpus (parity split keeps the demo scale-independent)
+        "dedup_incremental": lambda sf: dedup.dedup_incremental(
+            _parity_docs(sf, 1), _parity_docs(sf, 0)
+        ),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
             docs(sf, ["doc_id", "text"])
         ),
@@ -181,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
         "tokenize_ids": lambda sf: textstats.tokenize_ids(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "pack_token_blocks": lambda sf: textstats.pack_token_blocks(
             docs(sf, ["doc_id", "text"])
         ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
@@ -512,6 +534,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        # Incremental anti-join: new batch = odd doc_ids, existing corpus
+        # = even; keep new docs whose md5 no existing doc has.
+        "dedup_incremental": """
+            WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+            newd AS (SELECT * FROM h WHERE doc_id % 2 = 1),
+            ex AS (SELECT text_md5 FROM h WHERE doc_id % 2 = 0)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.text_md5
+            FROM newd n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ex WHERE ex.text_md5 = n.text_md5
+            )
         """,
         "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
         # Connected components of the candidate graph = min reachable
@@ -1009,6 +1043,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
                    CAST(COALESCE(v.tid, 0) AS BIGINT) AS tid
             FROM sel s LEFT JOIN vocab v ON v.token = s.t
+        """,
+        # Concat-and-chunk replay: the tokenize_ids id stream, global
+        # position = ROW_NUMBER over (doc_id, pos), example = gpos // 64,
+        # final partial example dropped (drop_remainder=True convention).
+        "pack_token_blocks": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token, tid FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS tid
+                FROM occ GROUP BY t
+              ) WHERE tid <= 16
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(range(len(w))) AS pos
+              FROM toks WHERE len(w) > 0
+            ),
+            sel AS (SELECT doc_id, pos, w[pos + 1] AS t FROM pos),
+            ids AS (
+              SELECT s.doc_id, s.pos, COALESCE(v.tid, 0) AS tid
+              FROM sel s LEFT JOIN vocab v ON v.token = s.t
+            ),
+            g AS (
+              SELECT doc_id, tid,
+                     ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+              FROM ids
+            )
+            SELECT CAST(gpos // 64 AS BIGINT) AS example_id,
+                   CAST(gpos % 64 AS BIGINT) AS pos,
+                   CAST(tid AS BIGINT) AS tid,
+                   doc_id
+            FROM g
+            WHERE gpos < (SELECT (COUNT(*) // 64) * 64 FROM g)
         """,
         # Winnowing replay: same 60-bit md5 5-gram hash, windows of 4
         # consecutive gram hashes (one short window when a doc has fewer

@@ -52,6 +52,7 @@ QUERY_SUITE = [
     "char_budget_prefix",
     "epoch_shuffle",
     "pack_sequences",
+    "pack_token_blocks",
     "source_quality_report",
     "split_assign",
     "normalize_text",

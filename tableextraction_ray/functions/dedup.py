@@ -63,6 +63,62 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def dedup_incremental(
+    new_ds: ray.data.Dataset, existing_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(doc_id, text_md5) — the NEW documents whose exact content hash is
+    absent from an EXISTING corpus: the snapshot-over-snapshot dedup every
+    crawl ingestion runs before appending a new batch (keep a new doc iff
+    no prior snapshot already has its text). Within-batch duplicates are
+    exact_dedup's job; this operator is the cross-corpus anti-join.
+
+    Scale shape: both sides hash inside map_batches and only
+    (text_md5, doc_id, is_new) triples ride ONE keyed shuffle — document
+    text never moves, and the existing corpus is streamed, never
+    broadcast (at 100 TB the existing side is the BIG side, so the
+    broadcast-small-side pattern is the wrong one here). Oracle:
+    NOT EXISTS anti-join on md5(text)."""
+
+    def tag(is_new: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "text_md5": pa.array(
+                        [_md5(t) for t in batch["text"].to_pylist()],
+                        type=pa.string(),
+                    ),
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "is_new": pa.array(
+                        np.full(len(batch), is_new, dtype=np.int8),
+                        type=pa.int8(),
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = new_ds.map_batches(tag(1), batch_format="pyarrow").union(
+        existing_ds.map_batches(tag(0), batch_format="pyarrow")
+    )
+
+    def survivors(group: pa.Table) -> pa.Table:
+        flags = group["is_new"].to_numpy(zero_copy_only=False)
+        if flags.min() == 0:  # hash present in the existing corpus
+            keep = np.zeros(len(group), dtype=bool)
+        else:
+            keep = np.ones(len(group), dtype=bool)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group["doc_id"].filter(pa.array(keep)),
+                "text_md5": group["text_md5"].filter(pa.array(keep)),
+            }
+        )
+
+    return tagged.groupby("text_md5").map_groups(
+        survivors, batch_format="pyarrow"
+    )
+
+
 def shingle_set(text: str) -> list[str]:
     """Distinct word 3-gram shingles, first-occurrence order (matches the
     oracle's list_distinct only as a set — consumers must be order-free).

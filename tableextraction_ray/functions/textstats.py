@@ -1368,6 +1368,125 @@ def tokenize_ids(ds: ray.data.Dataset, vocab_size: int = 16) -> ray.data.Dataset
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def pack_token_blocks(
+    ds: ray.data.Dataset,
+    seq_len: int = 64,
+    vocab_size: int = 16,
+    drop_remainder: bool = True,
+) -> ray.data.Dataset:
+    """(example_id, pos, tid, doc_id) — GPT-style concat-and-chunk token
+    packing, the step between the tokenizer and the training loader:
+    every document's token-id stream is concatenated in doc_id order and
+    the global stream is split into fixed-length examples of ``seq_len``
+    tokens, crossing document boundaries (doc_id is kept per token so the
+    loader can build cross-doc attention masks). Complements
+    pack_sequences, which next-fits WHOLE documents into capacity-bounded
+    sequences; this operator chunks the flat token stream.
+    ``drop_remainder=True`` (the training convention) drops the final
+    partial example.
+
+    Scale shape — the token stream itself NEVER shuffles: the vocabulary
+    is the bounded token_freq top-V broadcast once; the global offsets
+    come from the same one-sort + block-offset prefix-sum machinery as
+    char_budget_prefix (pass 1 reads one (first_doc_id, n_tokens) pair
+    per block, the driver folds O(#blocks) ints, pass 2 re-tokenizes and
+    emits each doc's tokens at offset + within-block cumsum). At 100 TB
+    the doc_id sort is the storage order and the only moving data is the
+    (int, int, int, int) output rows.
+
+    Oracle: the tokenize_ids replay + ROW_NUMBER() OVER (ORDER BY
+    doc_id, pos) global position, example_id = gpos // L, pos = gpos % L.
+    """
+    import ray as _ray
+
+    vocab_rows = sorted(
+        token_freq(ds, k=vocab_size).take_all(),
+        key=lambda r: (-r["n"], r["token"]),
+    )
+    vocab = {r["token"]: i + 1 for i, r in enumerate(vocab_rows)}
+    vocab_ref = _ray.put(vocab)
+
+    sorted_ds = ds.sort("doc_id").materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"first_id": pa.array([], type=pa.int64()),
+                 "n_tok": pa.array([], type=pa.int64())}
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = sum(len(ascii_tokens(t)) for t in batch["text"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "first_id": pa.array([int(ids.min())], type=pa.int64()),
+                "n_tok": pa.array([int(n)], type=pa.int64()),
+            }
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: r["first_id"],
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for m in metas:
+        offsets[m["first_id"]] = run
+        run += m["n_tok"]
+    keep_limit = run - (run % seq_len) if drop_remainder else run
+    off_ref = _ray.put(offsets)
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("example_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("tid", pa.int64()),
+            ("doc_id", pa.int64()),
+        ]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {f.name: pa.array([], type=f.type) for f in OUT_SCHEMA},
+                schema=OUT_SCHEMA,
+            )
+        v = _ray.get(vocab_ref)
+        off = _ray.get(off_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        start = off[int(ids.min())]
+        out_g, out_t, out_d = [], [], []
+        for doc_id, text in zip(
+            ids.tolist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(text)
+            for tok in toks:
+                out_g.append(start)
+                out_t.append(v.get(tok, 0))
+                out_d.append(doc_id)
+                start += 1
+        g = np.asarray(out_g, dtype=np.int64)
+        keep = g < keep_limit
+        return pa.Table.from_pydict(
+            {
+                "example_id": pa.array(g[keep] // seq_len, type=pa.int64()),
+                "pos": pa.array(g[keep] % seq_len, type=pa.int64()),
+                "tid": pa.array(
+                    np.asarray(out_t, dtype=np.int64)[keep], type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.asarray(out_d, dtype=np.int64)[keep], type=pa.int64()
+                ),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return sorted_ds.map_batches(
+        encode, batch_format="pyarrow", batch_size=None
+    )
+
+
 def sqrt_apportion(counts: dict[str, int], total: int) -> dict[str, int]:
     """Pure-integer largest-remainder apportionment of ``total`` over
     sqrt-tempered weights s_k = floor(sqrt(counts[k]) * 1e6): base share

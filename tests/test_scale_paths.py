@@ -504,3 +504,48 @@ class TestDedupSpans:
         )
         assert a == b
         assert any(r["n_dropped"] > 0 for r in a)
+
+
+class TestDedupIncremental:
+    """Cross-corpus anti-join: new docs survive iff no existing doc shares
+    their exact text hash (snapshot-over-snapshot crawl ingestion)."""
+
+    def test_anti_join_semantics(self, ray_session):
+        import ray.data
+
+        existing = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "shared body"},
+                {"doc_id": 2, "text": "old only"},
+            ]
+        )
+        new = ray.data.from_items(
+            [
+                {"doc_id": 10, "text": "shared body"},   # dup of existing
+                {"doc_id": 11, "text": "fresh content"},  # survives
+                {"doc_id": 12, "text": "fresh content"},  # within-new dup: kept
+                {"doc_id": 13, "text": "old only"},       # dup of existing
+            ]
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_incremental(new, existing).take_all()
+        )
+        assert out == [11, 12]
+
+    def test_empty_existing_keeps_all(self, ray_session):
+        import ray.data
+
+        new = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in range(5)]
+        )
+        existing = ray.data.from_items(
+            [{"doc_id": 99, "text": "nothing in common"}]
+        )
+        out = dedup.dedup_incremental(new, existing).take_all()
+        assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
+        # and md5 column matches exact_dedup's convention
+        import hashlib
+
+        want = hashlib.md5(b"doc 0").hexdigest()
+        assert next(r for r in out if r["doc_id"] == 0)["text_md5"] == want

@@ -622,6 +622,71 @@ class TestTokenizeIds:
         assert a[0][2] == 2 and a[1][2] == 1 and a[4][2] == 0
 
 
+class TestPackTokenBlocks:
+    DOCS = [
+        {"doc_id": 0, "text": "a b a c"},
+        {"doc_id": 1, "text": "a rare1 b"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "b a"},
+    ]
+
+    def _rows(self, ds, **kw):
+        from tableextraction_ray.functions.textstats import pack_token_blocks
+
+        return sorted(
+            (r["example_id"], r["pos"], r["tid"], r["doc_id"])
+            for r in pack_token_blocks(ds, **kw).take_all()
+        )
+
+    def test_hand_computed_with_tail_drop(self, ray_session):
+        # token stream in doc_id order (vocab a=1, b=2, UNK=0):
+        #   doc0: 1 2 1 0 | doc1: 1 0 2 | doc3: 2 1   -> 9 tokens
+        # seq_len=4: examples 0,1 full; the 1-token tail (ex 2) drops.
+        out = self._rows(
+            ray.data.from_items(self.DOCS), seq_len=4, vocab_size=2
+        )
+        assert out == [
+            (0, 0, 1, 0), (0, 1, 2, 0), (0, 2, 1, 0), (0, 3, 0, 0),
+            (1, 0, 1, 1), (1, 1, 0, 1), (1, 2, 2, 1), (1, 3, 2, 3),
+        ]
+
+    def test_keep_remainder(self, ray_session):
+        out = self._rows(
+            ray.data.from_items(self.DOCS),
+            seq_len=4,
+            vocab_size=2,
+            drop_remainder=False,
+        )
+        assert len(out) == 9
+        assert out[-1] == (2, 0, 1, 3)
+
+    def test_partition_invariance(self, ray_session):
+        docs = [
+            {"doc_id": i, "text": f"tok{i % 3} x y z w"[: 5 + i % 7]}
+            for i in range(23)
+        ]
+        a = self._rows(ray.data.from_items(docs).repartition(1), seq_len=8)
+        b = self._rows(ray.data.from_items(docs).repartition(9), seq_len=8)
+        assert a == b and len(a) > 0
+
+    def test_matches_tokenize_ids_stream(self, ray_session):
+        """pack_token_blocks(drop_remainder=False) is exactly the tokenize_ids stream
+        re-indexed by the global (doc_id, pos) order."""
+        from tableextraction_ray.functions.textstats import tokenize_ids
+
+        ds = ray.data.from_items(self.DOCS)
+        ref = [
+            r["tid"]
+            for r in sorted(
+                tokenize_ids(ds, vocab_size=2).take_all(),
+                key=lambda r: (r["doc_id"], r["pos"]),
+            )
+        ]
+        packed = self._rows(ds, seq_len=4, vocab_size=2, drop_remainder=False)
+        got = [t for (_, _, t, _) in sorted(packed)]
+        assert got == ref
+
+
 class TestWinnowing:
     def _local(self, text, k=5, w=4):
         import numpy as np
