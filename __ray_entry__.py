@@ -116,6 +116,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=cols
         )
 
+    def _boiler_docs(sf_dir):
+        """The synthetic corpus has fully unique text, so the cross-doc
+        line-dedup demo injects deterministic boilerplate: every 5th doc
+        gets a shared nav header, every 3rd a shared copyright footer
+        (mirrored in the oracle CTE)."""
+        import pyarrow as pa
+
+        def inject(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                if i % 5 == 0:
+                    t = "Home | About | Contact\n" + t
+                if i % 3 == 0:
+                    t = t + "\nCopyright 2026 Example Corp"
+                out.append(t)
+            return pa.Table.from_pydict(
+                {"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.string())}
+            )
+
+        return docs(sf_dir, ["doc_id", "text"]).map_batches(
+            inject, batch_format="pyarrow"
+        )
+
     def _parity_docs(sf_dir, parity):
         import pyarrow as pa
 
@@ -192,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "decontaminate": lambda sf: dedup.decontaminate(docs(sf, ["doc_id", "text"])),
         "dedup_spans": lambda sf: dedup.dedup_spans(docs(sf, ["doc_id", "text"])),
+        "boilerplate_lines": lambda sf: dedup.boilerplate_lines(
+            _boiler_docs(sf)
+        ),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(docs(sf, ["doc_id", "text"])),
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "strip_html": lambda sf: textstats.strip_html(
@@ -310,6 +338,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: textstats.quality_score(
             docs(sf, ["doc_id", "text"])
         ),
+        "gopher_filter": lambda sf: textstats.gopher_filter(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "char_entropy": lambda sf: textstats.char_entropy(
+            docs(sf, ["doc_id", "text"])
+        ),
         "token_regex_stats": lambda sf: textstats.token_regex_stats(
             docs(sf, ["doc_id", "text"])
         ),
@@ -368,6 +402,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "purchase_asof_join": lambda sf: relational.purchase_asof_join(
             _read(sf, "events", ["event_id", "ts", "user_id", "event_type"])
+        ),
+        # range join: 24 h attribution window (dense enough at sf0.01)
+        "purchase_click_attribution": lambda sf: relational.purchase_click_attribution(
+            _read(sf, "events", ["event_id", "ts", "user_id", "event_type"]),
+            window_us=86_400_000_000,
         ),
         "distinct_sources": lambda sf: relational.distinct_sources(
             docs(sf, ["source"])
@@ -846,6 +885,64 @@ def oracle_sql() -> dict[str, str]:
         # survivor = lowest (doc_id, idx) occurrence per 60-bit span hash
         # (same expression as the Ray side — equality holds collisions
         # included); clean_text = surviving spans + remainder tokens.
+        # Cross-doc repeated-line removal: replay the 60-bit line hash,
+        # count distinct docs per hash, drop ALL copies of lines seen in
+        # >1 doc (whitespace-only lines never qualify), reassemble with
+        # string_agg ORDER BY line index.
+        "boilerplate_lines": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'Home | About | Contact' || chr(10) || text
+                          ELSE text END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'Copyright 2026 Example Corp'
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM injected
+            ),
+            l AS (
+              SELECT t.doc_id, i.i AS idx, t.ls[i.i + 1] AS line
+              FROM base t
+              JOIN (SELECT unnest(range((SELECT MAX(len(ls)) FROM base))) AS i) i
+                ON i.i < len(t.ls)
+            ),
+            q AS (
+              SELECT doc_id, idx,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(line), j, 1)) - 1
+                              AS BIGINT) << ((15 - j) * 4)
+                         for j in range(1, 16)
+                     ]) AS lh
+              FROM l WHERE regexp_matches(line, '[^ \t\r\v\f]')
+            ),
+            bp AS (
+              SELECT lh FROM (
+                SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM q GROUP BY lh
+              ) WHERE nd > 1
+            ),
+            dropped AS (
+              SELECT doc_id, idx FROM q WHERE lh IN (SELECT lh FROM bp)
+            ),
+            keptl AS (
+              SELECT l.doc_id, l.idx, l.line
+              FROM l LEFT JOIN dropped d USING (doc_id, idx)
+              WHERE d.idx IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean
+              FROM keptl GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.ls) AS BIGINT) AS n_lines,
+                   CAST(len(b.ls) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+                   COALESCE(a.clean, '') AS clean_text
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
         "dedup_spans": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
@@ -1216,6 +1313,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
             FROM simreps a JOIN simreps b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
+        # Character-entropy replay: per distinct char term k*floor(ln(n/k)
+        # *1e9) — int/int division and libm ln are bit-equal across
+        # engines (the tfidf/dsir discipline); ent = S // n exact.
+        "char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+            tot AS (
+              SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n, COUNT(*) AS nd
+              FROM cnt GROUP BY doc_id
+            ),
+            s AS (
+              SELECT c2.doc_id,
+                     CAST(SUM(c2.k * CAST(FLOOR(ln(t.n / c2.k) * 1e9) AS BIGINT))
+                          AS BIGINT) AS S
+              FROM cnt c2 JOIN tot t USING (doc_id) GROUP BY c2.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(t.n, 0) AS n_chars_t,
+                   CAST(COALESCE(t.nd, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(s.S // t.n, 0) AS BIGINT) AS ent_fp9
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id) LEFT JOIN s USING (doc_id)
+        """,
+        # Gopher Table-A1 rules as pure integer comparisons (no float
+        # ratios): same tokenizer / char classes as quality_score, lines
+        # split on chr(10), '...' runs counted non-overlapping left-to-
+        # right on both sides (str.count == replace-length trick).
+        "gopher_filter": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w,
+                     string_split(text, chr(10)) AS lines,
+                     (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) // 3
+                       AS n_sym
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_sym,
+                     len(w) AS n,
+                     CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, ln -> regexp_matches(ln, '^ *[-*]'))) AS n_bullet,
+                     len(list_filter(lines, ln -> regexp_matches(ln, '\.\.\. *$'))) AS n_ell,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-zЀ-ӿ]'))) AS n_alpha_w,
+                     len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+              FROM f
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   CAST(n BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+                   CAST(n > 0 AND 3*n <= sum_len AND sum_len <= 10*n AS BIGINT) AS r_mean,
+                   CAST(10*n_sym <= n AS BIGINT) AS r_symbol,
+                   CAST(10*n_bullet <= 9*n_lines AS BIGINT) AS r_bullet,
+                   CAST(10*n_ell <= 3*n_lines AS BIGINT) AS r_ellipsis,
+                   CAST(5*n_alpha_w >= 4*n AS BIGINT) AS r_alpha,
+                   CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+                   CAST(
+                     (n BETWEEN 50 AND 100000)
+                     AND (n > 0 AND 3*n <= sum_len AND sum_len <= 10*n)
+                     AND 10*n_sym <= n AND 10*n_bullet <= 9*n_lines
+                     AND 10*n_ell <= 3*n_lines AND 5*n_alpha_w >= 4*n
+                     AND n_stop >= 2 AS BIGINT) AS passes
+            FROM c
         """,
         # Character-class counts use the literal classes from
         # textstats.ALPHA_CLASS/DIGIT_CLASS/SPACE_CLASS; ratio formula is the
@@ -1609,6 +1774,23 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Range join (non-equi point-in-interval with equality key):
+        # clicks inside each purchase's 24 h attribution window.
+        "purchase_click_attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   CAST(c.cts - p.pts AS BIGINT) AS delta_us
+            FROM p JOIN c
+              ON c.user_id = p.user_id
+             AND c.cts >= p.pts AND c.cts < p.pts + 86400000000
         """,
         # Per-source rollup of the quality_score alpha feature (exact
         # integer sums; same alpha_fp6 formula as the quality oracle).

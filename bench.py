@@ -33,6 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 QUERY_SUITE = [
     "extract_verify_dualdpi",
     "dedup_exact",
+    "dedup_incremental",
     "winnow_fingerprints",
     "winnow_overlap",
     "dedup_minhash_lsh",
@@ -48,6 +49,7 @@ QUERY_SUITE = [
     "bm25_topk",
     "decontaminate",
     "dedup_spans",
+    "boilerplate_lines",
     "repetition_stats",
     "char_budget_prefix",
     "epoch_shuffle",
@@ -86,6 +88,8 @@ QUERY_SUITE = [
     "token_stats",
     "token_regex_stats",
     "quality_score",
+    "gopher_filter",
+    "char_entropy",
     "lang_stats",
     "lang_id",
     "dehyphenate",
@@ -103,6 +107,7 @@ QUERY_SUITE = [
     "sessionize",
     "events_sliding_window",
     "purchase_asof_join",
+    "purchase_click_attribution",
     "distinct_sources",
     "top_docs_by_chars",
 ]

@@ -1151,3 +1151,119 @@ def winnow_overlap(
         ).filter(keep)
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def boilerplate_lines(
+    ds: ray.data.Dataset, max_docs: int = 1
+) -> ray.data.Dataset:
+    """(doc_id, n_lines, n_dropped, clean_text) — cross-document repeated-
+    LINE removal (the CCNet / onion paragraph-dedup convention, and the
+    nav-menu/footer "boilerplate" pass every web-crawl pipeline runs):
+    any line whose content appears in MORE THAN ``max_docs`` distinct
+    documents is dropped from EVERY document — all copies, no keep-first
+    (contrast dedup_spans, which keeps the globally-first occurrence of a
+    repeated fixed-width token span). Whitespace-only lines never qualify
+    (they are structure, not content) and always survive; ``clean_text``
+    is the surviving lines joined by newline in original order.
+
+    Scale shape (same discipline as dedup_spans): lines explode to
+    int-only (line_hash, doc_id, idx) rows — the shared 60-bit md5 hash,
+    text never rides the wide shuffle. ONE keyed groupby per line hash
+    counts distinct documents and emits (doc_id, idx) drop-marks for ALL
+    occurrences of boilerplate lines; marks ride a tagged union with the
+    (doc_id, text) rows into a doc_id groupby that re-splits the text
+    locally and drops marked indices. Two keyed shuffles, no driver
+    state; the oracle replays the same hash, so equality holds by
+    construction, collisions included."""
+    import re
+
+    import numpy as np
+
+    content_re = re.compile(r"[^ \t\r\v\f]")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_i: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, line in enumerate(t.split("\n")):
+                if content_re.search(line):
+                    out_h.append(shingle_base_hash(line))
+                    out_d.append(d)
+                    out_i.append(i)
+        return pa.Table.from_pydict(
+            {
+                "lh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "idx": pa.array(out_i, type=pa.int64()),
+            }
+        )
+
+    MERGE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("idx", pa.int64()), ("text", pa.string())]
+    )
+
+    def drop_marks(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(d)) <= max_docs:
+            return pa.Table.from_pylist([], schema=MERGE_SCHEMA)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group["doc_id"],
+                "idx": group["idx"],
+                "text": pa.array([None] * len(d), type=pa.string()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "idx": pa.array([-1] * batch.num_rows, type=pa.int64()),
+                "text": batch["text"],
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_dropped", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        doc_id = group["doc_id"][0].as_py()
+        text = None
+        dropped: set[int] = set()
+        for idx, t in zip(group["idx"].to_pylist(), group["text"].to_pylist()):
+            if idx == -1:
+                text = t
+            else:
+                dropped.add(idx)
+        lines = text.split("\n")
+        kept = [ln for i, ln in enumerate(lines) if i not in dropped]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc_id], type=pa.int64()),
+                "n_lines": pa.array([len(lines)], type=pa.int64()),
+                "n_dropped": pa.array([len(dropped)], type=pa.int64()),
+                "clean_text": pa.array(["\n".join(kept)], type=pa.string()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    marks = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("lh")
+        .map_groups(drop_marks, batch_format="pyarrow")
+    )
+    return (
+        ds.map_batches(tag_docs, batch_format="pyarrow")
+        .union(marks)
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

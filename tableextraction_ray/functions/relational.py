@@ -762,3 +762,115 @@ def orders_for_segment(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def purchase_click_attribution(
+    events: ray.data.Dataset, window_us: int = 3_600_000_000
+) -> ray.data.Dataset:
+    """(purchase_id, user_id, click_id, delta_us) — RANGE JOIN: every
+    'click' event whose timestamp lies in [purchase.ts, purchase.ts +
+    window) for the SAME user — the ad-attribution join ("which clicks
+    followed each purchase within an hour"). Ray Data has no non-equi
+    join; this is the scalable composition for a point-in-interval join
+    with an equality partition key:
+
+      * intervals (purchases) replicate to every fixed-width time BUCKET
+        they overlap — bucket width == the window, so each interval lands
+        in at most 2 buckets;
+      * points (clicks) map to exactly ONE bucket;
+      * one (user_id, bucket) keyed shuffle co-locates them; the in-group
+        sweep is a sort + two searchsorted bounds + a repeat/arange pair
+        expansion — no per-row Python and no pair-dedup pass, because
+        every (interval, point) pair can only meet in the point's bucket.
+
+    At 100 TB only (user_id, bucket, ts_us, event_id, kind) int rows ride
+    the shuffle (≤2 rows per interval), and output size is the true match
+    count. Oracle: plain BETWEEN-style non-equi JOIN."""
+    w = int(window_us)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        kinds = batch["event_type"]
+        keep = pc.is_in(kinds, value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(keep)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        b0 = ts // w
+        # points once, intervals once + (conditionally) the next bucket
+        b_last = (ts + w - 1) // w
+        extra = is_p & (b_last != b0)
+        out_uid = np.concatenate([uid, uid[extra]])
+        out_eid = np.concatenate([eid, eid[extra]])
+        out_ts = np.concatenate([ts, ts[extra]])
+        out_b = np.concatenate([b0, b_last[extra]])
+        out_k = np.concatenate(
+            [is_p.astype(np.int8), np.ones(int(extra.sum()), dtype=np.int8)]
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(out_uid, type=pa.int64()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "ts_us": pa.array(out_ts, type=pa.int64()),
+                "event_id": pa.array(out_eid, type=pa.int64()),
+                "kind": pa.array(out_k, type=pa.int8()),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("purchase_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("click_id", pa.int64()),
+            ("delta_us", pa.int64()),
+        ]
+    )
+
+    def _empty() -> pa.Table:
+        return pa.Table.from_pydict(
+            {f.name: pa.array([], type=f.type) for f in OUT_SCHEMA},
+            schema=OUT_SCHEMA,
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        is_p = kind == 1
+        if is_p.all() or not is_p.any():
+            return _empty()
+        user = group["user_id"][0].as_py()
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        p_ts, p_id = ts[is_p], eid[is_p]
+        c_ts, c_id = ts[~is_p], eid[~is_p]
+        order = np.lexsort((p_id, p_ts))
+        p_ts, p_id = p_ts[order], p_id[order]
+        # click t matches purchases with start in (t - w, t]
+        lo = np.searchsorted(p_ts, c_ts - w, side="right")
+        hi = np.searchsorted(p_ts, c_ts, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _empty()
+        click_rep = np.repeat(c_id, counts)
+        cts_rep = np.repeat(c_ts, counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        p_idx = np.repeat(lo, counts) + (np.arange(total) - starts)
+        return pa.Table.from_arrays(
+            [
+                pa.array(p_id[p_idx], type=pa.int64()),
+                pa.array(np.full(total, user), type=pa.int64()),
+                pa.array(click_rep, type=pa.int64()),
+                pa.array(cts_rep - p_ts[p_idx], type=pa.int64()),
+            ],
+            schema=OUT_SCHEMA,
+        )
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(sweep, batch_format="pyarrow")
+    )

@@ -1680,3 +1680,119 @@ def strip_html(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    ds: ray.data.Dataset,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> ray.data.Dataset:
+    """(doc_id, n_words, r_words, r_mean, r_symbol, r_bullet, r_ellipsis,
+    r_alpha, r_stop, passes) — the full Gopher rule-set quality filter
+    (Rae et al. 2021, Table A1), each rule an exact INTEGER comparison so
+    the whole filter replays bit-for-bit in SQL (no float ratios):
+
+      r_words:    min_words <= n <= max_words
+      r_mean:     3n <= sum(len(word)) <= 10n  (mean word length in [3,10])
+      r_symbol:   10*(#'#' chars + #'...' runs) <= n  (symbol/word <= 0.1)
+      r_bullet:   10*(lines starting with -/*) <= 9*n_lines  (<= 0.9)
+      r_ellipsis: 10*(lines ending with ...) <= 3*n_lines    (<= 0.3)
+      r_alpha:    5*(words containing a letter) >= 4n        (>= 0.8)
+      r_stop:     >= 2 occurrences of the 8 Gopher stopwords
+
+    Empty docs fail r_words and r_mean. Pure per-row map over compiled
+    regexes — no shuffle; complements quality_score (ratio FEATURES) by
+    emitting the decision bits a curation gate consumes directly."""
+    import re
+
+    alpha_word_re = re.compile(f"[{ALPHA_CLASS}]")
+    bullet_re = re.compile(r"^ *[-*]")
+    ellipsis_end_re = re.compile(r"\.\.\. *$")
+    stop_set = frozenset(GOPHER_STOPWORDS)
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "n_words", "r_words", "r_mean", "r_symbol", "r_bullet",
+                "r_ellipsis", "r_alpha", "r_stop", "passes",
+            )
+        }
+        for t in batch["text"].to_pylist():
+            toks = ascii_tokens(t)
+            n = len(toks)
+            sum_len = sum(len(w) for w in toks)
+            lines = t.split("\n")
+            n_lines = len(lines)
+            n_bullet = sum(1 for ln in lines if bullet_re.match(ln))
+            n_ell = sum(1 for ln in lines if ellipsis_end_re.search(ln))
+            n_sym = t.count("#") + t.count("...")
+            n_alpha_w = sum(1 for w in toks if alpha_word_re.search(w))
+            n_stop = sum(1 for w in toks if w in stop_set)
+            r = {
+                "r_words": int(min_words <= n <= max_words),
+                "r_mean": int(n > 0 and 3 * n <= sum_len <= 10 * n),
+                "r_symbol": int(10 * n_sym <= n),
+                "r_bullet": int(10 * n_bullet <= 9 * n_lines),
+                "r_ellipsis": int(10 * n_ell <= 3 * n_lines),
+                "r_alpha": int(5 * n_alpha_w >= 4 * n),
+                "r_stop": int(n_stop >= 2),
+            }
+            cols["n_words"].append(n)
+            for k, v in r.items():
+                cols[k].append(v)
+            cols["passes"].append(int(all(r.values())))
+        out = {"doc_id": batch["doc_id"]}
+        out.update({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars_t, n_distinct, ent_fp9) — character-level Shannon
+    entropy in nats, the compression-ratio-style quality signal (gibberish
+    and keyboard-mash score low-entropy-per-distinct-char; natural prose
+    clusters tightly): H = sum_c (k_c/n) * ln(n/k_c).
+
+    Exact-integer replay contract (the tfidf/dsir libm-ln discipline):
+    per distinct char, term = k_c * floor(ln(n/k_c) * 1e9) — n/k_c is the
+    same IEEE double division of two ints on both engines, ln is platform
+    libm (proven bit-equal vs DuckDB), and the final ent_fp9 = S // n is
+    integer floor division, so the whole statistic hashes green. Pure
+    per-row map (collections.Counter is C-speed), no shuffle."""
+    import math
+    from collections import Counter
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n_chars: list[int] = []
+        n_dist: list[int] = []
+        ents: list[int] = []
+        for t in batch["text"].to_pylist():
+            n = len(t)
+            if n == 0:
+                n_chars.append(0)
+                n_dist.append(0)
+                ents.append(0)
+                continue
+            counts = Counter(t)
+            S = sum(
+                k * math.floor(math.log(n / k) * 1e9)
+                for k in counts.values()
+            )
+            n_chars.append(n)
+            n_dist.append(len(counts))
+            ents.append(S // n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_t": pa.array(n_chars, type=pa.int64()),
+                "n_distinct": pa.array(n_dist, type=pa.int64()),
+                "ent_fp9": pa.array(ents, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

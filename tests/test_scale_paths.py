@@ -549,3 +549,127 @@ class TestDedupIncremental:
 
         want = hashlib.md5(b"doc 0").hexdigest()
         assert next(r for r in out if r["doc_id"] == 0)["text_md5"] == want
+
+
+class TestRangeJoin:
+    """purchase_click_attribution: point-in-interval non-equi join via
+    window-width bucket replication + one (user, bucket) keyed shuffle."""
+
+    W = 1000  # microsecond window for hand math
+
+    def _run(self, rows, **kw):
+        import ray.data
+
+        ds = ray.data.from_items(rows)
+        out = relational.purchase_click_attribution(
+            ds, window_us=kw.pop("window_us", self.W), **kw
+        )
+        return sorted(
+            (r["purchase_id"], r["click_id"], r["delta_us"])
+            for r in out.take_all()
+        )
+
+    @staticmethod
+    def _ev(eid, uid, ts, kind):
+        return {"event_id": eid, "user_id": uid, "ts": ts, "event_type": kind}
+
+    def test_boundaries_and_cross_bucket(self, ray_session):
+        w = self.W
+        rows = [
+            # purchase at 2500 (bucket 2, window spills into bucket 3)
+            self._ev(1, 7, 2500, "purchase"),
+            self._ev(10, 7, 2499, "click"),   # before start: no
+            self._ev(11, 7, 2500, "click"),   # == start: match, delta 0
+            self._ev(12, 7, 3499, "click"),   # last in-window us (bucket 3!)
+            self._ev(13, 7, 3500, "click"),   # == end: excluded
+            self._ev(14, 8, 2600, "click"),   # other user: no
+            self._ev(15, 7, 2600, "view"),    # other type: ignored
+        ]
+        assert self._run(rows) == [(1, 11, 0), (1, 12, 999)]
+
+    def test_overlapping_windows_both_match(self, ray_session):
+        rows = [
+            self._ev(1, 5, 1000, "purchase"),
+            self._ev(2, 5, 1500, "purchase"),
+            self._ev(20, 5, 1800, "click"),  # inside both windows
+        ]
+        assert self._run(rows) == [(1, 20, 800), (2, 20, 300)]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        rows = []
+        eid = 0
+        for uid in range(6):
+            for k in range(14):
+                eid += 1
+                rows.append(
+                    self._ev(
+                        eid, uid, 100 + 137 * k + uid * 13,
+                        "purchase" if k % 3 == 0 else "click",
+                    )
+                )
+        a = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in relational.purchase_click_attribution(
+                ray.data.from_items(rows).repartition(1), window_us=500
+            ).take_all()
+        )
+        b = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in relational.purchase_click_attribution(
+                ray.data.from_items(rows).repartition(7), window_us=500
+            ).take_all()
+        )
+        assert a == b and len(a) > 0
+
+
+class TestBoilerplateLines:
+    """Cross-doc repeated-line removal: ALL copies of a line seen in >
+    max_docs distinct docs are dropped; whitespace-only lines survive."""
+
+    def _run(self, rows, **kw):
+        import ray.data
+
+        out = dedup.boilerplate_lines(ray.data.from_items(rows), **kw)
+        return {r["doc_id"]: r for r in out.take_all()}
+
+    def test_drops_all_copies_keeps_structure(self, ray_session):
+        rows = [
+            {"doc_id": 1, "text": "nav menu\nunique alpha\n\nfooter line"},
+            {"doc_id": 2, "text": "nav menu\nunique beta\nfooter line"},
+            {"doc_id": 3, "text": "solo content only"},
+        ]
+        got = self._run(rows)
+        # 'nav menu' and 'footer line' appear in 2 docs -> dropped everywhere
+        assert got[1]["clean_text"] == "unique alpha\n"  # blank line kept
+        assert got[1]["n_lines"] == 4 and got[1]["n_dropped"] == 2
+        assert got[2]["clean_text"] == "unique beta"
+        assert got[3]["clean_text"] == "solo content only"
+        assert got[3]["n_dropped"] == 0
+
+    def test_within_doc_repeat_not_boilerplate(self, ray_session):
+        # same line twice in ONE doc: 1 distinct doc -> never dropped
+        rows = [
+            {"doc_id": 1, "text": "echo\necho"},
+            {"doc_id": 2, "text": "other"},
+        ]
+        got = self._run(rows)
+        assert got[1]["clean_text"] == "echo\necho"
+
+    def test_max_docs_threshold(self, ray_session):
+        rows = [
+            {"doc_id": i, "text": f"common line\nbody {i}"} for i in range(3)
+        ]
+        loose = self._run(rows, max_docs=3)
+        assert all(r["n_dropped"] == 0 for r in loose.values())
+        strict = self._run(rows, max_docs=2)
+        assert all(r["n_dropped"] == 1 for r in strict.values())
+
+    def test_all_lines_dropped(self, ray_session):
+        rows = [
+            {"doc_id": 1, "text": "dup"},
+            {"doc_id": 2, "text": "dup"},
+        ]
+        got = self._run(rows)
+        assert got[1]["clean_text"] == "" and got[1]["n_dropped"] == 1

@@ -826,3 +826,86 @@ class TestStripHtml:
         for doc_id, clean, n in sorted(rows):
             assert clean == strip_html_text(self.HTML_DOCS[doc_id])
             assert n == len(clean)
+
+
+class TestGopherFilter:
+    def _one(self, text, **kw):
+        from tableextraction_ray.functions.textstats import gopher_filter
+
+        out = gopher_filter(
+            ray.data.from_items([{"doc_id": 0, "text": text}]), **kw
+        ).take_all()
+        assert len(out) == 1
+        return out[0]
+
+    def test_good_doc_passes(self, ray_session):
+        text = " ".join(
+            ["the quick brown fox jumps over lazy dogs that have fun with it"]
+            * 5
+        )
+        r = self._one(text, min_words=10)
+        assert r["passes"] == 1
+        assert all(r[k] == 1 for k in (
+            "r_words", "r_mean", "r_symbol", "r_bullet", "r_ellipsis",
+            "r_alpha", "r_stop"))
+
+    def test_rule_bits(self, ray_session):
+        # 4 words, mean len (3+3+3+3)/4=3 OK, 1 '#' => 10*1 > 4 fails
+        # symbol; only 1 stopword 'the' => r_stop fails; words < 50.
+        r = self._one("the abc de# fgh")
+        assert (r["r_words"], r["r_symbol"], r["r_stop"]) == (0, 0, 0)
+        assert r["r_mean"] == 1 and r["passes"] == 0
+
+    def test_bullet_and_ellipsis_lines(self, ray_session):
+        # 10 lines: 10 bullets -> 10*10 > 9*10 fails bullet; none end
+        # with '...' -> ellipsis ok.
+        text = "\n".join("- item %d" % i for i in range(10))
+        r = self._one(text)
+        assert r["r_bullet"] == 0 and r["r_ellipsis"] == 1
+        # 1 of 3 lines ends with '...' -> 10 > 9 fails (> 0.3)
+        r2 = self._one("one line\nanother goes on...\nthird")
+        assert r2["r_ellipsis"] == 0
+
+    def test_empty_doc(self, ray_session):
+        r = self._one("")
+        assert r["n_words"] == 0 and r["r_mean"] == 0 and r["passes"] == 0
+
+    def test_symbol_runs_non_overlapping(self, ray_session):
+        # '.....' counts as ONE '...' run (str.count semantics); 5 words,
+        # 1 run -> 10 > 5 fails; with 10+ words it passes.
+        r = self._one("word one two three four .....")
+        assert r["r_symbol"] == 0
+        r2 = self._one("w1 w2 w3 w4 w5 w6 w7 w8 w9 wA .....")
+        assert r2["r_symbol"] == 1
+
+
+class TestCharEntropy:
+    def _run(self, texts):
+        from tableextraction_ray.functions.textstats import char_entropy
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        return {r["doc_id"]: r for r in char_entropy(ds).take_all()}
+
+    def test_hand_computed(self, ray_session):
+        import math
+
+        got = self._run(["aab"])[0]
+        S = 2 * math.floor(math.log(3 / 2) * 1e9) + 1 * math.floor(
+            math.log(3 / 1) * 1e9
+        )
+        assert got["n_chars_t"] == 3 and got["n_distinct"] == 2
+        assert got["ent_fp9"] == S // 3
+
+    def test_ordering_and_edges(self, ray_session):
+        got = self._run(["", "aaaa", "abcd", "aabb"])
+        assert got[0]["ent_fp9"] == 0 and got[0]["n_distinct"] == 0
+        # constant string has zero entropy
+        assert got[1]["ent_fp9"] == 0 and got[1]["n_distinct"] == 1
+        # uniform 4 distinct > 2x2 distinct > constant
+        assert got[2]["ent_fp9"] > got[3]["ent_fp9"] > got[1]["ent_fp9"]
+        # uniform over 4 symbols = ln(4) nats (floor-quantized)
+        import math
+
+        assert abs(got[2]["ent_fp9"] - math.log(4) * 1e9) < 4
