@@ -116,6 +116,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=cols
         )
 
+    def _html_docs(sf_dir):
+        """Wrap each doc in a deterministic page skeleton (nav + article
+        paragraph + footer) so the DOM-heuristic extractor has real link
+        boilerplate to classify (mirrored in the oracle CTE)."""
+        import pyarrow as pa
+
+        def wrap(batch: pa.Table) -> pa.Table:
+            out = [
+                '<div class="nav"><a href="/">Home</a> '
+                '<a href="/about">About us</a></div><p>' + t + "</p>"
+                '<div class="footer"><a href="/tos">Terms of Service</a> '
+                '<a href="/priv">Privacy</a></div>'
+                for t in batch["text"].to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.string())}
+            )
+
+        return docs(sf_dir, ["doc_id", "text"]).map_batches(
+            wrap, batch_format="pyarrow"
+        )
+
     def _boiler_docs(sf_dir):
         """The synthetic corpus has fully unique text, so the cross-doc
         line-dedup demo injects deterministic boilerplate: every 5th doc
@@ -224,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": lambda sf: textstats.split_assign(docs(sf, ["doc_id"])),
         "strip_html": lambda sf: textstats.strip_html(
             docs(sf, ["doc_id", "text"])
+        ),
+        "extract_main_content": lambda sf: textstats.extract_main_content(
+            _html_docs(sf)
         ),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
@@ -1208,6 +1233,67 @@ def oracle_sql() -> dict[str, str]:
         # entities with &amp; last, per-line whitespace collapse, empty
         # lines dropped). Identity on plain text; real-HTML behavior is
         # pinned by a dedicated Python<->DuckDB parity unit test.
+        # DOM-heuristic main-content extraction replay: same page
+        # skeleton injection, same regex chain per block (visible =
+        # strip-tags + ws-collapse + trim; anchors via non-greedy group),
+        # keep iff len>=25 AND 2*anchor_chars<=len, reassemble in block
+        # order.
+        "extract_main_content": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a></div><p>'
+                     || text ||
+                     '</p><div class="footer"><a href="/tos">Terms of Service</a> <a href="/priv">Privacy</a></div>'
+                     AS html
+              FROM documents
+            ),
+            scrubbed AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+              FROM injected
+            ),
+            bl AS (
+              SELECT doc_id,
+                     regexp_split_to_array(t, '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6])[^>]*>') AS bs
+              FROM scrubbed
+            ),
+            b AS (
+              SELECT t.doc_id, i.i AS idx, t.bs[i.i + 1] AS blk
+              FROM bl t
+              JOIN (SELECT unnest(range((SELECT MAX(len(bs)) FROM bl))) AS i) i
+                ON i.i < len(t.bs)
+            ),
+            v AS (
+              SELECT doc_id, idx,
+                     trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+                                         '[ \t\n\r\v\f]+', ' ', 'g'), ' ') AS vis,
+                     CAST(COALESCE(list_sum(list_transform(
+                         regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1),
+                         x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                                                         '[ \t\n\r\v\f]+', ' ', 'g'), ' '))
+                     )), 0) AS BIGINT) AS a_chars
+              FROM b
+            ),
+            nz AS (SELECT * FROM v WHERE vis <> ''),
+            kept AS (
+              SELECT doc_id, idx, vis FROM nz
+              WHERE length(vis) >= 25 AND 2 * a_chars <= length(vis)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(vis, chr(10) ORDER BY idx) AS main_text
+              FROM kept GROUP BY doc_id
+            ),
+            nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM nz GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(nb.n_blocks, 0) AS BIGINT) AS n_blocks,
+                   CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(agg.main_text, '') AS main_text
+            FROM documents d
+            LEFT JOIN nb USING (doc_id) LEFT JOIN agg USING (doc_id)
+        """,
         "strip_html": r"""
             WITH c AS (
               SELECT doc_id,

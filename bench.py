@@ -50,6 +50,7 @@ QUERY_SUITE = [
     "decontaminate",
     "dedup_spans",
     "boilerplate_lines",
+    "extract_main_content",
     "repetition_stats",
     "char_budget_prefix",
     "epoch_shuffle",

@@ -1796,3 +1796,83 @@ def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+_MAIN_RES = None
+
+
+def extract_main_content_text(text: str, min_chars: int = 25):
+    """The DOM-heuristic main-content classifier (jusText/Readability
+    link-density family) as an exact RE2-safe regex chain the DuckDB
+    oracle replays expression-for-expression:
+
+      1. drop <script>/<style> blocks;
+      2. split into blocks at block-closing tags (br,/p,/div,/li,/tr,/h*);
+      3. per block, visible text = strip tags -> collapse ASCII
+         whitespace runs to one space -> trim; anchor text = the same
+         reduction of every non-greedy <a ...>...</a> inner span;
+      4. a block is MAIN CONTENT iff len(visible) >= min_chars and
+         2 * anchor_chars <= len(visible)   (link density <= 0.5).
+
+    Returns (n_blocks, n_kept, main_text): n_blocks counts non-empty
+    visible blocks, main_text joins kept blocks with newline. No entity
+    unescaping here — compose with strip_html for that."""
+    global _MAIN_RES
+    import re
+
+    if _MAIN_RES is None:
+        _MAIN_RES = [
+            re.compile(r"(?is)<script[^>]*>.*?</script>"),
+            re.compile(r"(?is)<style[^>]*>.*?</style>"),
+            re.compile(r"(?i)<(?:br|/p|/div|/li|/tr|/h[1-6])[^>]*>"),
+            re.compile(r"(?is)<a[^>]*>(.*?)</a>"),
+            re.compile(r"<[^>]*>"),
+            re.compile(r"[ \t\n\r\v\f]+"),
+        ]
+    scrub, style, block_split, a_re, tag_re, ws_re = _MAIN_RES
+
+    def visible(s: str) -> str:
+        return ws_re.sub(" ", tag_re.sub(" ", s)).strip(" ")
+
+    t = style.sub(" ", scrub.sub(" ", text))
+    n_blocks = 0
+    kept: list[str] = []
+    for b in block_split.split(t):
+        v = visible(b)
+        if not v:
+            continue
+        n_blocks += 1
+        a_chars = sum(len(visible(inner)) for inner in a_re.findall(b))
+        if len(v) >= min_chars and 2 * a_chars <= len(v):
+            kept.append(v)
+    return n_blocks, len(kept), "\n".join(kept)
+
+
+def extract_main_content(
+    ds: ray.data.Dataset, min_chars: int = 25
+) -> ray.data.Dataset:
+    """(doc_id, n_blocks, n_kept, main_text) — link-density main-content
+    extraction over the text column: the DOM-heuristics stage of the web
+    extraction pipeline (nav bars, footers and link farms are blocks that
+    are short or mostly anchor text; article prose is long and link-poor).
+    Pure per-doc map, compiled patterns cached per worker, no shuffle."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        nb: list[int] = []
+        nk: list[int] = []
+        mt: list[str] = []
+        for t in batch["text"].to_pylist():
+            b, k, m = extract_main_content_text(t, min_chars)
+            nb.append(b)
+            nk.append(k)
+            mt.append(m)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_blocks": pa.array(nb, type=pa.int64()),
+                "n_kept": pa.array(nk, type=pa.int64()),
+                "main_text": pa.array(mt, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

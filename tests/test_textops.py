@@ -909,3 +909,97 @@ class TestCharEntropy:
         import math
 
         assert abs(got[2]["ent_fp9"] - math.log(4) * 1e9) < 4
+
+
+class TestExtractMainContent:
+    def _one(self, html, **kw):
+        from tableextraction_ray.functions.textstats import extract_main_content
+
+        out = extract_main_content(
+            ray.data.from_items([{"doc_id": 0, "text": html}]), **kw
+        ).take_all()
+        return out[0]
+
+    def test_link_density_classification(self, ray_session):
+        html = (
+            '<div id="nav"><a href="/">Home</a> <a href="/x">Products</a></div>'
+            "<p>This is the long main article paragraph with enough prose "
+            "to clear the minimum content length bar easily.</p>"
+            '<p>Short stub.</p>'
+            "<p>A second real paragraph that cites <a href=\"/ref\">one "
+            "reference link</a> but is mostly readable prose text.</p>"
+            '<div class="footer"><a href="/tos">Terms</a><a href="/p">Privacy</a></div>'
+        )
+        r = self._one(html)
+        assert r["n_blocks"] == 5 and r["n_kept"] == 2
+        lines = r["main_text"].split("\n")
+        assert lines[0].startswith("This is the long main article")
+        assert lines[1].startswith("A second real paragraph")
+        assert "Terms" not in r["main_text"] and "Home" not in r["main_text"]
+
+    def test_script_and_style_removed(self, ray_session):
+        html = (
+            "<script>var x = 'this script body is long enough to pass';</script>"
+            "<style>body { color: red; font-size: 12px; margin: 0 }</style>"
+            "<p>Actual visible content paragraph long enough to keep here.</p>"
+        )
+        r = self._one(html)
+        assert r["n_kept"] == 1 and "script body" not in r["main_text"]
+        assert "color" not in r["main_text"]
+
+    def test_plain_text_is_one_block(self, ray_session):
+        r = self._one("just a plain sentence with no markup at all in it")
+        assert (r["n_blocks"], r["n_kept"]) == (1, 1)
+        assert r["main_text"] == "just a plain sentence with no markup at all in it"
+
+    def test_all_anchor_page(self, ray_session):
+        html = '<p><a href="/a">aaaaaaaaaaaaaaa</a> <a href="/b">bbbbbbbbbbbbbbbb</a></p>'
+        r = self._one(html)
+        assert r["n_blocks"] == 1 and r["n_kept"] == 0 and r["main_text"] == ""
+
+
+class TestExtractMainContentParity:
+    RAW_DOCS = [
+        "<p>nested <a href='/x'>link <b>with bold</b> inside</a> and "
+        "surrounding prose words that keep this block content-heavy.</p>",
+        "A plain prose paragraph that is long enough to stay as content.",
+        "<ul><li><a href='/1'>one</a></li><li><a href='/2'>two</a></li></ul>",
+        "<h1>Heading</h1><p>Body text under the heading, long enough to "
+        "stay after the heuristic applies its length rule.</p>",
+        "<SCRIPT>var hidden = 'nope';</SCRIPT>shown text that is long "
+        "enough to survive the content-length gate here",
+        "",
+    ]
+
+    def test_python_duckdb_parity_on_markup(self, ray_session):
+        """The corpus oracle wraps docs in the nav/footer skeleton; this
+        pins the SQL chain to the Python contract on adversarial markup
+        (nested anchors, link lists, uppercase script, empty doc)."""
+        import duckdb
+
+        import __ray_entry__ as entry_mod
+        from tableextraction_ray.functions.textstats import (
+            extract_main_content_text,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, ?)" for i in range(len(self.RAW_DOCS)))
+            + ") t(doc_id, text)",
+            list(self.RAW_DOCS),
+        )
+        rows = con.sql(
+            entry_mod.oracle_sql()["extract_main_content"]
+        ).fetchall()
+        assert len(rows) == len(self.RAW_DOCS)
+        for doc_id, n_blocks, n_kept, main_text in sorted(rows):
+            wrapped = (
+                '<div class="nav"><a href="/">Home</a> '
+                '<a href="/about">About us</a></div><p>'
+                + self.RAW_DOCS[doc_id]
+                + '</p><div class="footer"><a href="/tos">Terms of Service</a> '
+                '<a href="/priv">Privacy</a></div>'
+            )
+            nb, nk, mt = extract_main_content_text(wrapped)
+            assert (n_blocks, n_kept, main_text) == (nb, nk, mt), doc_id
