@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: relational.events_hourly(
             _read(sf, "events", ["event_type", "ts", "value"])
         ),
+        "outlier_events": lambda sf: relational.outlier_events(
+            _read(sf, "events", ["event_id", "event_type", "ts", "value"])
+        ),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -1879,6 +1882,28 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_c
             FROM events, (SELECT unnest([0,1,2,3]) AS k) b
             GROUP BY 1, 2
+        """,
+        # Exact-integer z-test: (n*x-S)^2 > z^2*(n*Q-S^2) over cents,
+        # widened through HUGEINT exactly like the Python-int moments.
+        "outlier_events": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS hour,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events
+            ),
+            g AS (
+              SELECT event_type, hour, COUNT(*) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s,
+                     SUM(CAST(x AS HUGEINT) * x) AS q
+              FROM e GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.event_type, e.hour, e.x AS value_c
+            FROM e JOIN g USING (event_type, hour)
+            WHERE g.n >= 8
+              AND (CAST(g.n AS HUGEINT) * e.x - g.s)
+                  * (CAST(g.n AS HUGEINT) * e.x - g.s)
+                  > 9 * (CAST(g.n AS HUGEINT) * g.q - g.s * g.s)
         """,
         "purchase_asof_join": """
             WITH clicks AS (

@@ -107,6 +107,7 @@ QUERY_SUITE = [
     "orders_by_segment",
     "orders_for_segment",
     "events_hourly",
+    "outlier_events",
     "sessionize",
     "events_sliding_window",
     "purchase_asof_join",

@@ -874,3 +874,75 @@ def purchase_click_attribution(
         .groupby(["user_id", "bucket"])
         .map_groups(sweep, batch_format="pyarrow")
     )
+
+
+def outlier_events(
+    events: ray.data.Dataset, z: int = 3, min_n: int = 8, unit: str = "day"
+) -> ray.data.Dataset:
+    """(event_id, event_type, hour, value_c) — events whose value is a
+    > z-sigma outlier within their (event_type, time-bucket) population
+    (``unit``: 'day' default — hourly groups in the bench corpus are too
+    small for a stable sigma — or 'hour'): the
+    metrics-anomaly sweep every event pipeline runs. The z-test is the
+    EXACT integer inequality
+
+        (n*x - S)^2 > z^2 * (n*Q - S^2),   S = sum(x), Q = sum(x^2)
+
+    over integer cents (equivalent to |x - mean| > z*sigma with the
+    population sigma, but float-free, so it hashes green); groups smaller
+    than ``min_n`` never flag (no stable sigma). ONE (event_type, hour)
+    keyed shuffle of (event_id, x) int rows; the in-group test is
+    vectorized with Python-int group moments (arbitrary precision — at
+    petabyte group sizes n*Q overflows int64; the oracle widens via
+    HUGEINT the same way)."""
+    zz = z * z
+
+    fmt = "%Y-%m-%d %H:00:00" if unit == "hour" else "%Y-%m-%d"
+
+    def project(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(pc.floor_temporal(batch["ts"], unit=unit), format=fmt)
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "hour": hours,
+                "x": _cents(batch["value"]),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("hour", pa.string()),
+            ("value_c", pa.int64()),
+        ]
+    )
+
+    def flag(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < min_n:
+            return pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        xs = group["x"].to_pylist()  # Python ints: overflow-free moments
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        rhs = zz * (n * Q - S * S)
+        keep = [i for i, v in enumerate(xs) if (n * v - S) ** 2 > rhs]
+        if not keep:
+            return pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        idx = pa.array(keep, type=pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "event_id": group["event_id"].take(idx),
+                "event_type": group["event_type"].take(idx),
+                "hour": group["hour"].take(idx),
+                "value_c": group["x"].take(idx),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .map_groups(flag, batch_format="pyarrow")
+    )

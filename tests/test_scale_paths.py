@@ -748,3 +748,44 @@ class TestMinhashJaccardEst:
         out = dedup.minhash_jaccard_est(ray.data.from_items(docs)).take_all()
         assert len(out) == 1
         assert out[0]["n_match"] == 16 and out[0]["n_perms"] == 16
+
+
+class TestOutlierEvents:
+    def _run(self, vals, **kw):
+        import ray.data
+        from datetime import datetime
+
+        rows = [
+            {
+                "event_id": i,
+                "event_type": "click",
+                "ts": datetime(2026, 1, 1, 12, 0, i % 60),
+                "value": v,
+            }
+            for i, v in enumerate(vals)
+        ]
+        return sorted(
+            r["event_id"]
+            for r in relational.outlier_events(
+                ray.data.from_items(rows), **kw
+            ).take_all()
+        )
+
+    def test_flags_only_the_spike(self, ray_session):
+        # 11 near-identical values + one huge spike: only the spike has
+        # (n*x - S)^2 > 9*(n*Q - S^2)
+        vals = [10.0, 10.1, 9.9, 10.0, 10.05, 9.95, 10.0, 10.1, 9.9, 10.0, 10.0, 500.0]
+        assert self._run(vals) == [11]
+
+    def test_min_n_guard(self, ray_session):
+        # a single spike among n points caps at z ~ sqrt(n), so use z=1
+        # for the tiny group; min_n=8 (default) still suppresses it
+        vals = [10.0, 10.0, 500.0]
+        assert self._run(vals, z=1) == []
+        assert self._run(vals, z=1, min_n=3) == [2]
+
+    def test_uniform_never_flags_at_z3(self, ray_session):
+        # uniform data maxes out near z = sqrt(3) < 3
+        vals = [float(v) for v in range(100)]
+        assert self._run(vals) == []
+        assert len(self._run(vals, z=1)) > 0
