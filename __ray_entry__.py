@@ -261,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_blocks": lambda sf: textstats.pack_token_blocks(
             docs(sf, ["doc_id", "text"])
         ),
+        "pmi_collocations": lambda sf: textstats.pmi_collocations(
+            docs(sf, ["doc_id", "text"]), min_count=3
+        ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
@@ -1239,6 +1242,46 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM g
             WHERE gpos < (SELECT (COUNT(*) // 64) * 64 FROM g)
+        """,
+        # PMI collocation replay: bigram counts over the top-4096 vocab,
+        # marginals from the pair table, products widened via HUGEINT and
+        # rounded to DOUBLE once each (== Python float(int)), libm ln.
+        "pmi_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+                FROM occ GROUP BY t
+              ) WHERE rn <= 4096
+            ),
+            big AS (
+              SELECT t.w[i.i + 1] AS a, t.w[i.i + 2] AS b
+              FROM toks t
+              JOIN (SELECT unnest(range((SELECT MAX(len(w)) FROM toks))) AS i) i
+                ON i.i < len(t.w) - 1
+            ),
+            bv AS (
+              SELECT a, b FROM big
+              WHERE a IN (SELECT token FROM vocab)
+                AND b IN (SELECT token FROM vocab)
+            ),
+            bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bv GROUP BY a, b),
+            la AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY a),
+            rb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bc GROUP BY b),
+            tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM bc)
+            SELECT bc.a AS tok_a, bc.b AS tok_b, bc.n_ab,
+                   CAST(FLOOR(ln(
+                     CAST(CAST(bc.n_ab AS HUGEINT) * t.n AS DOUBLE)
+                     / CAST(CAST(la.n_a AS HUGEINT) * rb.n_b AS DOUBLE)
+                   ) * 1e9) AS BIGINT) AS pmi_fp9
+            FROM bc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot t
+            WHERE bc.n_ab >= 3
+            ORDER BY pmi_fp9 DESC, tok_a, tok_b LIMIT 50
         """,
         # Winnowing replay: same 60-bit md5 5-gram hash, windows of 4
         # consecutive gram hashes (one short window when a doc has fewer

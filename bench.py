@@ -62,6 +62,7 @@ QUERY_SUITE = [
     "normalize_text",
     "strip_html",
     "token_freq",
+    "pmi_collocations",
     "redact_text",
     "rare_bigram_rate",
     "quality_percentile",

@@ -1876,3 +1876,101 @@ def extract_main_content(
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    vocab_size: int = 4096,
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """(tok_a, tok_b, n_ab, pmi_fp9) — the corpus's top-k collocations by
+    pointwise mutual information over adjacent-token bigrams (Church &
+    Hanks 1990): PMI = ln(n_ab*N / (n_a*n_b)) with N = total bigram
+    occurrences, n_a/n_b = the bigram table's left/right marginals.
+    Restricted to bigrams whose both tokens are in the top-``vocab_size``
+    vocabulary (the standard boundedness trick — marginals and the pair
+    table stay O(V)/O(V^2)); pairs below ``min_count`` are noise and
+    dropped AFTER marginals are taken.
+
+    Scale shape: per-batch bigram Counter partials -> ONE keyed (a, b)
+    groupby; marginals are two tiny groupbys over the bounded pair table,
+    broadcast O(V); scoring is per-row. Exactness: products n_ab*N and
+    n_a*n_b fold as Python ints and round to double ONCE (float(int) ==
+    DuckDB's CAST(HUGEINT AS DOUBLE)), then the shared libm-ln + 1e9
+    fixed-point floor — hash-green."""
+    import math
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    vocab_rows = token_freq(ds, k=vocab_size).take_all()
+    vocab = frozenset(r["token"] for r in vocab_rows)
+    vocab_ref = _ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref)
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = ascii_tokens(t)
+            for a, b in zip(toks, toks[1:]):
+                if a in v and b in v:
+                    c[(a, b)] += 1
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array([p[0] for p in c], type=pa.string()),
+                "b": pa.array([p[1] for p in c], type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    bc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n"))
+        .materialize()
+    )
+
+    # Bounded marginals (<= V rows each) broadcast once; N is their sum.
+    left = {
+        r["a"]: r["sum(sum(n))"]
+        for r in bc.groupby("a").aggregate(Sum("sum(n)")).take_all()
+    }
+    right = {
+        r["b"]: r["sum(sum(n))"]
+        for r in bc.groupby("b").aggregate(Sum("sum(n)")).take_all()
+    }
+    total = sum(left.values())
+    mref = _ray.put((left, right, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        la, rb, N = _ray.get(mref)
+        outs = {"tok_a": [], "tok_b": [], "n_ab": [], "pmi_fp9": []}
+        for a, b, n_ab in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["sum(n)"].to_pylist(),
+        ):
+            if n_ab < min_count:
+                continue
+            # Python-int products, ONE rounding to double each side
+            ratio = float(n_ab * N) / float(la[a] * rb[b])
+            outs["tok_a"].append(a)
+            outs["tok_b"].append(b)
+            outs["n_ab"].append(n_ab)
+            outs["pmi_fp9"].append(math.floor(math.log(ratio) * 1e9))
+        return pa.Table.from_pydict(
+            {
+                "tok_a": pa.array(outs["tok_a"], type=pa.string()),
+                "tok_b": pa.array(outs["tok_b"], type=pa.string()),
+                "n_ab": pa.array(outs["n_ab"], type=pa.int64()),
+                "pmi_fp9": pa.array(outs["pmi_fp9"], type=pa.int64()),
+            }
+        )
+
+    return (
+        bc.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_fp9", "tok_a", "tok_b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -1003,3 +1003,68 @@ class TestExtractMainContentParity:
             )
             nb, nk, mt = extract_main_content_text(wrapped)
             assert (n_blocks, n_kept, main_text) == (nb, nk, mt), doc_id
+
+
+class TestPmiCollocations:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        from tableextraction_ray.functions.textstats import pmi_collocations
+
+        # "new york" always adjacent; "the cat"/"the dog" dilute "the".
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "new york new york new york"},
+                {"doc_id": 1, "text": "the cat the dog the cat"},
+            ]
+        )
+        out = {
+            (r["tok_a"], r["tok_b"]): r
+            for r in pmi_collocations(
+                docs, k=10, min_count=2
+            ).take_all()
+        }
+        # bigram table: (new,york)x3 (york,new)x2 (the,cat)x2 (cat,the)x1
+        # (the,dog)x1 (dog,the)x1 -> N=10
+        r = out[("new", "york")]
+        assert r["n_ab"] == 3
+        # n_a(new)=3, n_b(york)=3 -> PMI = ln(3*10/9)
+        assert r["pmi_fp9"] == math.floor(math.log(float(30) / float(9)) * 1e9)
+        # (the,cat): n_ab=2, n_a(the)=3, n_b(cat)=2 -> ln(20/6) -- present
+        assert out[("the", "cat")]["n_ab"] == 2
+
+    def test_min_count_prunes_but_marginals_are_full(self, ray_session):
+        import math
+
+        from tableextraction_ray.functions.textstats import pmi_collocations
+
+        docs = ray.data.from_items(
+            [{"doc_id": 0, "text": "a b a b a c"}]
+        )
+        # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 -> N=5
+        out = {
+            (r["tok_a"], r["tok_b"]): r
+            for r in pmi_collocations(docs, k=10, min_count=2).take_all()
+        }
+        assert set(out) == {("a", "b"), ("b", "a")}  # (a,c) pruned
+        # marginals still count (a,c): n_a(a)=3 not 2
+        r = out[("a", "b")]
+        assert r["pmi_fp9"] == math.floor(
+            math.log(float(2 * 5) / float(3 * 2)) * 1e9
+        )
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import pmi_collocations
+
+        docs = [
+            {"doc_id": i, "text": f"alpha beta w{i % 5} gamma delta"}
+            for i in range(40)
+        ]
+        a = pmi_collocations(
+            ray.data.from_items(docs).repartition(1), k=20, min_count=2
+        ).take_all()
+        b = pmi_collocations(
+            ray.data.from_items(docs).repartition(9), k=20, min_count=2
+        ).take_all()
+        key = lambda r: (r["pmi_fp9"], r["tok_a"], r["tok_b"])
+        assert sorted(map(key, a)) == sorted(map(key, b)) and len(a) > 0
