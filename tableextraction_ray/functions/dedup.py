@@ -1279,88 +1279,95 @@ def minhash_jaccard_est(ds: ray.data.Dataset) -> ray.data.Dataset:
     (exact verify). Kept pure-integer (no float division) so it hashes
     green.
 
-    Scale shape: signatures (16 ints) attach to pair memberships via a
-    tagged union + ONE doc_id groupby, then ONE (doc_a, doc_b) groupby
-    counts agreements — shingle sets never leave the signature map, no
-    driver state, no join operator."""
-    import numpy as np
+    Scale shape: ONE signature pass; band rows CARRY the 16-int signature
+    (128 bytes x 4 bands), so agreement counts are computed inside the
+    same bucket groupby that generates the candidates (exact-copy
+    collapse included) and the only other shuffle is the tiny
+    pair-distinct aggregate. Two keyed shuffles total, no join operator,
+    no driver state. Candidates are identical to minhash_candidates'
+    (same band keys from the same signatures)."""
+    from ray.data.aggregate import Max
 
-    pairs = minhash_candidates(ds)
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        ids, sigs = [], []
+    def band_sig_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, bands_, keys, md5s, mhs = [], [], [], [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             sh = shingle_set(text)
-            if sh:
-                ids.append(doc_id)
-                sigs.append(minhash_signature(sh))
+            if not sh:
+                continue
+            sig = minhash_signature(sh)
+            h = _md5(text)
+            for b in range(NUM_BANDS):
+                keys.append(
+                    _md5("|".join(
+                        str(v)
+                        for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                    ))
+                )
+                doc_ids.append(doc_id)
+                bands_.append(b)
+                md5s.append(h)
+                mhs.append(sig)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "a": pa.array([-1] * len(ids), type=pa.int64()),
-                "b": pa.array([-1] * len(ids), type=pa.int64()),
-                "mh": pa.array(sigs, type=pa.list_(pa.int64())),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(bands_, type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "text_md5": pa.array(md5s, type=pa.string()),
+                "mh": pa.array(mhs, type=pa.list_(pa.int64())),
             }
         )
 
-    def memb_rows(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
-                "a": pa.array(np.concatenate([a, a]), type=pa.int64()),
-                "b": pa.array(np.concatenate([b, b]), type=pa.int64()),
-                "mh": pa.array(
-                    [None] * (2 * len(a)), type=pa.list_(pa.int64())
-                ),
-            }
-        )
-
-    def attach(group: pa.Table) -> pa.Table:
-        sig = None
-        eas, ebs = [], []
-        for a, b, mh in zip(
-            group["a"].to_pylist(), group["b"].to_pylist(), group["mh"].to_pylist()
+    def bucket_scored_pairs(group: pa.Table) -> pa.Table:
+        # exact-copy collapse to the min doc_id per distinct text, keeping
+        # that representative's signature (identical texts share it)
+        reps: dict[str, int] = {}
+        sig_of: dict[int, list] = {}
+        for doc_id, h, mh in zip(
+            group["doc_id"].to_pylist(),
+            group["text_md5"].to_pylist(),
+            group["mh"].to_pylist(),
         ):
-            if a == -1:
-                sig = mh
-            else:
-                eas.append(a)
-                ebs.append(b)
-        if sig is None or not eas:  # candidate docs always have signatures
-            eas = []
-            ebs = []
+            if h not in reps or doc_id < reps[h]:
+                reps[h] = doc_id
+                sig_of[doc_id] = mh
+        ids = sorted(reps.values())
+        a, b, m = [], [], []
+        for i in range(len(ids)):
+            si = sig_of[ids[i]]
+            for j in range(i + 1, len(ids)):
+                sj = sig_of[ids[j]]
+                a.append(ids[i])
+                b.append(ids[j])
+                m.append(sum(1 for x, y in zip(si, sj) if x == y))
         return pa.Table.from_pydict(
             {
-                "a": pa.array(eas, type=pa.int64()),
-                "b": pa.array(ebs, type=pa.int64()),
-                "mh": pa.array([sig] * len(eas), type=pa.list_(pa.int64())),
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "nm": pa.array(m, type=pa.int64()),
             }
         )
 
-    def score(group: pa.Table) -> pa.Table:
-        sigs = group["mh"].to_pylist()
-        n = 0
-        if len(sigs) == 2:
-            n = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y)
+    scored = (
+        ds.map_batches(band_sig_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_scored_pairs, batch_format="pyarrow")
+        # a pair colliding in b bands repeats with the SAME count: Max is
+        # the idempotent distinct
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("nm"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array([group["a"][0].as_py()], type=pa.int64()),
-                "doc_b": pa.array([group["b"][0].as_py()], type=pa.int64()),
-                "n_match": pa.array([n], type=pa.int64()),
-                "n_perms": pa.array([NUM_PERMS], type=pa.int64()),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "n_match": batch["max(nm)"].cast(pa.int64()),
+                "n_perms": pa.array([NUM_PERMS] * n, type=pa.int64()),
             }
         )
 
-    attached = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .union(pairs.map_batches(memb_rows, batch_format="pyarrow"))
-        .groupby("doc_id")
-        .map_groups(attach, batch_format="pyarrow")
-    )
-    return attached.groupby(["a", "b"]).map_groups(
-        score, batch_format="pyarrow"
-    )
+    return scored.map_batches(rename, batch_format="pyarrow")
