@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": lambda sf: similarity.embedding_covariance(
             _read(sf, "embeddings", ["embedding"])
         ),
+        "label_exemplars": lambda sf: similarity.label_exemplars(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+        ),
         "knn_ivf": lambda sf: similarity.ivf_knn(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 16),
@@ -677,6 +680,46 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        # Exemplar selection replay: same centroid + cosine contract as
+        # label_centroid_stats, window-ranked (cos desc, vec_id) top-k.
+        "label_exemplars": """
+            WITH qe AS (
+              SELECT vec_id, label,
+                     [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range(64)) AS d),
+            csum AS (
+              SELECT label, d.d,
+                     CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                          AS BIGINT) AS qc
+              FROM qe CROSS JOIN dims d GROUP BY label, d.d
+            ),
+            cent AS (
+              SELECT label, list(qc ORDER BY d) AS cq, SUM(qc * qc) AS cnsq
+              FROM csum GROUP BY label
+            ),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                     CAST(FLOOR(
+                       (list_sum([e.q[i+1] * c.cq[i+1] for i in range(len(e.q))])
+                        / (sqrt(list_sum([e.q[i+1] * e.q[i+1]
+                                          for i in range(len(e.q))]))
+                           * sqrt(c.cnsq)))
+                       * 1e5 + 0.5) AS BIGINT) AS cos_fp5
+              FROM qe e JOIN cent c USING (label)
+            ),
+            ranked AS (
+              SELECT label, vec_id, cos_fp5,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY cos_fp5 DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rk,
+                   vec_id, cos_fp5
+            FROM ranked WHERE rk <= 5
         """,
         # Covariance sufficient statistics: exact int sums of quantized
         # components and their products per (i<=j) dim pair.

@@ -85,6 +85,7 @@ QUERY_SUITE = [
     "events_hourly_quantiles_sketch",
     "semantic_dedup",
     "label_centroid_stats",
+    "label_exemplars",
     "props_key_stats",
     "embedding_near_dup",
     "embedding_near_dup_lsh",

@@ -372,6 +372,31 @@ def semantic_dedup(
     )
 
 
+def _label_centroid_fold(ds: ray.data.Dataset, part_sums) -> dict:
+    """Fold per-block (label, vec_sum, count) partials into the exact
+    integer label centroids (floor(sum/count + 0.5) per component back in
+    the 1e6 domain). Driver state O(#labels x dim) — small by
+    construction of a label space."""
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for b in ds.map_batches(part_sums, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lb, vs, n in zip(
+            b["label"].to_pylist(), b["vec_sum"].to_pylist(), b["count"].to_pylist()
+        ):
+            if lb in sums:
+                sums[lb] += np.asarray(vs, dtype=np.int64)
+                counts[lb] += n
+            else:
+                sums[lb] = np.asarray(vs, dtype=np.int64)
+                counts[lb] = n
+    return {
+        lb: np.floor(sums[lb].astype(np.float64) / counts[lb] + 0.5)
+        for lb in sums
+    }
+
+
 def label_centroid_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(label, n_vecs, sum_cos_fp5, mean_cos_fp5) — class-prototype
     diagnostics over a labeled embedding table: the integer centroid of
@@ -410,25 +435,7 @@ def label_centroid_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    sums: dict[int, np.ndarray] = {}
-    counts: dict[int, int] = {}
-    for b in ds.map_batches(part_sums, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for lb, vs, n in zip(
-            b["label"].to_pylist(), b["vec_sum"].to_pylist(), b["count"].to_pylist()
-        ):
-            if lb in sums:
-                sums[lb] += np.asarray(vs, dtype=np.int64)
-                counts[lb] += n
-            else:
-                sums[lb] = np.asarray(vs, dtype=np.int64)
-                counts[lb] = n
-    cent = {
-        lb: np.floor(sums[lb].astype(np.float64) / counts[lb] + 0.5)
-        for lb in sums
-    }
-    cent_ref = _ray.put(cent)
+    cent_ref = _ray.put(_label_centroid_fold(ds, part_sums))
 
     def score(batch: pa.Table) -> pa.Table:
         c = _ray.get(cent_ref)
@@ -924,3 +931,93 @@ def embedding_covariance(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def label_exemplars(ds: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
+    """(label, rk, vec_id, cos_fp5) — the k most CENTRAL members of every
+    label (highest quantized cosine to their own label centroid,
+    deterministic (cos desc, vec_id asc) tie-break): the few-shot
+    exemplar / prototype selection step that pairs with
+    label_centroid_stats' cohesion diagnostics. Same exact-integer
+    centroid + cosine contract, so the whole selection replays in SQL.
+
+    Scale shape: the centroid fold is the shared kmeans partial-sum
+    sweep; scoring is one vectorized matmul per batch with a PER-BLOCK
+    per-label top-k pre-prune (<= #labels*k rows leave any block — the
+    stratified_sample trick), then ONE tiny keyed groupby picks the
+    global top-k."""
+    import ray as _ray
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        mat_q = _quantize(_stack(batch))
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        ls, sums, counts = [], [], []
+        for lb in np.unique(labels):
+            sel = mat_q[labels == lb]
+            ls.append(int(lb))
+            sums.append(sel.sum(axis=0).astype(np.int64).tolist())
+            counts.append(int(sel.shape[0]))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "vec_sum": pa.array(sums, type=pa.list_(pa.int64())),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    cent_ref = _ray.put(_label_centroid_fold(ds, part_sums))
+
+    def score_prune(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cent_ref)
+        mat_q = _quantize(_stack(batch))
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ls, vs, cs = [], [], []
+        for lb in np.unique(labels):
+            sel = labels == lb
+            cos = _fp5(_cos_matrix(mat_q[sel], c[int(lb)][None, :])[:, 0])
+            ids = vec_ids[sel]
+            order = np.lexsort((ids, -cos))[:k]  # block-local top-k
+            ls.extend([int(lb)] * len(order))
+            vs.extend(ids[order].tolist())
+            cs.extend(cos[order].astype(np.int64).tolist())
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "vec_id": pa.array(vs, type=pa.int64()),
+                "cos_fp5": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("rk", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("cos_fp5", pa.int64()),
+        ]
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        cos = group["cos_fp5"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(
+                    [group["label"][0].as_py()] * len(order), type=pa.int64()
+                ),
+                "rk": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "vec_id": pa.array(ids[order], type=pa.int64()),
+                "cos_fp5": pa.array(cos[order], type=pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(score_prune, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -789,3 +789,54 @@ class TestOutlierEvents:
         vals = [float(v) for v in range(100)]
         assert self._run(vals) == []
         assert len(self._run(vals, z=1)) > 0
+
+
+class TestLabelExemplars:
+    def test_point_mass_and_rank_order(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        # label 0: tight cluster around e1 with one far outlier; label 1:
+        # tight cluster around e2. The outlier must never be an exemplar
+        # ahead of in-cluster members.
+        rows = []
+        for i in range(6):
+            v = [1.0, 0.01 * i, 0.0] + [0.0] * 61
+            rows.append({"vec_id": i, "embedding": v, "label": 0})
+        rows.append({"vec_id": 6, "embedding": [0.0, 0.0, 1.0] + [0.0] * 61, "label": 0})
+        for i in range(7, 10):
+            rows.append(
+                {"vec_id": i, "embedding": [0.0, 1.0, 0.01 * i] + [0.0] * 61, "label": 1}
+            )
+        out = similarity.label_exemplars(
+            ray.data.from_items(rows), k=3
+        ).take_all()
+        by_label = {}
+        for r in out:
+            by_label.setdefault(r["label"], []).append(r)
+        assert set(by_label) == {0, 1}
+        for rs in by_label.values():
+            assert [r["rk"] for r in sorted(rs, key=lambda x: x["rk"])] == [1, 2, 3]
+            cs = [r["cos_fp5"] for r in sorted(rs, key=lambda x: x["rk"])]
+            assert cs == sorted(cs, reverse=True)
+        assert 6 not in {r["vec_id"] for r in by_label[0]}  # outlier excluded
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        rng = np.random.RandomState(11)
+        rows = [
+            {
+                "vec_id": i,
+                "embedding": rng.randn(8).round(3).tolist(),
+                "label": i % 3,
+            }
+            for i in range(60)
+        ]
+        key = lambda r: (r["label"], r["rk"], r["vec_id"], r["cos_fp5"])
+        a = sorted(map(key, similarity.label_exemplars(
+            ray.data.from_items(rows).repartition(1), k=4).take_all()))
+        b = sorted(map(key, similarity.label_exemplars(
+            ray.data.from_items(rows).repartition(9), k=4).take_all()))
+        assert a == b and len(a) == 12
