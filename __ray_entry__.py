@@ -448,6 +448,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_id", "ts", "user_id", "event_type"]),
             window_us=86_400_000_000,
         ),
+        "revenue_by_nation": lambda sf: relational.revenue_by_nation(
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]),
+        ),
         "distinct_sources": lambda sf: relational.distinct_sources(
             docs(sf, ["source"])
         ),
@@ -1968,6 +1976,23 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_c
             FROM events, (SELECT unnest([0,1,2,3]) AS k) b
             GROUP BY 1, 2
+        """,
+        # Q5-shape 6-table join: revenue in exact centi-cents
+        # price_c * (100 - disc_pct) for local-supplier lineitems.
+        "revenue_by_nation": """
+            SELECT n.n_name, r.r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name, r.r_name
         """,
         # Exact-integer z-test: (n*x-S)^2 > z^2*(n*Q-S^2) over cents,
         # widened through HUGEINT exactly like the Python-int moments.

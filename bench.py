@@ -106,6 +106,7 @@ QUERY_SUITE = [
     "audio_features",
     "video_frames",
     "pricing_summary",
+    "revenue_by_nation",
     "orders_by_segment",
     "orders_for_segment",
     "events_hourly",

@@ -946,3 +946,196 @@ def outlier_events(
         .groupby(["event_type", "hour"])
         .map_groups(flag, batch_format="pyarrow")
     )
+
+
+def revenue_by_nation(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+) -> ray.data.Dataset:
+    """(n_name, r_name, n_items, revenue_cc) — the TPC-H Q5 shape: revenue
+    from lineitems whose customer and supplier share a nation, rolled up
+    to nation/region names. Revenue is EXACT integer "centi-cents":
+    price_c * (100 - disc_pct), both factors exact ints (the discount
+    column is exact hundredths), so sums compose exactly — no float money.
+
+    Shuffle discipline (the 6-table-join showcase): customer, supplier,
+    nation and region are true dimensions — broadcast once via ray.put
+    and probed vectorized (pandas .map) inside map_batches. The
+    orderkey→customer-nation map is the MEDIUM side: under
+    ``broadcast_limit`` orders it broadcasts too (one fact pass, zero
+    shuffles before the 25-row nation rollup); above the limit it flips
+    to a keyed orderkey tagged-union shuffle — the same size-guard
+    pattern as orders_by_segment, because orders is sf-proportional and
+    an unguarded broadcast is a driver-memory scale-killer. Pass
+    ``order_count`` from parquet footer metadata to keep the probe
+    zero-IO."""
+    import pandas as pd
+
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in customer.select_columns(["c_custkey", "c_nationkey"]).take_all()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in supplier.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+    }
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in nation.take_all()
+    }
+    reg = {r["r_regionkey"]: r["r_name"] for r in region.take_all()}
+    dims_ref = ray.put((supp, nat, reg))
+
+    def disc_pct(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def fact_partial(batch: pa.Table, order_nation: dict) -> pa.Table:
+        supp_map, _nat, _reg = ray.get(dims_ref)
+        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        skeys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = pd.Series(okeys).map(order_nation)
+        sn = pd.Series(skeys).map(supp_map)
+        keep = (cn.values == sn.values) & cn.notna().values & sn.notna().values
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {
+                    "nationkey": pa.array([], type=pa.int64()),
+                    "rev_cc": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        price_c = (
+            _cents(batch["l_extendedprice"])
+            .to_numpy(zero_copy_only=False)[keep]
+        )
+        d = disc_pct(batch["l_discount"])[keep]
+        nk = cn.values[keep].astype(np.int64)
+        rev = price_c * (100 - d)
+        order = np.argsort(nk, kind="stable")
+        nk_s, rev_s = nk[order], rev[order]
+        uniq, starts = np.unique(nk_s, return_index=True)
+        sums = np.add.reduceat(rev_s, starts)
+        counts = np.diff(np.append(starts, len(nk_s)))
+        return pa.Table.from_pydict(
+            {
+                "nationkey": pa.array(uniq, type=pa.int64()),
+                "rev_cc": pa.array(sums, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    if order_count is None:
+        order_count = orders.count()
+    if order_count <= broadcast_limit:
+        onat = {
+            r["o_orderkey"]: cust.get(r["o_custkey"])
+            for r in orders.select_columns(
+                ["o_orderkey", "o_custkey"]
+            ).take_all()
+        }
+        onat = {k: v for k, v in onat.items() if v is not None}
+        onat_ref = ray.put(onat)
+        partials = lineitem.map_batches(
+            lambda b: fact_partial(b, ray.get(onat_ref)),
+            batch_format="pyarrow",
+        )
+    else:
+        # Scale path: ship (orderkey, cust_nation) int pairs + lineitem
+        # projections through ONE keyed orderkey shuffle; per group the
+        # single order row tags the lineitems.
+        cust_ref = ray.put(cust)
+
+        def tag_orders(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(cust_ref)
+            nk = [
+                lookup.get(k, -1)
+                for k in batch["o_custkey"].to_pylist()
+            ]
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "nationkey": pa.array(nk, type=pa.int64()),
+                    "suppkey": pa.array([-1] * n, type=pa.int64()),
+                    "price_c": pa.array([0] * n, type=pa.int64()),
+                    "disc": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_items(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "nationkey": pa.array([-1] * n, type=pa.int64()),
+                    "suppkey": batch["l_suppkey"].cast(pa.int64()),
+                    "price_c": _cents(batch["l_extendedprice"]),
+                    "disc": pa.array(
+                        disc_pct(batch["l_discount"]), type=pa.int64()
+                    ),
+                }
+            )
+
+        def join_group(group: pa.Table) -> pa.Table:
+            supp_map, _nat, _reg = ray.get(dims_ref)
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            onk = -1
+            ords = np.flatnonzero(kind == 0)
+            if len(ords):
+                onk = int(group["nationkey"][int(ords[0])].as_py())
+            out_nk, out_rev = [], []
+            if onk >= 0:
+                items = np.flatnonzero(kind == 1)
+                for i in items:
+                    sk = group["suppkey"][int(i)].as_py()
+                    if supp_map.get(sk) == onk:
+                        out_nk.append(onk)
+                        out_rev.append(
+                            group["price_c"][int(i)].as_py()
+                            * (100 - group["disc"][int(i)].as_py())
+                        )
+            return pa.Table.from_pydict(
+                {
+                    "nationkey": pa.array(out_nk, type=pa.int64()),
+                    "rev_cc": pa.array(out_rev, type=pa.int64()),
+                    "n": pa.array([1] * len(out_nk), type=pa.int64()),
+                }
+            )
+
+        partials = (
+            orders.map_batches(tag_orders, batch_format="pyarrow")
+            .union(lineitem.map_batches(tag_items, batch_format="pyarrow"))
+            .groupby("o_orderkey")
+            .map_groups(join_group, batch_format="pyarrow")
+        )
+
+    agg = partials.groupby("nationkey").aggregate(Sum("rev_cc"), Sum("n"))
+
+    def name_rollup(batch: pa.Table) -> pa.Table:
+        _supp, nat_map, reg_map = ray.get(dims_ref)
+        names, regions = [], []
+        for nk in batch["nationkey"].to_pylist():
+            n_name, rk = nat_map[nk]
+            names.append(n_name)
+            regions.append(reg_map[rk])
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "r_name": pa.array(regions, type=pa.string()),
+                "n_items": batch["sum(n)"].cast(pa.int64()),
+                "revenue_cc": batch["sum(rev_cc)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(name_rollup, batch_format="pyarrow")

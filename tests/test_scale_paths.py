@@ -840,3 +840,69 @@ class TestLabelExemplars:
         b = sorted(map(key, similarity.label_exemplars(
             ray.data.from_items(rows).repartition(9), k=4).take_all()))
         assert a == b and len(a) == 12
+
+
+class TestRevenueByNation:
+    @pytest.fixture()
+    def tables(self, ray_session):
+        import ray.data
+
+        def rd(t, cols):
+            return ray.data.read_parquet(
+                f"{SF_DIR}/{t}.parquet", columns=cols
+            )
+
+        return dict(
+            lineitem=rd("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            orders=rd("orders", ["o_orderkey", "o_custkey"]),
+            customer=rd("customer", ["c_custkey", "c_nationkey"]),
+            supplier=rd("supplier", ["s_suppkey", "s_nationkey"]),
+            nation=rd("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            region=rd("region", ["r_regionkey", "r_name"]),
+        )
+
+    def _canon(self, ds):
+        return sorted(
+            (r["n_name"], r["r_name"], r["n_items"], r["revenue_cc"])
+            for r in ds.take_all()
+        )
+
+    def test_shuffle_fallback_matches_broadcast(self, tables):
+        broadcast = self._canon(relational.revenue_by_nation(**tables))
+        shuffled = self._canon(
+            relational.revenue_by_nation(**tables, broadcast_limit=0)
+        )
+        assert broadcast == shuffled and len(broadcast) > 0
+
+    def test_local_supplier_filter(self, ray_session):
+        import ray.data
+
+        mk = ray.data.from_items
+        out = relational.revenue_by_nation(
+            lineitem=mk(
+                [
+                    # order 1 (cust nation 0): supplier 10 local, 11 not
+                    {"l_orderkey": 1, "l_suppkey": 10, "l_extendedprice": 10.0, "l_discount": 0.1},
+                    {"l_orderkey": 1, "l_suppkey": 11, "l_extendedprice": 99.0, "l_discount": 0.0},
+                ]
+            ),
+            orders=mk([{"o_orderkey": 1, "o_custkey": 5}]),
+            customer=mk([{"c_custkey": 5, "c_nationkey": 0}]),
+            supplier=mk(
+                [
+                    {"s_suppkey": 10, "s_nationkey": 0},
+                    {"s_suppkey": 11, "s_nationkey": 1},
+                ]
+            ),
+            nation=mk(
+                [
+                    {"n_nationkey": 0, "n_name": "ZERO", "n_regionkey": 7},
+                    {"n_nationkey": 1, "n_name": "ONE", "n_regionkey": 7},
+                ]
+            ),
+            region=mk([{"r_regionkey": 7, "r_name": "R7"}]),
+        ).take_all()
+        # only the local-supplier item counts: 1000 cents * (100-10)
+        assert out == [
+            {"n_name": "ZERO", "r_name": "R7", "n_items": 1, "revenue_cc": 90000}
+        ]
