@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": lambda sf: dedup.dedup_incremental(
             _parity_docs(sf, 1), _parity_docs(sf, 0)
         ),
+        "dedup_incremental_fuzzy": lambda sf: dedup.dedup_incremental_fuzzy(
+            _parity_docs(sf, 1), _parity_docs(sf, 0)
+        ),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_candidates(
             docs(sf, ["doc_id", "text"])
         ),
@@ -633,6 +636,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM ex WHERE ex.text_md5 = n.text_md5
             )
+        """,
+        # Fuzzy incremental screen: full band replay WITHOUT the exact-
+        # text collapse (the parity split defines sides), then NOT EXISTS
+        # a cross-side bucket collision.
+        "dedup_incremental_fuzzy": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM toks WHERE len(w) >= 3
+            ),
+            xs AS (
+              SELECT doc_id,
+                     [list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+                          << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles] AS xs
+              FROM sh
+            ),
+            sig AS (
+              SELECT doc_id,
+                     [list_min([
+                          CAST((CAST(2*p + 3 AS HUGEINT) * x + (7*p + 1))
+                               % 2305843009213693951 AS BIGINT)
+                          for x in xs])
+                      for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+              FROM xs
+            ),
+            bands AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+            ),
+            flagged AS (
+              SELECT DISTINCT n.doc_id
+              FROM bands n JOIN bands e ON n.band = e.band AND n.key = e.key
+              WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)
         """,
         "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
         # Signature-agreement Jaccard estimate per candidate pair: count

@@ -34,6 +34,7 @@ QUERY_SUITE = [
     "extract_verify_dualdpi",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_fuzzy",
     "winnow_fingerprints",
     "winnow_overlap",
     "dedup_minhash_lsh",

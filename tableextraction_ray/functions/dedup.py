@@ -1371,3 +1371,93 @@ def minhash_jaccard_est(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return scored.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_incremental_fuzzy(
+    new_ds: ray.data.Dataset, existing_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(doc_id, text_md5) — the NEW documents that are NOT near-duplicate
+    candidates of any EXISTING document: the fuzzy sibling of
+    dedup_incremental (crawl pipelines run both — exact md5 anti-join,
+    then this LSH screen for re-formatted/boilerplate-shifted copies). A
+    new doc is dropped iff it shares at least one minhash band bucket
+    with an existing doc; new-vs-new near-dups are minhash_candidates'
+    job, and docs too short to shingle always survive.
+
+    Scale shape: both sides band with the shared signature machinery and
+    only (band, key, doc_id, is_new) rows ride the FIRST keyed shuffle;
+    buckets emit (new_doc_id) drop-marks only for cross-side collisions,
+    a tiny doc_id groupby distincts the marks, and survivors come from a
+    tagged union with the new docs' (doc_id, md5) rows — three keyed
+    shuffles, the existing corpus streams (never broadcast), no driver
+    state. Oracle: NOT EXISTS over the full SQL band replay."""
+
+    def band_side(is_new: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = _band_rows(batch)
+            return t.append_column(
+                "is_new",
+                pa.array(
+                    np.full(t.num_rows, is_new, dtype=np.int8), type=pa.int8()
+                ),
+            )
+
+        return fn
+
+    MERGE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("text_md5", pa.string())]
+    )
+
+    def cross_marks(group: pa.Table) -> pa.Table:
+        flags = group["is_new"].to_numpy(zero_copy_only=False)
+        if flags.min() == 1 or flags.max() == 0:  # one-sided bucket
+            return pa.Table.from_pylist([], schema=MERGE_SCHEMA)
+        new_ids = group["doc_id"].to_numpy(zero_copy_only=False)[flags == 1]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.unique(new_ids), type=pa.int64()),
+                "text_md5": pa.array(
+                    [None] * len(np.unique(new_ids)), type=pa.string()
+                ),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    marks = (
+        new_ds.map_batches(band_side(1), batch_format="pyarrow")
+        .union(existing_ds.map_batches(band_side(0), batch_format="pyarrow"))
+        .groupby(["band", "key"])
+        .map_groups(cross_marks, batch_format="pyarrow")
+    )
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text_md5": pa.array(
+                    [_md5(t) for t in batch["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def survivors(group: pa.Table) -> pa.Table:
+        md5s = [h for h in group["text_md5"].to_pylist() if h is not None]
+        flagged = group.num_rows > len(md5s)
+        if flagged or not md5s:
+            return pa.Table.from_pylist([], schema=MERGE_SCHEMA)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([group["doc_id"][0].as_py()], type=pa.int64()),
+                "text_md5": pa.array([md5s[0]], type=pa.string()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    return (
+        new_ds.map_batches(tag_new, batch_format="pyarrow")
+        .union(marks)
+        .groupby("doc_id")
+        .map_groups(survivors, batch_format="pyarrow")
+    )

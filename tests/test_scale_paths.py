@@ -906,3 +906,35 @@ class TestRevenueByNation:
         assert out == [
             {"n_name": "ZERO", "r_name": "R7", "n_items": 1, "revenue_cc": 90000}
         ]
+
+
+class TestDedupIncrementalFuzzy:
+    def _run(self, new, existing):
+        import ray.data
+
+        return sorted(
+            r["doc_id"]
+            for r in dedup.dedup_incremental_fuzzy(
+                ray.data.from_items(new), ray.data.from_items(existing)
+            ).take_all()
+        )
+
+    def test_near_dup_of_existing_dropped(self, ray_session):
+        base = " ".join(f"tok{i}" for i in range(30))
+        existing = [{"doc_id": 0, "text": base}]
+        new = [
+            {"doc_id": 11, "text": base + " tail"},       # near-dup: drop
+            {"doc_id": 13, "text": "entirely different words " * 6},
+            {"doc_id": 15, "text": "too short"},          # no shingle: keep
+        ]
+        assert self._run(new, existing) == [13, 15]
+
+    def test_new_vs_new_near_dups_both_survive(self, ray_session):
+        base = " ".join(f"w{i}" for i in range(25))
+        new = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 3, "text": base + " extra"},  # near-dup of doc 1
+        ]
+        existing = [{"doc_id": 0, "text": "nothing in common here at all ok"}]
+        # within-batch fuzzy dedup is minhash_candidates' job
+        assert self._run(new, existing) == [1, 3]
