@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": lambda sf: textstats.pmi_collocations(
             docs(sf, ["doc_id", "text"]), min_count=3
         ),
+        "weighted_sample": lambda sf: textstats.weighted_sample(
+            docs(sf, ["doc_id", "n_chars"]), k=100
+        ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
@@ -1343,6 +1346,34 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM g
             WHERE gpos < (SELECT (COUNT(*) // 64) * 64 FROM g)
+        """,
+        # E-S weighted sampling replay: u = (h60+1)/2^60 exact, key =
+        # floor(-ln(u)/w*1e9), k smallest with doc_id ties.
+        "weighted_sample": r"""
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef',
+                              substr(md5('wrs:' || doc_id), i, 1)) - 1 AS BIGINT)
+                         << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) AS h60
+              FROM documents WHERE n_chars > 0
+            ),
+            keyed AS (
+              SELECT doc_id,
+                     CAST(FLOOR(-ln(CAST(h60 + 1 AS DOUBLE) / 1152921504606846976)
+                                / n_chars * 1e9) AS BIGINT) AS key_fp9
+              FROM h
+            ),
+            ranked AS (
+              SELECT doc_id, key_fp9,
+                     ROW_NUMBER() OVER (ORDER BY key_fp9, doc_id) AS rk
+              FROM keyed
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, key_fp9,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 100
         """,
         # PMI collocation replay: bigram counts over the top-4096 vocab,
         # marginals from the pair table, products widened via HUGEINT and

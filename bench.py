@@ -74,6 +74,7 @@ QUERY_SUITE = [
     "dedup_savings",
     "quality_histogram",
     "stratified_sample",
+    "weighted_sample",
     "knn_cosine",
     "embedding_covariance",
     "knn_ivf",

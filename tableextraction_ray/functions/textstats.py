@@ -1974,3 +1974,79 @@ def pmi_collocations(
         .sort(["pmi_fp9", "tok_a", "tok_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    salt: str = "wrs",
+) -> ray.data.Dataset:
+    """(doc_id, key_fp9, rk) — deterministic weighted sampling WITHOUT
+    replacement, probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis 2006, exponential-key form): every row gets the key
+    e = -ln(u)/w with u a content-derived md5 uniform, and the k
+    SMALLEST keys are the sample — the token-budget-proportional corpus
+    subsample (long docs proportionally more likely), reproducible
+    across runs/partitionings because u is a hash, not an RNG.
+
+    Exactness: u = (h60+1)/2^60 — a 60-bit md5 integer scaled by an
+    exact power of two, so both engines round the SAME double; libm ln
+    and the left-to-right -ln(u)/w*1e9 expression are bit-equal, and
+    floor(...) makes the comparison key an exact int (ties by doc_id).
+    Zero-weight rows are excluded (no division). Scale shape: per-block
+    top-k pre-prune — ≤k rows leave any block — then one global
+    sort+limit."""
+    import math
+
+    from .dedup import shingle_base_hash
+
+    TWO60 = float(1 << 60)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids, ks = [], []
+        for doc_id, w in zip(
+            batch["doc_id"].to_pylist(), batch[weight_col].to_pylist()
+        ):
+            if not w or w <= 0:
+                continue
+            h60 = shingle_base_hash(f"{salt}:{doc_id}")
+            u = (h60 + 1) / TWO60
+            ids.append(doc_id)
+            ks.append(math.floor(-math.log(u) / w * 1e9))
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "key_fp9": pa.array(ks, type=pa.int64()),
+            }
+        )
+        # block-local top-k: only k rows leave this block
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("key_fp9", "ascending"), ("doc_id", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    picked = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .sort(["key_fp9", "doc_id"])
+        .limit(k)
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        # the limit(k) output is globally sorted; ranks are positional
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "key_fp9": batch["key_fp9"],
+                "rk": pa.array(
+                    np.arange(1, n + 1, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    import ray as _ray
+
+    # limit(k) can span blocks; materialize to ONE block so positional
+    # ranks are global (k rows — trivially small).
+    return picked.repartition(1).map_batches(rank, batch_format="pyarrow")

@@ -1068,3 +1068,45 @@ class TestPmiCollocations:
         ).take_all()
         key = lambda r: (r["pmi_fp9"], r["tok_a"], r["tok_b"])
         assert sorted(map(key, a)) == sorted(map(key, b)) and len(a) > 0
+
+
+class TestWeightedSample:
+    def _run(self, rows, **kw):
+        from tableextraction_ray.functions.textstats import weighted_sample
+
+        return weighted_sample(ray.data.from_items(rows), **kw).take_all()
+
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        from tableextraction_ray.functions.textstats import weighted_sample
+
+        rows = [{"doc_id": i, "n_chars": 10 + (i * 17) % 90} for i in range(200)]
+        key = lambda r: (r["rk"], r["doc_id"], r["key_fp9"])
+        a = sorted(map(key, self._run(rows, k=20)))
+        b = sorted(
+            map(
+                key,
+                weighted_sample(
+                    ray.data.from_items(rows).repartition(9), k=20
+                ).take_all(),
+            )
+        )
+        assert a == b and len(a) == 20
+
+    def test_weight_proportional_selection(self, ray_session):
+        # one heavy doc among many light ones: the heavy doc should be
+        # sampled with probability ~ w_heavy / sum(w). With weight 1000x,
+        # it lands in a k=50-of-500 sample essentially always.
+        rows = [{"doc_id": i, "n_chars": 1} for i in range(499)]
+        rows.append({"doc_id": 999, "n_chars": 100000})
+        out = {r["doc_id"] for r in self._run(rows, k=50)}
+        assert 999 in out
+
+    def test_zero_weight_excluded_and_ranks_dense(self, ray_session):
+        rows = [
+            {"doc_id": 1, "n_chars": 0},
+            {"doc_id": 2, "n_chars": 5},
+            {"doc_id": 3, "n_chars": 7},
+        ]
+        out = sorted(self._run(rows, k=10), key=lambda r: r["rk"])
+        assert [r["rk"] for r in out] == [1, 2]
+        assert {r["doc_id"] for r in out} == {2, 3}
