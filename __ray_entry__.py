@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": lambda sf: textstats.weighted_sample(
             docs(sf, ["doc_id", "n_chars"]), k=100
         ),
+        "source_top_tokens": lambda sf: textstats.source_top_tokens(
+            docs(sf, ["source", "text"])
+        ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
@@ -1346,6 +1349,26 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM g
             WHERE gpos < (SELECT (COUNT(*) // 64) * 64 FROM g)
+        """,
+        # Per-source top-k tokens with deterministic (n desc, token) rank.
+        "source_top_tokens": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM occ GROUP BY source, token
+            ),
+            ranked AS (
+              SELECT source, token, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n DESC, token) AS rk
+              FROM counts
+            )
+            SELECT source, CAST(rk AS BIGINT) AS rk, token, n
+            FROM ranked WHERE rk <= 10
         """,
         # E-S weighted sampling replay: u = (h60+1)/2^60 exact, key =
         # floor(-ln(u)/w*1e9), k smallest with doc_id ties.

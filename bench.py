@@ -63,6 +63,7 @@ QUERY_SUITE = [
     "normalize_text",
     "strip_html",
     "token_freq",
+    "source_top_tokens",
     "pmi_collocations",
     "redact_text",
     "rare_bigram_rate",

@@ -2050,3 +2050,70 @@ def weighted_sample(
     # limit(k) can span blocks; materialize to ONE block so positional
     # ranks are global (k rows — trivially small).
     return picked.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+def source_top_tokens(ds: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """(source, rk, token, n) — the k most frequent tokens WITHIN each
+    source (the per-domain vocabulary-drift diagnostic: compare a
+    domain's top tokens against the corpus top list to spot boilerplate
+    and topical skew). Deterministic (n desc, token asc) ranking.
+
+    Scale shape: per-batch (source, token) Counter partials collapse each
+    block to ~|per-source vocab| rows, ONE keyed (source, token) groupby
+    sums them, and the per-source top-k is a groupby over the already
+    count-collapsed table — token payloads ride the shuffle once,
+    documents never do."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in ascii_tokens(t):
+                c[(src, tok)] += 1
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([p[0] for p in c], type=pa.string()),
+                "token": pa.array([p[1] for p in c], type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n"))
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("source", pa.string()),
+            ("rk", pa.int64()),
+            ("token", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["token"].to_pylist(), group["sum(n)"].to_pylist()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [group["source"][0].as_py()] * len(rows), type=pa.string()
+                ),
+                "rk": pa.array(
+                    np.arange(1, len(rows) + 1, dtype=np.int64)
+                ),
+                "token": pa.array([p[0] for p in rows], type=pa.string()),
+                "n": pa.array([p[1] for p in rows], type=pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return counts.groupby("source").map_groups(topk, batch_format="pyarrow")

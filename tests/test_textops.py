@@ -1110,3 +1110,39 @@ class TestWeightedSample:
         out = sorted(self._run(rows, k=10), key=lambda r: r["rk"])
         assert [r["rk"] for r in out] == [1, 2]
         assert {r["doc_id"] for r in out} == {2, 3}
+
+
+class TestSourceTopTokens:
+    def test_per_source_ranking_and_ties(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_top_tokens
+
+        docs = ray.data.from_items(
+            [
+                {"source": "a", "text": "x x y z z"},
+                {"source": "a", "text": "x"},
+                {"source": "b", "text": "q q q w"},
+            ]
+        )
+        out = sorted(
+            (r["source"], r["rk"], r["token"], r["n"])
+            for r in source_top_tokens(docs, k=2).take_all()
+        )
+        # source a: x=3 then z=2 (beats y=1); tie z? no -> deterministic
+        assert out == [
+            ("a", 1, "x", 3), ("a", 2, "z", 2),
+            ("b", 1, "q", 3), ("b", 2, "w", 1),
+        ]
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_top_tokens
+
+        docs = [
+            {"source": f"s{i % 4}", "text": f"t{i % 7} t{i % 5} common"}
+            for i in range(80)
+        ]
+        key = lambda r: (r["source"], r["rk"], r["token"], r["n"])
+        a = sorted(map(key, source_top_tokens(
+            ray.data.from_items(docs).repartition(1), k=3).take_all()))
+        b = sorted(map(key, source_top_tokens(
+            ray.data.from_items(docs).repartition(9), k=3).take_all()))
+        assert a == b and len(a) == 12
