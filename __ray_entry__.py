@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_top_tokens": lambda sf: textstats.source_top_tokens(
             docs(sf, ["source", "text"])
         ),
+        "source_vocab_overlap": lambda sf: textstats.source_vocab_overlap(
+            docs(sf, ["source", "text"])
+        ),
         "redact_text": lambda sf: textstats.redact_text(docs(sf, ["doc_id", "text"])),
         "rare_bigram_rate": lambda sf: textstats.rare_bigram_rate(
             docs(sf, ["doc_id", "text"])
@@ -1369,6 +1372,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(rk AS BIGINT) AS rk, token, n
             FROM ranked WHERE rk <= 10
+        """,
+        # Pairwise Jaccard of per-source top-256 token sets; int/int
+        # division of exact counts -> same double -> shared fp6 round.
+        "source_vocab_overlap": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT source, token, COUNT(*) AS n
+              FROM occ GROUP BY source, token
+            ),
+            tv AS (
+              SELECT source, token FROM (
+                SELECT source, token,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, token) AS rk
+                FROM counts
+              ) WHERE rk <= 256
+            ),
+            inter AS (
+              SELECT x.source AS sa, y.source AS sb, COUNT(*) AS nc
+              FROM tv x JOIN tv y ON x.token = y.token AND x.source < y.source
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT source, COUNT(*) AS nv FROM tv GROUP BY source)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
+                   CAST(za.nv + zb.nv - COALESCE(i.nc, 0) AS BIGINT) AS n_union,
+                   CAST(FLOOR(COALESCE(i.nc, 0)
+                              / (za.nv + zb.nv - COALESCE(i.nc, 0)) * 1e6 + 0.5)
+                        AS BIGINT) AS jaccard_fp6
+            FROM (SELECT DISTINCT source FROM tv) a
+            JOIN (SELECT DISTINCT source FROM tv) b ON a.source < b.source
+            LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+            JOIN sizes za ON za.source = a.source
+            JOIN sizes zb ON zb.source = b.source
         """,
         # E-S weighted sampling replay: u = (h60+1)/2^60 exact, key =
         # floor(-ln(u)/w*1e9), k smallest with doc_id ties.

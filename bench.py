@@ -64,6 +64,7 @@ QUERY_SUITE = [
     "strip_html",
     "token_freq",
     "source_top_tokens",
+    "source_vocab_overlap",
     "pmi_collocations",
     "redact_text",
     "rare_bigram_rate",

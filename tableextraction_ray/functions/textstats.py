@@ -2117,3 +2117,53 @@ def source_top_tokens(ds: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
         )
 
     return counts.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+def source_vocab_overlap(
+    ds: ray.data.Dataset, vocab_size: int = 256
+) -> ray.data.Dataset:
+    """(source_a, source_b, n_common, n_union, jaccard_fp6) — pairwise
+    Jaccard overlap of the per-source top-``vocab_size`` token sets: the
+    corpus-mixing diagnostic ("how lexically distinct are my domains?")
+    that guides source-mixture weights. jaccard_fp6 is the shared
+    floor(a/b·1e6 + 0.5) fixed-point of two exact ints.
+
+    Scale shape: the per-source top-V sets come from source_top_tokens'
+    count-collapsed machinery (per-batch combiners, one keyed groupby);
+    the pairwise comparison runs over #sources·V rows — bounded by the
+    label space, driver-free via one final all-pairs map over the tiny
+    collected table (sources are O(10..10^3) by construction)."""
+    from . import fp
+
+    tops = source_top_tokens(ds, k=vocab_size)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        # batch == the whole top-V table (repartition(1) below): build the
+        # per-source sets and emit every ordered pair once.
+        sets: dict[str, set] = {}
+        for s, t in zip(batch["source"].to_pylist(), batch["token"].to_pylist()):
+            sets.setdefault(s, set()).add(t)
+        names = sorted(sets)
+        a_, b_, nc, nu, jf = [], [], [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                inter = len(sets[names[i]] & sets[names[j]])
+                union = len(sets[names[i]] | sets[names[j]])
+                a_.append(names[i])
+                b_.append(names[j])
+                nc.append(inter)
+                nu.append(union)
+                jf.append(fp(inter / union, 6) if union else 0)
+        return pa.Table.from_pydict(
+            {
+                "source_a": pa.array(a_, type=pa.string()),
+                "source_b": pa.array(b_, type=pa.string()),
+                "n_common": pa.array(nc, type=pa.int64()),
+                "n_union": pa.array(nu, type=pa.int64()),
+                "jaccard_fp6": pa.array(jf, type=pa.int64()),
+            }
+        )
+
+    return tops.repartition(1).map_batches(
+        pairs, batch_format="pyarrow", batch_size=None
+    )

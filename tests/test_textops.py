@@ -1146,3 +1146,40 @@ class TestSourceTopTokens:
         b = sorted(map(key, source_top_tokens(
             ray.data.from_items(docs).repartition(9), k=3).take_all()))
         assert a == b and len(a) == 12
+
+
+class TestSourceVocabOverlap:
+    def test_hand_computed_overlap(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_vocab_overlap
+
+        docs = ray.data.from_items(
+            [
+                {"source": "a", "text": "x y z"},
+                {"source": "b", "text": "x y q"},
+                {"source": "c", "text": "p q r"},
+            ]
+        )
+        out = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_vocab_overlap(docs, vocab_size=8).take_all()
+        }
+        ab = out[("a", "b")]
+        assert (ab["n_common"], ab["n_union"]) == (2, 4)  # {x,y} of {x,y,z,q}
+        assert ab["jaccard_fp6"] == 500000
+        ac = out[("a", "c")]
+        assert ac["n_common"] == 0 and ac["jaccard_fp6"] == 0
+        bc = out[("b", "c")]
+        assert bc["n_common"] == 1  # q
+
+    def test_vocab_cap_applies(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_vocab_overlap
+
+        # shared rare token falls OUTSIDE each source's top-1 vocab
+        docs = ray.data.from_items(
+            [
+                {"source": "a", "text": "aa aa rare"},
+                {"source": "b", "text": "bb bb rare"},
+            ]
+        )
+        out = source_vocab_overlap(docs, vocab_size=1).take_all()
+        assert len(out) == 1 and out[0]["n_common"] == 0
