@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": lambda sf: relational.outlier_events(
             _read(sf, "events", ["event_id", "event_type", "ts", "value"])
         ),
+        "conversion_funnel": lambda sf: relational.conversion_funnel(
+            _read(sf, "events", ["user_id", "event_type", "ts"])
+        ),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -2138,6 +2141,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY n.n_name, r.r_name
+        """,
+        # Funnel replay: first view, first click >= it, any purchase >=
+        # that click, per (user, day); exact integer microseconds.
+        "conversion_funnel": """
+            WITH e AS (
+              SELECT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, epoch_us(ts) AS t
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            v AS (
+              SELECT user_id, day, MIN(t) AS ft FROM e
+              WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT e.user_id, e.day, MIN(e.t) AS ft
+              FROM e JOIN v USING (user_id, day)
+              WHERE e.event_type = 'click' AND e.t >= v.ft GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT DISTINCT e.user_id, e.day
+              FROM e JOIN c USING (user_id, day)
+              WHERE e.event_type = 'purchase' AND e.t >= c.ft
+            ),
+            ud AS (SELECT DISTINCT user_id, day FROM e)
+            SELECT ud.day,
+                   CAST(COUNT(v.user_id) AS BIGINT) AS n_view_users,
+                   CAST(COUNT(c.user_id) AS BIGINT) AS n_click_users,
+                   CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_users
+            FROM ud
+            LEFT JOIN v USING (user_id, day)
+            LEFT JOIN c USING (user_id, day)
+            LEFT JOIN p USING (user_id, day)
+            GROUP BY ud.day
         """,
         # Exact-integer z-test: (n*x-S)^2 > z^2*(n*Q-S^2) over cents,
         # widened through HUGEINT exactly like the Python-int moments.

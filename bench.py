@@ -115,6 +115,7 @@ QUERY_SUITE = [
     "orders_for_segment",
     "events_hourly",
     "outlier_events",
+    "conversion_funnel",
     "sessionize",
     "events_sliding_window",
     "purchase_asof_join",

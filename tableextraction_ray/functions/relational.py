@@ -1139,3 +1139,99 @@ def revenue_by_nation(
         )
 
     return agg.map_batches(name_rollup, batch_format="pyarrow")
+
+
+def conversion_funnel(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(day, n_view_users, n_click_users, n_purchase_users) — the daily
+    view → click → purchase conversion funnel: per (user, day), the user
+    advances a stage only by an event AT OR AFTER the previous stage's
+    first qualifying event (first view, then first click >= that view,
+    then first purchase >= that click). The product-analytics staple that
+    exercises ordered per-key event logic.
+
+    Scale shape: ONE (user_id, day) keyed shuffle of (type_code, ts_us)
+    int rows; the in-group stage walk is three numpy min-reductions; the
+    day rollup sums 0/1 partials in a second, tiny groupby. Exact
+    integer timestamps end-to-end — hash-green."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        t = batch.filter(keep)
+        days = pc.strftime(
+            pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d"
+        )
+        code = pc.if_else(
+            pc.equal(t["event_type"], "view"),
+            pa.scalar(0, pa.int8()),
+            pc.if_else(
+                pc.equal(t["event_type"], "click"),
+                pa.scalar(1, pa.int8()),
+                pa.scalar(2, pa.int8()),
+            ),
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "day": days,
+                "code": code,
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    STAGE_SCHEMA = pa.schema(
+        [
+            ("day", pa.string()),
+            ("v", pa.int64()),
+            ("c", pa.int64()),
+            ("p", pa.int64()),
+        ]
+    )
+
+    def stages(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        code = group["code"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        day = group["day"][0].as_py()
+        v = ts[code == 0]
+        has_v = len(v) > 0
+        has_c = has_p = False
+        if has_v:
+            fv = v.min()
+            c = ts[(code == 1) & (ts >= fv)]
+            has_c = len(c) > 0
+            if has_c:
+                fc = c.min()
+                has_p = bool(((code == 2) & (ts >= fc)).any())
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array([day], type=pa.string()),
+                "v": pa.array([int(has_v)], type=pa.int64()),
+                "c": pa.array([int(has_c)], type=pa.int64()),
+                "p": pa.array([int(has_p)], type=pa.int64()),
+            },
+            schema=STAGE_SCHEMA,
+        )
+
+    agg = (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .map_groups(stages, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("v"), Sum("c"), Sum("p"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "day": batch["day"],
+                "n_view_users": batch["sum(v)"].cast(pa.int64()),
+                "n_click_users": batch["sum(c)"].cast(pa.int64()),
+                "n_purchase_users": batch["sum(p)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

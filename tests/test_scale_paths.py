@@ -938,3 +938,53 @@ class TestDedupIncrementalFuzzy:
         existing = [{"doc_id": 0, "text": "nothing in common here at all ok"}]
         # within-batch fuzzy dedup is minhash_candidates' job
         assert self._run(new, existing) == [1, 3]
+
+
+class TestConversionFunnel:
+    def _run(self, rows):
+        import ray.data
+
+        return {
+            r["day"]: (r["n_view_users"], r["n_click_users"], r["n_purchase_users"])
+            for r in relational.conversion_funnel(
+                ray.data.from_items(rows)
+            ).take_all()
+        }
+
+    @staticmethod
+    def _ev(uid, h, m, kind):
+        from datetime import datetime
+
+        return {
+            "user_id": uid,
+            "event_type": kind,
+            "ts": datetime(2026, 3, 5, h, m, 0),
+        }
+
+    def test_stage_ordering_enforced(self, ray_session):
+        rows = [
+            # user 1: full ordered funnel
+            self._ev(1, 9, 0, "view"),
+            self._ev(1, 10, 0, "click"),
+            self._ev(1, 11, 0, "purchase"),
+            # user 2: purchase BEFORE the click -> stalls at click stage
+            self._ev(2, 9, 0, "view"),
+            self._ev(2, 11, 0, "click"),
+            self._ev(2, 10, 0, "purchase"),
+            # user 3: click before any view -> stalls at view stage
+            self._ev(3, 9, 0, "click"),
+            self._ev(3, 10, 0, "view"),
+            # user 4: never viewed
+            self._ev(4, 9, 0, "click"),
+            self._ev(4, 10, 0, "purchase"),
+        ]
+        assert self._run(rows) == {"2026-03-05": (3, 2, 1)}
+
+    def test_same_timestamp_counts(self, ray_session):
+        # ties: stage events AT the previous stage's timestamp qualify
+        rows = [
+            self._ev(1, 9, 0, "view"),
+            self._ev(1, 9, 0, "click"),
+            self._ev(1, 9, 0, "purchase"),
+        ]
+        assert self._run(rows) == {"2026-03-05": (1, 1, 1)}
