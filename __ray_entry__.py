@@ -449,6 +449,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": lambda sf: relational.conversion_funnel(
             _read(sf, "events", ["user_id", "event_type", "ts"])
         ),
+        "events_profile": lambda sf: relational.table_profile(
+            _read(sf, "events", ["event_id", "ts", "user_id", "event_type", "value"]),
+            spec={
+                "event_id": "int",
+                "ts": "ts_us",
+                "user_id": "int",
+                "event_type": "str",
+                "value": "cents",
+            },
+        ),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -2141,6 +2151,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY n.n_name, r.r_name
+        """,
+        # Data-profile replay: COUNT(DISTINCT) over the same canonical
+        # integer domains (cents / epoch micros), null counts exact.
+        "events_profile": """
+            SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   COUNT(DISTINCT epoch_us(ts))
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   COUNT(DISTINCT user_id)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM events
         """,
         # Funnel replay: first view, first click >= it, any purchase >=
         # that click, per (user, day); exact integer microseconds.

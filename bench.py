@@ -116,6 +116,7 @@ QUERY_SUITE = [
     "events_hourly",
     "outlier_events",
     "conversion_funnel",
+    "events_profile",
     "sessionize",
     "events_sliding_window",
     "purchase_asof_join",

@@ -1235,3 +1235,124 @@ def conversion_funnel(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def table_profile(
+    ds: ray.data.Dataset, spec: dict[str, str]
+) -> ray.data.Dataset:
+    """(column, n_rows, n_null, n_distinct) — the data-quality profile
+    pass (the deequ / Great-Expectations staple) over any table: per
+    column, row count, null count and EXACT distinct count. ``spec``
+    maps column -> kind: 'int' (any integer), 'str', 'cents' (double ->
+    exact integer cents), 'ts_us' (timestamp -> exact integer
+    microseconds) — each kind canonicalizes to an integer or the raw
+    string, so cross-engine value identity is trivial (no float/date
+    formatting ambiguity).
+
+    Scale shape: each block emits its per-column DISTINCT values once as
+    (column, v) string rows (a block of 10^4 rows collapses to its local
+    cardinality) plus one (column, n, n_null) counter row; ONE keyed
+    (column, v) groupby distincts globally and a tiny column rollup
+    counts — value payloads ride the shuffle at most once per distinct
+    value per block."""
+
+    def canon_column(batch: pa.Table, col: str, kind: str) -> list[str]:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if kind == "cents":
+            vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = ~np.isnan(vals)
+            out = np.floor(vals[mask] * 100.0 + 0.5).astype(np.int64)
+            return [str(int(v)) for v in np.unique(out)]
+        if kind == "ts_us":
+            arr = c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return [str(int(v)) for v in np.unique(arr)]
+        if kind == "int":
+            arr = c.cast(pa.int64())
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            return [str(int(v)) for v in np.unique(vals)]
+        # str
+        return [v for v in set(c.to_pylist()) if v is not None]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols, vs, ns, nulls = [], [], [], []
+        for col, kind in spec.items():
+            uniq = canon_column(batch, col, kind)
+            n_null = batch[col].null_count
+            # value rows ("v:"-prefixed distinct-value carriers; the
+            # prefix keeps them disjoint from the "#" counter sentinel
+            # and keeps the group key non-null — Ray's sort-based
+            # groupby cannot order NULL keys)
+            cols.extend([col] * len(uniq))
+            vs.extend("v:" + u for u in uniq)
+            ns.extend([0] * len(uniq))
+            nulls.extend([0] * len(uniq))
+            # one counter row per column
+            cols.append(col)
+            vs.append("#")
+            ns.append(batch.num_rows)
+            nulls.append(n_null)
+        return pa.Table.from_pydict(
+            {
+                "column": pa.array(cols, type=pa.string()),
+                "v": pa.array(vs, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "n_null": pa.array(nulls, type=pa.int64()),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("column", pa.string()),
+            ("pn", pa.int64()),
+            ("pnull", pa.int64()),
+            ("pdist", pa.int64()),
+        ]
+    )
+
+    def collapse(group: pa.Table) -> pa.Table:
+        """Group key = (column, v): a "v:"-prefixed group collapses to
+        ONE distinct mark; the "#" group carries the summed counters."""
+        col = group["column"][0].as_py()
+        if group["v"][0].as_py() == "#":
+            n = sum(group["n"].to_pylist())
+            nn = sum(group["n_null"].to_pylist())
+            return pa.Table.from_pydict(
+                {
+                    "column": pa.array([col], type=pa.string()),
+                    "pn": pa.array([n], type=pa.int64()),
+                    "pnull": pa.array([nn], type=pa.int64()),
+                    "pdist": pa.array([0], type=pa.int64()),
+                },
+                schema=OUT_SCHEMA,
+            )
+        return pa.Table.from_pydict(
+            {
+                "column": pa.array([col], type=pa.string()),
+                "pn": pa.array([0], type=pa.int64()),
+                "pnull": pa.array([0], type=pa.int64()),
+                "pdist": pa.array([1], type=pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["column", "v"])
+        .map_groups(collapse, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("pn"), Sum("pnull"), Sum("pdist"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "column": batch["column"],
+                "n_rows": batch["sum(pn)"].cast(pa.int64()),
+                "n_null": batch["sum(pnull)"].cast(pa.int64()),
+                "n_distinct": batch["sum(pdist)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

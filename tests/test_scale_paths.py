@@ -988,3 +988,41 @@ class TestConversionFunnel:
             self._ev(1, 9, 0, "purchase"),
         ]
         assert self._run(rows) == {"2026-03-05": (1, 1, 1)}
+
+
+class TestTableProfile:
+    def test_counts_nulls_distincts(self, ray_session):
+        import ray.data
+
+        tbl = pa.Table.from_pydict(
+            {
+                "a": pa.array([1, 2, 2, None, 3], type=pa.int64()),
+                "s": pa.array(["x", "x", None, "y", "y"], type=pa.string()),
+                "m": pa.array([1.25, 1.25, 2.0, 2.004, None], type=pa.float64()),
+            }
+        )
+        out = {
+            r["column"]: r
+            for r in relational.table_profile(
+                ray.data.from_arrow(tbl),
+                spec={"a": "int", "s": "str", "m": "cents"},
+            ).take_all()
+        }
+        assert out["a"]["n_rows"] == 5 and out["a"]["n_null"] == 1
+        assert out["a"]["n_distinct"] == 3
+        assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+        # cents canon: 1.25->125, 2.0->200, 2.004->200 (collides) -> 2
+        assert out["m"]["n_distinct"] == 2 and out["m"]["n_null"] == 1
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        rows = [{"a": i % 13, "s": f"s{i % 5}"} for i in range(300)]
+        spec = {"a": "int", "s": "str"}
+        key = lambda r: (r["column"], r["n_rows"], r["n_null"], r["n_distinct"])
+        a = sorted(map(key, relational.table_profile(
+            ray.data.from_items(rows).repartition(1), spec).take_all()))
+        b = sorted(map(key, relational.table_profile(
+            ray.data.from_items(rows).repartition(9), spec).take_all()))
+        assert a == b
+        assert a[0] == ("a", 300, 0, 13) and a[1] == ("s", 300, 0, 5)
