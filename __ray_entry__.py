@@ -480,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
             _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
             _read(sf, "region", ["r_regionkey", "r_name"]),
+            order_count=_parquet_count(sf, "orders"),
+            customer_count=_parquet_count(sf, "customer"),
+            supplier_count=_parquet_count(sf, "supplier"),
         ),
         "distinct_sources": lambda sf: relational.distinct_sources(
             docs(sf, ["source"])

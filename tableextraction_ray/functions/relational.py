@@ -957,6 +957,8 @@ def revenue_by_nation(
     region: ray.data.Dataset,
     broadcast_limit: int = 2_000_000,
     order_count: int | None = None,
+    customer_count: int | None = None,
+    supplier_count: int | None = None,
 ) -> ray.data.Dataset:
     """(n_name, r_name, n_items, revenue_cc) — the TPC-H Q5 shape: revenue
     from lineitems whose customer and supplier share a nation, rolled up
@@ -964,33 +966,39 @@ def revenue_by_nation(
     price_c * (100 - disc_pct), both factors exact ints (the discount
     column is exact hundredths), so sums compose exactly — no float money.
 
-    Shuffle discipline (the 6-table-join showcase): customer, supplier,
-    nation and region are true dimensions — broadcast once via ray.put
-    and probed vectorized (pandas .map) inside map_batches. The
-    orderkey→customer-nation map is the MEDIUM side: under
-    ``broadcast_limit`` orders it broadcasts too (one fact pass, zero
-    shuffles before the 25-row nation rollup); above the limit it flips
-    to a keyed orderkey tagged-union shuffle — the same size-guard
-    pattern as orders_by_segment, because orders is sf-proportional and
-    an unguarded broadcast is a driver-memory scale-killer. Pass
-    ``order_count`` from parquet footer metadata to keep the probe
-    zero-IO."""
+    Shuffle discipline (the 6-table-join showcase): nation (25 rows) and
+    region (5 rows) are FIXED-size dimensions — always broadcast.
+    Customer, supplier and orders are all sf-proportional, so each gets
+    its own ``broadcast_limit`` guard (the orders_by_segment pattern):
+
+    * supplier ≤ limit → s_nationkey attached to lineitem by a broadcast
+      dict probe inside the projection map; above → ONE keyed l_suppkey
+      tagged-union shuffle attaches it.
+    * customer ≤ limit → o_custkey→nationkey probe is a broadcast dict;
+      above → ONE keyed o_custkey tagged-union shuffle tags each order
+      with its customer nation.
+    * orders ≤ limit → the (orderkey → cust-nation) map broadcasts and
+      the fact pass is shuffle-free before the 25-row nation rollup;
+      above → ONE keyed o_orderkey tagged-union shuffle joins tagged
+      orders with projected lineitems.
+
+    Pass ``order_count`` / ``customer_count`` / ``supplier_count`` from
+    parquet footer metadata to keep the guard probes zero-IO."""
     import pandas as pd
 
-    cust = {
-        r["c_custkey"]: r["c_nationkey"]
-        for r in customer.select_columns(["c_custkey", "c_nationkey"]).take_all()
-    }
-    supp = {
-        r["s_suppkey"]: r["s_nationkey"]
-        for r in supplier.select_columns(["s_suppkey", "s_nationkey"]).take_all()
-    }
     nat = {
         r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
         for r in nation.take_all()
     }
     reg = {r["r_regionkey"]: r["r_name"] for r in region.take_all()}
-    dims_ref = ray.put((supp, nat, reg))
+    nat_ref = ray.put((nat, reg))
+
+    if supplier_count is None:
+        supplier_count = supplier.count()
+    if customer_count is None:
+        customer_count = customer.count()
+    if order_count is None:
+        order_count = orders.count()
 
     def disc_pct(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
@@ -998,13 +1006,190 @@ def revenue_by_nation(
         v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
-    def fact_partial(batch: pa.Table, order_nation: dict) -> pa.Table:
-        supp_map, _nat, _reg = ray.get(dims_ref)
-        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        skeys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        cn = pd.Series(okeys).map(order_nation)
-        sn = pd.Series(skeys).map(supp_map)
-        keep = (cn.values == sn.values) & cn.notna().values & sn.notna().values
+    # ---- stage 1: items = (o_orderkey, s_nation, price_c, disc) --------
+    if supplier_count <= broadcast_limit:
+        supp = {
+            r["s_suppkey"]: r["s_nationkey"]
+            for r in supplier.select_columns(
+                ["s_suppkey", "s_nationkey"]
+            ).take_all()
+        }
+        supp_ref = ray.put(supp)
+
+        def project_items(batch: pa.Table) -> pa.Table:
+            supp_map = ray.get(supp_ref)
+            sn = (
+                pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False))
+                .map(supp_map)
+                .fillna(-1)
+                .astype(np.int64)
+                .values
+            )
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                    "s_nation": pa.array(sn, type=pa.int64()),
+                    "price_c": _cents(batch["l_extendedprice"]),
+                    "disc": pa.array(
+                        disc_pct(batch["l_discount"]), type=pa.int64()
+                    ),
+                }
+            )
+
+        items = lineitem.map_batches(project_items, batch_format="pyarrow")
+    else:
+        # Scale path: keyed suppkey tagged-union shuffle — only
+        # (suppkey, nationkey) ints ride for the supplier side.
+        def tag_supp(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "suppkey": batch["s_suppkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "nationkey": batch["s_nationkey"].cast(pa.int64()),
+                    "o_orderkey": pa.array([-1] * n, type=pa.int64()),
+                    "price_c": pa.array([0] * n, type=pa.int64()),
+                    "disc": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_item_supp(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "suppkey": batch["l_suppkey"].cast(pa.int64()),
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "nationkey": pa.array([-1] * n, type=pa.int64()),
+                    "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                    "price_c": _cents(batch["l_extendedprice"]),
+                    "disc": pa.array(
+                        disc_pct(batch["l_discount"]), type=pa.int64()
+                    ),
+                }
+            )
+
+        def attach_supp(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            sup_rows = np.flatnonzero(kind == 0)
+            item_rows = np.flatnonzero(kind == 1)
+            if len(sup_rows) == 0 or len(item_rows) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "o_orderkey": pa.array([], type=pa.int64()),
+                        "s_nation": pa.array([], type=pa.int64()),
+                        "price_c": pa.array([], type=pa.int64()),
+                        "disc": pa.array([], type=pa.int64()),
+                    }
+                )
+            snk = int(group["nationkey"][int(sup_rows[0])].as_py())
+            sel = group.take(item_rows)
+            n = sel.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": sel["o_orderkey"],
+                    "s_nation": pa.array([snk] * n, type=pa.int64()),
+                    "price_c": sel["price_c"],
+                    "disc": sel["disc"],
+                }
+            )
+
+        items = (
+            supplier.map_batches(tag_supp, batch_format="pyarrow")
+            .union(lineitem.map_batches(tag_item_supp, batch_format="pyarrow"))
+            .groupby("suppkey")
+            .map_groups(attach_supp, batch_format="pyarrow")
+        )
+
+    # ---- stage 2: order → customer nation -------------------------------
+    if customer_count <= broadcast_limit:
+        cust = {
+            r["c_custkey"]: r["c_nationkey"]
+            for r in customer.select_columns(
+                ["c_custkey", "c_nationkey"]
+            ).take_all()
+        }
+        cust_ref = ray.put(cust)
+
+        def tag_orders_bcast(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(cust_ref)
+            nk = (
+                pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+                .map(lookup)
+                .fillna(-1)
+                .astype(np.int64)
+                .values
+            )
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                    "c_nation": pa.array(nk, type=pa.int64()),
+                }
+            )
+
+        onat_ds = orders.map_batches(tag_orders_bcast, batch_format="pyarrow")
+    else:
+        # Scale path: keyed custkey tagged-union shuffle — (custkey,
+        # nationkey) + (custkey, orderkey) int rows only.
+        def tag_cust(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "custkey": batch["c_custkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "nationkey": batch["c_nationkey"].cast(pa.int64()),
+                    "o_orderkey": pa.array([-1] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_order_cust(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "custkey": batch["o_custkey"].cast(pa.int64()),
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "nationkey": pa.array([-1] * n, type=pa.int64()),
+                    "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                }
+            )
+
+        def attach_cust(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            cust_rows = np.flatnonzero(kind == 0)
+            order_rows = np.flatnonzero(kind == 1)
+            if len(cust_rows) == 0 or len(order_rows) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "o_orderkey": pa.array([], type=pa.int64()),
+                        "c_nation": pa.array([], type=pa.int64()),
+                    }
+                )
+            cnk = int(group["nationkey"][int(cust_rows[0])].as_py())
+            sel = group.take(order_rows)
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": sel["o_orderkey"],
+                    "c_nation": pa.array(
+                        [cnk] * sel.num_rows, type=pa.int64()
+                    ),
+                }
+            )
+
+        onat_ds = (
+            customer.map_batches(tag_cust, batch_format="pyarrow")
+            .union(orders.map_batches(tag_order_cust, batch_format="pyarrow"))
+            .groupby("custkey")
+            .map_groups(attach_cust, batch_format="pyarrow")
+        )
+
+    # ---- stage 3: join items ⨝ order-nation on o_orderkey ---------------
+    def local_partial(
+        okeys: np.ndarray,
+        sn: np.ndarray,
+        price_c: np.ndarray,
+        disc: np.ndarray,
+        cn: np.ndarray,
+    ) -> pa.Table:
+        keep = (cn == sn) & (cn >= 0)
         if not keep.any():
             return pa.Table.from_pydict(
                 {
@@ -1013,13 +1198,8 @@ def revenue_by_nation(
                     "n": pa.array([], type=pa.int64()),
                 }
             )
-        price_c = (
-            _cents(batch["l_extendedprice"])
-            .to_numpy(zero_copy_only=False)[keep]
-        )
-        d = disc_pct(batch["l_discount"])[keep]
-        nk = cn.values[keep].astype(np.int64)
-        rev = price_c * (100 - d)
+        nk = cn[keep]
+        rev = price_c[keep] * (100 - disc[keep])
         order = np.argsort(nk, kind="stable")
         nk_s, rev_s = nk[order], rev[order]
         uniq, starts = np.unique(nk_s, return_index=True)
@@ -1033,89 +1213,92 @@ def revenue_by_nation(
             }
         )
 
-    if order_count is None:
-        order_count = orders.count()
     if order_count <= broadcast_limit:
+        # Broadcast the (orderkey → cust-nation) map once; when customer
+        # is ALSO small this costs one driver pass over orders (no extra
+        # shuffle); when customer was big the map comes out of the keyed
+        # custkey shuffle, still bounded by order_count ≤ limit.
         onat = {
-            r["o_orderkey"]: cust.get(r["o_custkey"])
-            for r in orders.select_columns(
-                ["o_orderkey", "o_custkey"]
-            ).take_all()
+            r["o_orderkey"]: r["c_nation"]
+            for r in onat_ds.take_all()
+            if r["c_nation"] >= 0
         }
-        onat = {k: v for k, v in onat.items() if v is not None}
         onat_ref = ray.put(onat)
-        partials = lineitem.map_batches(
-            lambda b: fact_partial(b, ray.get(onat_ref)),
-            batch_format="pyarrow",
-        )
-    else:
-        # Scale path: ship (orderkey, cust_nation) int pairs + lineitem
-        # projections through ONE keyed orderkey shuffle; per group the
-        # single order row tags the lineitems.
-        cust_ref = ray.put(cust)
 
-        def tag_orders(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(cust_ref)
-            nk = [
-                lookup.get(k, -1)
-                for k in batch["o_custkey"].to_pylist()
-            ]
+        def fact_partial(batch: pa.Table) -> pa.Table:
+            order_nation = ray.get(onat_ref)
+            okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            cn = (
+                pd.Series(okeys)
+                .map(order_nation)
+                .fillna(-1)
+                .astype(np.int64)
+                .values
+            )
+            return local_partial(
+                okeys,
+                batch["s_nation"].to_numpy(zero_copy_only=False),
+                batch["price_c"].to_numpy(zero_copy_only=False),
+                batch["disc"].to_numpy(zero_copy_only=False),
+                cn,
+            )
+
+        partials = items.map_batches(fact_partial, batch_format="pyarrow")
+    else:
+        # Scale path: ONE keyed o_orderkey tagged-union shuffle of int
+        # rows; per group the single order row tags its lineitems.
+        def tag_onat(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             return pa.Table.from_pydict(
                 {
                     "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
                     "kind": pa.array([0] * n, type=pa.int8()),
-                    "nationkey": pa.array(nk, type=pa.int64()),
-                    "suppkey": pa.array([-1] * n, type=pa.int64()),
+                    "c_nation": batch["c_nation"].cast(pa.int64()),
+                    "s_nation": pa.array([-1] * n, type=pa.int64()),
                     "price_c": pa.array([0] * n, type=pa.int64()),
                     "disc": pa.array([0] * n, type=pa.int64()),
                 }
             )
 
-        def tag_items(batch: pa.Table) -> pa.Table:
+        def tag_items_join(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             return pa.Table.from_pydict(
                 {
-                    "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                    "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
                     "kind": pa.array([1] * n, type=pa.int8()),
-                    "nationkey": pa.array([-1] * n, type=pa.int64()),
-                    "suppkey": batch["l_suppkey"].cast(pa.int64()),
-                    "price_c": _cents(batch["l_extendedprice"]),
-                    "disc": pa.array(
-                        disc_pct(batch["l_discount"]), type=pa.int64()
-                    ),
+                    "c_nation": pa.array([-1] * n, type=pa.int64()),
+                    "s_nation": batch["s_nation"].cast(pa.int64()),
+                    "price_c": batch["price_c"].cast(pa.int64()),
+                    "disc": batch["disc"].cast(pa.int64()),
                 }
             )
 
         def join_group(group: pa.Table) -> pa.Table:
-            supp_map, _nat, _reg = ray.get(dims_ref)
             kind = group["kind"].to_numpy(zero_copy_only=False)
-            onk = -1
             ords = np.flatnonzero(kind == 0)
-            if len(ords):
-                onk = int(group["nationkey"][int(ords[0])].as_py())
-            out_nk, out_rev = [], []
-            if onk >= 0:
-                items = np.flatnonzero(kind == 1)
-                for i in items:
-                    sk = group["suppkey"][int(i)].as_py()
-                    if supp_map.get(sk) == onk:
-                        out_nk.append(onk)
-                        out_rev.append(
-                            group["price_c"][int(i)].as_py()
-                            * (100 - group["disc"][int(i)].as_py())
-                        )
-            return pa.Table.from_pydict(
-                {
-                    "nationkey": pa.array(out_nk, type=pa.int64()),
-                    "rev_cc": pa.array(out_rev, type=pa.int64()),
-                    "n": pa.array([1] * len(out_nk), type=pa.int64()),
-                }
+            item_rows = np.flatnonzero(kind == 1)
+            if len(ords) == 0 or len(item_rows) == 0:
+                return local_partial(
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                )
+            cnk = int(group["c_nation"][int(ords[0])].as_py())
+            sel = group.take(item_rows)
+            n = sel.num_rows
+            return local_partial(
+                sel["o_orderkey"].to_numpy(zero_copy_only=False),
+                sel["s_nation"].to_numpy(zero_copy_only=False),
+                sel["price_c"].to_numpy(zero_copy_only=False),
+                sel["disc"].to_numpy(zero_copy_only=False),
+                np.full(n, cnk, dtype=np.int64),
             )
 
         partials = (
-            orders.map_batches(tag_orders, batch_format="pyarrow")
-            .union(lineitem.map_batches(tag_items, batch_format="pyarrow"))
+            onat_ds.map_batches(tag_onat, batch_format="pyarrow")
+            .union(items.map_batches(tag_items_join, batch_format="pyarrow"))
             .groupby("o_orderkey")
             .map_groups(join_group, batch_format="pyarrow")
         )
@@ -1123,7 +1306,7 @@ def revenue_by_nation(
     agg = partials.groupby("nationkey").aggregate(Sum("rev_cc"), Sum("n"))
 
     def name_rollup(batch: pa.Table) -> pa.Table:
-        _supp, nat_map, reg_map = ray.get(dims_ref)
+        nat_map, reg_map = ray.get(nat_ref)
         names, regions = [], []
         for nk in batch["nationkey"].to_pylist():
             n_name, rk = nat_map[nk]
@@ -1139,6 +1322,7 @@ def revenue_by_nation(
         )
 
     return agg.map_batches(name_rollup, batch_format="pyarrow")
+
 
 
 def conversion_funnel(events: ray.data.Dataset) -> ray.data.Dataset:
@@ -1266,7 +1450,9 @@ def table_profile(
             out = np.floor(vals[mask] * 100.0 + 0.5).astype(np.int64)
             return [str(int(v)) for v in np.unique(out)]
         if kind == "ts_us":
-            arr = c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            arr = (
+                c.cast(pa.int64()).drop_null().to_numpy(zero_copy_only=False)
+            )
             return [str(int(v)) for v in np.unique(arr)]
         if kind == "int":
             arr = c.cast(pa.int64())

@@ -482,6 +482,7 @@ def near_dup_pairs(
     ds: ray.data.Dataset,
     threshold_fp5: int = NEAR_DUP_FP5,
     broadcast_row_limit: int = 100_000,
+    row_count: int | None = None,
 ) -> ray.data.Dataset:
     """(vec_a, vec_b, cos_fp5) — all pairs with cosine >= threshold (a < b).
 
@@ -490,10 +491,25 @@ def near_dup_pairs(
     but O(n/b) shuffle. Above ``broadcast_row_limit`` rows this AUTO-ROUTES
     to ``lsh_near_dup`` (same output schema, recall >= 0.9 asserted in
     tests) so the O(n^2) driver-materialized twin can't ship into a 10^9-
-    vector corpus by accident; the row probe is parquet metadata-only on a
-    fresh read. 100k x 64 float64 ~ 50 MB broadcast — the right ceiling
-    for an exact oracle twin."""
-    if ds.count() > broadcast_row_limit:
+    vector corpus by accident. Pass ``row_count`` (parquet footer
+    metadata, the orders_by_segment / bm25_topk pattern) when ``ds`` is a
+    TRANSFORMED dataset — a bare ``count()`` there executes the whole
+    upstream plan once for the probe and again for the real pass; on a
+    bare read it is footer-metadata-only and the fallback is fine. The
+    exact→LSH switch is logged so the approximate route is never silent.
+    100k x 64 float64 ~ 50 MB broadcast — the right ceiling for an exact
+    oracle twin."""
+    if row_count is None:
+        row_count = ds.count()
+    if row_count > broadcast_row_limit:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "near_dup_pairs: %d rows > broadcast_row_limit=%d — routing to "
+            "approximate lsh_near_dup (recall >= 0.9), same output schema",
+            row_count,
+            broadcast_row_limit,
+        )
         return lsh_near_dup(ds, threshold_fp5=threshold_fp5)
     all_rows = ds.take_all()
     ids = np.asarray([r["vec_id"] for r in all_rows], dtype=np.int64)

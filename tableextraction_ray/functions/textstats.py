@@ -1657,7 +1657,10 @@ def strip_html_text(text: str) -> str:
         ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = t.replace(a, b)
-    lines = [_HTML_RES[4].sub(" ", x).strip() for x in t.split("\n")]
+    # strip ASCII space only — the DuckDB oracle's trim() and the sibling
+    # extract_main_content visible() both trim ' ' alone; bare .strip()
+    # would also eat U+00A0 etc. and diverge from the oracle.
+    lines = [_HTML_RES[4].sub(" ", x).strip(" \t") for x in t.split("\n")]
     return "\n".join(line for line in lines if line)
 
 

@@ -229,7 +229,15 @@ def grits_corpus(pred_cells, gold_cells, per_table: bool = False):
     ]
     agg = per.aggregate(Count(), *(Mean(c) for c in metric_cols))
 
-    def summarize(row: dict) -> pa.Table:
+    def summarize(row: dict | None) -> pa.Table:
+        # Empty cell stream (no tables on either side): Ray's aggregate
+        # returns None / an empty row — emit an honest n_tables=0 summary
+        # instead of a TypeError.
+        if not row or row.get("count()") in (None, 0):
+            out = {"n_tables": pa.array([0], type=pa.int64())}
+            for c in metric_cols:
+                out[f"mean_{c}"] = pa.array([0], type=pa.int64())
+            return pa.Table.from_pydict(out)
         out = {"n_tables": pa.array([row["count()"]], type=pa.int64())}
         for c in metric_cols:
             out[f"mean_{c}"] = pa.array(

@@ -874,6 +874,18 @@ class TestRevenueByNation:
         )
         assert broadcast == shuffled and len(broadcast) > 0
 
+    def test_each_single_table_shuffle_path(self, tables):
+        """Force ONE sf-proportional table over the limit at a time via
+        its fake footer count — each keyed attach shuffle must match the
+        all-broadcast result independently."""
+        broadcast = self._canon(relational.revenue_by_nation(**tables))
+        big = 10**12
+        for forced in ("supplier_count", "customer_count", "order_count"):
+            got = self._canon(
+                relational.revenue_by_nation(**tables, **{forced: big})
+            )
+            assert got == broadcast, forced
+
     def test_local_supplier_filter(self, ray_session):
         import ray.data
 
