@@ -82,6 +82,12 @@ def _read_embeddings_head(sf_dir: str, m: int):
     )
 
 
+# Query names added in round 4 — spliced into the front of queries()'s
+# iteration order so the driver's ~50-query correctness sample covers them
+# on their first round.
+_R4_QUERIES: list[str] = ["events_profile_approx"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tableextraction_ray.functions import (
         curate,
@@ -207,7 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = generate_corpus("/tmp/graft_corpus/t1hi", tier="t1hi")
         return verify_against_golden(corpus, mismatches_only=True)
 
-    return {
+    q = {
         # -- flagship extraction (non-SQL: image pipeline; rows-only check) --
         "extract_spans": extract_spans,
         "extract_serialized": extract_serialized,
@@ -459,6 +465,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "value": "cents",
             },
         ),
+        # approx_-prefixed kinds route the id-like columns' distinct count
+        # through a fixed-size HLL fold (one 4 KB register row per block)
+        # instead of shuffling the full key domain — the scale profile for
+        # columns whose cardinality ~ the table itself.
+        "events_profile_approx": lambda sf: relational.table_profile(
+            _read(sf, "events", ["event_id", "user_id", "event_type", "value"]),
+            spec={
+                "event_id": "approx_int",
+                "user_id": "approx_int",
+                "event_type": "str",
+                "value": "cents",
+            },
+        ),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "ts"])
         ),
@@ -491,6 +510,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf, ["doc_id", "n_chars"])
         ),
     }
+    # Driver correctness sampling takes the FIRST ~50 entries in iteration
+    # order (round-3 verdict #1): put queries that have never received a
+    # driver-side CORRECTNESS row first so the independent oracle sees
+    # them this round. Newly added queries belong in this front list too.
+    front = [
+        "bm25_topk", "revenue_by_nation", "semantic_dedup", "knn_pq",
+        "knn_pq_rerank", "events_profile", "orders_for_segment",
+        "conversion_funnel", "pack_sequences", "epoch_shuffle",
+        "quality_percentile", "source_cap", "tfidf_top_terms",
+        "outlier_events", "purchase_click_attribution", "char_entropy",
+        "char_budget_prefix", "gopher_filter", "repetition_stats",
+        "label_centroid_stats", "media_thumb_dims", "source_quality_report",
+        "chunk_documents", "dehyphenate",
+        # round-4 additions (never driver-checked by definition):
+    ] + _R4_QUERIES + [
+        # keep the extraction gate inside the window (rows-only contract)
+        "extract_spans", "extract_serialized", "extract_filtered",
+        "extract_verify", "extract_verify_dualdpi",
+    ]
+    seen = set(front)
+    return {k: q[k] for k in front if k in q} | {
+        k: v for k, v in q.items() if k not in seen
+    }
+
 
 
 # --------------------------------------------------------------------------
@@ -2170,6 +2213,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
                    COUNT(DISTINCT user_id)
             FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM events
+        """,
+        # HLL replay for the approx_int columns (the proven
+        # events_hourly_users_hll hash/estimator contract: first 8 md5
+        # bytes big-endian over the canonical decimal string, 2^12
+        # registers, linear-counting correction, one double division).
+        "events_profile_approx": """
+            WITH dv AS (
+              SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS v
+              FROM events WHERE event_id IS NOT NULL
+              UNION
+              SELECT 'user_id', CAST(user_id AS VARCHAR)
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            hhx AS (
+              SELECT col,
+                     ('0x' || substring(md5(v), 1, 16))::UBIGINT AS h
+              FROM dv
+            ),
+            rr AS (
+              SELECT col, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT col, idx, MAX(r) AS r FROM rr GROUP BY col, idx),
+            agg AS (
+              SELECT col,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY col
+            ),
+            estv AS (
+              SELECT col, 4096 - n_present AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(s_present AS HUGEINT)
+                              + (4096 - n_present)
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM agg
+            ),
+            approx AS (
+              SELECT col,
+                     CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT)
+                       AS n_distinct
+              FROM estv
+            ),
+            counts AS (
+              SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id)
+              FROM events
+            )
+            SELECT c.col AS column, c.n_rows, c.n_null, a.n_distinct
+            FROM counts c JOIN approx a ON a.col = c.col
             UNION ALL
             SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
                    COUNT(DISTINCT event_type)

@@ -117,6 +117,7 @@ QUERY_SUITE = [
     "outlier_events",
     "conversion_funnel",
     "events_profile",
+    "events_profile_approx",
     "sessionize",
     "events_sliding_window",
     "purchase_asof_join",
@@ -256,6 +257,14 @@ def main() -> None:
         payload["queries"] = q_times
 
     print(json.dumps(payload))
+    if "queries" in payload and payload.get("metric") == "extract_e2e":
+        # Compact headline-only duplicate as the LAST line: the driver's
+        # artifact keeps only the final ~2000 chars of output, and in r03
+        # the full payload's queries dict pushed the headline out of that
+        # window (BENCH_r03.json parsed: null). The last line always fits.
+        compact = {k: v for k, v in payload.items() if k != "queries"}
+        compact["note"] = "headline duplicate; full payload incl. per-query secs on previous line"
+        print(json.dumps(compact))
     ray.shutdown()
 
 

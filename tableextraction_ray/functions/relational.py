@@ -1421,50 +1421,39 @@ def conversion_funnel(events: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def table_profile(
+def _profile_canon(batch: pa.Table, col: str, kind: str) -> list[str]:
+    """Per-block DISTINCT canonical strings for a profiled column — one
+    shared canonicalization for the exact and approx (HLL) branches so
+    both hash/compare identical strings: 'int' -> str(int), 'cents' ->
+    str(floor(x*100+0.5)), 'ts_us' -> str(int microseconds), 'str' ->
+    the raw value. Nulls are dropped (n_null is counted separately)."""
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if kind == "cents":
+        vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(vals)
+        out = np.floor(vals[mask] * 100.0 + 0.5).astype(np.int64)
+        return [str(int(v)) for v in np.unique(out)]
+    if kind == "ts_us":
+        arr = c.cast(pa.int64()).drop_null().to_numpy(zero_copy_only=False)
+        return [str(int(v)) for v in np.unique(arr)]
+    if kind == "int":
+        vals = c.cast(pa.int64()).drop_null().to_numpy(zero_copy_only=False)
+        return [str(int(v)) for v in np.unique(vals)]
+    # str
+    return [v for v in set(c.to_pylist()) if v is not None]
+
+
+def _profile_exact(
     ds: ray.data.Dataset, spec: dict[str, str]
 ) -> ray.data.Dataset:
-    """(column, n_rows, n_null, n_distinct) — the data-quality profile
-    pass (the deequ / Great-Expectations staple) over any table: per
-    column, row count, null count and EXACT distinct count. ``spec``
-    maps column -> kind: 'int' (any integer), 'str', 'cents' (double ->
-    exact integer cents), 'ts_us' (timestamp -> exact integer
-    microseconds) — each kind canonicalizes to an integer or the raw
-    string, so cross-engine value identity is trivial (no float/date
-    formatting ambiguity).
-
-    Scale shape: each block emits its per-column DISTINCT values once as
-    (column, v) string rows (a block of 10^4 rows collapses to its local
-    cardinality) plus one (column, n, n_null) counter row; ONE keyed
-    (column, v) groupby distincts globally and a tiny column rollup
-    counts — value payloads ride the shuffle at most once per distinct
-    value per block."""
-
-    def canon_column(batch: pa.Table, col: str, kind: str) -> list[str]:
-        c = batch[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        if kind == "cents":
-            vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
-            mask = ~np.isnan(vals)
-            out = np.floor(vals[mask] * 100.0 + 0.5).astype(np.int64)
-            return [str(int(v)) for v in np.unique(out)]
-        if kind == "ts_us":
-            arr = (
-                c.cast(pa.int64()).drop_null().to_numpy(zero_copy_only=False)
-            )
-            return [str(int(v)) for v in np.unique(arr)]
-        if kind == "int":
-            arr = c.cast(pa.int64())
-            vals = arr.drop_null().to_numpy(zero_copy_only=False)
-            return [str(int(v)) for v in np.unique(vals)]
-        # str
-        return [v for v in set(c.to_pylist()) if v is not None]
+    """Exact-distinct profile branch (see table_profile)."""
 
     def partials(batch: pa.Table) -> pa.Table:
         cols, vs, ns, nulls = [], [], [], []
         for col, kind in spec.items():
-            uniq = canon_column(batch, col, kind)
+            uniq = _profile_canon(batch, col, kind)
             n_null = batch[col].null_count
             # value rows ("v:"-prefixed distinct-value carriers; the
             # prefix keeps them disjoint from the "#" counter sentinel
@@ -1542,3 +1531,163 @@ def table_profile(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _profile_approx(
+    ds: ray.data.Dataset, spec: dict[str, str], n_salts: int = 64
+) -> ray.data.Dataset:
+    """Approximate-distinct profile branch: per block per column ONE
+    fixed-size HLL register row (2^12 int8 registers, ~1.6 % standard
+    error) instead of the column's distinct values — an id column at
+    10^12 rows ships #blocks x 4 KB through the shuffle instead of the
+    full key domain. Register max-merge is associative, commutative and
+    idempotent, so partials fold in a salted two-level groupby (at most
+    ``n_salts`` level-1 groups per column; the level-2 group is tiny) —
+    no single task ever holds more than max(#blocks/n_salts, n_salts)
+    register rows. Hash contract is the events_hourly_users_hll one
+    (first 8 md5 bytes of the canonical string, big-endian), so the
+    DuckDB replay oracle reproduces the estimate bit-for-bit."""
+    import hashlib
+
+    from .sketch import HLL_P, _bit_length_u64, _hll_estimate
+
+    m = 1 << HLL_P
+
+    PARTIAL_SCHEMA = pa.schema(
+        [
+            ("column", pa.string()),
+            ("salt", pa.int64()),
+            ("registers", pa.list_(pa.int8())),
+            ("n", pa.int64()),
+            ("n_null", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, salts, regs_out, ns, nulls = [], [], [], [], []
+        for col, kind in spec.items():
+            uniq = _profile_canon(batch, col, kind)
+            regs = np.zeros(m, dtype=np.int8)
+            salt = 0
+            if uniq:
+                hs = np.empty(len(uniq), dtype=np.uint64)
+                for i, u in enumerate(uniq):
+                    hs[i] = int.from_bytes(
+                        hashlib.md5(u.encode()).digest()[:8], "big"
+                    )
+                idx = (hs & np.uint64(m - 1)).astype(np.int64)
+                rank = (
+                    (64 - HLL_P)
+                    - _bit_length_u64(hs >> np.uint64(HLL_P))
+                    + 1
+                ).astype(np.int8)
+                np.maximum.at(regs, idx, rank)
+                salt = int(hs.min() % np.uint64(n_salts))
+            cols.append(col)
+            salts.append(salt)
+            regs_out.append(regs.tolist())
+            ns.append(batch.num_rows)
+            nulls.append(batch[col].null_count)
+        return pa.Table.from_pydict(
+            {
+                "column": pa.array(cols, type=pa.string()),
+                "salt": pa.array(salts, type=pa.int64()),
+                "registers": pa.array(regs_out, type=pa.list_(pa.int8())),
+                "n": pa.array(ns, type=pa.int64()),
+                "n_null": pa.array(nulls, type=pa.int64()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group["registers"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.int8), out=regs)
+        return pa.Table.from_pydict(
+            {
+                "column": pa.array(
+                    [group["column"][0].as_py()], type=pa.string()
+                ),
+                "salt": pa.array([0], type=pa.int64()),
+                "registers": pa.array(
+                    [regs.tolist()], type=pa.list_(pa.int8())
+                ),
+                "n": pa.array([sum(group["n"].to_pylist())], type=pa.int64()),
+                "n_null": pa.array(
+                    [sum(group["n_null"].to_pylist())], type=pa.int64()
+                ),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group["registers"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.int8), out=regs)
+        return pa.Table.from_pydict(
+            {
+                "column": pa.array(
+                    [group["column"][0].as_py()], type=pa.string()
+                ),
+                "n_rows": pa.array(
+                    [sum(group["n"].to_pylist())], type=pa.int64()
+                ),
+                "n_null": pa.array(
+                    [sum(group["n_null"].to_pylist())], type=pa.int64()
+                ),
+                "n_distinct": pa.array(
+                    [_hll_estimate(regs)], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["column", "salt"])
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def table_profile(
+    ds: ray.data.Dataset, spec: dict[str, str]
+) -> ray.data.Dataset:
+    """(column, n_rows, n_null, n_distinct) — the data-quality profile
+    pass (the deequ / Great-Expectations staple) over any table: per
+    column, row count, null count and distinct count. ``spec`` maps
+    column -> kind: 'int' (any integer), 'str', 'cents' (double ->
+    exact integer cents), 'ts_us' (timestamp -> exact integer
+    microseconds) — each kind canonicalizes to an integer or the raw
+    string, so cross-engine value identity is trivial (no float/date
+    formatting ambiguity). Prefix a kind with 'approx_' (approx_int,
+    approx_str, approx_cents, approx_ts_us) to route that column's
+    distinct count through a fixed-size HLL sketch instead of shuffling
+    its distinct values — the right choice for id-like columns whose
+    key domain is the table itself.
+
+    Scale shape, exact columns: each block emits its per-column DISTINCT
+    values once as (column, v) string rows (a block of 10^4 rows
+    collapses to its local cardinality) plus one (column, n, n_null)
+    counter row; ONE keyed (column, v) groupby distincts globally and a
+    tiny column rollup counts — value payloads ride the shuffle at most
+    once per distinct value per block. Approx columns ship one 4 KB
+    register row per block instead (see _profile_approx)."""
+    exact_spec = {
+        c: k for c, k in spec.items() if not k.startswith("approx_")
+    }
+    approx_spec = {
+        c: k[len("approx_"):]
+        for c, k in spec.items()
+        if k.startswith("approx_")
+    }
+    branches: list[ray.data.Dataset] = []
+    if exact_spec:
+        branches.append(_profile_exact(ds, exact_spec))
+    if approx_spec:
+        branches.append(_profile_approx(ds, approx_spec))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+

@@ -1038,3 +1038,36 @@ class TestTableProfile:
             ray.data.from_items(rows).repartition(9), spec).take_all()))
         assert a == b
         assert a[0] == ("a", 300, 0, 13) and a[1] == ("s", 300, 0, 5)
+
+    def test_approx_within_5pct_of_exact(self, ray_session):
+        import ray.data
+
+        rows = [{"id": i, "grp": i % 7} for i in range(5000)]
+        ds = ray.data.from_items(rows).repartition(8)
+        out = {
+            r["column"]: r
+            for r in relational.table_profile(
+                ds, spec={"id": "approx_int", "grp": "int"}
+            ).take_all()
+        }
+        # exact branch untouched by the mixed spec
+        assert out["grp"]["n_distinct"] == 7
+        assert out["grp"]["n_rows"] == 5000 and out["grp"]["n_null"] == 0
+        # HLL estimate within the 5% bound at n=5000, m=4096
+        est = out["id"]["n_distinct"]
+        assert abs(est - 5000) <= 250, est
+        assert out["id"]["n_rows"] == 5000 and out["id"]["n_null"] == 0
+
+    def test_approx_partition_invariance(self, ray_session):
+        import ray.data
+
+        rows = [{"id": i % 997} for i in range(3000)]
+        spec = {"id": "approx_int"}
+        vals = [
+            relational.table_profile(
+                ray.data.from_items(rows).repartition(parts), spec
+            ).take_all()[0]["n_distinct"]
+            for parts in (1, 11)
+        ]
+        # register max-merge is partition-invariant: identical estimates
+        assert vals[0] == vals[1]
