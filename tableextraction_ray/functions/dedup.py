@@ -471,13 +471,15 @@ def dedup_clusters(
       assigning each doc its broadcast representative. No iteration, no
       extra shuffle.
     - larger: distributed min-label propagation over the edge SUBGRAPH
-      (label(v) <- min over neighbors of label(u); two keyed shuffles per
-      round, rounds = component diameter, convergence = label-sum
-      fixpoint since labels only decrease). NO driver state anywhere on
-      this path: initial labels come from a distributed distinct over the
-      edge endpoints, and the singleton bypass is a keyed anti-join
-      (docs ∪ final labels, grouped by doc_id) instead of a broadcast
-      node set. Labels materialize per round (16 bytes/node).
+      (label(v) <- min over neighbors of label(u)) followed by a
+      pointer-doubling step (label <- label(label)) each round — three
+      keyed shuffles per round, rounds = O(log component diameter),
+      convergence = label-sum fixpoint since labels only decrease. NO
+      driver state anywhere on this path: initial labels come from a
+      distributed distinct over the edge endpoints, and the singleton
+      bypass is a keyed anti-join (docs ∪ final labels, grouped by
+      doc_id) instead of a broadcast node set. Labels materialize per
+      round (16 bytes/node).
 
     Oracle: recursive CTE transitive closure (min reachable doc_id).
     """
@@ -619,6 +621,63 @@ def dedup_clusters(
             }
         )
 
+    # Pointer-jumping step: label <- label(label). Label values are always
+    # node ids within the subgraph (min over some reachable set), so the
+    # composed label stays a reachable node and only decreases. One keyed
+    # shuffle: each node queries the group of its CURRENT label (kind=1)
+    # where that label's own row answers (kind=0).
+    JUMP_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("kind", pa.int8()), ("val", pa.int64())]
+    )
+
+    def jump_queries(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "key": batch["label"].cast(pa.int64()),
+                "kind": pa.array([1] * n, type=pa.int8()),
+                "val": batch["doc_id"].cast(pa.int64()),
+            },
+            schema=JUMP_SCHEMA,
+        )
+
+    def jump_answers(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "key": batch["doc_id"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
+                "val": batch["label"].cast(pa.int64()),
+            },
+            schema=JUMP_SCHEMA,
+        )
+
+    def jump_resolve(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        vals = group["val"].to_numpy(zero_copy_only=False)
+        docs_q = vals[kinds == 1]
+        if len(docs_q) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        ans = vals[kinds == 0]
+        # every label value is a node with its own label row; min() guards
+        # the (impossible) multi-answer case conservatively.
+        lbl = int(ans.min()) if len(ans) else int(group["key"][0].as_py())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(docs_q, type=pa.int64()),
+                "label": pa.array(
+                    np.full(len(docs_q), lbl, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     labels = edge_nodes_ds.map_batches(
         self_label, batch_format="pyarrow"
     ).materialize()
@@ -626,16 +685,32 @@ def dedup_clusters(
     sym_edges = edges.map_batches(edge_rows, batch_format="pyarrow")
     converged = False
     for _ in range(max_iters):
+        # narrow merge-repartitions before each keyed exchange: the loop's
+        # rows are 17-byte ints, so sort width (O(blocks^2) transfers)
+        # costs more than the data — same finding as curate.py:373.
         proposed = (
             labels.map_batches(label_rows, batch_format="pyarrow")
             .union(sym_edges)
+            .repartition(16)
             .groupby("key")
             .map_groups(propose, batch_format="pyarrow")
         )
         labels = (
-            proposed.groupby("doc_id")
+            proposed.repartition(16)
+            .groupby("doc_id")
             .aggregate(Min("label"))
             .map_batches(finish, batch_format="pyarrow")
+            .materialize()  # consumed twice by the jump's two sides
+        )
+        # pointer-doubling: compose labels with themselves so the reach
+        # roughly doubles per round — O(log diameter) rounds instead of
+        # O(diameter) under the same max_iters fail-loud guard.
+        labels = (
+            labels.map_batches(jump_queries, batch_format="pyarrow")
+            .union(labels.map_batches(jump_answers, batch_format="pyarrow"))
+            .repartition(16)
+            .groupby("key")
+            .map_groups(jump_resolve, batch_format="pyarrow")
             .materialize()
         )
         cur_sum = labels.sum("label")

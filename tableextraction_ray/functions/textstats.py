@@ -1122,7 +1122,8 @@ def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
     means as sum/n at display time — no float drift in the contract).
 
     Pre-aggregation pattern: each batch collapses to AT MOST ONE ROW PER
-    SOURCE inside map_batches (pandas groupby on the quality columns)
+    SOURCE inside map_batches (Arrow-native pa.TableGroupBy, the
+    props_key_stats pattern — no pandas round trip in the hot path)
     BEFORE the keyed shuffle, so the all-to-all moves O(#sources x
     #blocks) rows regardless of corpus size — the combiner discipline
     every aggregation in this repo follows, here over the quality_score
@@ -1132,17 +1133,27 @@ def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
     q = quality_score(ds, passthrough=("source",))
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        g = df.groupby("source", as_index=False).agg(
-            n_docs=("doc_id", "size"),
-            sum_chars=("n_chars_t", "sum"),
-            sum_alpha_fp6=("alpha_fp6", "sum"),
-            min_alpha_fp6=("alpha_fp6", "min"),
-            max_alpha_fp6=("alpha_fp6", "max"),
+        g = pa.TableGroupBy(
+            batch.select(["source", "n_chars_t", "alpha_fp6"]), "source"
+        ).aggregate(
+            [
+                ("source", "count"),
+                ("n_chars_t", "sum"),
+                ("alpha_fp6", "sum"),
+                ("alpha_fp6", "min"),
+                ("alpha_fp6", "max"),
+            ]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pydict(
+            {
+                "source": g["source"],
+                "n_docs": g["source_count"].cast(pa.int64()),
+                "sum_chars": g["n_chars_t_sum"].cast(pa.int64()),
+                "sum_alpha_fp6": g["alpha_fp6_sum"].cast(pa.int64()),
+                "min_alpha_fp6": g["alpha_fp6_min"].cast(pa.int64()),
+                "max_alpha_fp6": g["alpha_fp6_max"].cast(pa.int64()),
+            }
+        )
 
     agg = (
         q.map_batches(partial, batch_format="pyarrow")

@@ -209,6 +209,29 @@ class TestDedupClustersDistributed:
         }
         assert got == {10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
 
+    def test_long_chain_converges_in_log_rounds(self, ray_session):
+        # Path graph with diameter 40 > max_iters=8: only the
+        # pointer-doubling step makes this converge (plain min-label
+        # propagation needs ~40 rounds).
+        import ray.data
+
+        from tableextraction_ray.functions.dedup import dedup_clusters
+
+        n = 41
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in range(n)]
+        )
+        edges = ray.data.from_items(
+            [{"doc_a": i, "doc_b": i + 1} for i in range(n - 1)]
+        )
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in dedup_clusters(
+                docs, edges=edges, driver_edge_limit=0, max_iters=8
+            ).take_all()
+        }
+        assert got == {i: 0 for i in range(n)}
+
     def test_matches_union_find_on_lsh_graph(self, ray_session):
         import ray.data
 
