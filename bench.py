@@ -147,6 +147,34 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_docs
 
 
+def run_dualdpi() -> dict:
+    """Throughput of the two-DPI production flow (detect on the cheap
+    raster, crop/OCR the 3x one — reference extractor.py:24-33) vs the
+    single-resolution pipeline on the SAME 500 logical documents (t2 vs
+    t2hi tiers). Correctness of the dual-DPI path is gated separately by
+    the t1hi golden tier; this measures its COST."""
+    from tableextraction_ray.datagen import generate_corpus
+    from tableextraction_ray.pipelines.extract import build_extraction_pipeline
+
+    out: dict = {"metric": "extract_dualdpi", "unit": "ratio", "num_cpus": NUM_CPUS}
+    walls = {}
+    for tier in ("t2", "t2hi"):
+        corpus = generate_corpus(f"/tmp/graft_corpus/{tier}", tier=tier)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = build_extraction_pipeline(corpus).count()
+            w = time.time() - t0
+            best = w if best is None or w < best else best
+        walls[tier] = best
+        out[f"docs_per_sec_{tier}"] = round(n / best, 2)
+        out[f"wall_{tier}"] = round(best, 3)
+    out["docs"] = n
+    out["value"] = round(out["docs_per_sec_t2hi"] / out["docs_per_sec_t2"], 4)
+    out["protocol"] = "best-of-2, dpi_scale=3 vs 1, 500 docs"
+    return out
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         # Best-of-2 fresh-process runs per parallelism level: single cold
@@ -201,6 +229,11 @@ def main() -> None:
             include_dashboard=False,
             log_to_driver=False,
         )
+
+    if "--dualdpi" in sys.argv:
+        print(json.dumps(run_dualdpi()))
+        ray.shutdown()
+        return
 
     if "--queries-only" in sys.argv:
         payload = {"metric": "query_suite", "unit": "sec", "sf": SF_DIR, "num_cpus": NUM_CPUS}

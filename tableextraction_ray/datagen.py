@@ -54,10 +54,14 @@ TIERS = {
     # resolution; the pipeline detects on the cheap downscale and crops/OCRs
     # the sharp raster (ExtractConfig(dpi_scale=...)).
     "t1hi": 32,
+    # t2-scale dual-DPI tier: large enough that the detect-low/OCR-high
+    # path's throughput cost is measurable (bench.py --dualdpi), not just
+    # its correctness (t1hi golden gate).
+    "t2hi": 500,
 }
 
 #: High-DPI page upscale factor per tier (1 = single-resolution corpus).
-TIER_HIDPI_SCALE = {"t1hi": 3}
+TIER_HIDPI_SCALE = {"t1hi": 3, "t2hi": 3}
 
 FAMILIES = [
     "grid_simple",
