@@ -85,7 +85,14 @@ def _read_embeddings_head(sf_dir: str, m: int):
 # Query names added in round 4 — spliced into the front of queries()'s
 # iteration order so the driver's ~50-query correctness sample covers them
 # on their first round.
-_R4_QUERIES: list[str] = ["events_profile_approx"]
+_R4_QUERIES: list[str] = [
+    "events_profile_approx",
+    "span_stats",
+    "media_captions",
+    "interleave_render",
+    "media_content_dedup",
+    "retention_cohorts",
+]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -93,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         sketch,
         dedup,
+        interleaved,
         multimodal,
         plots,
         relational,
@@ -114,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from tableextraction_ray.sources import read_media
 
         return read_media(_corpus_for(sf_dir))
+
+    def _spans(sf_dir: str):
+        from tableextraction_ray.sources import read_documents
+
+        return read_documents(_corpus_for(sf_dir))
 
     def docs(sf_dir, cols):
         import ray.data
@@ -426,11 +439,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
         "media_thumb_dims": lambda sf: multimodal.media_thumb_dims(media(sf)),
+        "media_content_dedup": lambda sf: multimodal.media_content_dedup(media(sf)),
         "media_stats": lambda sf: multimodal.media_stats(media(sf)),
+        # -- interleaved-span structure (the input_hint table itself) --
+        "span_stats": lambda sf: interleaved.span_stats(_spans(sf)),
+        "media_captions": lambda sf: interleaved.media_captions(_spans(sf)),
+        "interleave_render": lambda sf: interleaved.render_interleaved(_spans(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
         "video_frames": lambda sf: multimodal.video_frames(media(sf)),
         # -- relational / streaming demos (column-pruned reads) --
+        "retention_cohorts": lambda sf: relational.retention_cohorts(
+            _read(sf, "events", ["ts", "user_id"])
+        ),
         "pricing_summary": lambda sf: relational.pricing_summary(
             _read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                    "l_extendedprice", "l_discount"])
@@ -2099,6 +2120,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST((height + s - 1) // s AS INT) AS thumb_h
             FROM scaled
         """,
+        # Exact media dedup by content hash: md5 over LOWERCASE hex of the
+        # payload (duckdb md5() is VARCHAR-only; lower(hex(x)) ==
+        # Python bytes.hex()), canonical = min ref per digest. The t2 media
+        # store has real duplicate payloads (identical rendered pages), so
+        # the n_copies/is_dup columns are non-vacuous.
+        "media_content_dedup": f"""
+            WITH m AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     md5(lower(hex(content))) AS payload_md5
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            )
+            SELECT media_ref, payload_md5,
+                   MIN(media_ref) OVER (PARTITION BY payload_md5)
+                     AS canonical_ref,
+                   COUNT(*) OVER (PARTITION BY payload_md5) AS n_copies,
+                   media_ref <> MIN(media_ref) OVER (PARTITION BY payload_md5)
+                     AS is_dup
+            FROM m
+        """,
+        # -- interleaved-span structure oracles: unnest the input_hint
+        # table's spans column directly from the corpus parquet shards. --
+        "span_stats": f"""
+            WITH s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, text,
+                     lag(kind) OVER (PARTITION BY doc_id ORDER BY off) AS pk
+              FROM s
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_text,
+                   CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN length(text)
+                             ELSE 0 END) AS BIGINT) AS n_chars,
+                   CAST(SUM(CASE WHEN pk = 'text' AND kind = 'text'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+                   CAST(SUM(CASE WHEN pk = 'text' AND kind = 'media'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tm,
+                   CAST(SUM(CASE WHEN pk = 'media' AND kind = 'text'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mt,
+                   CAST(SUM(CASE WHEN pk = 'media' AND kind = 'media'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mm
+            FROM w GROUP BY doc_id
+        """,
+        # Caption pairing: next-span text (offset order) when that span is
+        # text-kind, truncated to 40 code points (substr counts code
+        # points, as do Python slicing and utf8_slice_codeunits — verified
+        # on Cyrillic).
+        "media_captions": f"""
+            WITH s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref, u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, media_ref, off,
+                     lead(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nk,
+                     lead(text) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nt
+              FROM s
+            )
+            SELECT doc_id, media_ref, CAST(off AS BIGINT) AS span_offset,
+                   CASE WHEN nk = 'text' THEN substr(nt, 1, 40)
+                        ELSE '' END AS caption
+            FROM w WHERE kind = 'media'
+        """,
+        # Flat rendering: offset-ordered newline join, media spans as
+        # [IMG:<ref>] placeholders.
+        "interleave_render": f"""
+            WITH s AS (
+              SELECT t.doc_id,
+                     CASE WHEN u.s.kind = 'media'
+                          THEN '[IMG:' || u.s.media_ref || ']'
+                          ELSE u.s.text END AS piece,
+                     u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            )
+            SELECT doc_id,
+                   string_agg(piece, chr(10) ORDER BY off) AS rendered,
+                   length(string_agg(piece, chr(10) ORDER BY off))
+                     AS n_chars
+            FROM s GROUP BY doc_id
+        """,
         # Full replay of the deterministic audio fake: the fake hashes
         # md5 of the UPPERCASE HEX of the payload precisely so this oracle
         # exists (DuckDB md5() is VARCHAR-only and its BLOB cast escapes
@@ -2290,6 +2407,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Funnel replay: first view, first click >= it, any purchase >=
         # that click, per (user, day); exact integer microseconds.
+        # Weekly cohort retention: week = unix-epoch days // 7 as PURE
+        # integer math on epoch microseconds (calendar-function-free, so
+        # both engines bucket identically); cohort = user's min week.
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // (7 * 86400000000) AS week
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, week,
+                     MIN(week) OVER (PARTITION BY user_id) AS cohort
+              FROM uw
+            )
+            SELECT cohort AS cohort_week,
+                   week - cohort AS offset_weeks,
+                   COUNT(*) AS n_users
+            FROM c GROUP BY 1, 2
+        """,
         "conversion_funnel": """
             WITH e AS (
               SELECT user_id,

@@ -1,0 +1,188 @@
+"""Interleaved-span operators — the graft cell's payload axis.
+
+These run over the BASELINE.json input_hint table itself:
+``(doc_id: string, spans: list<struct<kind:string, text:string,
+media_ref:string, offset:int32>>)`` — the Lance-shaped interleaved
+text+media corpus the extraction pipeline consumes. Where the extraction
+flagship turns the spans into rasters and back, these operators treat the
+interleave STRUCTURE as data: per-document modality profiles, media→caption
+pairing, and a deterministic flat rendering — the catalog / curation passes
+a 10¹²-doc interleaved corpus needs before any pixel is decoded.
+
+All three are pure per-document maps (1→1 or 1→N fan-out inside
+map_batches): no shuffle, no driver state, the spans column is consumed
+zero-copy via ``pyarrow.compute`` list kernels (list_flatten /
+list_parent_indices) + numpy lexsort — never a Python loop over spans.
+
+Scale note: the only per-doc ordering needed is BY OFFSET WITHIN a doc, so
+every kernel is block-local; blocks scale horizontally with no repartition
+requirement. Output blocks are re-chunked by the streaming executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _flat_spans(batch: pa.Table):
+    """(doc_ids, parent, order, kind_sorted..., helpers) shared unpack.
+
+    Returns the batch's span structs flattened and offset-sorted within
+    each parent document:
+      ids      — doc_id value per FLAT span row (Arrow, batch order)
+      parent   — int64 np array: batch-row index per flat span
+      order    — np argsort indices: (parent, offset) lexsort
+      n_docs   — batch row count
+      fields   — dict of flat child arrays (kind/text/media_ref/offset)
+    """
+    col = batch.column("spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    fields = {
+        "kind": flat.field("kind"),
+        "text": flat.field("text"),
+        "media_ref": flat.field("media_ref"),
+        "offset": flat.field("offset"),
+    }
+    off = fields["offset"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((off, parent))
+    ids = batch.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return ids, parent, order, batch.num_rows, fields
+
+
+def span_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document interleave profile: (doc_id, n_spans, n_text, n_media,
+    n_chars, n_tt, n_tm, n_mt, n_mm).
+
+    n_chars = total code points across text spans; n_xy = count of
+    offset-adjacent span-kind transitions x→y (t=text, m=media) — the
+    modality-structure fingerprint used to stratify an interleaved corpus
+    (text-only vs image-heavy vs caption-alternating docs) before routing
+    docs to modality-specific pipelines. Pure per-doc map, no shuffle."""
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        is_media = pc.equal(f["kind"], "media").to_numpy(zero_copy_only=False)
+        n_spans = np.bincount(parent, minlength=n_docs)
+        n_media = np.bincount(parent[is_media], minlength=n_docs)
+        chars = pc.utf8_length(f["text"]).to_numpy(zero_copy_only=False)
+        n_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_chars, parent[~is_media], chars[~is_media])
+        # Transitions over the offset-sorted flat view: adjacent flat rows
+        # with the same parent are consecutive spans of one document.
+        p_s = parent[order]
+        m_s = is_media[order]
+        adj = p_s[1:] == p_s[:-1]
+        out = {
+            "doc_id": ids,
+            "n_spans": pa.array(n_spans, type=pa.int64()),
+            "n_text": pa.array(n_spans - n_media, type=pa.int64()),
+            "n_media": pa.array(n_media, type=pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+        for name, mask in (
+            ("n_tt", ~m_s[:-1] & ~m_s[1:]),
+            ("n_tm", ~m_s[:-1] & m_s[1:]),
+            ("n_mt", m_s[:-1] & ~m_s[1:]),
+            ("n_mm", m_s[:-1] & m_s[1:]),
+        ):
+            cnt = np.bincount(p_s[1:][adj & mask], minlength=n_docs)
+            out[name] = pa.array(cnt, type=pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(profile, batch_format="pyarrow")
+
+
+def media_captions(ds: ray.data.Dataset, max_chars: int = 40) -> ray.data.Dataset:
+    """(doc_id, media_ref, span_offset, caption) — one row per MEDIA span;
+    caption = the first ``max_chars`` code points of the immediately
+    FOLLOWING span's text when that span is a text span (the caption
+    heuristic interleaved image-text corpora use to build alt-text /
+    CLIP-style pairs), else ''. 1→N fan-out per doc, no shuffle; the
+    truncation is ``utf8_slice_codeunits`` — verified code-point-equal to
+    Python ``t[:k]`` and DuckDB ``substr`` on Cyrillic."""
+
+    def pair(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        n = len(parent)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=batch.column("doc_id").type),
+                    "media_ref": pa.array([], type=pa.string()),
+                    "span_offset": pa.array([], type=pa.int64()),
+                    "caption": pa.array([], type=pa.string()),
+                }
+            )
+        order_arr = pa.array(order)
+        kind_s = f["kind"].take(order_arr)
+        text_s = f["text"].take(order_arr)
+        ref_s = f["media_ref"].take(order_arr)
+        off_s = f["offset"].take(order_arr)
+        p_s = parent[order]
+        is_media_s = pc.equal(kind_s, "media").to_numpy(zero_copy_only=False)
+        # Next-span text, shifted within the sorted view; last row and
+        # cross-document boundaries get no caption.
+        nxt = np.minimum(np.arange(n) + 1, n - 1)
+        next_text = text_s.take(pa.array(nxt))
+        next_is_text = pc.equal(kind_s.take(pa.array(nxt)), "text").to_numpy(
+            zero_copy_only=False
+        )
+        same_doc = np.zeros(n, dtype=bool)
+        same_doc[:-1] = p_s[1:] == p_s[:-1]
+        has_cap = is_media_s & same_doc & next_is_text
+        cap = pc.if_else(pa.array(has_cap), next_text, "")
+        cap = pc.utf8_slice_codeunits(cap, 0, max_chars)
+        media_pos = np.flatnonzero(is_media_s)
+        take_m = pa.array(media_pos)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.take(pa.array(p_s[media_pos])),
+                "media_ref": ref_s.take(take_m),
+                "span_offset": pc.cast(off_s.take(take_m), pa.int64()),
+                "caption": cap.take(take_m),
+            }
+        )
+
+    return ds.map_batches(pair, batch_format="pyarrow")
+
+
+def render_interleaved(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, rendered, n_chars) — the deterministic flat rendering of an
+    interleaved doc: spans in offset order, text spans verbatim, media
+    spans as ``[IMG:<media_ref>]`` placeholders, newline-joined — the
+    "document as one training string" view (multimodal-LLM corpora store
+    exactly this interleave contract; the placeholder is where a vision
+    embedding is spliced at training time). Per-doc map, no shuffle; the
+    join is an Arrow list binary_join over the offset-sorted pieces."""
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        is_media = pc.equal(f["kind"], "media")
+        placeholder = pc.binary_join_element_wise(
+            pa.scalar("[IMG:"), f["media_ref"], pa.scalar("]"), pa.scalar("")
+        )
+        pieces = pc.if_else(is_media, placeholder, f["text"])
+        pieces_s = pieces.take(pa.array(order))
+        counts = np.bincount(parent, minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pieces_s)
+        rendered = pc.binary_join(lists, "\n")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "rendered": rendered,
+                "n_chars": pc.cast(pc.utf8_length(rendered), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow")

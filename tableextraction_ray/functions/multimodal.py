@@ -18,6 +18,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..png import decode_gray, encode_gray
@@ -317,3 +318,50 @@ def audio_features(media_ds: ray.data.Dataset, mode: str = "tasks") -> ray.data.
 
 def video_frames(media_ds: ray.data.Dataset, mode: str = "tasks") -> ray.data.Dataset:
     return _media_stage(media_ds, VideoFrameSample, batch_size=8, mode=mode)
+
+
+def media_content_dedup(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_ref, payload_md5, canonical_ref, n_copies, is_dup) — exact
+    media deduplication by payload content hash: the same image embedded
+    under different refs (re-crawled pages, mirrored CDNs, shared assets)
+    collapses to one canonical ref = the lexicographically smallest member.
+    The interleaved-corpus complement to text ``dedup_exact``: downstream
+    decode/embed stages run once per canonical payload, and span rewriting
+    (media_ref -> canonical_ref) is a broadcast-map away.
+
+    Shuffle discipline: payload bytes are hashed INSIDE the scan batch and
+    dropped — only (md5-hex, ref) string pairs ride the ONE keyed groupby;
+    per-group emit is O(group). The hash is md5 over the lowercase-hex
+    encoding of the payload (not raw bytes) so the DuckDB oracle replays it
+    exactly: duckdb's md5() takes VARCHAR only, and
+    md5(lower(hex(content))) == hashlib.md5(payload.hex().encode())."""
+    import hashlib
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(m.hex().encode()).hexdigest()
+            for m in batch["payload"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "payload_md5": pa.array(h, type=pa.string()),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        refs = group["media_ref"]
+        canonical = pc.min_max(refs)["min"]
+        n = group.num_rows
+        return pa.Table.from_pydict(
+            {
+                "media_ref": refs,
+                "payload_md5": group["payload_md5"],
+                "canonical_ref": pa.array([canonical.as_py()] * n, type=pa.string()),
+                "n_copies": pa.array([n] * n, type=pa.int64()),
+                "is_dup": pc.not_equal(refs, canonical),
+            }
+        )
+
+    hashed = media_ds.map_batches(hash_batch, batch_format="pyarrow")
+    return hashed.groupby("payload_md5").map_groups(resolve, batch_format="pyarrow")

@@ -1691,3 +1691,69 @@ def table_profile(
         out = out.union(b)
     return out
 
+
+def retention_cohorts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(cohort_week, offset_weeks, n_users) — weekly cohort retention: a
+    user's cohort is the week of their FIRST event (week = unix-epoch
+    days // 7, pure integer math — no calendar functions to disagree on);
+    the (cohort, k) cell counts users from that cohort active in cohort
+    week + k. The offset-0 diagonal is each cohort's size, so retention
+    RATE is a driver-side divide away. The growth-analytics staple next
+    to conversion_funnel/sessionize.
+
+    Scale shape: per-block Arrow group_by collapses to DISTINCT
+    (user_id, week) int pairs BEFORE the shuffle (a user's events in one
+    week collapse in-block), then ONE user_id keyed groupby emits
+    (cohort, offset) rows per distinct active week — O(weeks) per user —
+    and a second, tiny (cohort, offset) Count rollup. No timestamps, no
+    payloads, no driver state ride any shuffle."""
+    from ray.data.aggregate import Count
+
+    US_PER_WEEK = 7 * 86_400_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        # normalize to microseconds FIRST: a timestamp[s] source (e.g.
+        # from_items-built fixtures) must bucket identically to the
+        # parquet table's timestamp[us]
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        week = us.to_numpy(zero_copy_only=False) // US_PER_WEEK
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "week": pa.array(week, type=pa.int64()),
+            }
+        )
+        # in-block distinct: a user's many events per week collapse here
+        return pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+
+    def cohort_rows(group: pa.Table) -> pa.Table:
+        weeks = np.unique(group["week"].to_numpy(zero_copy_only=False))
+        cohort = int(weeks[0])  # np.unique sorts ascending
+        return pa.Table.from_pydict(
+            {
+                "cohort_week": pa.array([cohort] * len(weeks), type=pa.int64()),
+                "offset_weeks": pa.array(weeks - cohort, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(cohort_rows, batch_format="pyarrow")
+        .groupby(["cohort_week", "offset_weeks"])
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "cohort_week": batch["cohort_week"],
+                "offset_weeks": batch["offset_weeks"],
+                "n_users": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

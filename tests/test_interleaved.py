@@ -1,0 +1,144 @@
+"""Interleaved-span operators: hand-computed fixtures over the input_hint
+schema (doc_id, spans list<struct<kind,text,media_ref,offset>>) — offset
+reordering, cross-document boundaries, unicode lengths, and the media
+content-hash dedup contract."""
+
+import pyarrow as pa
+import pytest
+
+from tableextraction_ray.functions import interleaved, multimodal
+from tableextraction_ray.sources.corpus import _span_type
+
+
+def _span(kind, text="", ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "spans": pa.array([r[1] for r in rows], type=_span_type()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+@pytest.fixture(scope="module")
+def spans_ds(ray_session):
+    # d1's spans are stored OUT of offset order — operators must sort.
+    return _docs_ds(
+        [
+            (
+                "d1",
+                [
+                    _span("media", ref="m/a.png", off=1),
+                    _span("text", text="привет", off=0),
+                    _span("text", text="tail x", off=2),
+                ],
+            ),
+            (
+                "d2",
+                [
+                    _span("media", ref="m/b.png", off=0),
+                    _span("media", ref="m/c.png", off=1),
+                ],
+            ),
+            ("d3", [_span("text", text="only text", off=0)]),
+        ]
+    )
+
+
+class TestSpanStats:
+    def test_hand_computed(self, spans_ds):
+        rows = {r["doc_id"]: r for r in interleaved.span_stats(spans_ds).take_all()}
+        d1 = rows["d1"]
+        # offset order: text(привет) -> media -> text(tail x)
+        assert (d1["n_spans"], d1["n_text"], d1["n_media"]) == (3, 2, 1)
+        assert d1["n_chars"] == len("привет") + len("tail x")  # code points
+        assert (d1["n_tm"], d1["n_mt"], d1["n_tt"], d1["n_mm"]) == (1, 1, 0, 0)
+        d2 = rows["d2"]
+        assert (d2["n_media"], d2["n_mm"], d2["n_chars"]) == (2, 1, 0)
+        d3 = rows["d3"]
+        assert (d3["n_spans"], d3["n_tt"], d3["n_chars"]) == (1, 0, 9)
+
+    def test_partition_invariance(self, spans_ds):
+        one = sorted(
+            interleaved.span_stats(spans_ds).take_all(), key=lambda r: r["doc_id"]
+        )
+        many = sorted(
+            interleaved.span_stats(spans_ds.repartition(3)).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert one == many
+
+
+class TestMediaCaptions:
+    def test_caption_rules(self, spans_ds):
+        rows = {
+            r["media_ref"]: r
+            for r in interleaved.media_captions(spans_ds, max_chars=4).take_all()
+        }
+        # media followed by a text span -> truncated caption (code points)
+        assert rows["m/a.png"]["caption"] == "tail"
+        assert rows["m/a.png"]["doc_id"] == "d1"
+        assert rows["m/a.png"]["span_offset"] == 1
+        # media followed by media -> no caption
+        assert rows["m/b.png"]["caption"] == ""
+        # media as the LAST span of its doc -> no caption (no bleed into
+        # the next document in the sorted flat view)
+        assert rows["m/c.png"]["caption"] == ""
+        assert len(rows) == 3  # one row per media span only
+
+    def test_empty_batch(self, ray_session):
+        out = interleaved.media_captions(_docs_ds([("d9", [])])).take_all()
+        assert out == []
+
+
+class TestRenderInterleaved:
+    def test_hand_computed(self, spans_ds):
+        rows = {
+            r["doc_id"]: r for r in interleaved.render_interleaved(spans_ds).take_all()
+        }
+        assert rows["d1"]["rendered"] == "привет\n[IMG:m/a.png]\ntail x"
+        assert rows["d1"]["n_chars"] == len(rows["d1"]["rendered"])
+        assert rows["d2"]["rendered"] == "[IMG:m/b.png]\n[IMG:m/c.png]"
+        assert rows["d3"]["rendered"] == "only text"
+
+
+class TestMediaContentDedup:
+    def test_canonical_and_copies(self, ray_session):
+        import ray.data
+
+        payload_a = b"\x89PNGsame-bytes"
+        media = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "media_ref": pa.array(
+                        ["m/z.png", "m/a.png", "m/q.png"], type=pa.string()
+                    ),
+                    "payload": pa.array(
+                        [payload_a, payload_a, b"other"], type=pa.large_binary()
+                    ),
+                }
+            )
+        )
+        rows = {
+            r["media_ref"]: r
+            for r in multimodal.media_content_dedup(media).take_all()
+        }
+        assert rows["m/z.png"]["canonical_ref"] == "m/a.png"
+        assert rows["m/z.png"]["is_dup"] is True
+        assert rows["m/a.png"]["is_dup"] is False
+        assert rows["m/a.png"]["n_copies"] == 2
+        assert rows["m/q.png"]["n_copies"] == 1
+        assert rows["m/q.png"]["canonical_ref"] == "m/q.png"
+        import hashlib
+
+        assert (
+            rows["m/a.png"]["payload_md5"]
+            == hashlib.md5(payload_a.hex().encode()).hexdigest()
+            == rows["m/z.png"]["payload_md5"]
+        )

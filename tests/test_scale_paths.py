@@ -1094,3 +1094,72 @@ class TestTableProfile:
         ]
         # register max-merge is partition-invariant: identical estimates
         assert vals[0] == vals[1]
+
+
+class TestRetentionCohorts:
+    """Weekly cohort retention: cohort = week of first event, integer
+    epoch-week buckets, distinct users per (cohort, offset)."""
+
+    @staticmethod
+    def _ev(uid, week, extra_us=0):
+        from datetime import datetime, timedelta
+
+        # epoch week w -> any instant inside it (epoch day w*7 + jitter)
+        return {
+            "user_id": uid,
+            "ts": datetime(1970, 1, 1)
+            + timedelta(days=7 * week, microseconds=extra_us),
+        }
+
+    def test_hand_computed(self, ray_session):
+        import ray.data
+
+        rows = [
+            self._ev(1, 100),
+            self._ev(1, 100, extra_us=5),  # same week, collapses
+            self._ev(1, 101),
+            self._ev(1, 103),
+            self._ev(2, 101),
+            self._ev(3, 100),
+            self._ev(3, 101),
+        ]
+        out = {
+            (r["cohort_week"], r["offset_weeks"]): r["n_users"]
+            for r in relational.retention_cohorts(
+                ray.data.from_items(rows)
+            ).take_all()
+        }
+        assert out == {
+            (100, 0): 2,
+            (100, 1): 2,
+            (100, 3): 1,
+            (101, 0): 1,
+        }
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        rows = [self._ev(u, 200 + (u * 3 + w) % 5) for u in range(40) for w in range(4)]
+        one = sorted(
+            map(
+                tuple,
+                (
+                    (r["cohort_week"], r["offset_weeks"], r["n_users"])
+                    for r in relational.retention_cohorts(
+                        ray.data.from_items(rows)
+                    ).take_all()
+                ),
+            )
+        )
+        many = sorted(
+            map(
+                tuple,
+                (
+                    (r["cohort_week"], r["offset_weeks"], r["n_users"])
+                    for r in relational.retention_cohorts(
+                        ray.data.from_items(rows).repartition(7)
+                    ).take_all()
+                ),
+            )
+        )
+        assert one == many and len(one) > 0
