@@ -92,6 +92,9 @@ _R4_QUERIES: list[str] = [
     "interleave_render",
     "media_content_dedup",
     "retention_cohorts",
+    "hybrid_rrf",
+    "lm_perplexity",
+    "span_integrity",
 ]
 
 
@@ -127,6 +130,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from tableextraction_ray.sources import read_documents
 
         return read_documents(_corpus_for(sf_dir))
+
+    def _corrupt_spans(sf_dir: str):
+        """Deterministic span corruption so span_integrity's violation
+        columns are non-vacuous (mirrored in the oracle CTE): docs with
+        numeric suffix i%6==0 get their LAST span's offset overwritten
+        with the FIRST span's offset (duplicate offset); docs i%4==0
+        with >2 spans then lose their 0-based index-2 span (offset gap)."""
+        import pyarrow as pa
+
+        from tableextraction_ray.sources.corpus import _span_type
+
+        def corrupt(batch: pa.Table) -> pa.Table:
+            out = []
+            for did, sp in zip(
+                batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+            ):
+                i = int(did.rsplit("-", 1)[1])
+                sp = [dict(s) for s in sp]
+                if i % 6 == 0 and len(sp) >= 2:
+                    sp[-1]["offset"] = sp[0]["offset"]
+                if i % 4 == 0 and len(sp) > 2:
+                    sp = sp[:2] + sp[3:]
+                out.append(sp)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"],
+                    "spans": pa.array(out, type=_span_type()),
+                }
+            )
+
+        return _spans(sf_dir).map_batches(corrupt, batch_format="pyarrow")
 
     def docs(sf_dir, cols):
         import ray.data
@@ -302,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": lambda sf: selection.dsir_weights(
             docs(sf, ["doc_id", "text", "source"])
         ),
+        "lm_perplexity": lambda sf: selection.lm_perplexity(
+            docs(sf, ["doc_id", "text"])
+        ),
         "props_key_stats": lambda sf: relational.props_key_stats(
             _read(sf, "events", ["event_type", "props"])
         ),
@@ -435,6 +472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             queries=BM25_QUERIES,
             n_docs=_parquet_count(sf, "documents"),
         ),
+        "hybrid_rrf": lambda sf: retrieval.hybrid_rrf(
+            docs(sf, ["doc_id", "text"]),
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            queries=BM25_QUERIES,
+            n_docs=_parquet_count(sf, "documents"),
+            head_ds=_read_embeddings_head(sf, len(BM25_QUERIES)),
+        ),
         # -- multimodal (binary media columns; rows-only checks) --
         "digitize_plots": lambda sf: plots.digitize_plots(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "media_dims": lambda sf: multimodal.media_dims(media(sf)),
@@ -445,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": lambda sf: interleaved.span_stats(_spans(sf)),
         "media_captions": lambda sf: interleaved.media_captions(_spans(sf)),
         "interleave_render": lambda sf: interleaved.render_interleaved(_spans(sf)),
+        "span_integrity": lambda sf: interleaved.span_integrity(
+            _corrupt_spans(sf)
+        ),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
         "video_frames": lambda sf: multimodal.video_frames(media(sf)),
@@ -1289,6 +1336,62 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS rare_fp6
             FROM tot t LEFT JOIN rare r USING (doc_id)
         """,
+        # Hashed bigram LM negative log likelihood (the CCNet perplexity
+        # gate stand-in): same 60-bit md5 hash as rare_bigram_rate, ctx
+        # buckets 1024 / bigram buckets 4096, add-1 smoothing; per-bigram
+        # term = floor(ln((cb+1)/(cu+4096))*1e9) — exact-int replay, mean
+        # via DOUBLE floor-division on both engines.
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([w[i+1] for i in range(len(w) - 1)]) AS u,
+                     unnest([w[i+1] || ' ' || w[i+2]
+                             for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(u), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 1024 AS uh,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 4096 AS bh
+              FROM bg
+            ),
+            cu AS (SELECT uh, COUNT(*) AS c FROM h GROUP BY uh),
+            cb AS (SELECT bh, COUNT(*) AS c FROM h GROUP BY bh),
+            lp AS (
+              SELECT h.doc_id,
+                     CAST(FLOOR(ln(CAST(cb.c + 1 AS DOUBLE)
+                                   / CAST(cu.c + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT) AS l
+              FROM h JOIN cu USING (uh) JOIN cb USING (bh)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n, CAST(-SUM(l) AS BIGINT) AS nll
+              FROM lp GROUP BY doc_id
+            ),
+            tot AS (
+              SELECT doc_id, GREATEST(len(w) - 1, 0) AS n_bigrams FROM toks
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+                   COALESCE(a.nll, 0) AS nll_fp9,
+                   CASE WHEN t.n_bigrams > 0
+                        THEN CAST(FLOOR(CAST(a.nll AS DOUBLE) / t.n_bigrams)
+                                  AS BIGINT)
+                        ELSE 0 END AS mean_nll_fp9
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
         # DSIR importance weights: same tokenizer + 60-bit md5 bigram hash
         # as rare_bigram_rate, bucketed mod 1024; per-bucket log-ratio is
         # one fixed IEEE sequence (DOUBLE divide, libm ln, subtract, *1e9,
@@ -2005,6 +2108,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5
         """,
+        # Hybrid RRF: the full bm25 replay (k_cand=10) and the full
+        # quantized-cosine replay (query vectors = vec_id < 3, self
+        # excluded, k_cand=10) fused by pure-integer reciprocal rank
+        # 1e9 // (60 + rank), top-5 per query by (rrf DESC, doc_id).
+        "hybrid_rrf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            q(query_id, term) AS (VALUES
+              (0,'hash'),(0,'join'),(0,'merge'),
+              (1,'window'),(1,'stream'),(1,'batch'),
+              (2,'filter'),(2,'sort'),(2,'key')),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n, COUNT(*) AS t
+              FROM toks
+            ),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     (CAST(CAST(FLOOR(ln(CAST(2*tot.n + 2 AS DOUBLE)
+                                         / CAST(2*df.df + 1 AS DOUBLE)) * 1e6
+                                      + 0.5) AS BIGINT) AS HUGEINT)
+                        * tf.tf * 2200 * 1000 * tot.t)
+                     // (CAST(tf.tf AS HUGEINT) * 1000000 * tot.t
+                         + CAST(1200 * 250 AS HUGEINT) * tot.t
+                         + CAST(1200 * 750 AS HUGEINT) * dl.dl * tot.n) AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
+              FROM contrib GROUP BY 1, 2
+            ),
+            lexr AS (
+              SELECT query_id, doc_id, rnk FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score_fp6 DESC, doc_id)
+                         AS rnk
+                FROM scores
+              ) WHERE rnk <= 10
+            ),
+            qe AS (
+              SELECT vec_id,
+                     [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q,
+                     list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                    AS BIGINT)
+                               * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                      AS BIGINT)
+                               for x in embedding]) AS nsq
+              FROM embeddings
+            ),
+            dsc AS (
+              SELECT qq.vec_id AS query_id, e.vec_id AS doc_id,
+                     CAST(FLOOR(
+                       list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                       / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe e, qe qq
+              WHERE qq.vec_id < 3 AND e.vec_id != qq.vec_id
+            ),
+            denser AS (
+              SELECT query_id, doc_id, rn FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_fp5 DESC, doc_id) AS rn
+                FROM dsc
+              ) WHERE rn <= 10
+            ),
+            u AS (
+              SELECT query_id, doc_id, 1000000000 // (60 + rnk) AS part
+              FROM lexr
+              UNION ALL
+              SELECT query_id, doc_id, 1000000000 // (60 + rn) AS part
+              FROM denser
+            ),
+            f AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                     CAST(SUM(part) AS BIGINT) AS rrf_fp9
+              FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf_fp9, rnk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_fp9 DESC, doc_id) AS BIGINT) AS rnk
+              FROM f
+            ) WHERE rnk <= 5
+        """,
         # Sliding-window chunker: windows of 64 whitespace tokens every 48.
         # The filter start=0 OR start-48+64 < n is monotone in start, so it
         # equals the Ray side's break-on-first-covered rule; chunk_id =
@@ -2196,6 +2398,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nk = 'text' THEN substr(nt, 1, 40)
                         ELSE '' END AS caption
             FROM w WHERE kind = 'media'
+        """,
+        # Integrity gate over the DELIBERATELY corrupted spans (the
+        # _corrupt_spans wrapper, replayed here: i%6 dup-offset on the
+        # last span FIRST, then i%4 index-2 removal). Adjacent-difference
+        # counts over a sorted offset multiset are tie-order invariant,
+        # so lag(off ORDER BY off) matches the Ray side's stable lexsort.
+        "span_integrity": f"""
+            WITH s AS (
+              SELECT doc_id, CAST(substr(doc_id, 5, 6) AS INT) AS i,
+                     len(spans) AS n, spans,
+                     unnest(range(len(spans))) AS ord
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet')
+            ),
+            el AS (
+              SELECT doc_id,
+                     spans[ord + 1].kind AS kind,
+                     spans[ord + 1].text AS text,
+                     CASE WHEN i % 6 = 0 AND n >= 2 AND ord = n - 1
+                          THEN spans[1]."offset"
+                          ELSE spans[ord + 1]."offset" END AS off
+              FROM s
+              WHERE NOT (i % 4 = 0 AND n > 2 AND ord = 2)
+            ),
+            w AS (
+              SELECT doc_id, kind, text, off,
+                     lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS poff
+              FROM el
+            ),
+            g AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_spans,
+                     CAST(SUM(CASE WHEN poff IS NOT NULL
+                               AND off - poff > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_gaps,
+                     CAST(SUM(CASE WHEN off = poff THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_offsets,
+                     CAST(SUM(CASE WHEN kind = 'text' AND length(text) = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_empty_text,
+                     CAST(SUM(CASE WHEN kind = 'media' AND length(text) > 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_media_with_text,
+                     MIN(off) = 0 AS starts_at_zero
+              FROM w GROUP BY doc_id
+            )
+            SELECT *,
+                   (n_gaps = 0 AND n_dup_offsets = 0 AND n_empty_text = 0
+                    AND n_media_with_text = 0 AND starts_at_zero) AS ok
+            FROM g
         """,
         # Flat rendering: offset-ordered newline join, media spans as
         # [IMG:<ref>] placeholders.

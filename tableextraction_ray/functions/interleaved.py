@@ -186,3 +186,56 @@ def render_interleaved(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(render, batch_format="pyarrow")
+
+
+def span_integrity(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_spans, n_gaps, n_dup_offsets, n_empty_text,
+    n_media_with_text, starts_at_zero, ok) — the data-quality gate for an
+    interleaved spans table (the deequ-style contract check BEFORE the
+    extraction pipeline trusts its input): offsets must be dense from 0
+    (no gaps, no duplicates), text spans must carry text, media spans must
+    not. A 10¹²-doc ingest runs this after every crawl merge; `ok=false`
+    rows route to quarantine. Pure per-doc map over the offset-sorted flat
+    view — same zero-copy kernels as span_stats, no shuffle."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        is_media = pc.equal(f["kind"], "media").to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(f["text"]).to_numpy(zero_copy_only=False)
+        off = f["offset"].to_numpy(zero_copy_only=False)
+        n_spans = np.bincount(parent, minlength=n_docs)
+        empty_text = (~is_media) & (text_len == 0)
+        media_text = is_media & (text_len > 0)
+        n_empty = np.bincount(parent[empty_text], minlength=n_docs)
+        n_mediatext = np.bincount(parent[media_text], minlength=n_docs)
+        # offset shape over the sorted flat view
+        p_s, o_s = parent[order], off[order]
+        adj = p_s[1:] == p_s[:-1]
+        d = o_s[1:] - o_s[:-1]
+        n_gaps = np.bincount(p_s[1:][adj & (d > 1)], minlength=n_docs)
+        n_dups = np.bincount(p_s[1:][adj & (d == 0)], minlength=n_docs)
+        # first sorted offset per doc == 0 (docs with no spans fail)
+        starts0 = np.zeros(n_docs, dtype=bool)
+        first_pos = np.unique(p_s, return_index=True)
+        starts0[first_pos[0]] = o_s[first_pos[1]] == 0
+        ok = (
+            (n_gaps == 0)
+            & (n_dups == 0)
+            & (n_empty == 0)
+            & (n_mediatext == 0)
+            & starts0
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_spans": pa.array(n_spans, type=pa.int64()),
+                "n_gaps": pa.array(n_gaps, type=pa.int64()),
+                "n_dup_offsets": pa.array(n_dups, type=pa.int64()),
+                "n_empty_text": pa.array(n_empty, type=pa.int64()),
+                "n_media_with_text": pa.array(n_mediatext, type=pa.int64()),
+                "starts_at_zero": pa.array(starts0),
+                "ok": pa.array(ok),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")

@@ -165,3 +165,105 @@ def bm25_topk(
         .groupby("query_id")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def hybrid_rrf(
+    docs_ds: ray.data.Dataset,
+    emb_ds: ray.data.Dataset,
+    queries: list[str],
+    k: int = 5,
+    k_cand: int = 10,
+    rrf_k: int = 60,
+    n_docs: int | None = None,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, doc_id, rrf_fp9, rnk) — hybrid retrieval with reciprocal
+    rank fusion (Cormack et al. SIGIR'09): each query's BM25 top-``k_cand``
+    (lexical) and exact-cosine top-``k_cand`` (dense; query vector = the
+    embedding row whose vec_id equals the query's index) are fused by
+    rrf(d) = Σ_sides 1e9 // (rrf_k + rank_side(d)) — pure integer
+    division, so the score is exact on both engines — and the top-``k``
+    by (rrf_fp9 DESC, doc_id) win. The production retrieval shape
+    (sparse+dense ensembles beat either side alone) applied to
+    data-selection: surface docs that are lexically OR semantically close
+    to an eval query.
+
+    Scale shape: both sides are the existing scale-shaped operators
+    (bm25_topk: two scans, per-block top-k combiners; knn_bruteforce:
+    broadcast query matrix, per-block top-k). The fusion itself touches
+    only ≤ 2·Q·k_cand candidate rows — ONE tiny query_id keyed groupby;
+    document text and vectors never reach it."""
+    from .similarity import knn_bruteforce
+
+    lex = bm25_topk(docs_ds, queries, k=k_cand, n_docs=n_docs)
+    dense = knn_bruteforce(
+        emb_ds, n_queries=len(queries), k=k_cand, head_ds=head_ds
+    )
+
+    U_SCHEMA = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("side", pa.int8()),
+            ("key", pa.int64()),
+        ]
+    )
+
+    def tag_lex(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "query_id": batch["query_id"],
+                "doc_id": batch["doc_id"],
+                "side": pa.array([0] * batch.num_rows, type=pa.int8()),
+                "key": batch["score_fp6"],
+            },
+            schema=U_SCHEMA,
+        )
+
+    def tag_dense(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "query_id": batch["query_id"],
+                "doc_id": batch["vec_id"],
+                "side": pa.array([1] * batch.num_rows, type=pa.int8()),
+                "key": batch["cos_fp5"],
+            },
+            schema=U_SCHEMA,
+        )
+
+    merged = lex.map_batches(tag_lex, batch_format="pyarrow").union(
+        dense.map_batches(tag_dense, batch_format="pyarrow")
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("rrf_fp9", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def fuse(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()  # <= 2 * k_cand candidate rows
+        score: dict[int, int] = {}
+        for side in (0, 1):
+            cands = sorted(
+                (r for r in rows if r["side"] == side),
+                key=lambda r: (-r["key"], r["doc_id"]),
+            )
+            for rank, r in enumerate(cands, 1):
+                score[r["doc_id"]] = score.get(r["doc_id"], 0) + 10**9 // (
+                    rrf_k + rank
+                )
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        qid = rows[0]["query_id"]
+        return pa.Table.from_pylist(
+            [
+                {"query_id": qid, "doc_id": d, "rrf_fp9": s, "rnk": i}
+                for i, (d, s) in enumerate(top, 1)
+            ],
+            schema=OUT_SCHEMA,
+        )
+
+    return merged.groupby("query_id").map_groups(fuse, batch_format="pyarrow")

@@ -125,3 +125,126 @@ def dsir_weights(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+LM_CTX_BUCKETS = 1024
+LM_BIGRAM_BUCKETS = 4096
+
+
+def _doc_bigram_pairs(text: str):
+    """Distinct (ctx_bucket, bigram_bucket, multiplicity) triples for a
+    doc's word bigrams — one md5 per DISTINCT token/bigram (the Counter
+    multiplicity trick shared with dsir/rare_bigram_rate)."""
+    from collections import Counter
+
+    toks = ascii_tokens(text)
+    cnt = Counter(
+        (toks[i], toks[i] + " " + toks[i + 1]) for i in range(len(toks) - 1)
+    )
+    uh = np.fromiter(
+        (shingle_base_hash(u) % LM_CTX_BUCKETS for u, _ in cnt),
+        dtype=np.int64,
+        count=len(cnt),
+    )
+    bh = np.fromiter(
+        (shingle_base_hash(b) % LM_BIGRAM_BUCKETS for _, b in cnt),
+        dtype=np.int64,
+        count=len(cnt),
+    )
+    k = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+    return uh, bh, k
+
+
+def lm_perplexity(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, nll_fp9, mean_nll_fp9) — the CCNet-style LM
+    quality gate (Wenzek et al. 2020 filter web text by LM perplexity; we
+    use a hashed add-1-smoothed bigram model trained on the corpus ITSELF
+    in one pass, instead of an external KenLM): per-token negative log
+    likelihood -ln P(w_i | w_{i-1}), with
+    P = (c_bigram_bucket + 1) / (c_context_bucket + B2) over 4096 bigram /
+    1024 context hash buckets. High mean_nll = improbable word sequences
+    = gibberish/boilerplate candidates; low = fluent (or repetitive —
+    pair with repetition_stats).
+
+    Exact-replay contract (the dsir_weights discipline): each per-bigram
+    term is floor(ln((cb+1)/(cu+B2)) * 1e9) — one IEEE double divide of
+    two exact ints, platform libm ln, one multiply, floor — identical in
+    numpy and DuckDB; summation is int64. mean_nll_fp9 =
+    floor(nll_fp9 / n_bigrams) evaluated in DOUBLE on both engines
+    (|nll| < 2^53 up to ~400k-bigram docs at |term| <= 2e10).
+
+    Scale shape: pass 1 folds per-block (kind, bucket, count) partials —
+    <= B1 + B2 rows per block — into two KB-sized int arrays on the
+    driver, broadcast ONCE via ray.put; pass 2 is embarrassingly parallel
+    per-doc int math. Text never shuffles; no groupby."""
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cu = np.zeros(LM_CTX_BUCKETS, dtype=np.int64)
+        cb = np.zeros(LM_BIGRAM_BUCKETS, dtype=np.int64)
+        for text in batch["text"].to_pylist():
+            uh, bh, k = _doc_bigram_pairs(text)
+            np.add.at(cu, uh, k)
+            np.add.at(cb, bh, k)
+        nzu = np.nonzero(cu)[0]
+        nzb = np.nonzero(cb)[0]
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array(
+                    [0] * len(nzu) + [1] * len(nzb), type=pa.int8()
+                ),
+                "bkt": pa.array(
+                    np.concatenate([nzu, nzb]), type=pa.int64()
+                ),
+                "c": pa.array(
+                    np.concatenate([cu[nzu], cb[nzb]]), type=pa.int64()
+                ),
+            }
+        )
+
+    cu = np.zeros(LM_CTX_BUCKETS, dtype=np.int64)
+    cb = np.zeros(LM_BIGRAM_BUCKETS, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        kind = np.asarray(b["kind"].to_pylist(), dtype=np.int64)
+        bkt = np.asarray(b["bkt"].to_pylist(), dtype=np.int64)
+        c = np.asarray(b["c"].to_pylist(), dtype=np.int64)
+        u_rows = kind == 0
+        np.add.at(cu, bkt[u_rows], c[u_rows])
+        np.add.at(cb, bkt[~u_rows], c[~u_rows])
+    model_ref = _ray.put((cu, cb))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cu, cb = _ray.get(model_ref)
+        ids, nbs, nlls, means = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            uh, bh, k = _doc_bigram_pairs(text)
+            n = int(k.sum())
+            ids.append(doc_id)
+            nbs.append(n)
+            if n == 0:
+                nlls.append(0)
+                means.append(0)
+                continue
+            lp = np.floor(
+                np.log(
+                    (cb[bh] + 1.0) / (cu[uh] + float(LM_BIGRAM_BUCKETS))
+                )
+                * 1e9
+            ).astype(np.int64)
+            nll = -int(k @ lp)
+            nlls.append(nll)
+            means.append(int(np.floor(np.float64(nll) / n)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bigrams": pa.array(nbs, type=pa.int64()),
+                "nll_fp9": pa.array(nlls, type=pa.int64()),
+                "mean_nll_fp9": pa.array(means, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

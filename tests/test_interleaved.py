@@ -142,3 +142,61 @@ class TestMediaContentDedup:
             == hashlib.md5(payload_a.hex().encode()).hexdigest()
             == rows["m/z.png"]["payload_md5"]
         )
+
+
+class TestSpanIntegrity:
+    def test_violations_detected(self, ray_session):
+        ds = _docs_ds(
+            [
+                # clean doc
+                (
+                    "c1",
+                    [
+                        _span("text", text="a", off=0),
+                        _span("media", ref="m/x.png", off=1),
+                    ],
+                ),
+                # gap (0 -> 2), empty text span, media with text
+                (
+                    "v1",
+                    [
+                        _span("text", text="", off=0),
+                        _span("media", ref="m/y.png", off=2),
+                    ],
+                ),
+                # duplicate offset + doesn't start at zero
+                (
+                    "v2",
+                    [
+                        _span("text", text="a", off=1),
+                        _span("text", text="b", off=1),
+                    ],
+                ),
+                # media span carrying text
+                (
+                    "v3",
+                    [
+                        _span("media", text="stray", ref="m/z.png", off=0),
+                    ],
+                ),
+            ]
+        )
+        rows = {r["doc_id"]: r for r in interleaved.span_integrity(ds).take_all()}
+        assert rows["c1"]["ok"] is True
+        v1 = rows["v1"]
+        assert (v1["n_gaps"], v1["n_empty_text"], v1["ok"]) == (1, 1, False)
+        v2 = rows["v2"]
+        assert (v2["n_dup_offsets"], v2["starts_at_zero"], v2["ok"]) == (
+            1,
+            False,
+            False,
+        )
+        v3 = rows["v3"]
+        assert (v3["n_media_with_text"], v3["ok"]) == (1, False)
+
+    def test_clean_corpus_all_ok(self, ray_session, t1_corpus):
+        from tableextraction_ray.sources import read_documents
+
+        out = interleaved.span_integrity(read_documents(t1_corpus)).take_all()
+        assert len(out) == 32
+        assert all(r["ok"] for r in out)

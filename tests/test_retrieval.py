@@ -75,3 +75,71 @@ class TestBm25TopK:
             ray.data.from_items(self.DOCS), ["zzz missing"], k=3
         ).take_all()
         assert out == []
+
+
+class TestHybridRRF:
+    """Fusion math recomputed from the component operators' own outputs:
+    the operator's rrf_fp9 must equal 1e9 // (60 + rank) summed over the
+    sides each doc appears on, with (score DESC, id ASC) side ranks."""
+
+    DOCS = [
+        {"doc_id": 0, "text": "hash join hash join hash"},
+        {"doc_id": 1, "text": "join merge sort filter"},
+        {"doc_id": 2, "text": "window stream window"},
+        {"doc_id": 3, "text": "nothing relevant here at all"},
+        {"doc_id": 4, "text": "hash merge"},
+    ]
+
+    @staticmethod
+    def _embs():
+        # vec_id 0..4; vec 0 is the query vector (near vec 4, far from 2)
+        vecs = [
+            [1.0, 0.0, 0.1],
+            [0.8, 0.2, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.1, 0.9, 0.2],
+            [0.9, 0.1, 0.1],
+        ]
+        return [{"vec_id": i, "embedding": v} for i, v in enumerate(vecs)]
+
+    def test_fusion_matches_component_ranks(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.retrieval import hybrid_rrf
+        from tableextraction_ray.functions.similarity import knn_bruteforce
+
+        queries = ["hash join"]
+        docs = ray.data.from_items(self.DOCS)
+        embs = ray.data.from_items(self._embs())
+        k_cand = 3
+        out = hybrid_rrf(
+            docs, embs, queries, k=3, k_cand=k_cand
+        ).take_all()
+
+        lex = bm25_topk(
+            ray.data.from_items(self.DOCS), queries, k=k_cand
+        ).take_all()
+        dense = knn_bruteforce(
+            ray.data.from_items(self._embs()), n_queries=1, k=k_cand
+        ).take_all()
+
+        expected: dict[int, int] = {}
+        lex_sorted = sorted(lex, key=lambda r: (-r["score_fp6"], r["doc_id"]))
+        for rank, r in enumerate(lex_sorted, 1):
+            expected[r["doc_id"]] = expected.get(r["doc_id"], 0) + 10**9 // (
+                60 + rank
+            )
+        dense_sorted = sorted(dense, key=lambda r: (-r["cos_fp5"], r["vec_id"]))
+        for rank, r in enumerate(dense_sorted, 1):
+            expected[r["vec_id"]] = expected.get(r["vec_id"], 0) + 10**9 // (
+                60 + rank
+            )
+        top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = sorted(out, key=lambda r: r["rnk"])
+        assert [(r["doc_id"], r["rrf_fp9"]) for r in got] == top
+        assert [r["rnk"] for r in got] == [1, 2, 3]
+        # both-sides doc outranks single-side docs here by construction:
+        # doc 0 is BM25 #1 AND (vec 0 excluded as self) absent — so just
+        # assert a doc present on both sides exists in the fixture fusion
+        both = {r["doc_id"] for r in lex} & {r["vec_id"] for r in dense}
+        assert both, "fixture must exercise the both-sides sum path"

@@ -207,3 +207,88 @@ class TestCurationDiagnostics:
         rows = quality_histogram(docs).take_all()
         assert sum(r["n_docs"] for r in rows) == 500
         assert all(0 <= r["bin"] <= 10 for r in rows)
+
+
+def _ref_lm(docs):
+    """Plain-Python mirror of the hashed-bigram LM NLL contract."""
+    from collections import Counter
+
+    B1, B2 = 1024, 4096
+    per_doc = {}
+    cu = Counter()
+    cb = Counter()
+    for d in docs:
+        toks = d["text"].split()
+        pairs = [
+            (
+                shingle_base_hash(toks[i]) % B1,
+                shingle_base_hash(toks[i] + " " + toks[i + 1]) % B2,
+            )
+            for i in range(len(toks) - 1)
+        ]
+        per_doc[d["doc_id"]] = pairs
+        for u, b in pairs:
+            cu[u] += 1
+            cb[b] += 1
+    out = {}
+    for doc_id, pairs in per_doc.items():
+        n = len(pairs)
+        nll = -sum(
+            int(np.floor(np.log((cb[b] + 1.0) / (cu[u] + float(B2))) * 1e9))
+            for u, b in pairs
+        )
+        mean = int(np.floor(np.float64(nll) / n)) if n else 0
+        out[doc_id] = (n, nll if n else 0, mean)
+    return out
+
+
+class TestLmPerplexity:
+    DOCS = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat sat on the hat"},
+        {"doc_id": 2, "text": "zqx vwp korv zzz unseen tokens here"},
+        {"doc_id": 3, "text": "single"},  # no bigrams
+        {"doc_id": 4, "text": "the cat sat on the mat"},
+    ]
+
+    def test_matches_reference_mirror(self, ray_session):
+        from tableextraction_ray.functions.selection import lm_perplexity
+
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_fp9"], r["mean_nll_fp9"])
+            for r in lm_perplexity(ray.data.from_items(self.DOCS)).take_all()
+        }
+        assert out == _ref_lm(self.DOCS)
+        # zero-bigram doc present with zeros
+        assert out[3] == (0, 0, 0)
+
+    def test_common_text_less_surprising(self, ray_session):
+        from tableextraction_ray.functions.selection import lm_perplexity
+
+        out = {
+            r["doc_id"]: r["mean_nll_fp9"]
+            for r in lm_perplexity(ray.data.from_items(self.DOCS)).take_all()
+        }
+        # doc 0 repeats verbatim in the corpus (docs 0 and 4 identical);
+        # its bigram buckets are 2-3x hotter than doc 2's one-off tokens,
+        # so its mean NLL must be strictly lower.
+        assert out[0] < out[2]
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.selection import lm_perplexity
+
+        one = sorted(
+            map(
+                lambda r: (r["doc_id"], r["nll_fp9"]),
+                lm_perplexity(ray.data.from_items(self.DOCS)).take_all(),
+            )
+        )
+        many = sorted(
+            map(
+                lambda r: (r["doc_id"], r["nll_fp9"]),
+                lm_perplexity(
+                    ray.data.from_items(self.DOCS).repartition(4)
+                ).take_all(),
+            )
+        )
+        assert one == many
