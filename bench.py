@@ -124,6 +124,15 @@ QUERY_SUITE = [
     "purchase_click_attribution",
     "distinct_sources",
     "top_docs_by_chars",
+    # round-4 additions
+    "span_stats",
+    "media_captions",
+    "interleave_render",
+    "span_integrity",
+    "media_content_dedup",
+    "retention_cohorts",
+    "hybrid_rrf",
+    "lm_perplexity",
 ]
 
 
