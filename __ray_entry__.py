@@ -95,6 +95,7 @@ _R4_QUERIES: list[str] = [
     "hybrid_rrf",
     "lm_perplexity",
     "span_integrity",
+    "interleave_pack",
 ]
 
 
@@ -492,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_integrity": lambda sf: interleaved.span_integrity(
             _corrupt_spans(sf)
         ),
+        "interleave_pack": lambda sf: interleaved.interleave_pack(_spans(sf)),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
         "video_frames": lambda sf: multimodal.video_frames(media(sf)),
@@ -2449,6 +2451,46 @@ def oracle_sql() -> dict[str, str]:
                    (n_gaps = 0 AND n_dup_offsets = 0 AND n_empty_text = 0
                     AND n_media_with_text = 0 AND starts_at_zero) AS ok
             FROM g
+        """,
+        # Multimodal next-fit packing: per-doc cost = whitespace tokens of
+        # text spans + 64 per media span; same recursive-CTE fold as
+        # pack_sequences, sharded on numeric doc index // 64, capacity 512.
+        "interleave_pack": rf"""
+            WITH RECURSIVE costs AS (
+              SELECT t.doc_id, CAST(substr(t.doc_id, 5, 6) AS BIGINT) AS i,
+                     CAST(SUM(CASE WHEN u.s.kind = 'media' THEN 64
+                              ELSE len(regexp_extract_all(u.s.text,
+                                       '[^ \t\n\r\v\f]+')) END) AS BIGINT)
+                       AS cost
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+              GROUP BY t.doc_id
+            ),
+            prows AS (
+              SELECT CAST(i // 64 AS BIGINT) AS shard, doc_id, i, cost,
+                     ROW_NUMBER() OVER (PARTITION BY i // 64 ORDER BY i)
+                       AS rn
+              FROM costs
+            ),
+            pk AS (
+              SELECT shard, doc_id, cost, rn,
+                     CAST(0 AS BIGINT) AS seq_no,
+                     CAST(0 AS BIGINT) AS offset_tokens,
+                     cost AS fill
+              FROM prows WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.doc_id, r.cost, r.rn,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.seq_no ELSE p.seq_no + 1 END,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.fill + r.cost ELSE r.cost END
+              FROM pk p JOIN prows r ON r.shard = p.shard AND r.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, cost AS cost_tokens, seq_no, offset_tokens
+            FROM pk
         """,
         # Flat rendering: offset-ordered newline join, media spans as
         # [IMG:<ref>] placeholders.

@@ -239,3 +239,81 @@ def span_integrity(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def interleave_pack(
+    ds: ray.data.Dataset,
+    capacity: int = 512,
+    vision_tokens: int = 64,
+    shard_size: int = 64,
+) -> ray.data.Dataset:
+    """(shard, doc_id, cost_tokens, seq_no, offset_tokens) — MULTIMODAL
+    sequence packing: greedy next-fit of interleaved documents into
+    fixed-capacity training sequences where a text span costs its
+    whitespace-token count and a media span costs a FIXED
+    ``vision_tokens`` budget (the patch-token count a vision encoder
+    contributes per image — how interleaved-VLM batches are actually
+    laid out). Same sharded next-fit contract as ``pack_sequences``
+    (textstats.py): packing within fixed doc shards (numeric doc index
+    // shard_size, docs in index order), because the global greedy fold
+    is unsummarizable per block while per-shard packing is
+    embarrassingly parallel and deterministic under repartitioning.
+
+    Scale shape: span costs are computed in-scan (vectorized
+    count_substring_regex — the text itself never leaves the scan);
+    only (shard, idx, cost) int rows ride the ONE shard keyed groupby."""
+
+    def cost(batch: pa.Table) -> pa.Table:
+        ids, parent, _order, n_docs, f = _flat_spans(batch)
+        is_media = pc.equal(f["kind"], "media").to_numpy(zero_copy_only=False)
+        ntok = pc.count_substring_regex(
+            f["text"], r"[^ \t\n\r\v\f]+"
+        ).to_numpy(zero_copy_only=False)
+        span_cost = np.where(is_media, vision_tokens, ntok).astype(np.int64)
+        doc_cost = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(doc_cost, parent, span_cost)
+        idx = pc.cast(pc.utf8_slice_codeunits(ids, 4, 10), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "shard": pc.divide(idx, pa.scalar(shard_size, type=pa.int64())),
+                "idx": idx,
+                "doc_id": ids,
+                "cost_tokens": pa.array(doc_cost, type=pa.int64()),
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("doc_id", pa.string()),
+            ("cost_tokens", pa.int64()),
+            ("seq_no", pa.int64()),
+            ("offset_tokens", pa.int64()),
+        ]
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["idx"])
+        out = []
+        seq_no, fill = 0, 0
+        for i, r in enumerate(rows):
+            if i > 0 and fill + r["cost_tokens"] > capacity:
+                seq_no += 1
+                fill = 0
+            out.append(
+                {
+                    "shard": r["shard"],
+                    "doc_id": r["doc_id"],
+                    "cost_tokens": r["cost_tokens"],
+                    "seq_no": seq_no,
+                    "offset_tokens": fill,
+                }
+            )
+            fill += r["cost_tokens"]
+        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+
+    return (
+        ds.map_batches(cost, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )

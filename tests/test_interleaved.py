@@ -200,3 +200,58 @@ class TestSpanIntegrity:
         out = interleaved.span_integrity(read_documents(t1_corpus)).take_all()
         assert len(out) == 32
         assert all(r["ok"] for r in out)
+
+
+class TestInterleavePack:
+    def test_hand_computed_next_fit(self, ray_session):
+        # doc-000000: 3 text tokens + 1 media (vision 5) = cost 8
+        # doc-000001: cost 7 (2 tokens + 5)   doc-000002: cost 20 (oversize)
+        # doc-000003: cost 4 -> capacity 10: [d0(8)], [d1(7)], [d2(20)], [d3(4)]
+        #   next-fit: d0 fill 8; d1 8+7>10 -> seq1; d2 7+20>10 -> seq2
+        #   (oversize alone); d3 20+4>10 -> seq3
+        ds = _docs_ds(
+            [
+                (
+                    "doc-000000",
+                    [
+                        _span("text", text="a b c", off=0),
+                        _span("media", ref="m/0.png", off=1),
+                    ],
+                ),
+                ("doc-000001", [
+                    _span("text", text="x y", off=0),
+                    _span("media", ref="m/1.png", off=1),
+                ]),
+                ("doc-000002", [_span("text", text=" ".join(["t"] * 20), off=0)]),
+                ("doc-000003", [_span("text", text="p q r s", off=0)]),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in interleaved.interleave_pack(
+                ds, capacity=10, vision_tokens=5, shard_size=64
+            ).take_all()
+        }
+        assert out["doc-000000"]["cost_tokens"] == 8
+        assert (out["doc-000000"]["seq_no"], out["doc-000000"]["offset_tokens"]) == (0, 0)
+        assert out["doc-000001"]["cost_tokens"] == 7
+        assert (out["doc-000001"]["seq_no"], out["doc-000001"]["offset_tokens"]) == (1, 0)
+        assert out["doc-000002"]["cost_tokens"] == 20  # oversize: alone
+        assert (out["doc-000002"]["seq_no"], out["doc-000002"]["offset_tokens"]) == (2, 0)
+        assert (out["doc-000003"]["seq_no"], out["doc-000003"]["offset_tokens"]) == (3, 0)
+
+    def test_shard_independence(self, ray_session):
+        # docs 63 and 64 land in different shards -> both start seq 0
+        ds = _docs_ds(
+            [
+                ("doc-000063", [_span("text", text="a b", off=0)]),
+                ("doc-000064", [_span("text", text="c d", off=0)]),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in interleaved.interleave_pack(ds, capacity=10).take_all()
+        }
+        assert out["doc-000063"]["shard"] == 0
+        assert out["doc-000064"]["shard"] == 1
+        assert out["doc-000063"]["seq_no"] == out["doc-000064"]["seq_no"] == 0
