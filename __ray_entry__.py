@@ -2408,7 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         # so lag(off ORDER BY off) matches the Ray side's stable lexsort.
         "span_integrity": f"""
             WITH s AS (
-              SELECT doc_id, CAST(substr(doc_id, 5, 6) AS INT) AS i,
+              SELECT doc_id, CAST(substr(doc_id, 5) AS INT) AS i,
                      len(spans) AS n, spans,
                      unnest(range(len(spans))) AS ord
               FROM read_parquet(
@@ -2457,7 +2457,7 @@ def oracle_sql() -> dict[str, str]:
         # pack_sequences, sharded on numeric doc index // 64, capacity 512.
         "interleave_pack": rf"""
             WITH RECURSIVE costs AS (
-              SELECT t.doc_id, CAST(substr(t.doc_id, 5, 6) AS BIGINT) AS i,
+              SELECT t.doc_id, CAST(substr(t.doc_id, 5) AS BIGINT) AS i,
                      CAST(SUM(CASE WHEN u.s.kind = 'media' THEN 64
                               ELSE len(regexp_extract_all(u.s.text,
                                        '[^ \t\n\r\v\f]+')) END) AS BIGINT)

@@ -28,16 +28,22 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _flat_spans(batch: pa.Table):
+def _flat_spans(batch: pa.Table, sort: bool = True):
     """(doc_ids, parent, order, kind_sorted..., helpers) shared unpack.
 
-    Returns the batch's span structs flattened and offset-sorted within
-    each parent document:
+    Returns the batch's span structs flattened and (when ``sort``)
+    offset-sorted within each parent document:
       ids      — doc_id value per FLAT span row (Arrow, batch order)
       parent   — int64 np array: batch-row index per flat span
-      order    — np argsort indices: (parent, offset) lexsort
+      order    — np argsort indices: (parent, offset) lexsort, or None
+                 when the caller's aggregation is order-independent
       n_docs   — batch row count
       fields   — dict of flat child arrays (kind/text/media_ref/offset)
+
+    Contract note: docs whose spans list is EMPTY contribute no flat rows;
+    operators that emit one row per doc filter those out so their output
+    matches the UNNEST-based oracles (which also omit empty docs). A
+    zero-span doc is detectable upstream as input_rows != output_rows.
     """
     col = batch.column("spans")
     if isinstance(col, pa.ChunkedArray):
@@ -50,12 +56,23 @@ def _flat_spans(batch: pa.Table):
         "media_ref": flat.field("media_ref"),
         "offset": flat.field("offset"),
     }
-    off = fields["offset"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((off, parent))
+    order = None
+    if sort:
+        off = fields["offset"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((off, parent))
     ids = batch.column("doc_id")
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
     return ids, parent, order, batch.num_rows, fields
+
+
+def _keep_nonempty(table: pa.Table, n_spans: np.ndarray) -> pa.Table:
+    """Drop per-doc output rows for zero-span docs (oracle parity — see
+    _flat_spans contract note); no-op on corpora where every doc has
+    spans."""
+    if (n_spans > 0).all():
+        return table
+    return table.filter(pa.array(n_spans > 0))
 
 
 def span_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -96,7 +113,7 @@ def span_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         ):
             cnt = np.bincount(p_s[1:][adj & mask], minlength=n_docs)
             out[name] = pa.array(cnt, type=pa.int64())
-        return pa.Table.from_pydict(out)
+        return _keep_nonempty(pa.Table.from_pydict(out), n_spans)
 
     return ds.map_batches(profile, batch_format="pyarrow")
 
@@ -131,9 +148,9 @@ def media_captions(ds: ray.data.Dataset, max_chars: int = 40) -> ray.data.Datase
         is_media_s = pc.equal(kind_s, "media").to_numpy(zero_copy_only=False)
         # Next-span text, shifted within the sorted view; last row and
         # cross-document boundaries get no caption.
-        nxt = np.minimum(np.arange(n) + 1, n - 1)
-        next_text = text_s.take(pa.array(nxt))
-        next_is_text = pc.equal(kind_s.take(pa.array(nxt)), "text").to_numpy(
+        nxt = pa.array(np.minimum(np.arange(n) + 1, n - 1))
+        next_text = text_s.take(nxt)
+        next_is_text = pc.equal(kind_s.take(nxt), "text").to_numpy(
             zero_copy_only=False
         )
         same_doc = np.zeros(n, dtype=bool)
@@ -177,12 +194,15 @@ def render_interleaved(ds: ray.data.Dataset) -> ray.data.Dataset:
         np.cumsum(counts, out=offsets[1:])
         lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pieces_s)
         rendered = pc.binary_join(lists, "\n")
-        return pa.Table.from_pydict(
-            {
-                "doc_id": ids,
-                "rendered": rendered,
-                "n_chars": pc.cast(pc.utf8_length(rendered), pa.int64()),
-            }
+        return _keep_nonempty(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": ids,
+                    "rendered": rendered,
+                    "n_chars": pc.cast(pc.utf8_length(rendered), pa.int64()),
+                }
+            ),
+            counts,
         )
 
     return ds.map_batches(render, batch_format="pyarrow")
@@ -225,17 +245,20 @@ def span_integrity(ds: ray.data.Dataset) -> ray.data.Dataset:
             & (n_mediatext == 0)
             & starts0
         )
-        return pa.Table.from_pydict(
-            {
-                "doc_id": ids,
-                "n_spans": pa.array(n_spans, type=pa.int64()),
-                "n_gaps": pa.array(n_gaps, type=pa.int64()),
-                "n_dup_offsets": pa.array(n_dups, type=pa.int64()),
-                "n_empty_text": pa.array(n_empty, type=pa.int64()),
-                "n_media_with_text": pa.array(n_mediatext, type=pa.int64()),
-                "starts_at_zero": pa.array(starts0),
-                "ok": pa.array(ok),
-            }
+        return _keep_nonempty(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": ids,
+                    "n_spans": pa.array(n_spans, type=pa.int64()),
+                    "n_gaps": pa.array(n_gaps, type=pa.int64()),
+                    "n_dup_offsets": pa.array(n_dups, type=pa.int64()),
+                    "n_empty_text": pa.array(n_empty, type=pa.int64()),
+                    "n_media_with_text": pa.array(n_mediatext, type=pa.int64()),
+                    "starts_at_zero": pa.array(starts0),
+                    "ok": pa.array(ok),
+                }
+            ),
+            n_spans,
         )
 
     return ds.map_batches(check, batch_format="pyarrow")
@@ -264,7 +287,8 @@ def interleave_pack(
     only (shard, idx, cost) int rows ride the ONE shard keyed groupby."""
 
     def cost(batch: pa.Table) -> pa.Table:
-        ids, parent, _order, n_docs, f = _flat_spans(batch)
+        # order-independent aggregation: skip _flat_spans' lexsort
+        ids, parent, _order, n_docs, f = _flat_spans(batch, sort=False)
         is_media = pc.equal(f["kind"], "media").to_numpy(zero_copy_only=False)
         ntok = pc.count_substring_regex(
             f["text"], r"[^ \t\n\r\v\f]+"
@@ -272,14 +296,22 @@ def interleave_pack(
         span_cost = np.where(is_media, vision_tokens, ntok).astype(np.int64)
         doc_cost = np.zeros(n_docs, dtype=np.int64)
         np.add.at(doc_cost, parent, span_cost)
-        idx = pc.cast(pc.utf8_slice_codeunits(ids, 4, 10), pa.int64())
-        return pa.Table.from_pydict(
-            {
-                "shard": pc.divide(idx, pa.scalar(shard_size, type=pa.int64())),
-                "idx": idx,
-                "doc_id": ids,
-                "cost_tokens": pa.array(doc_cost, type=pa.int64()),
-            }
+        n_spans = np.bincount(parent, minlength=n_docs)
+        # numeric index = everything after the 'doc-' prefix (unbounded
+        # slice: 'doc-%06d' grows past 6 digits above 10^6 docs)
+        idx = pc.cast(pc.utf8_slice_codeunits(ids, 4, 2**30), pa.int64())
+        return _keep_nonempty(
+            pa.Table.from_pydict(
+                {
+                    "shard": pc.divide(
+                        idx, pa.scalar(shard_size, type=pa.int64())
+                    ),
+                    "idx": idx,
+                    "doc_id": ids,
+                    "cost_tokens": pa.array(doc_cost, type=pa.int64()),
+                }
+            ),
+            n_spans,
         )
 
     OUT_SCHEMA = pa.schema(

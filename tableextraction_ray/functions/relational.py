@@ -1183,7 +1183,6 @@ def revenue_by_nation(
 
     # ---- stage 3: join items ⨝ order-nation on o_orderkey ---------------
     def local_partial(
-        okeys: np.ndarray,
         sn: np.ndarray,
         price_c: np.ndarray,
         disc: np.ndarray,
@@ -1236,7 +1235,6 @@ def revenue_by_nation(
                 .values
             )
             return local_partial(
-                okeys,
                 batch["s_nation"].to_numpy(zero_copy_only=False),
                 batch["price_c"].to_numpy(zero_copy_only=False),
                 batch["disc"].to_numpy(zero_copy_only=False),
@@ -1283,13 +1281,11 @@ def revenue_by_nation(
                     np.empty(0, np.int64),
                     np.empty(0, np.int64),
                     np.empty(0, np.int64),
-                    np.empty(0, np.int64),
                 )
             cnk = int(group["c_nation"][int(ords[0])].as_py())
             sel = group.take(item_rows)
             n = sel.num_rows
             return local_partial(
-                sel["o_orderkey"].to_numpy(zero_copy_only=False),
                 sel["s_nation"].to_numpy(zero_copy_only=False),
                 sel["price_c"].to_numpy(zero_copy_only=False),
                 sel["disc"].to_numpy(zero_copy_only=False),
@@ -1563,12 +1559,22 @@ def _profile_approx(
         ]
     )
 
+    import itertools
+
+    # Level-1 fold salt: a per-worker block counter, NOT content-derived —
+    # hs.min() % n_salts collapses to ONE salt when blocks repeat content
+    # (enum columns, skewed ids), recreating the single-task hot spot the
+    # two-level fold exists to prevent. Any block-varying value is valid:
+    # register max-merge is associative, commutative and idempotent.
+    _salt_seq = itertools.count()
+
     def partial(batch: pa.Table) -> pa.Table:
         cols, salts, regs_out, ns, nulls = [], [], [], [], []
+        block_salt = next(_salt_seq) % n_salts
         for col, kind in spec.items():
             uniq = _profile_canon(batch, col, kind)
             regs = np.zeros(m, dtype=np.int8)
-            salt = 0
+            salt = block_salt
             if uniq:
                 hs = np.empty(len(uniq), dtype=np.uint64)
                 for i, u in enumerate(uniq):
@@ -1582,7 +1588,6 @@ def _profile_approx(
                     + 1
                 ).astype(np.int8)
                 np.maximum.at(regs, idx, rank)
-                salt = int(hs.min() % np.uint64(n_salts))
             cols.append(col)
             salts.append(salt)
             regs_out.append(regs.tolist())

@@ -1137,7 +1137,10 @@ def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
             batch.select(["source", "n_chars_t", "alpha_fp6"]), "source"
         ).aggregate(
             [
-                ("source", "count"),
+                # count a NEVER-NULL value column, not the key: counting
+                # 'source' reports 0 docs for a null-source group while
+                # its sums stay non-zero (SQL COUNT(*) semantics differ)
+                ("n_chars_t", "count"),
                 ("n_chars_t", "sum"),
                 ("alpha_fp6", "sum"),
                 ("alpha_fp6", "min"),
@@ -1147,7 +1150,7 @@ def source_quality_report(ds: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pydict(
             {
                 "source": g["source"],
-                "n_docs": g["source_count"].cast(pa.int64()),
+                "n_docs": g["n_chars_t_count"].cast(pa.int64()),
                 "sum_chars": g["n_chars_t_sum"].cast(pa.int64()),
                 "sum_alpha_fp6": g["alpha_fp6_sum"].cast(pa.int64()),
                 "min_alpha_fp6": g["alpha_fp6_min"].cast(pa.int64()),

@@ -65,7 +65,18 @@ def test_query_matches_oracle(name, con, ray_session):
     # corpus-path-dependent oracles), so their queries must run at that sf.
     sf_dir = (
         "/root/testdata/sf0.01"
-        if name in ("media_dims", "media_thumb_dims", "audio_features")
+        if name
+        in (
+            "media_dims",
+            "media_thumb_dims",
+            "audio_features",
+            "media_content_dedup",
+            "span_stats",
+            "media_captions",
+            "interleave_render",
+            "span_integrity",
+            "interleave_pack",
+        )
         else SF_DIR
     )
     ray_df = _canon(_to_pandas(QUERIES[name](sf_dir)))

@@ -255,3 +255,27 @@ class TestInterleavePack:
         assert out["doc-000063"]["shard"] == 0
         assert out["doc-000064"]["shard"] == 1
         assert out["doc-000063"]["seq_no"] == out["doc-000064"]["seq_no"] == 0
+
+
+class TestEmptySpansContract:
+    def test_zero_span_docs_dropped_like_unnest(self, ray_session):
+        # Docs with spans=[] emit NO per-doc rows (matching the UNNEST
+        # oracles); detectable upstream as input_rows != output_rows.
+        ds = _docs_ds(
+            [
+                ("doc-000001", [_span("text", text="a b", off=0)]),
+                ("doc-000002", []),
+            ]
+        )
+        assert {r["doc_id"] for r in interleaved.span_stats(ds).take_all()} == {
+            "doc-000001"
+        }
+        assert {
+            r["doc_id"] for r in interleaved.render_interleaved(ds).take_all()
+        } == {"doc-000001"}
+        assert {
+            r["doc_id"] for r in interleaved.span_integrity(ds).take_all()
+        } == {"doc-000001"}
+        assert {
+            r["doc_id"] for r in interleaved.interleave_pack(ds).take_all()
+        } == {"doc-000001"}
