@@ -96,6 +96,7 @@ _R4_QUERIES: list[str] = [
     "lm_perplexity",
     "span_integrity",
     "interleave_pack",
+    "pq_index_incremental",
 ]
 
 
@@ -399,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": lambda sf: similarity.pq_topk(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 16),
+        ),
+        "pq_index_incremental": lambda sf: similarity.pq_index_incremental(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 32),
         ),
         "knn_pq_rerank": lambda sf: similarity.pq_topk_rerank(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -3165,6 +3170,48 @@ def oracle_sql() -> dict[str, str]:
             )"""
         )
 
+    # Incremental index append: Lloyd trains on the EXISTING side only
+    # (sub = even vec_ids; init = first 16 even vectors, cid = vec_id so
+    # dense code = cid // 2 — Ray's codebook row i is vec_id 2i), then the
+    # NEW side (odd) encodes against the frozen pc2 books; code_packed
+    # packs the 8 4-bit codes, sq_err = |x|^2 + (|c|^2 - 2<x,c>) exact.
+    d["pq_index_incremental"] = (
+        _QUANT_CTE
+        + f""",
+            sdims AS (SELECT unnest(range(8)) AS d),
+            allsub AS (
+              SELECT e.vec_id, s.m,
+                     e.q[s.m * 8 + 1 : s.m * 8 + 8] AS qs,
+                     CAST(list_sum(
+                       [x * x for x in e.q[s.m * 8 + 1 : s.m * 8 + 8]])
+                          AS DOUBLE) AS nsq
+              FROM qe e CROSS JOIN (SELECT unnest(range(8)) AS m) s
+            ),
+            sub AS (SELECT * FROM allsub WHERE vec_id % 2 = 0),
+            pc0 AS (SELECT m, vec_id AS cid, qs, nsq
+                    FROM sub WHERE vec_id < 32),"""
+        + _pq_lloyd("pc0", 1, 8)
+        + ","
+        + _pq_lloyd("pc1", 2, 8)
+        + f""",
+            newcodes AS (
+              SELECT vec_id, m, cid, l2e FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       (s.nsq + {_l2x('s', 'c', 8)}) AS l2e,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_l2x('s', 'c', 8)},
+                                                   c.cid) AS rn
+                FROM (SELECT * FROM allsub WHERE vec_id % 2 = 1) s
+                JOIN pc2 c USING (m)
+              ) WHERE rn = 1
+            )
+            SELECT vec_id,
+                   CAST(SUM((cid // 2) << (4 * m)) AS BIGINT)
+                     AS code_packed,
+                   CAST(SUM(l2e) AS BIGINT) AS sq_err
+            FROM newcodes GROUP BY vec_id
+        """
+    )
     d["knn_pq"] = (
         _pq_prefix(8, 8)
         + """

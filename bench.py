@@ -133,6 +133,7 @@ QUERY_SUITE = [
     "retention_cohorts",
     "hybrid_rrf",
     "lm_perplexity",
+    "pq_index_incremental",
 ]
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1037,3 +1038,88 @@ def label_exemplars(ds: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
         .groupby("label")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def pq_index_incremental(
+    ds: ray.data.Dataset,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(vec_id, code_packed, sq_err) — nightly ANN index APPEND: PQ codes
+    for the NEW side (odd vec_ids — the crawl batch) under codebooks
+    trained ONLY on the EXISTING side (even vec_ids) and then FROZEN.
+    This is the index-maintenance contract production IVF/PQ serving
+    tiers run: retraining codebooks would invalidate every code already
+    stored, so incremental ingest encodes against the frozen index and
+    retraining happens only at compaction. The incremental sibling of
+    dedup_incremental, for the vector index instead of the hash set.
+
+    code_packed packs the m_sub 4-bit codes (ksub=16) into one int64
+    (code_m << 4m) — the stored index payload, 32 bits per 64-dim vector.
+    sq_err = the exact-integer L2^2 reconstruction error (sum over
+    subspaces of |x_m|^2 - 2<x_m, c*> + |c*|^2) — the index-quality
+    number an ingest pipeline alerts on when a drifting crawl stops
+    matching the frozen codebooks.
+
+    Scale shape: training is pq_codebooks' partial-sum sweeps over the
+    existing side only; the frozen (m_sub x ksub x subdim) books — a few
+    KB — broadcast once via ray.put; encoding is embarrassingly parallel
+    per batch. New vectors never shuffle; no groupby at all."""
+    if ksub > 16:
+        raise ValueError("code_packed packs 4-bit codes; ksub must be <= 16")
+
+    def keep_even(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["vec_id"], 1), 0)
+        )
+
+    train = ds.map_batches(keep_even, batch_format="pyarrow")
+    head = _head_rows(ds, head_ds, 2 * ksub)
+    even_head = [r for r in head if r["vec_id"] % 2 == 0][:ksub]
+    init_q = _quantize(
+        np.asarray([r["embedding"] for r in even_head], dtype=np.float64)
+    )
+    books = pq_codebooks(train, init_q, m_sub=m_sub, iters=iters)
+    sd = books.shape[2]
+    ref = ray.put(books)
+
+    def encode_new(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["vec_id"], 1), 1)
+        )
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "code_packed": pa.array([], type=pa.int64()),
+                    "sq_err": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        packed = np.zeros(n, dtype=np.int64)
+        err = np.zeros(n, dtype=np.int64)
+        rows = np.arange(n)
+        for m in range(m_sub):
+            x = mat[:, m * sd : (m + 1) * sd]
+            cb = bks[m]
+            # exact integers in float64: |c|^2 - 2<x,c> (see pq_codebooks)
+            key = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+            codes = np.argmin(key, axis=1)
+            packed += codes.astype(np.int64) << (4 * m)
+            err += (x * x).sum(axis=1).astype(np.int64) + key[
+                rows, codes
+            ].astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids, type=pa.int64()),
+                "code_packed": pa.array(packed, type=pa.int64()),
+                "sq_err": pa.array(err, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode_new, batch_format="pyarrow")

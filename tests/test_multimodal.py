@@ -306,3 +306,73 @@ class TestStack:
         )
         with pytest.raises(ValueError):
             _stack(ragged)
+
+
+class TestPqIndexIncremental:
+    """Incremental index append: codes/errors for odd vec_ids must equal a
+    local recompute that trains books on the even side and encodes odd
+    rows against them frozen."""
+
+    @staticmethod
+    def _embs(n=48, dim=64, seed=7):
+        rng = np.random.default_rng(seed)
+        return [
+            {"vec_id": i, "embedding": rng.normal(size=dim).astype(float).tolist()}
+            for i in range(n)
+        ]
+
+    def test_matches_local_recompute(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions import similarity as S
+
+        rows = self._embs()
+        ds = ray.data.from_items(rows)
+        out = {
+            r["vec_id"]: (r["code_packed"], r["sq_err"])
+            for r in S.pq_index_incremental(ds).take_all()
+        }
+        assert set(out) == {r["vec_id"] for r in rows if r["vec_id"] % 2 == 1}
+
+        # local mirror: same init (first 16 even), same frozen books
+        even = [r for r in rows if r["vec_id"] % 2 == 0]
+        init_q = S._quantize(
+            np.asarray([r["embedding"] for r in even[:16]], dtype=np.float64)
+        )
+        books = S.pq_codebooks(
+            ray.data.from_items(even), init_q, m_sub=8, iters=2
+        )
+        sd = books.shape[2]
+        for r in rows:
+            if r["vec_id"] % 2 == 0:
+                continue
+            x = S._quantize(
+                np.asarray([r["embedding"]], dtype=np.float64)
+            )[0]
+            packed, err = 0, 0
+            for m in range(8):
+                xm = x[m * sd : (m + 1) * sd]
+                cb = books[m]
+                key = (cb * cb).sum(axis=1) - 2.0 * (cb @ xm)
+                c = int(np.argmin(key))
+                packed += c << (4 * m)
+                err += int((xm * xm).sum()) + int(key[c])
+            assert out[r["vec_id"]] == (packed, err), r["vec_id"]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions import similarity as S
+
+        rows = self._embs(n=40, seed=11)
+        a = sorted(
+            (r["vec_id"], r["code_packed"], r["sq_err"])
+            for r in S.pq_index_incremental(ray.data.from_items(rows)).take_all()
+        )
+        b = sorted(
+            (r["vec_id"], r["code_packed"], r["sq_err"])
+            for r in S.pq_index_incremental(
+                ray.data.from_items(rows).repartition(5)
+            ).take_all()
+        )
+        assert a == b and len(a) == 20
