@@ -97,6 +97,7 @@ _R4_QUERIES: list[str] = [
     "span_integrity",
     "interleave_pack",
     "pq_index_incremental",
+    "span_boilerplate",
 ]
 
 
@@ -163,6 +164,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return _spans(sf_dir).map_batches(corrupt, batch_format="pyarrow")
+
+    def _boiler_spans(sf_dir: str):
+        """Deterministic span-level boilerplate injection (the corpus's
+        spans are unique, so the cross-doc span-dedup demo needs shared
+        spans; mirrored in the oracle CTE): docs i%5==0 get a shared nav
+        span appended, i%3==0 a shared copyright span, and docs 1/7/13 a
+        'Rare note' span that stays BELOW the drop threshold (kept)."""
+        import pyarrow as pa
+
+        from tableextraction_ray.sources.corpus import _span_type
+
+        def inject(batch: pa.Table) -> pa.Table:
+            out = []
+            for did, sp in zip(
+                batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+            ):
+                i = int(did.rsplit("-", 1)[1])
+                sp = list(sp)
+                n = len(sp)
+                extra = []
+                if i % 5 == 0:
+                    extra.append("Home | About | Contact")
+                if i % 3 == 0:
+                    extra.append("Copyright 2026 Example Corp")
+                if i in (1, 7, 13):
+                    extra.append("Rare note")
+                for j, t in enumerate(extra):
+                    sp.append(
+                        {
+                            "kind": "text",
+                            "text": t,
+                            "media_ref": "",
+                            "offset": n + j,
+                        }
+                    )
+                out.append(sp)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"],
+                    "spans": pa.array(out, type=_span_type()),
+                }
+            )
+
+        return _spans(sf_dir).map_batches(inject, batch_format="pyarrow")
 
     def docs(sf_dir, cols):
         import ray.data
@@ -499,6 +544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _corrupt_spans(sf)
         ),
         "interleave_pack": lambda sf: interleaved.interleave_pack(_spans(sf)),
+        "span_boilerplate": lambda sf: interleaved.span_boilerplate(
+            _boiler_spans(sf)
+        ),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
         "video_frames": lambda sf: multimodal.video_frames(media(sf)),
@@ -2456,6 +2504,64 @@ def oracle_sql() -> dict[str, str]:
                    (n_gaps = 0 AND n_dup_offsets = 0 AND n_empty_text = 0
                     AND n_media_with_text = 0 AND starts_at_zero) AS ok
             FROM g
+        """,
+        # Span-level boilerplate removal over the INJECTED spans table
+        # (the _boiler_spans wrapper, replayed in meta/injected): drop all
+        # copies of any text span whose 60-bit md5 hash is shared by >16
+        # distinct docs; media/empty spans always survive. Same-hash
+        # replay (not raw text) so a hash collision drops identically.
+        "span_boilerplate": rf"""
+            WITH meta AS (
+              SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS i,
+                     len(spans) AS n
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet')
+            ),
+            base AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref,
+                     CAST(u.s."offset" AS BIGINT) AS "offset"
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            injected AS (
+              SELECT doc_id, 'text' AS kind,
+                     'Home | About | Contact' AS text, '' AS media_ref,
+                     CAST(n AS BIGINT) AS "offset"
+              FROM meta WHERE i % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'text', 'Copyright 2026 Example Corp', '',
+                     CAST(n + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT)
+              FROM meta WHERE i % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'text', 'Rare note', '',
+                     CAST(n + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT)
+              FROM meta WHERE i IN (1, 7, 13)
+            ),
+            allsp AS (
+              SELECT * FROM base UNION ALL SELECT * FROM injected
+            ),
+            hashed AS (
+              SELECT *, list_sum([
+                  CAST(strpos('0123456789abcdef',
+                              substr(md5(text), i2, 1)) - 1 AS BIGINT)
+                  << ((15 - i2) * 4)
+                  for i2 in range(1, 16)]) AS h
+              FROM allsp WHERE kind = 'text' AND length(text) > 0
+            ),
+            drops AS (
+              SELECT h FROM hashed
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) > 16
+            )
+            SELECT doc_id, "offset", kind, text, media_ref FROM allsp
+            WHERE NOT (kind = 'text' AND length(text) > 0)
+            UNION ALL
+            SELECT doc_id, "offset", kind, text, media_ref FROM hashed
+            WHERE h NOT IN (SELECT h FROM drops)
         """,
         # Multimodal next-fit packing: per-doc cost = whitespace tokens of
         # text spans + 64 per media span; same recursive-CTE fold as

@@ -134,6 +134,7 @@ QUERY_SUITE = [
     "hybrid_rrf",
     "lm_perplexity",
     "pq_index_incremental",
+    "span_boilerplate",
 ]
 
 

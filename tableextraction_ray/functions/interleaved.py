@@ -349,3 +349,88 @@ def interleave_pack(
         .groupby("shard")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def span_boilerplate(ds: ray.data.Dataset, max_docs: int = 16) -> ray.data.Dataset:
+    """(doc_id, offset, kind, text, media_ref) — surviving spans after
+    CROSS-DOCUMENT span-level boilerplate removal: ALL copies of any text
+    span whose exact text occurs in more than ``max_docs`` distinct
+    documents are dropped — the interleaved-table form of the CCNet/onion
+    line-dedup pass (nav menus, footers, cookie banners arrive as whole
+    spans from the HTML segmenter). Media spans and empty text spans
+    always survive (they are structure, not prose).
+
+    Scale shape: ONE keyed shuffle on the span-text 60-bit hash, text
+    rides once; media/empty spans join the same shuffle under a
+    per-span unique hash (tag=0 — emitted unconditionally) so the input
+    scans ONCE. In each hash group the distinct-doc count decides drop
+    vs keep in place — no marks pass, no doc rebuild (output is flat).
+    """
+    from .dedup import shingle_base_hash
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, parent, _order, n_docs, f = _flat_spans(batch, sort=False)
+        kind = f["kind"]
+        text = f["text"]
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        nonempty = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False) > 0
+        )
+        gated = is_text & nonempty
+        doc_ids = ids.take(pa.array(parent))
+        texts = text.to_pylist()
+        dids = doc_ids.to_pylist()
+        offs = f["offset"].to_numpy(zero_copy_only=False)
+        # one md5 per DISTINCT text (Counter trick); bypass rows get a
+        # per-span unique hash so they spread across the same shuffle
+        cache: dict[str, int] = {}
+        hs = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if gated[i]:
+                h = cache.get(t)
+                if h is None:
+                    h = cache[t] = shingle_base_hash(t)
+                hs[i] = h
+            else:
+                hs[i] = shingle_base_hash(f"{dids[i]}:{offs[i]}")
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hs, type=pa.int64()),
+                "tag": pa.array(gated.astype(np.int8), type=pa.int8()),
+                "doc_id": doc_ids,
+                "offset": pc.cast(f["offset"], pa.int64()),
+                "kind": kind,
+                "text": text,
+                "media_ref": f["media_ref"],
+            }
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("offset", pa.int64()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+        ]
+    )
+
+    def gate(group: pa.Table) -> pa.Table:
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(tag), dtype=bool)
+        text_rows = tag == 1
+        if text_rows.any():
+            docs = group["doc_id"].to_pylist()
+            nd = len({docs[i] for i in np.flatnonzero(text_rows)})
+            if nd > max_docs:
+                keep &= ~text_rows
+        if not keep.any():
+            return OUT_SCHEMA.empty_table()
+        out = group.filter(pa.array(keep))
+        return out.select(["doc_id", "offset", "kind", "text", "media_ref"])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(gate, batch_format="pyarrow")
+    )

@@ -76,6 +76,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "interleave_render",
             "span_integrity",
             "interleave_pack",
+            "span_boilerplate",
         )
         else SF_DIR
     )

@@ -279,3 +279,58 @@ class TestEmptySpansContract:
         assert {
             r["doc_id"] for r in interleaved.interleave_pack(ds).take_all()
         } == {"doc-000001"}
+
+
+class TestSpanBoilerplate:
+    def test_drop_and_keep_rules(self, ray_session):
+        shared = "Home | About"
+        docs = []
+        # 4 docs share a nav span -> dropped at max_docs=3; one doc pair
+        # shares a span (kept); media and empty text always survive.
+        for i in range(4):
+            docs.append(
+                (
+                    f"doc-{i:06d}",
+                    [
+                        _span("text", text=f"unique body {i}", off=0),
+                        _span("text", text=shared, off=1),
+                        _span("media", ref=f"m/{i}.png", off=2),
+                    ],
+                )
+            )
+        docs.append(
+            ("doc-000004", [_span("text", text="", off=0)])
+        )
+        out = interleaved.span_boilerplate(
+            _docs_ds(docs), max_docs=3
+        ).take_all()
+        texts = [r["text"] for r in out]
+        assert shared not in texts  # >3 docs -> all copies dropped
+        assert sum(t.startswith("unique body") for t in texts) == 4
+        assert sum(r["kind"] == "media" for r in out) == 4
+        assert ("" in texts)  # empty text span survives
+        assert len(out) == 4 + 4 + 1
+
+    def test_at_threshold_kept(self, ray_session):
+        shared = "kept note"
+        docs = [
+            (f"doc-{i:06d}", [_span("text", text=shared, off=0)])
+            for i in range(3)
+        ]
+        out = interleaved.span_boilerplate(
+            _docs_ds(docs), max_docs=3
+        ).take_all()
+        assert len(out) == 3  # exactly max_docs distinct docs -> kept
+
+    def test_within_doc_repeat_not_boilerplate(self, ray_session):
+        # one doc repeating a span 5 times is ONE distinct doc -> kept
+        docs = [
+            (
+                "doc-000000",
+                [_span("text", text="echo", off=k) for k in range(5)],
+            )
+        ]
+        out = interleaved.span_boilerplate(
+            _docs_ds(docs), max_docs=3
+        ).take_all()
+        assert len(out) == 5
