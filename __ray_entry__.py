@@ -98,6 +98,7 @@ _R4_QUERIES: list[str] = [
     "interleave_pack",
     "pq_index_incremental",
     "span_boilerplate",
+    "curate_captions",
 ]
 
 
@@ -546,6 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_pack": lambda sf: interleaved.interleave_pack(_spans(sf)),
         "span_boilerplate": lambda sf: interleaved.span_boilerplate(
             _boiler_spans(sf)
+        ),
+        "curate_captions": lambda sf: interleaved.curate_captions(
+            _spans(sf), media(sf)
         ),
         "media_thumbnails": lambda sf: multimodal.media_thumbnails(media(sf)),
         "audio_features": lambda sf: multimodal.audio_features(media(sf)),
@@ -2504,6 +2508,62 @@ def oracle_sql() -> dict[str, str]:
                    (n_gaps = 0 AND n_dup_offsets = 0 AND n_empty_text = 0
                     AND n_media_with_text = 0 AND starts_at_zero) AS ok
             FROM g
+        """,
+        # CLIP-pair curation: content-dedup canonical (read_blob md5 +
+        # min-window) joined to the caption replay; best caption per
+        # canonical = (length DESC, doc_id, span_offset) rank 1.
+        "curate_captions": f"""
+            WITH m AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '')
+                       AS media_ref,
+                     md5(lower(hex(content))) AS payload_md5
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            ),
+            canon AS (
+              SELECT media_ref,
+                     MIN(media_ref) OVER (PARTITION BY payload_md5)
+                       AS canonical_ref
+              FROM m
+            ),
+            s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref, u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, media_ref, off,
+                     lead(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nk,
+                     lead(text) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nt
+              FROM s
+            ),
+            caps AS (
+              SELECT doc_id, media_ref,
+                     CAST(off AS BIGINT) AS span_offset,
+                     CASE WHEN nk = 'text' THEN substr(nt, 1, 40)
+                          ELSE '' END AS caption
+              FROM w WHERE kind = 'media'
+            ),
+            j AS (
+              SELECT c.canonical_ref, p.caption, p.doc_id, p.span_offset
+              FROM caps p JOIN canon c USING (media_ref)
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY canonical_ref
+                       ORDER BY length(caption) DESC, doc_id, span_offset)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY canonical_ref)
+                       AS n_candidates
+              FROM j
+            )
+            SELECT canonical_ref,
+                   CAST(n_candidates AS BIGINT) AS n_candidates, caption
+            FROM ranked WHERE rn = 1
         """,
         # Span-level boilerplate removal over the INJECTED spans table
         # (the _boiler_spans wrapper, replayed in meta/injected): drop all

@@ -135,6 +135,7 @@ QUERY_SUITE = [
     "lm_perplexity",
     "pq_index_incremental",
     "span_boilerplate",
+    "curate_captions",
 ]
 
 

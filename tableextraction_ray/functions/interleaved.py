@@ -434,3 +434,130 @@ def span_boilerplate(ds: ray.data.Dataset, max_docs: int = 16) -> ray.data.Datas
         .groupby("h")
         .map_groups(gate, batch_format="pyarrow")
     )
+
+
+def curate_captions(
+    spans_ds: ray.data.Dataset,
+    media_ds: ray.data.Dataset,
+    max_chars: int = 40,
+) -> ray.data.Dataset:
+    """(canonical_ref, n_candidates, caption) — the CLIP-pair builder:
+    for every CANONICAL media payload (exact content dedup collapses
+    re-embedded copies), the best caption across all docs that embed any
+    copy — best = longest, ties by (doc_id, span_offset) ascending. The
+    cross-table composition pipeline for interleaved corpora: spans give
+    captions, the media store gives content identity, training gets one
+    (image, text) pair per distinct payload.
+
+    Scale shape: media_captions is a per-doc map; media_content_dedup is
+    one keyed md5 groupby of (hash, ref) pairs; the composition adds ONE
+    media_ref tagged-union shuffle (captions meet their canonical ref)
+    and ONE tiny canonical_ref groupby for the pick. Payload bytes never
+    leave the hashing scan; caption strings ride each shuffle once."""
+    from .multimodal import media_content_dedup
+
+    caps = media_captions(spans_ds, max_chars=max_chars)
+    dd = media_content_dedup(media_ds)
+
+    U_SCHEMA = pa.schema(
+        [
+            ("media_ref", pa.string()),
+            ("tag", pa.int8()),
+            ("canonical_ref", pa.string()),
+            ("caption", pa.string()),
+            ("doc_id", pa.string()),
+            ("span_offset", pa.int64()),
+        ]
+    )
+
+    def tag_caps(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "tag": pa.array([1] * n, type=pa.int8()),
+                "canonical_ref": pa.array([""] * n, type=pa.string()),
+                "caption": batch["caption"],
+                "doc_id": batch["doc_id"],
+                "span_offset": batch["span_offset"].cast(pa.int64()),
+            },
+            schema=U_SCHEMA,
+        )
+
+    def tag_dd(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "tag": pa.array([0] * n, type=pa.int8()),
+                "canonical_ref": batch["canonical_ref"],
+                "caption": pa.array([""] * n, type=pa.string()),
+                "doc_id": pa.array([""] * n, type=pa.string()),
+                "span_offset": pa.array([-1] * n, type=pa.int64()),
+            },
+            schema=U_SCHEMA,
+        )
+
+    ATT_SCHEMA = pa.schema(
+        [
+            ("canonical_ref", pa.string()),
+            ("caption", pa.string()),
+            ("doc_id", pa.string()),
+            ("span_offset", pa.int64()),
+        ]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        canon = next((r["canonical_ref"] for r in rows if r["tag"] == 0), None)
+        if canon is None:
+            # span references a payload missing from the media store:
+            # nothing to pair — skip (ingest integrity catches it)
+            return ATT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(
+            [
+                {
+                    "canonical_ref": canon,
+                    "caption": r["caption"],
+                    "doc_id": r["doc_id"],
+                    "span_offset": r["span_offset"],
+                }
+                for r in rows
+                if r["tag"] == 1
+            ],
+            schema=ATT_SCHEMA,
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("canonical_ref", pa.string()),
+            ("n_candidates", pa.int64()),
+            ("caption", pa.string()),
+        ]
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(),
+            key=lambda r: (-len(r["caption"]), r["doc_id"], r["span_offset"]),
+        )
+        return pa.Table.from_pylist(
+            [
+                {
+                    "canonical_ref": rows[0]["canonical_ref"],
+                    "n_candidates": len(rows),
+                    "caption": rows[0]["caption"],
+                }
+            ],
+            schema=OUT_SCHEMA,
+        )
+
+    merged = caps.map_batches(tag_caps, batch_format="pyarrow").union(
+        dd.map_batches(tag_dd, batch_format="pyarrow")
+    )
+    return (
+        merged.groupby("media_ref")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("canonical_ref")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -77,6 +77,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "span_integrity",
             "interleave_pack",
             "span_boilerplate",
+            "curate_captions",
         )
         else SF_DIR
     )

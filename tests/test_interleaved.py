@@ -334,3 +334,78 @@ class TestSpanBoilerplate:
             _docs_ds(docs), max_docs=3
         ).take_all()
         assert len(out) == 5
+
+
+class TestCurateCaptions:
+    def test_best_caption_across_copies(self, ray_session):
+        import ray.data
+
+        # same payload under refs A and B; A's caption shorter, B's longer
+        # -> canonical (min ref) wins with B's LONGER caption
+        payload = b"\x89PNGpix"
+        media = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "media_ref": pa.array(["m/a.png", "m/b.png", "m/c.png"]),
+                    "payload": pa.array(
+                        [payload, payload, b"other"], type=pa.large_binary()
+                    ),
+                }
+            )
+        )
+        spans = _docs_ds(
+            [
+                (
+                    "doc-000000",
+                    [
+                        _span("media", ref="m/a.png", off=0),
+                        _span("text", text="short", off=1),
+                    ],
+                ),
+                (
+                    "doc-000001",
+                    [
+                        _span("media", ref="m/b.png", off=0),
+                        _span("text", text="a much longer caption", off=1),
+                    ],
+                ),
+                ("doc-000002", [_span("media", ref="m/c.png", off=0)]),
+            ]
+        )
+        out = {
+            r["canonical_ref"]: r
+            for r in interleaved.curate_captions(spans, media).take_all()
+        }
+        assert set(out) == {"m/a.png", "m/c.png"}
+        assert out["m/a.png"]["caption"] == "a much longer caption"
+        assert out["m/a.png"]["n_candidates"] == 2
+        assert out["m/c.png"]["caption"] == ""  # no following text span
+        assert out["m/c.png"]["n_candidates"] == 1
+
+    def test_span_ref_missing_from_store_skipped(self, ray_session):
+        import ray.data
+
+        media = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "media_ref": pa.array(["m/x.png"]),
+                    "payload": pa.array([b"x"], type=pa.large_binary()),
+                }
+            )
+        )
+        spans = _docs_ds(
+            [
+                (
+                    "doc-000000",
+                    [
+                        _span("media", ref="m/gone.png", off=0),
+                        _span("text", text="orphan", off=1),
+                    ],
+                )
+            ]
+        )
+        out = interleaved.curate_captions(spans, media).take_all()
+        # inner-join semantics (matches the oracle): the orphan span ref
+        # has no store row, the store-only ref has no caption candidates
+        # -> neither yields a pair
+        assert out == []
