@@ -85,6 +85,15 @@ def _read_embeddings_head(sf_dir: str, m: int):
 # Query names added in round 4 — spliced into the front of queries()'s
 # iteration order so the driver's ~50-query correctness sample covers them
 # on their first round.
+# Memorization-probe strings for canary_scan — substrings known to occur in
+# the synthetic corpus vocabulary (and one per-bigram rarity gradient), kept
+# in one place so the Ray call and the oracle VALUES list stay in sync.
+_CANARIES: tuple[str, ...] = (
+    "spark window",
+    "batch batch batch",
+    "customer filter",
+)
+
 _R4_QUERIES: list[str] = [
     "events_profile_approx",
     "span_stats",
@@ -99,6 +108,10 @@ _R4_QUERIES: list[str] = [
     "pq_index_incremental",
     "span_boilerplate",
     "curate_captions",
+    "shard_plan",
+    "corpus_diff",
+    "key_skew_report",
+    "canary_scan",
 ]
 
 
@@ -276,6 +289,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs(sf_dir, ["doc_id", "text"]).map_batches(
             keep, batch_format="pyarrow"
+        )
+
+    def _v2_docs(sf_dir):
+        """Deterministic 'next snapshot' of the documents table for the
+        corpus_diff demo (mirrored in the oracle's v2 CTE): docs with
+        doc_id % 11 == 3 are dropped (-> 'removed'), doc_id % 7 == 0 get
+        ' [rev2]' appended (-> 'changed'), and docs with doc_id % 13 == 1
+        reappear as brand-new ids (+1e9, ' (new)' suffix -> 'added')."""
+        import pyarrow as pa
+
+        def evolve(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            txt = batch["text"].to_pylist()
+            out_id, out_tx = [], []
+            for i, t in zip(ids, txt):
+                if i % 11 != 3:
+                    out_id.append(i)
+                    out_tx.append(t + " [rev2]" if i % 7 == 0 else t)
+                if i % 13 == 1:
+                    out_id.append(i + 1_000_000_000)
+                    out_tx.append(t + " (new)")
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(out_id, type=pa.int64()),
+                    "text": pa.array(out_tx, type=pa.string()),
+                }
+            )
+
+        return docs(sf_dir, ["doc_id", "text"]).map_batches(
+            evolve, batch_format="pyarrow"
         )
 
     def extract_serialized(sf_dir: str):
@@ -635,6 +678,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_docs_by_chars": lambda sf: relational.top_docs_by_chars(
             docs(sf, ["doc_id", "n_chars"])
+        ),
+        # -- output planning / snapshot ops (round 4) --
+        "shard_plan": lambda sf: textstats.shard_plan(
+            docs(sf, ["doc_id", "n_chars"])
+        ),
+        "corpus_diff": lambda sf: curate.corpus_diff(
+            docs(sf, ["doc_id", "text"]), _v2_docs(sf)
+        ),
+        "key_skew_report": lambda sf: relational.key_skew_report(
+            _read(sf, "events", ["user_id"])
+        ),
+        "canary_scan": lambda sf: textstats.canary_scan(
+            docs(sf, ["doc_id", "text"]), canaries=list(_CANARIES)
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -3511,5 +3567,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT cluster_rep, doc_id AS canon_doc_id,
                alpha_fp6 AS canon_alpha_fp6, CAST(n AS BIGINT) AS n_members
         FROM ranked WHERE rn = 1
+    """
+    # Output-shard manifest: exclusive prefix sum over canonical doc_id
+    # order, integer-divided into ~20k-char shards, one row per shard.
+    d["shard_plan"] = """
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prev
+          FROM documents
+        ),
+        s AS (SELECT doc_id, n_chars, prev // 20000 AS shard_id FROM c)
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM s GROUP BY shard_id
+    """
+    # Snapshot diff: FULL OUTER JOIN of the base corpus against the
+    # deterministic v2 evolution (the _v2_docs wrapper, replayed here),
+    # comparing 60-bit md5-prefix fingerprints (the same strpos/list_sum
+    # hex parse the fuzzy-incremental oracle uses).
+    _H15 = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substr(md5(text), i, 1)) - 1 AS BIGINT) << ((15 - i) * 4) "
+        "for i in range(1, 16)])"
+    )
+    d["corpus_diff"] = f"""
+        WITH o AS (
+          SELECT doc_id, {_H15} AS h FROM documents
+        ),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id, text || ' (new)' AS text
+          FROM documents WHERE doc_id % 13 = 1
+        ),
+        n AS (
+          SELECT doc_id, {_H15} AS h FROM v2
+        )
+        SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+    # Partition-key skew probe: top-10 heaviest keys with global key
+    # cardinality and fixed-point count/mean ratio.
+    d["key_skew_report"] = """
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        g AS (SELECT COUNT(*) AS n_keys, SUM(n) AS total FROM c)
+        SELECT c.user_id, c.n AS n_events,
+               CAST(g.n_keys AS BIGINT) AS n_keys,
+               CAST(ROUND(c.n * g.n_keys * 1000000.0 / g.total)
+                    AS BIGINT) AS skew_fp6
+        FROM c, g
+        ORDER BY c.n DESC, c.user_id
+        LIMIT 10
+    """
+    # Memorization-probe scan: INNER join semantics (zero-hit canaries
+    # emit no row), same VALUES list as the Ray call's _CANARIES.
+    _CANARY_VALUES = ", ".join(f"('{c}')" for c in _CANARIES)
+    d["canary_scan"] = f"""
+        WITH c(canary) AS (VALUES {_CANARY_VALUES})
+        SELECT c.canary, COUNT(*) AS n_docs,
+               MIN(d.doc_id) AS first_doc_id
+        FROM c JOIN documents d ON contains(d.text, c.canary)
+        GROUP BY c.canary
     """
     return d

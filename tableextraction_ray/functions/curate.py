@@ -409,3 +409,89 @@ def dedup_savings(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def corpus_diff(
+    old_ds: ray.data.Dataset, new_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(doc_id, status) — snapshot delta between two corpus versions:
+    status in {'added', 'removed', 'changed', 'unchanged'} per doc_id,
+    comparing content by a 60-bit md5 prefix fingerprint. This is the
+    audit step between two crawl snapshots / pipeline releases ("what did
+    the new filter actually change?") and the input to an incremental
+    re-process (only 'added' + 'changed' docs re-enter the pipeline).
+
+    Shape: each side maps to payload-free (doc_id, h_old, h_new) rows
+    (the absent side's hash is -1), then ONE keyed groupby(doc_id) with
+    two vectorized Max folds — at 100 TB only 24-byte rows shuffle, text
+    never leaves its block, and doc_id is the reusable partition key.
+    Max is the correct merge because each doc_id appears at most once per
+    side, so the fold just overlays -1 placeholders.
+
+    Oracle: FULL OUTER JOIN of the two sides' md5-prefix ints (the
+    dedup_incremental_fuzzy strpos/list_sum hex parse)."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    HSCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("h_old", pa.int64()),
+            ("h_new", pa.int64()),
+        ]
+    )
+
+    def _h(texts: list[str]) -> np.ndarray:
+        return np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in texts
+            ],
+            dtype=np.int64,
+        )
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            h = _h(batch["text"].to_pylist())
+            absent = np.full(n, -1, dtype=np.int64)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "h_old": pa.array(
+                        h if side == "old" else absent, type=pa.int64()
+                    ),
+                    "h_new": pa.array(
+                        h if side == "new" else absent, type=pa.int64()
+                    ),
+                },
+                schema=HSCHEMA,
+            )
+
+        return fn
+
+    merged = old_ds.map_batches(tag("old"), batch_format="pyarrow").union(
+        new_ds.map_batches(tag("new"), batch_format="pyarrow")
+    )
+    agg = merged.groupby("doc_id").aggregate(
+        Max("h_old", alias_name="h_old"), Max("h_new", alias_name="h_new")
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        ho = batch["h_old"].to_numpy(zero_copy_only=False)
+        hn = batch["h_new"].to_numpy(zero_copy_only=False)
+        st = np.select(
+            [ho == -1, hn == -1, ho != hn],
+            ["added", "removed", "changed"],
+            default="unchanged",
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "status": pa.array(st.tolist(), type=pa.string()),
+            }
+        )
+
+    return agg.map_batches(status, batch_format="pyarrow")

@@ -1762,3 +1762,78 @@ def retention_cohorts(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def key_skew_report(
+    events: ray.data.Dataset, key: str = "user_id", top_n: int = 10
+) -> ray.data.Dataset:
+    """(user_id, n_events, n_keys, skew_fp6) — the shuffle-planner's skew
+    diagnostic: the ``top_n`` heaviest values of a prospective partition
+    key, each annotated with the global key cardinality and its
+    count/mean ratio as a fixed-point micro unit (skew_fp6 = round(1e6 *
+    n * n_keys / total)). A ratio near 1e6 means uniform; a hot key at
+    100 TB shows up here BEFORE it melts a groupby — this is the probe
+    you run to decide whether to salt (the dedup LSH stages' skew-cap
+    pattern) or to pick a different key.
+
+    Shape: per-block partial counts (in-batch Arrow group_by, so only
+    (key, count) partials shuffle), ONE keyed groupby sum, then a
+    per-block top-``top_n`` pre-prune so the driver merges O(top_n x
+    #blocks) rows — the full per-key count table is never collected.
+
+    Oracle: GROUP BY key + a cross-joined global stats CTE, ORDER BY
+    count DESC, key LIMIT top_n."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([(key, "count")])
+        return pa.Table.from_pydict(
+            {
+                key: g[key],
+                "n": g[f"{key}_count"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        events.select_columns([key])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    stats = counts.aggregate(Sum("n"))
+    total = int(stats["sum(n)"])
+    n_keys = int(counts.count())
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:top_n]
+        return batch.take(order)
+
+    head = sorted(
+        counts.map_batches(
+            block_top, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: (-r["n"], r[key]),
+    )[:top_n]
+
+    ks = np.array([r[key] for r in head], dtype=np.int64)
+    ns = np.array([r["n"] for r in head], dtype=np.int64)
+    skew = np.round(ns * n_keys * 1_000_000.0 / total).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                key: pa.array(ks, type=pa.int64()),
+                "n_events": pa.array(ns, type=pa.int64()),
+                "n_keys": pa.array(
+                    np.full(len(head), n_keys), type=pa.int64()
+                ),
+                "skew_fp6": pa.array(skew, type=pa.int64()),
+            }
+        )
+    )

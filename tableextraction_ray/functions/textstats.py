@@ -643,6 +643,112 @@ def char_budget_prefix(
     )
 
 
+def shard_plan(
+    ds: ray.data.Dataset, target_chars: int = 20_000
+) -> ray.data.Dataset:
+    """(shard_id, n_docs, n_chars, first_doc_id, last_doc_id) — the output
+    SHARD MANIFEST for a resumable write: documents in canonical doc_id
+    order are packed greedily into shards of ~``target_chars`` characters
+    (shard_id = exclusive-prefix-sum(n_chars) // target_chars), and one
+    manifest row per shard records its extent. This is the planner behind
+    "write partitioned Parquet, one directory per key range, so a failed
+    run can skip finished partitions": a restarted job diffs the manifest
+    against the sink's committed shard dirs and re-runs only the missing
+    shard_id ranges (the same anti-join shape as state/checkpoint.py).
+
+    Shape: the char_budget_prefix distributed ordered prefix sum (one
+    (first_doc_id, block_sum) row per BLOCK to the driver, O(#blocks)
+    driver state), then per-block per-shard PARTIAL manifest rows (shard
+    ids are monotone within a sorted block, so first/last are in-block
+    min/max) and ONE tiny keyed groupby over ~#shards + #blocks partial
+    rows — document rows never leave their block.
+
+    Oracle: exclusive SUM(n_chars) OVER (ORDER BY doc_id) // target,
+    GROUP BY shard_id."""
+    import numpy as np
+
+    import ray as _ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    sorted_ds = ds.sort("doc_id").materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"first_id": pa.array([], type=pa.int64()),
+                 "block_sum": pa.array([], type=pa.int64())}
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = int(batch["n_chars"].to_numpy(zero_copy_only=False).sum())
+        return pa.Table.from_pydict(
+            {
+                "first_id": pa.array([int(ids.min())], type=pa.int64()),
+                "block_sum": pa.array([s], type=pa.int64()),
+            }
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: r["first_id"],
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for m in metas:
+        offsets[m["first_id"]] = run
+        run += m["block_sum"]
+    off_ref = _ray.put(offsets)
+
+    PARTIAL = pa.schema(
+        [
+            ("shard_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("first_doc_id", pa.int64()),
+            ("last_doc_id", pa.int64()),
+        ]
+    )
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pylist([], schema=PARTIAL)
+        off = _ray.get(off_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.cumsum(nc) - nc + off[int(ids.min())]
+        shard = excl // target_chars
+        # shard ids are nondecreasing over the sorted block: segment-reduce
+        first_idx = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
+        last_idx = np.r_[first_idx[1:] - 1, len(shard) - 1]
+        seg_chars = np.add.reduceat(nc, first_idx)
+        return pa.Table.from_pydict(
+            {
+                "shard_id": pa.array(shard[first_idx], type=pa.int64()),
+                "n_docs": pa.array(
+                    last_idx - first_idx + 1, type=pa.int64()
+                ),
+                "n_chars": pa.array(seg_chars, type=pa.int64()),
+                "first_doc_id": pa.array(ids[first_idx], type=pa.int64()),
+                "last_doc_id": pa.array(ids[last_idx], type=pa.int64()),
+            },
+            schema=PARTIAL,
+        )
+
+    return (
+        sorted_ds.map_batches(
+            block_partials, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("shard_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Min("first_doc_id", alias_name="first_doc_id"),
+            Max("last_doc_id", alias_name="last_doc_id"),
+        )
+    )
+
+
 def epoch_shuffle(ds: ray.data.Dataset, epoch: int = 0) -> ray.data.Dataset:
     """(doc_id, rank) — the deterministic global training-order
     permutation for one epoch: documents ordered by the 60-bit integer
@@ -2183,4 +2289,62 @@ def source_vocab_overlap(
 
     return tops.repartition(1).map_batches(
         pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+def canary_scan(
+    ds: ray.data.Dataset, canaries: list[str]
+) -> ray.data.Dataset:
+    """(canary, n_docs, first_doc_id) — memorization-probe scan: for each
+    canary string (the secret-sharer / training-data-extraction audit
+    set), count documents whose text contains it verbatim and record the
+    smallest matching doc_id. Canaries with zero hits emit no row (the
+    oracle's INNER join semantics). Distinct from `decontaminate` (n-gram
+    overlap vs a benchmark SET): this is exact substring search for a
+    SMALL broadcast probe list, the audit a lab runs before and after
+    training-data release.
+
+    Shape: the canary list rides into every task via closure capture
+    (O(#canaries) — broadcast-small by definition); per block ONE
+    vectorized pc.match_substring pass per canary; only (canary, count,
+    min_id) partials shuffle into a tiny keyed groupby. Text never
+    leaves its block.
+
+    Oracle: canary VALUES list JOIN documents ON contains(text, canary)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    PARTIAL = pa.schema(
+        [
+            ("canary", pa.string()),
+            ("n_docs", pa.int64()),
+            ("first_doc_id", pa.int64()),
+        ]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        text = batch["text"]
+        rows = []
+        for c in canaries:
+            m = pc.match_substring(text, c).to_numpy(zero_copy_only=False)
+            hits = int(m.sum())
+            if hits:
+                rows.append(
+                    {
+                        "canary": c,
+                        "n_docs": hits,
+                        "first_doc_id": int(ids[m].min()),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=PARTIAL)
+
+    return (
+        ds.map_batches(scan, batch_format="pyarrow")
+        .groupby("canary")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc_id", alias_name="first_doc_id"),
+        )
     )
