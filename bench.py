@@ -136,6 +136,10 @@ QUERY_SUITE = [
     "pq_index_incremental",
     "span_boilerplate",
     "curate_captions",
+    "shard_plan",
+    "corpus_diff",
+    "key_skew_report",
+    "canary_scan",
 ]
 
 
