@@ -112,6 +112,7 @@ _R4_QUERIES: list[str] = [
     "corpus_diff",
     "key_skew_report",
     "canary_scan",
+    "vocab_oov_rate",
 ]
 
 
@@ -691,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "canary_scan": lambda sf: textstats.canary_scan(
             docs(sf, ["doc_id", "text"]), canaries=list(_CANARIES)
+        ),
+        "vocab_oov_rate": lambda sf: textstats.vocab_oov_rate(
+            docs(sf, ["doc_id", "text", "source"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -3642,5 +3646,26 @@ def oracle_sql() -> dict[str, str]:
                MIN(d.doc_id) AS first_doc_id
         FROM c JOIN documents d ON contains(d.text, c.canary)
         GROUP BY c.canary
+    """
+    # Tokenizer-coverage diagnostic: per-source OOV rate against the
+    # corpus's own top-64 token vocabulary (exact integer fp6 rate).
+    d["vocab_oov_rate"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM toks GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 64
+        )
+        SELECT t.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     * 1000000) // COUNT(*) AS BIGINT) AS oov_fp6
+        FROM toks t LEFT JOIN vocab v USING (token)
+        GROUP BY t.source
     """
     return d

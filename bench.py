@@ -140,6 +140,7 @@ QUERY_SUITE = [
     "corpus_diff",
     "key_skew_report",
     "canary_scan",
+    "vocab_oov_rate",
 ]
 
 

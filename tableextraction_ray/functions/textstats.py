@@ -2348,3 +2348,70 @@ def canary_scan(
             Min("first_doc_id", alias_name="first_doc_id"),
         )
     )
+
+
+def vocab_oov_rate(ds: ray.data.Dataset, k: int = 64) -> ray.data.Dataset:
+    """(source, n_tokens, n_oov, oov_fp6) — per-source out-of-vocabulary
+    rate against the corpus's own top-``k`` token vocabulary: the
+    tokenizer-coverage diagnostic run before committing a vocab ("which
+    domain will fragment into bytes?"). oov_fp6 = n_oov * 1e6 // n_tokens
+    (exact integer arithmetic, no float in the contract).
+
+    Shape: pass 1 is token_freq's bounded top-k (partial counts, one
+    keyed sum, k rows to the driver); the k-token vocab broadcasts into
+    pass 2 by closure (O(k) — broadcast-small by construction), where
+    each block collapses to per-source (n_tokens, n_oov) partials and
+    ONE tiny keyed groupby sums them. Text scans twice but never
+    shuffles; driver state is O(k + #sources).
+
+    Oracle: top-k vocab CTE LEFT JOIN unnested tokens, GROUP BY source."""
+    from ray.data.aggregate import Sum
+
+    vocab = frozenset(
+        r["token"] for r in token_freq(ds, k=k).take_all()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(t)
+            a = agg.setdefault(src, [0, 0])
+            a[0] += len(toks)
+            a[1] += sum(1 for w in toks if w not in vocab)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(list(agg.keys()), type=pa.string()),
+                "n_tokens": pa.array(
+                    [v[0] for v in agg.values()], type=pa.int64()
+                ),
+                "n_oov": pa.array(
+                    [v[1] for v in agg.values()], type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        no = batch["n_oov"].to_numpy(zero_copy_only=False)
+        rate = np.where(nt > 0, (no * 1_000_000) // np.maximum(nt, 1), 0)
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "n_oov": pa.array(no, type=pa.int64()),
+                "oov_fp6": pa.array(rate, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -11,7 +11,11 @@ import ray.data
 
 from tableextraction_ray.functions.curate import corpus_diff
 from tableextraction_ray.functions.relational import key_skew_report
-from tableextraction_ray.functions.textstats import canary_scan, shard_plan
+from tableextraction_ray.functions.textstats import (
+    canary_scan,
+    shard_plan,
+    vocab_oov_rate,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -117,6 +121,25 @@ class TestKeySkewReport:
         # 60 / (100/3) = 1.8 -> 1_800_000 fp6
         assert rows[0]["skew_fp6"] == 1_800_000
         assert rows[1]["skew_fp6"] == 600_000
+
+
+class TestVocabOovRate:
+    def test_oov_counted_against_topk_vocab(self, ray_session):
+        # vocab k=2 -> {'a', 'b'} (a:4, b:3); 'x'/'y' are OOV
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "source": ["s1", "s2"],
+                    "text": ["a a b x", "a b b a y x"],
+                }
+            )
+        )
+        rows = {r["source"]: r for r in vocab_oov_rate(ds, k=2).take_all()}
+        assert rows["s1"]["n_tokens"] == 4 and rows["s1"]["n_oov"] == 1
+        assert rows["s1"]["oov_fp6"] == 250_000
+        assert rows["s2"]["n_tokens"] == 6 and rows["s2"]["n_oov"] == 2
+        assert rows["s2"]["oov_fp6"] == 333_333  # floor division
 
 
 class TestCanaryScan:
