@@ -113,6 +113,14 @@ _R4_QUERIES: list[str] = [
     "key_skew_report",
     "canary_scan",
     "vocab_oov_rate",
+    "custdist",
+    "top_customer_per_nation",
+    "latest_event_compaction",
+    "fk_integrity",
+    "pii_scrub",
+    "source_divergence",
+    "length_outliers",
+    "inverted_index",
 ]
 
 
@@ -695,6 +703,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "vocab_oov_rate": lambda sf: textstats.vocab_oov_rate(
             docs(sf, ["doc_id", "text", "source"])
+        ),
+        "custdist": lambda sf: relational.custdist(
+            _read(sf, "orders", ["o_custkey"]),
+            _parquet_count(sf, "customer"),
+        ),
+        "top_customer_per_nation": lambda sf: (
+            relational.top_customer_per_nation(
+                _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+            )
+        ),
+        "latest_event_compaction": lambda sf: (
+            relational.latest_event_compaction(
+                _read(
+                    sf,
+                    "events",
+                    ["event_id", "ts", "user_id", "event_type", "value"],
+                )
+            )
+        ),
+        "fk_integrity": lambda sf: relational.fk_integrity_report(
+            [
+                (
+                    "orders.o_custkey->customer.c_custkey",
+                    _read(sf, "orders", ["o_custkey"]),
+                    "o_custkey",
+                    _read(sf, "customer", ["c_custkey"]),
+                    "c_custkey",
+                ),
+                (
+                    "lineitem.l_orderkey->orders.o_orderkey",
+                    _read(sf, "lineitem", ["l_orderkey"]),
+                    "l_orderkey",
+                    _read(sf, "orders", ["o_orderkey"]),
+                    "o_orderkey",
+                ),
+            ]
+        ),
+        "pii_scrub": lambda sf: textstats.pii_scrub(
+            _read(sf, "events", ["event_id", "props"]),
+            id_col="event_id",
+            text_col="props",
+        ),
+        "source_divergence": lambda sf: textstats.source_divergence(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
+        "length_outliers": lambda sf: textstats.length_outliers_mad(
+            docs(sf, ["doc_id", "source", "n_chars"])
+        ),
+        "inverted_index": lambda sf: retrieval.inverted_index(
+            docs(sf, ["doc_id", "text"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -3667,5 +3725,169 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) // COUNT(*) AS BIGINT) AS oov_fp6
         FROM toks t LEFT JOIN vocab v USING (token)
         GROUP BY t.source
+    """
+    # TPC-H Q13-shaped customer distribution incl. the zero bucket.
+    d["custdist"] = """
+        WITH per AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per GROUP BY c_count
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer)
+                    - (SELECT COUNT(*) FROM per) AS BIGINT)
+        WHERE (SELECT COUNT(*) FROM customer) > (SELECT COUNT(*) FROM per)
+    """
+    # Group-wise argmax with integer-cent comparison and custkey ties.
+    d["top_customer_per_nation"] = """
+        SELECT c_nationkey, c_custkey, acctbal_cents FROM (
+          SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 CAST(c_custkey AS BIGINT) AS c_custkey,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY FLOOR(c_acctbal * 100 + 0.5) DESC, c_custkey
+                 ) AS rn
+          FROM customer
+        ) WHERE rn = 1
+    """
+    # Latest-wins CDC compaction per (user, event_type).
+    d["latest_event_compaction"] = """
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+          ) AS rn FROM events
+        ) WHERE rn = 1
+    """
+    # Referential-integrity audit: orphan FK counts per relationship.
+    d["fk_integrity"] = """
+        WITH a AS (
+          SELECT o_custkey AS k, c_custkey IS NULL AS orphan
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ),
+        b AS (
+          SELECT l_orderkey AS k, o_orderkey IS NULL AS orphan
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(DISTINCT CASE WHEN orphan THEN k END) AS BIGINT)
+                 AS n_orphan_keys,
+               CAST(COUNT(*) FILTER (WHERE orphan) AS BIGINT)
+                 AS n_orphan_rows
+        FROM a
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN orphan THEN k END) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE orphan) AS BIGINT)
+        FROM b
+    """
+    # PII scrub over events.props: counts on the original text per
+    # pattern, sequential email -> ip -> num redaction (RE2 both sides).
+    d["pii_scrub"] = r"""
+        SELECT event_id,
+          CAST(len(regexp_extract_all(props,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(props,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_num,
+          regexp_replace(regexp_replace(regexp_replace(props,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\d+', '<NUM>', 'g') AS clean
+        FROM events
+    """
+    # Per-source total-variation distance over the top-64 vocab —
+    # integer-exact (HUGEINT products); absent vocab tokens contribute
+    # (N - sum_present(c_t)) * n_s.
+    d["source_divergence"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM toks GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 64
+        ),
+        c AS (
+          SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+          FROM toks JOIN vocab USING (token) GROUP BY source, token
+        ),
+        ns AS (SELECT source, SUM(c) AS n_s FROM c GROUP BY source),
+        ct AS (SELECT token, SUM(c) AS c_t FROM c GROUP BY token),
+        tot AS (SELECT SUM(c) AS n FROM c)
+        SELECT s.source,
+               CAST(s.n_s AS BIGINT) AS n_tokens,
+               CAST(((SUM(abs(c.c * t.n - x.c_t * s.n_s))
+                      + (t.n - SUM(x.c_t)) * s.n_s) * 1000000)
+                    // (2 * s.n_s * t.n) AS BIGINT) AS tv_fp6
+        FROM c JOIN ns s USING (source) JOIN ct x USING (token)
+             CROSS JOIN tot t
+        GROUP BY s.source, s.n_s, t.n
+    """
+    # Robust per-source length outliers: lower-median + lower-MAD via
+    # ROW_NUMBER, |x - med| > 3 * MAD.
+    d["length_outliers"] = """
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM documents
+        ),
+        med AS (
+          SELECT source, n_chars AS med FROM ranked
+          WHERE rn = (cnt - 1) // 2 + 1
+        ),
+        dev_ranked AS (
+          SELECT d.source, abs(d.n_chars - m.med) AS dev,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.source ORDER BY abs(d.n_chars - m.med)
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY d.source) AS cnt
+          FROM documents d JOIN med m USING (source)
+        ),
+        mad AS (
+          SELECT source, dev AS mad FROM dev_ranked
+          WHERE rn = (cnt - 1) // 2 + 1
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(abs(d.n_chars - m.med) AS BIGINT) AS dev
+        FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+        WHERE abs(d.n_chars - m.med) > 3 * a.mad
+    """
+    # Posting lists for the top-32 vocab: exact df, ascending comma-
+    # joined doc_ids capped at 100000.
+    d["inverted_index"] = r"""
+        WITH occ AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM occ GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 32
+        ),
+        pairs AS (SELECT DISTINCT doc_id, token FROM occ),
+        p AS (
+          SELECT t.token, t.doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY t.token ORDER BY t.doc_id
+                 ) AS rn
+          FROM pairs t JOIN vocab USING (token)
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(
+                 CASE WHEN rn <= 100000 THEN CAST(doc_id AS VARCHAR) END,
+                 ',' ORDER BY doc_id) AS postings
+        FROM p GROUP BY token
     """
     return d

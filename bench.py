@@ -141,6 +141,14 @@ QUERY_SUITE = [
     "key_skew_report",
     "canary_scan",
     "vocab_oov_rate",
+    "custdist",
+    "top_customer_per_nation",
+    "latest_event_compaction",
+    "fk_integrity",
+    "pii_scrub",
+    "source_divergence",
+    "length_outliers",
+    "inverted_index",
 ]
 
 

@@ -1837,3 +1837,313 @@ def key_skew_report(
             }
         )
     )
+
+
+def custdist(orders: ray.data.Dataset, n_customers: int) -> ray.data.Dataset:
+    """(c_count, custdist) — TPC-H Q13-shaped customer distribution:
+    how many customers placed exactly N orders, INCLUDING the zero
+    bucket. The classic two-level aggregation that breaks naive engines:
+    the first groupby is sf-proportional (one row per customer), the
+    second is tiny (one row per distinct order count).
+
+    Shape: per-block Arrow partial counts by custkey -> ONE keyed sum
+    (payload-free (custkey, n) rows) -> per-block partial counts by n ->
+    a second, tiny keyed sum. The zero bucket is computed WITHOUT a join:
+    ``n_customers`` (a parquet-footer count — zero data bytes) minus the
+    first groupby's cardinality. No customer payload ever ships.
+
+    Oracle: GROUP BY custkey subquery + outer GROUP BY count, UNION ALL
+    zero-bucket row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": g["o_custkey"],
+                "n": g["o_custkey_count"].cast(pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.select_columns(["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+        .materialize()
+    )
+    n_with_orders = int(per_cust.count())
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_count"]).aggregate([("c_count", "count")])
+        return pa.Table.from_pydict(
+            {
+                "c_count": g["c_count"].cast(pa.int64()),
+                "custdist": g["c_count_count"].cast(pa.int64()),
+            }
+        )
+
+    dist = (
+        per_cust.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_count": batch["c_count"].cast(pa.int64()),
+                "custdist": batch["custdist"].cast(pa.int64()),
+            }
+        )
+
+    out = dist.map_batches(finish, batch_format="pyarrow")
+    n_zero = n_customers - n_with_orders
+    if n_zero > 0:
+        zero = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "c_count": pa.array([0], type=pa.int64()),
+                    "custdist": pa.array([n_zero], type=pa.int64()),
+                }
+            )
+        )
+        out = out.union(zero)
+    return out
+
+
+def top_customer_per_nation(customer: ray.data.Dataset) -> ray.data.Dataset:
+    """(c_nationkey, c_custkey, acctbal_cents) — group-wise argmax: the
+    highest-balance customer per nation, ties broken by the smaller
+    custkey. Balances compare as exact integer cents (floor(x*100+0.5))
+    so float ties cannot flip the winner.
+
+    Shape: each block pre-prunes to its own per-nation winner (<= 25
+    rows/block — the nation domain is fixed), then the driver merges
+    O(#blocks x 25) candidate rows; the customer table itself never
+    shuffles and never reaches the driver.
+
+    Oracle: ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents DESC,
+    custkey) = 1."""
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "c_nationkey": pa.array([], type=pa.int64()),
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "acctbal_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.asarray(_cents(batch["c_acctbal"]))
+        order = np.lexsort((ck, -cents, nk))
+        nk_s = nk[order]
+        first = np.ones(len(nk_s), dtype=bool)
+        first[1:] = nk_s[1:] != nk_s[:-1]
+        sel = order[first]
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": pa.array(nk[sel], type=pa.int64()),
+                "c_custkey": pa.array(ck[sel], type=pa.int64()),
+                "acctbal_cents": pa.array(cents[sel], type=pa.int64()),
+            }
+        )
+
+    cand = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(block_top, batch_format="pyarrow")
+    best: dict[int, tuple[int, int]] = {}
+    for r in cand.take_all():
+        key = (-r["acctbal_cents"], r["c_custkey"])
+        if r["c_nationkey"] not in best or key < best[r["c_nationkey"]][0]:
+            best[r["c_nationkey"]] = (key, r["c_custkey"])
+    rows = sorted(
+        (nk, ck, -negc) for nk, ((negc, _), ck) in best.items()
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "c_nationkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "c_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+                "acctbal_cents": pa.array(
+                    [r[2] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def latest_event_compaction(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, event_type, ts_us, event_id, value) — latest-wins upsert
+    compaction: the newest event per (user_id, event_type), ties on ts
+    broken by the larger event_id. This is the CDC/changelog compaction
+    every incremental pipeline runs before joining state.
+
+    Shape: each block first collapses to its own per-key latest row
+    (vectorized lexsort + run-boundary pick — at most one row per key per
+    block rides the shuffle), then ONE user_id-keyed groupby and a
+    vectorized per-user sweep picks the global winner per event_type.
+    The value payload ships once per surviving partial, never per event.
+
+    Oracle: ROW_NUMBER() OVER (PARTITION BY user, type ORDER BY ts DESC,
+    event_id DESC) = 1."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ts = (
+            batch["ts"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, codes, uid))
+        u_s, c_s = uid[order], codes[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        sel = order[last]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[sel], type=pa.int64()),
+                "event_type": pa.array(et[sel], type=pa.string()),
+                "ts_us": pa.array(ts[sel], type=pa.int64()),
+                "event_id": pa.array(eid[sel], type=pa.int64()),
+                "value": pa.array(val[sel], type=pa.float64()),
+            }
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, codes))
+        c_s = codes[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = c_s[1:] != c_s[:-1]
+        return group.take(order[last])
+
+    return (
+        events.select_columns(
+            ["user_id", "event_type", "ts", "event_id", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+def fk_integrity_report(
+    pairs: list[tuple[str, ray.data.Dataset, str, ray.data.Dataset, str]],
+) -> ray.data.Dataset:
+    """(relationship, n_child_rows, n_orphan_keys, n_orphan_rows) — the
+    referential-integrity audit run before any join-heavy pipeline: for
+    each (child.fk -> parent.pk) relationship, how many child rows point
+    at a parent key that does not exist. A healthy warehouse reports
+    zeros; the zeros are still hash-verified against the oracle.
+
+    Shape per pair: child blocks collapse to (key, cnt) partials, parent
+    blocks to (key, 0, flag=1) distinct markers; ONE payload-free keyed
+    groupby sums counts and ORs the parent flag; a final per-block fold
+    reduces to three scalars. The anti-join never ships payload and the
+    driver holds O(1) per relationship.
+
+    Oracle: LEFT JOIN ... IS NULL with FILTERed counts, UNION ALL per
+    relationship."""
+
+    out_rows: list[tuple[str, int, int, int]] = []
+    for name, child, ckey, parent, pkey in pairs:
+
+        def child_partial(batch: pa.Table, _k=ckey) -> pa.Table:
+            g = (
+                batch.select([_k])
+                .drop_null()
+                .group_by([_k])
+                .aggregate([(_k, "count")])
+            )
+            return pa.Table.from_pydict(
+                {
+                    "k": g[_k].cast(pa.int64()),
+                    "cnt": g[f"{_k}_count"].cast(pa.int64()),
+                    "is_parent": pa.array(
+                        np.zeros(len(g), dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        def parent_partial(batch: pa.Table, _k=pkey) -> pa.Table:
+            ks = pc.unique(batch[_k].drop_null()).cast(pa.int64())
+            n = len(ks)
+            return pa.Table.from_pydict(
+                {
+                    "k": ks,
+                    "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                    "is_parent": pa.array(np.ones(n, dtype=np.int64)),
+                }
+            )
+
+        merged = (
+            child.select_columns([ckey])
+            .map_batches(child_partial, batch_format="pyarrow")
+            .union(
+                parent.select_columns([pkey]).map_batches(
+                    parent_partial, batch_format="pyarrow"
+                )
+            )
+            .groupby("k")
+            .aggregate(
+                Sum("cnt", alias_name="cnt"),
+                Max("is_parent", alias_name="is_parent"),
+            )
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+            par = batch["is_parent"].to_numpy(zero_copy_only=False)
+            orphan = (par == 0) & (cnt > 0)
+            return pa.Table.from_pydict(
+                {
+                    "n_child_rows": pa.array(
+                        [int(cnt.sum())], type=pa.int64()
+                    ),
+                    "n_orphan_keys": pa.array(
+                        [int(orphan.sum())], type=pa.int64()
+                    ),
+                    "n_orphan_rows": pa.array(
+                        [int(cnt[orphan].sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        tot = merged.map_batches(fold, batch_format="pyarrow").aggregate(
+            Sum("n_child_rows"), Sum("n_orphan_keys"), Sum("n_orphan_rows")
+        )
+        out_rows.append(
+            (
+                name,
+                int(tot["sum(n_child_rows)"]),
+                int(tot["sum(n_orphan_keys)"]),
+                int(tot["sum(n_orphan_rows)"]),
+            )
+        )
+
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "relationship": pa.array(
+                    [r[0] for r in out_rows], type=pa.string()
+                ),
+                "n_child_rows": pa.array(
+                    [r[1] for r in out_rows], type=pa.int64()
+                ),
+                "n_orphan_keys": pa.array(
+                    [r[2] for r in out_rows], type=pa.int64()
+                ),
+                "n_orphan_rows": pa.array(
+                    [r[3] for r in out_rows], type=pa.int64()
+                ),
+            }
+        )
+    )

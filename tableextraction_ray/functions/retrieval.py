@@ -267,3 +267,63 @@ def hybrid_rrf(
         )
 
     return merged.groupby("query_id").map_groups(fuse, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds: ray.data.Dataset, k: int = 32, max_postings: int = 100_000
+) -> ray.data.Dataset:
+    """(token, df, postings) — materialized posting lists for the
+    corpus's top-``k`` vocabulary: df is the token's full document
+    frequency and postings the comma-joined ascending doc_ids capped at
+    ``max_postings`` (the shard guard: a stop-word's list at 100 TB is
+    unbounded; real indexes shard it — the cap keeps the per-token
+    output block bounded while df stays exact).
+
+    Shape: pass 1 is the bounded top-k vocab fold (broadcast by closure,
+    O(k)); pass 2 ships only DISTINCT (token, doc_id) int pairs for
+    vocab tokens — the text never shuffles — into a k-group keyed
+    groupby whose per-group sweep sorts ids and joins the capped head.
+
+    Oracle: vocab CTE + DISTINCT pairs + string_agg(... ORDER BY doc_id)
+    under a ROW_NUMBER cap."""
+    from tableextraction_ray.functions.textstats import (
+        ascii_tokens,
+        token_freq,
+    )
+
+    vocab = frozenset(r["token"] for r in token_freq(ds, k=k).take_all())
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w in set(ascii_tokens(t)) & vocab:
+                toks.append(w)
+                ids.append(did)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        head = ",".join(str(int(i)) for i in ids[:max_postings])
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array([group["token"][0].as_py()]),
+                "df": pa.array([len(ids)], type=pa.int64()),
+                "postings": pa.array([head], type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(sweep, batch_format="pyarrow")
+    )

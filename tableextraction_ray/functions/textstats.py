@@ -2415,3 +2415,209 @@ def vocab_oov_rate(ds: ray.data.Dataset, k: int = 64) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("num", r"\d+", "<NUM>"),
+)
+
+
+def pii_scrub(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = _PII_PATTERNS,
+) -> ray.data.Dataset:
+    """(id, n_<name> per pattern, clean) — the pre-release PII scrub:
+    count and redact emails / IPv4s / digit runs. Counts are measured on
+    the ORIGINAL text per pattern (so an IP's digits also count as
+    numbers — documented); redactions apply sequentially in pattern
+    order, so `<EMAIL>`/`<IP>` placeholders (no digits) never re-match.
+
+    Shape: pure per-block Arrow RE2 kernels (count_substring_regex /
+    replace_substring_regex) — zero shuffle, zero driver state, output
+    rides the same block layout as the input. RE2 on both sides: Arrow's
+    regex engine IS DuckDB's, so the oracle is the same automaton.
+
+    Oracle: len(regexp_extract_all) + nested regexp_replace(..., 'g')."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        out: dict[str, pa.Array | pa.ChunkedArray] = {id_col: batch[id_col]}
+        clean = text
+        for name, pat, rep in patterns:
+            out[f"n_{name}"] = pc.count_substring_regex(text, pat).cast(
+                pa.int64()
+            )
+            clean = pc.replace_substring_regex(clean, pat, rep)
+        out["clean"] = clean
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def source_divergence(ds: ray.data.Dataset, k: int = 64) -> ray.data.Dataset:
+    """(source, n_tokens, tv_fp6) — per-source total-variation distance
+    from the corpus unigram distribution, both restricted to the
+    corpus's top-``k`` vocabulary: the domain-shift probe ("which source
+    looks least like the mixture?") that complements [[dsir_weights]]'s
+    importance weights with a symmetric, integer-exact distance.
+
+    TV = 1/2 * sum_t |p_s(t) - p(t)| over vocab tokens, computed as pure
+    integer arithmetic: with c_st the per-source vocab-token counts,
+    n_s = sum_t c_st, N = sum_s n_s, c_t = sum_s c_st,
+
+        tv_fp6 = (sum_t |c_st*N - c_t*n_s|) * 1e6 // (2 * n_s * N)
+
+    where vocab tokens ABSENT from a source contribute c_t*n_s — folded
+    in as (N - sum_{present} c_t) * n_s without materializing the dense
+    source x vocab matrix. Python ints are arbitrary-precision; the
+    oracle widens via HUGEINT.
+
+    Shape: pass 1 is token_freq's bounded top-k; pass 2 ships only
+    (source, token, count) partials into ONE keyed sum bounded by
+    #sources x k rows, which the driver folds exactly.
+
+    Oracle: vocab CTE JOIN + per-source/per-token count CTEs + the same
+    integer formula."""
+    from ray.data.aggregate import Sum
+
+    vocab = frozenset(r["token"] for r in token_freq(ds, k=k).take_all())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w in ascii_tokens(t):
+                if w in vocab:
+                    c[(src, w)] += 1
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [s for s, _ in c.keys()], type=pa.string()
+                ),
+                "token": pa.array([w for _, w in c.keys()], type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # bounded: #sources x k rows
+    n_s: dict[str, int] = {}
+    c_t: dict[str, int] = {}
+    for r in counts:
+        n_s[r["source"]] = n_s.get(r["source"], 0) + r["c"]
+        c_t[r["token"]] = c_t.get(r["token"], 0) + r["c"]
+    big_n = sum(n_s.values())
+    present_abs: dict[str, int] = {s: 0 for s in n_s}
+    present_ct: dict[str, int] = {s: 0 for s in n_s}
+    for r in counts:
+        s = r["source"]
+        present_abs[s] += abs(r["c"] * big_n - c_t[r["token"]] * n_s[s])
+        present_ct[s] += c_t[r["token"]]
+    rows = sorted(n_s)
+    tv = [
+        (present_abs[s] + (big_n - present_ct[s]) * n_s[s])
+        * 1_000_000
+        // (2 * n_s[s] * big_n)
+        for s in rows
+    ]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(rows, type=pa.string()),
+                "n_tokens": pa.array([n_s[s] for s in rows], type=pa.int64()),
+                "tv_fp6": pa.array(tv, type=pa.int64()),
+            }
+        )
+    )
+
+
+def _lower_median_from_hist(vals: "np.ndarray", cnts: "np.ndarray") -> int:
+    """Lower median (element at 0-based index (n-1)//2 of the expanded
+    sorted multiset) from a sorted value histogram."""
+    n = int(cnts.sum())
+    idx = (n - 1) // 2
+    cum = np.cumsum(cnts)
+    return int(vals[np.searchsorted(cum, idx, side="right")])
+
+
+def length_outliers_mad(
+    ds: ray.data.Dataset, k: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, source, n_chars, dev) — robust per-source length
+    outliers: docs whose |n_chars - median_s| exceeds k x MAD_s, where
+    median is the LOWER median (index (n-1)//2) and MAD the lower median
+    of absolute deviations — both exact integers, so a fat tail can't
+    drag the threshold the way mean/sigma outliers do. MAD_s = 0 flags
+    every off-median doc in that source (documented edge).
+
+    Shape: pass 1 builds a per-(source, n_chars) value histogram — one
+    keyed sum of payload-free partials, bounded by #sources x distinct
+    lengths (the length DOMAIN, not the row count); the driver folds
+    medians from the histogram and broadcasts O(#sources) thresholds by
+    closure into a pass-2 stateless filter. No sort, no full-table
+    driver state.
+
+    Oracle: two ROW_NUMBER lower-median CTEs + the same inequality."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "n_chars"])
+            .group_by(["source", "n_chars"])
+            .aggregate([("n_chars", "count")])
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": g["source"],
+                "n_chars": g["n_chars"].cast(pa.int64()),
+                "cnt": g["n_chars_count"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["cnt"]))
+    thresh: dict[str, tuple[int, int]] = {}
+    for s, pairs in by_src.items():
+        pairs.sort()
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cnts = np.array([p[1] for p in pairs], dtype=np.int64)
+        med = _lower_median_from_hist(vals, cnts)
+        devs = np.abs(vals - med)
+        order = np.argsort(devs, kind="stable")
+        mad = _lower_median_from_hist(devs[order], cnts[order])
+        thresh[s] = (med, mad)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        med = np.array([thresh[s][0] for s in src], dtype=np.int64)
+        mad = np.array([thresh[s][1] for s in src], dtype=np.int64)
+        dev = np.abs(nc - med)
+        keep = dev > k * mad
+        t = batch.select(["doc_id", "source", "n_chars"]).filter(
+            pa.array(keep)
+        )
+        return t.append_column("dev", pa.array(dev[keep], type=pa.int64()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -159,3 +159,169 @@ class TestCanaryScan:
         assert set(rows) == {"needle"}
         assert rows["needle"]["n_docs"] == 2
         assert rows["needle"]["first_doc_id"] == 10
+
+
+class TestCustdist:
+    def test_distribution_with_zero_bucket(self, ray_session):
+        orders = ray.data.from_arrow(
+            pa.table({"o_custkey": [1, 1, 1, 2, 2, 5]})
+        )
+        from tableextraction_ray.functions.relational import custdist
+
+        rows = {
+            r["c_count"]: r["custdist"]
+            for r in custdist(orders, n_customers=4).take_all()
+        }
+        assert rows == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+class TestTopCustomerPerNation:
+    def test_argmax_with_cent_tie_broken_by_custkey(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            top_customer_per_nation,
+        )
+
+        cust = ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": [3, 1, 8],
+                    "c_nationkey": [1, 1, 2],
+                    "c_acctbal": [10.00, 10.00, -5.25],
+                }
+            )
+        )
+        rows = {
+            r["c_nationkey"]: (r["c_custkey"], r["acctbal_cents"])
+            for r in top_customer_per_nation(cust).take_all()
+        }
+        assert rows == {1: (1, 1000), 2: (8, -525)}
+
+
+class TestLatestEventCompaction:
+    def test_latest_wins_with_event_id_tie(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            latest_event_compaction,
+        )
+
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": [1, 2, 5, 7, 9],
+                    "user_id": [1, 1, 1, 1, 2],
+                    "event_type": ["a", "a", "b", "b", "a"],
+                    "ts": pa.array(
+                        [10, 20, 20, 20, 30], type=pa.timestamp("us")
+                    ),
+                    "value": [0.5, 1.5, 2.5, 3.5, 4.5],
+                }
+            )
+        )
+        rows = {
+            (r["user_id"], r["event_type"]): (r["event_id"], r["ts_us"])
+            for r in latest_event_compaction(events).take_all()
+        }
+        # (1,'a'): later ts wins; (1,'b'): ts tie -> larger event_id
+        assert rows == {(1, "a"): (2, 20), (1, "b"): (7, 20), (2, "a"): (9, 30)}
+
+
+class TestFkIntegrity:
+    def test_orphan_counts(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            fk_integrity_report,
+        )
+
+        child = ray.data.from_arrow(pa.table({"fk": [1, 2, 2, 9]}))
+        parent = ray.data.from_arrow(pa.table({"pk": [1, 2, 3]}))
+        rows = fk_integrity_report(
+            [("c->p", child, "fk", parent, "pk")]
+        ).take_all()
+        assert rows == [
+            {
+                "relationship": "c->p",
+                "n_child_rows": 4,
+                "n_orphan_keys": 1,
+                "n_orphan_rows": 1,
+            }
+        ]
+
+
+class TestPiiScrub:
+    def test_counts_on_original_and_sequential_redaction(self, ray_session):
+        from tableextraction_ray.functions.textstats import pii_scrub
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1],
+                    "text": ["mail a@b.co ip 1.2.3.4 n 42"],
+                }
+            )
+        )
+        (r,) = pii_scrub(ds).take_all()
+        assert r["n_email"] == 1 and r["n_ip"] == 1
+        # num counted on the ORIGINAL text: the IP's four octets + 42
+        assert r["n_num"] == 5
+        assert r["clean"] == "mail <EMAIL> ip <IP> n <NUM>"
+
+
+class TestSourceDivergence:
+    def test_hand_computed_tv(self, ray_session):
+        from tableextraction_ray.functions.textstats import source_divergence
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "source": ["s1", "s2"],
+                    "text": ["a a b", "a b b b"],
+                }
+            )
+        )
+        rows = {
+            r["source"]: r for r in source_divergence(ds, k=8).take_all()
+        }
+        # n_s1=3, n_s2=4, N=7, c_a=3, c_b=4
+        # s1: |2*7-3*3| + |1*7-4*3| = 10 -> 10e6 // 42 = 238095
+        assert rows["s1"]["n_tokens"] == 3
+        assert rows["s1"]["tv_fp6"] == 238_095
+        # s2: 10 -> 10e6 // 56 = 178571
+        assert rows["s2"]["n_tokens"] == 4
+        assert rows["s2"]["tv_fp6"] == 178_571
+
+
+class TestLengthOutliersMad:
+    def test_mad_zero_flags_any_off_median(self, ray_session):
+        from tableextraction_ray.functions.textstats import (
+            length_outliers_mad,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3, 4, 5],
+                    "source": ["s"] * 5,
+                    "n_chars": [10, 10, 10, 10, 100],
+                }
+            )
+        )
+        rows = length_outliers_mad(ds).take_all()
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == 5 and rows[0]["dev"] == 90
+
+
+class TestInvertedIndex:
+    def test_topk_postings_sorted(self, ray_session):
+        from tableextraction_ray.functions.retrieval import inverted_index
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [3, 1, 2],
+                    "text": ["a", "a b", "b c b"],
+                }
+            )
+        )
+        rows = {r["token"]: r for r in inverted_index(ds, k=2).take_all()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"]["df"] == 2 and rows["a"]["postings"] == "1,3"
+        assert rows["b"]["df"] == 2 and rows["b"]["postings"] == "1,2"
