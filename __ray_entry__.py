@@ -121,6 +121,9 @@ _R4_QUERIES: list[str] = [
     "source_divergence",
     "length_outliers",
     "inverted_index",
+    "pagerank",
+    "basket_pairs",
+    "hourly_anomalies",
 ]
 
 
@@ -753,6 +756,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "inverted_index": lambda sf: retrieval.inverted_index(
             docs(sf, ["doc_id", "text"])
+        ),
+        "pagerank": lambda sf: relational.pagerank_bipartite(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey"])
+        ),
+        "basket_pairs": lambda sf: relational.basket_pairs(
+            _read(sf, "lineitem", ["l_orderkey", "l_partkey"])
+        ),
+        # z=1 keeps the hash-checked result non-degenerate at sf0.001
+        # (z=2+ flags nothing there; to_pandas drops columns on 0 rows)
+        "hourly_anomalies": lambda sf: relational.hourly_anomalies(
+            _read(sf, "events", ["event_type", "ts"]), z=1
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -3889,5 +3903,90 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN rn <= 100000 THEN CAST(doc_id AS VARCHAR) END,
                  ',' ORDER BY doc_id) AS postings
         FROM p GROUP BY token
+    """
+    # 3-iteration integer PageRank over the part<->supplier bipartite
+    # graph — chained CTEs replay the identical floor arithmetic
+    # (scale=1e12, damping 85/100, r0 = scale // |V|).
+    d["pagerank"] = """
+        WITH e0 AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+          SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+          UNION ALL
+          SELECT s * 2 + 1, p * 2 FROM e0
+        ),
+        deg AS (
+          SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS deg
+          FROM edges GROUP BY src
+        ),
+        nv AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nv FROM deg),
+        r0 AS (
+          SELECT node, deg, CAST(1000000000000 AS HUGEINT) // nv.nv AS r
+          FROM deg, nv
+        ),
+        m1 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r1 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m1 m USING (node), nv
+        ),
+        m2 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m2 m USING (node), nv
+        ),
+        m3 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m3 m USING (node), nv
+        )
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+                 AS node_type,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(r AS BIGINT) AS rank_fp
+        FROM r3
+    """
+    # Market-basket top-k co-occurring part pairs.
+    d["basket_pairs"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_orders
+        FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """
+    # Poisson hourly anomalies: (H*n - T)^2 > z^2 * H * T, z = 1.
+    d["hourly_anomalies"] = """
+        WITH c AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+                 CAST(COUNT(*) AS HUGEINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT event_type, SUM(n) AS t, CAST(COUNT(*) AS HUGEINT) AS h
+          FROM c GROUP BY 1
+        )
+        SELECT c.event_type, c.hour, CAST(c.n AS BIGINT) AS n
+        FROM c JOIN g USING (event_type)
+        WHERE (g.h * c.n - g.t) * (g.h * c.n - g.t) > 1 * g.h * g.t
     """
     return d

@@ -149,6 +149,9 @@ QUERY_SUITE = [
     "source_divergence",
     "length_outliers",
     "inverted_index",
+    "pagerank",
+    "basket_pairs",
+    "hourly_anomalies",
 ]
 
 

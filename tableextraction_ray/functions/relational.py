@@ -2147,3 +2147,354 @@ def fk_integrity_report(
             }
         )
     )
+
+
+def pagerank_bipartite(
+    lineitem: ray.data.Dataset,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping: int = 85,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(node_type, key, rank_fp) — PageRank over the bipartite
+    part <-> supplier co-occurrence graph (an undirected edge wherever a
+    supplier ships a part), ``iters`` synchronous power iterations with
+    damping d = damping/100 — the canonical iterative graph algorithm
+    (entity importance / spam scoring over a link graph) expressed with
+    Ray Data's native hash-shuffle ``Dataset.join``.
+
+    Integer-exact contract (replayable in SQL): node ids encode as
+    2*partkey / 2*suppkey+1; r0 = scale // |V| uniform;
+
+        contrib(u) = r(u) // deg(u)
+        r'(v) = (100-damping)*scale // (100*|V|)
+                + damping * sum_{u~v} contrib(u) // 100
+
+    with floor at exactly those points (sum of ranks <= scale, so
+    damping * sum fits int64 at any graph size; the oracle widens via
+    HUGEINT).
+
+    Shape: edges dedup once (ONE keyed groupby) and MATERIALIZE — the
+    per-iteration cost is one rank->edges native hash join keyed by src
+    (the 1:many propagation), one dst-keyed sum, and a TAGGED-UNION
+    groupby overlay to re-attach deg (1:1 — the Max-fold pattern, which
+    sidesteps Ray's empty-hash-partition join crash on tiny graphs);
+    only payload-free (node, int) rows ever shuffle, and the rank
+    vector is never driver-resident. The join's partition count is
+    auto-capped at >= 64 expected keys per partition, so an empty
+    partition (which Ray's join finalize cannot handle as of 2.49)
+    cannot practically occur. At 100 TB the edge re-shuffle per
+    iteration is the known cost of a shuffle join without persistent
+    partitioning (Ray Data has no co-partitioned cache yet); iters is
+    small and fixed.
+
+    Oracle: chained CTEs replaying the identical floor arithmetic."""
+    from ray.data.aggregate import Count
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique((pk << 32) | sk)
+        p, s = (u >> 32) * 2, (u & 0xFFFFFFFF) * 2 + 1
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(np.concatenate([p, s]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([s, p]), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        lineitem.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "node": b["src"].cast(pa.int64()),
+                    "deg": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    nv = int(deg.count())
+    base = ((100 - damping) * scale) // (100 * nv)
+    r_init = scale // nv
+    num_partitions = max(1, min(num_partitions, nv // 64))
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "r", pa.array(np.full(len(batch), r_init), type=pa.int64())
+        )
+
+    ranks = deg.map_batches(seed, batch_format="pyarrow")
+    for _ in range(iters):
+
+        def contrib_fn(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "src": batch["node"],
+                    "c": pa.array(r // d, type=pa.int64()),
+                }
+            )
+
+        contrib = ranks.map_batches(contrib_fn, batch_format="pyarrow")
+        sums = (
+            edges.join(contrib, "inner", num_partitions, on=("src",))
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {
+                        "node": b["dst"].cast(pa.int64()),
+                        "deg": pa.array(
+                            np.full(len(b), -1), type=pa.int64()
+                        ),
+                        "s": b["s"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # 1:1 deg re-attach via tagged-union Max overlay (deg rows carry
+        # s = -1 and vice versa; every node has both a degree and — in a
+        # bidirectional graph — an inbound sum, so Max recovers each)
+        tagged_deg = deg.map_batches(
+            lambda b: b.append_column(
+                "s", pa.array(np.full(len(b), -1), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "node": batch["node"],
+                    "deg": batch["deg"].cast(pa.int64()),
+                    "r": pa.array(
+                        base + (damping * s) // 100, type=pa.int64()
+                    ),
+                }
+            )
+
+        ranks = (
+            tagged_deg.union(sums)
+            .groupby("node")
+            .aggregate(
+                Max("deg", alias_name="deg"), Max("s", alias_name="s")
+            )
+            .map_batches(update, batch_format="pyarrow")
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "node_type": pa.array(
+                    np.where(node % 2 == 0, "part", "supplier"),
+                    type=pa.string(),
+                ),
+                "key": pa.array(node // 2, type=pa.int64()),
+                "rank_fp": batch["r"].cast(pa.int64()),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def basket_pairs(
+    lineitem: ray.data.Dataset, k: int = 20
+) -> ray.data.Dataset:
+    """(part_a, part_b, n_orders) — market-basket co-occurrence: the
+    top-``k`` part pairs most often appearing together in one order
+    (part_a < part_b), total order (n desc, part_a, part_b) so the
+    k-boundary is deterministic under ties.
+
+    Shape: the pair explosion happens AFTER an orderkey-keyed groupby
+    co-locates each basket, and is bounded by the basket size squared
+    (TPC-H baskets are <= 7 lines — never the row count); pair COUNTS
+    then pre-combine per block before the second keyed sum, and a
+    per-block top-k pre-prune caps what the driver merges at
+    O(k x #blocks). Neither the lineitem payload nor the full pair
+    count table ever reaches the driver.
+
+    Oracle: DISTINCT (order, part) self-join a.part < b.part, GROUP BY,
+    ORDER BY n DESC LIMIT k."""
+    from ray.data.aggregate import Sum
+
+    PAIR_SCHEMA = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64())]
+    )
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok_s, pk_s = ok[order], pk[order]
+        first = np.ones(len(ok_s), dtype=bool)
+        first[1:] = (ok_s[1:] != ok_s[:-1]) | (pk_s[1:] != pk_s[:-1])
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(ok_s[first], type=pa.int64()),
+                "l_partkey": pa.array(pk_s[first], type=pa.int64()),
+            }
+        )
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        parts = np.unique(
+            group["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        n = len(parts)
+        if n < 2:
+            return pa.Table.from_pydict(
+                {"part_a": pa.array([], type=pa.int64()),
+                 "part_b": pa.array([], type=pa.int64())},
+                schema=PAIR_SCHEMA,
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.Table.from_pydict(
+            {
+                "part_a": pa.array(parts[ia], type=pa.int64()),
+                "part_b": pa.array(parts[ib], type=pa.int64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["part_a", "part_b"]).aggregate(
+            [("part_a", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "part_a": g["part_a"],
+                "part_b": g["part_b"],
+                "n_orders": g["part_a_count"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        lineitem.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(pairgen, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        a = batch["part_a"].to_numpy(zero_copy_only=False)
+        b = batch["part_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -n))[:k]
+        return batch.take(order)
+
+    head = sorted(
+        counts.map_batches(
+            block_top, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: (-r["n_orders"], r["part_a"], r["part_b"]),
+    )[:k]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "part_a": pa.array([r["part_a"] for r in head], type=pa.int64()),
+                "part_b": pa.array([r["part_b"] for r in head], type=pa.int64()),
+                "n_orders": pa.array(
+                    [r["n_orders"] for r in head], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def hourly_anomalies(
+    events: ray.data.Dataset, z: int = 2
+) -> ray.data.Dataset:
+    """(event_type, hour, n) — hours whose event count is a > z-sigma
+    Poisson anomaly for their event_type: with T the type's total count
+    over its H observed hours (rate lambda = T/H, variance = lambda),
+    flag hours where
+
+        (H*n - T)^2  >  z^2 * H * T
+
+    — the exact integer form of |n - T/H| > z*sqrt(T/H). Pure counts,
+    no floats, so it hashes green; Python ints are arbitrary precision
+    (at petabyte T the square exceeds int64 — the oracle widens via
+    HUGEINT identically).
+
+    Shape: per-block Arrow partial counts -> ONE (type, hour) keyed sum
+    -> a per-type vectorized map_groups sweep over the tiny (#hours)
+    count vector. Only (type, hour, n) rows ever shuffle.
+
+    Oracle: two GROUP BY CTEs + the same integer inequality."""
+    from ray.data.aggregate import Sum
+
+    zz = z * z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour"),
+            format="%Y-%m-%d %H:00:00",
+        )
+        t = pa.Table.from_pydict(
+            {"event_type": batch["event_type"], "hour": hours}
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": g["hour_count"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        events.select_columns(["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ns = [int(x) for x in group["n"].to_pylist()]
+        t, h = sum(ns), len(ns)
+        keep = [
+            (h * n - t) * (h * n - t) > zz * h * t for n in ns
+        ]
+        return group.filter(pa.array(keep))
+
+    out = counts.groupby("event_type").map_groups(
+        sweep, batch_format="pyarrow"
+    )
+    # union an explicit empty typed block so a zero-anomaly corpus still
+    # reports the contract schema (Ray drops all-empty block schemas)
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "hour": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    return out.union(empty)

@@ -325,3 +325,102 @@ class TestInvertedIndex:
         assert set(rows) == {"a", "b"}
         assert rows["a"]["df"] == 2 and rows["a"]["postings"] == "1,3"
         assert rows["b"]["df"] == 2 and rows["b"]["postings"] == "1,2"
+
+
+class TestPagerankBipartite:
+    @staticmethod
+    def _reference(edges, iters=3, scale=10**12, damping=85):
+        # plain-Python replay of the documented floor arithmetic
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for p, s in edges:
+            adj[2 * p].add(2 * s + 1)
+            adj[2 * s + 1].add(2 * p)
+        nodes = sorted(adj)
+        nv = len(nodes)
+        base = ((100 - damping) * scale) // (100 * nv)
+        r = {v: scale // nv for v in nodes}
+        for _ in range(iters):
+            s = defaultdict(int)
+            for u in nodes:
+                c = r[u] // len(adj[u])
+                for v in adj[u]:
+                    s[v] += c
+            r = {v: base + (damping * s[v]) // 100 for v in nodes}
+        return {
+            ("part" if v % 2 == 0 else "supplier", v // 2): r[v]
+            for v in nodes
+        }
+
+    def test_matches_reference_replay(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            pagerank_bipartite,
+        )
+
+        edges = [(1, 1), (2, 1), (2, 2), (3, 2)]
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": [e[0] for e in edges] * 2,  # dup rows
+                    "l_suppkey": [e[1] for e in edges] * 2,
+                }
+            )
+        )
+        got = {
+            (r["node_type"], r["key"]): r["rank_fp"]
+            for r in pagerank_bipartite(li, num_partitions=2).take_all()
+        }
+        assert got == self._reference(edges)
+
+    def test_single_edge_is_stationary(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            pagerank_bipartite,
+        )
+
+        li = ray.data.from_arrow(
+            pa.table({"l_partkey": [4], "l_suppkey": [9]})
+        )
+        out = pagerank_bipartite(li, num_partitions=2).take_all()
+        assert sorted(r["rank_fp"] for r in out) == [
+            500_000_000_000,
+            500_000_000_000,
+        ]
+
+
+class TestBasketPairs:
+    def test_pair_counts_dedup_within_order(self, ray_session):
+        from tableextraction_ray.functions.relational import basket_pairs
+
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": [1, 1, 1, 2, 2, 3],
+                    "l_partkey": [5, 3, 5, 3, 5, 9],
+                }
+            )
+        )
+        rows = basket_pairs(li).take_all()
+        assert rows == [{"part_a": 3, "part_b": 5, "n_orders": 2}]
+
+
+class TestHourlyAnomalies:
+    def test_poisson_integer_inequality(self, ray_session):
+        from tableextraction_ray.functions.relational import hourly_anomalies
+
+        hour_us = 3_600_000_000
+        ts = (
+            [0] * 1 + [hour_us] * 1 + [2 * hour_us] * 10
+        )
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": ["a"] * 12,
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                }
+            )
+        )
+        rows = hourly_anomalies(events, z=2).take_all()
+        # T=12, H=3: hour with n=10 -> (30-12)^2=324 > 4*36=144; n=1 -> 81 < 144
+        assert len(rows) == 1
+        assert rows[0]["n"] == 10 and rows[0]["hour"].endswith("02:00:00")
