@@ -124,6 +124,9 @@ _R4_QUERIES: list[str] = [
     "pagerank",
     "basket_pairs",
     "hourly_anomalies",
+    "rolling_active_users",
+    "late_shipment_orders",
+    "event_transitions",
 ]
 
 
@@ -767,6 +770,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (z=2+ flags nothing there; to_pandas drops columns on 0 rows)
         "hourly_anomalies": lambda sf: relational.hourly_anomalies(
             _read(sf, "events", ["event_type", "ts"]), z=1
+        ),
+        "rolling_active_users": lambda sf: relational.rolling_active_users(
+            _read(sf, "events", ["user_id", "ts"])
+        ),
+        "late_shipment_orders": lambda sf: relational.late_shipment_orders(
+            _read(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+        ),
+        "event_transitions": lambda sf: relational.event_transitions(
+            _read(sf, "events", ["user_id", "event_type", "ts", "event_id"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -3988,5 +4001,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.event_type, c.hour, CAST(c.n AS BIGINT) AS n
         FROM c JOIN g USING (event_type)
         WHERE (g.h * c.n - g.t) * (g.h * c.n - g.t) > 1 * g.h * g.t
+    """
+    # Trailing 7-day distinct active users per observed epoch-day.
+    d["rolling_active_users"] = """
+        WITH du AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+          FROM events
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM du),
+        w AS (
+          SELECT DISTINCT du.user_id, du.day + i.i AS day
+          FROM du, (SELECT unnest(range(7)) AS i) i, bounds b
+          WHERE du.day + i.i BETWEEN b.lo AND b.hi
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM w GROUP BY day
+    """
+    # Q4-shaped EXISTS semi-join: orders with a lineitem shipped > 60
+    # days after the order date, per priority (integer-us compare).
+    d["late_shipment_orders"] = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate)
+                > epoch_us(o.o_orderdate) + 5184000000000
+        )
+        GROUP BY o_orderpriority
+    """
+    # First-order Markov transition counts per user stream.
+    d["event_transitions"] = """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        )
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
     """
     return d

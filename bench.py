@@ -152,6 +152,9 @@ QUERY_SUITE = [
     "pagerank",
     "basket_pairs",
     "hourly_anomalies",
+    "rolling_active_users",
+    "late_shipment_orders",
+    "event_transitions",
 ]
 
 

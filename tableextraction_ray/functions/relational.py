@@ -2498,3 +2498,257 @@ def hourly_anomalies(
         )
     )
     return out.union(empty)
+
+
+def rolling_active_users(
+    events: ray.data.Dataset, window_days: int = 7
+) -> ray.data.Dataset:
+    """(day, n_users) — trailing ``window_days``-day active users for
+    every observed epoch-day: day d counts DISTINCT users with any event
+    in [d-window+1, d] (UTC epoch-days as BIGINT; leading windows are
+    partial by construction — documented). The classic sliding-window
+    distinct that a naive engine answers with window_days full scans.
+
+    Shape: pass 1 is a tiny Min/Max day aggregate (one scan, two
+    scalars); pass 2 collapses each block to DISTINCT (user, day), then
+    REPLICATES each pair to the <= window_days window-ends it covers
+    (clipped to the observed day range), and ONE (day, user) keyed
+    groupby + a per-block count partial fold produce the counts. The
+    replication factor is the window width — bounded and explicit — and
+    only (int, int) rows ever shuffle; exact sliding distinct cannot
+    avoid co-locating its (window, user) pairs once.
+
+    Oracle: DISTINCT pairs x unnest(range(window)) join + GROUP BY."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    import pandas as pd
+
+    b = events.select_columns(["ts"]).aggregate(Min("ts"), Max("ts"))
+    # exact epoch-us via the ns integer value (float .timestamp() loses
+    # precision past 2^53 us)
+    lo = int(pd.Timestamp(b["min(ts)"]).value) // 1000 // DAY_US
+    hi = int(pd.Timestamp(b["max(ts)"]).value) // 1000 // DAY_US
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        order = np.lexsort((day, uid))
+        u_s, d_s = uid[order], day[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[first], d_s[first]
+        offs = np.arange(window_days, dtype=np.int64)
+        w = (d_s[:, None] + offs[None, :]).ravel()
+        u = np.repeat(u_s, window_days)
+        keep = (w >= lo) & (w <= hi)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(w[keep], type=pa.int64()),
+                "user_id": pa.array(u[keep], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count())
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day"]).group_by(["day"]).aggregate(
+            [("day", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "day": g["day"].cast(pa.int64()),
+                "n_users": g["day_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "day": t["day"].cast(pa.int64()),
+                    "n_users": t["n_users"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def late_shipment_orders(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    late_days: int = 60,
+) -> ray.data.Dataset:
+    """(o_orderpriority, n_late) — TPC-H Q4-shaped EXISTS semi-join:
+    orders with at least one lineitem shipped more than ``late_days``
+    after the order date, counted per priority. Timestamps compare as
+    integer epoch-micros on both sides (no date-library divergence).
+
+    Shape: lineitem collapses per block to (orderkey, max_ship_us)
+    partials — the EXISTS only needs the max — then ONE orderkey-keyed
+    tagged-union groupby overlays the order row (date, priority) onto
+    the lineitem max (Max folds; each side contributes nulls for the
+    other's columns), a stateless filter applies the inequality, and a
+    tiny priority-keyed count finishes. The orders payload rides the
+    shuffle once; lineitem text never does.
+
+    Oracle: EXISTS subquery with the same integer-us inequality."""
+    from ray.data.aggregate import Max, Sum
+
+    LATE_US = late_days * 86_400_000_000
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ship, ok))
+        ok_s, sh_s = ok[order], ship[order]
+        last = np.ones(len(ok_s), dtype=bool)
+        last[:-1] = ok_s[1:] != ok_s[:-1]
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array(ok_s[last], type=pa.int64()),
+                "ship_us": pa.array(sh_s[last], type=pa.int64()),
+                "order_us": pa.array(
+                    np.full(int(last.sum()), -1), type=pa.int64()
+                ),
+                "prio": pa.array([None] * int(last.sum()), type=pa.string()),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "k": batch["o_orderkey"].cast(pa.int64()),
+                "ship_us": pa.array(np.full(n, -1), type=pa.int64()),
+                "order_us": batch["o_orderdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "prio": batch["o_orderpriority"],
+            }
+        )
+
+    merged = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).map_batches(o_partial, batch_format="pyarrow")
+        )
+        .groupby("k")
+        .aggregate(
+            Max("ship_us", alias_name="ship_us"),
+            Max("order_us", alias_name="order_us"),
+            Max("prio", alias_name="prio"),
+        )
+    )
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["ship_us"].to_numpy(zero_copy_only=False)
+        od = batch["order_us"].to_numpy(zero_copy_only=False)
+        late = (od >= 0) & (ship > od + LATE_US)
+        t = batch.filter(pa.array(late))
+        g = t.select(["prio"]).group_by(["prio"]).aggregate(
+            [("prio", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": g["prio"],
+                "n_late": g["prio_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n_late": t["n_late"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(prev_type, next_type, n) — the first-order Markov transition
+    counts of each user's event stream ordered by (ts, event_id): the
+    behavioral-model input ("what follows a click?"). Global counts over
+    all users.
+
+    Shape: ONE user-keyed groupby; the per-user sweep is a vectorized
+    lexsort + shift that collapses the group straight to (prev, next)
+    pair COUNTS (never materializing per-event pairs outside the
+    group), then per-block partials and a tiny keyed sum finish. Only
+    (user, type, ts, id) rows shuffle once.
+
+    Oracle: LAG() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def sweep(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_pylist()
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        c: Counter = Counter()
+        prev = None
+        for i in order:
+            cur = et[i]
+            if prev is not None:
+                c[(prev, cur)] += 1
+            prev = cur
+        return pa.Table.from_pydict(
+            {
+                "prev_type": pa.array(
+                    [k[0] for k in c.keys()], type=pa.string()
+                ),
+                "next_type": pa.array(
+                    [k[1] for k in c.keys()], type=pa.string()
+                ),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "prev_type": t["prev_type"],
+                    "next_type": t["next_type"],
+                    "n": t["n"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

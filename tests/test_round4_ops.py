@@ -424,3 +424,82 @@ class TestHourlyAnomalies:
         # T=12, H=3: hour with n=10 -> (30-12)^2=324 > 4*36=144; n=1 -> 81 < 144
         assert len(rows) == 1
         assert rows[0]["n"] == 10 and rows[0]["hour"].endswith("02:00:00")
+
+
+class TestRollingActiveUsers:
+    def test_window_clip_and_gap_days(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            rolling_active_users,
+        )
+
+        day = 86_400_000_000
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": [1, 2],
+                    "ts": pa.array([0, 8 * day], type=pa.timestamp("us")),
+                }
+            )
+        )
+        rows = {
+            r["day"]: r["n_users"]
+            for r in rolling_active_users(events).take_all()
+        }
+        # u1@day0 covers window-ends 0..6; u2@day8 covers 8 (clipped at hi)
+        assert rows == {**{d: 1 for d in range(7)}, 8: 1}
+        assert 7 not in rows  # empty window is not emitted
+
+
+class TestLateShipmentOrders:
+    def test_exists_semantics_per_priority(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            late_shipment_orders,
+        )
+
+        day = 86_400_000_000
+        orders = ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": [1, 2],
+                    "o_orderdate": pa.array([0, 0], type=pa.timestamp("us")),
+                    "o_orderpriority": ["P1", "P1"],
+                }
+            )
+        )
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": [1, 1, 2],
+                    "l_shipdate": pa.array(
+                        [10 * day, 61 * day, 59 * day],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        rows = late_shipment_orders(orders, li).take_all()
+        assert rows == [{"o_orderpriority": "P1", "n_late": 1}]
+
+
+class TestEventTransitions:
+    def test_per_user_order_with_id_tiebreak(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            event_transitions,
+        )
+
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": [1, 1, 1, 2],
+                    "event_type": ["a", "b", "a", "b"],
+                    # two ts ties resolved by event_id: (1,'a')->(2,'b')
+                    "ts": pa.array([5, 5, 9, 3], type=pa.timestamp("us")),
+                    "event_id": [1, 2, 3, 4],
+                }
+            )
+        )
+        rows = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in event_transitions(events).take_all()
+        }
+        assert rows == {("a", "b"): 1, ("b", "a"): 1}
