@@ -127,6 +127,8 @@ _R4_QUERIES: list[str] = [
     "rolling_active_users",
     "late_shipment_orders",
     "event_transitions",
+    "knn_label_purity",
+    "events_user_overlap",
 ]
 
 
@@ -780,6 +782,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "event_transitions": lambda sf: relational.event_transitions(
             _read(sf, "events", ["user_id", "event_type", "ts", "event_id"])
+        ),
+        "knn_label_purity": lambda sf: similarity.knn_label_purity(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 8),
+            labels_path=os.path.join(sf, "embeddings.parquet"),
+        ),
+        "events_user_overlap": lambda sf: relational.events_user_overlap(
+            _read(sf, "events", ["user_id", "event_type"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4044,5 +4054,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n
         FROM s WHERE prev IS NOT NULL
         GROUP BY prev, event_type
+    """
+    # Embedding-quality purity of the exact top-10 neighbor sets.
+    d["knn_label_purity"] = _QUANT_CTE + """,
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 CAST(FLOOR(
+                   list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                   / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                 ) AS cos_fp5
+          FROM qe e, qe qq, (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+          WHERE qq.vec_id = q.vec_id AND e.vec_id != q.vec_id
+        ),
+        topk AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_fp5 DESC, vec_id
+            ) AS rn FROM scored
+          ) WHERE rn <= 10
+        )
+        SELECT t.query_id, CAST(ql.label AS BIGINT) AS label,
+               CAST(SUM(CASE WHEN el.label = ql.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same,
+               CAST(SUM(CASE WHEN el.label = ql.label THEN 1 ELSE 0 END)
+                    * 1000000 // 10 AS BIGINT) AS purity_fp6
+        FROM topk t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings el ON el.vec_id = t.vec_id
+        GROUP BY t.query_id, ql.label
+    """
+    # Audience overlap: distinct users doing BOTH event types.
+    d["events_user_overlap"] = """
+        WITH du AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
     """
     return d

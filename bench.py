@@ -155,6 +155,8 @@ QUERY_SUITE = [
     "rolling_active_users",
     "late_shipment_orders",
     "event_transitions",
+    "knn_label_purity",
+    "events_user_overlap",
 ]
 
 

@@ -2752,3 +2752,109 @@ def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def events_user_overlap(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(type_a, type_b, n_users) — the audience-overlap matrix: how many
+    distinct users performed BOTH event types (type_a < type_b
+    lexicographically). The set-intersection-matrix primitive behind
+    funnel design and segment overlap reports.
+
+    Shape (the bitmask Sum-as-OR trick): the tiny event-type domain maps
+    to bit positions (one bounded distinct scan, broadcast by closure);
+    blocks collapse to DISTINCT (user, type-bit) partials, a first keyed
+    groupby dedups pairs exactly, a per-block map re-emits (user,
+    1<<bit) rows whose SECOND keyed Sum equals the OR fold (each bit
+    appears at most once per user after the dedup); the per-user masks
+    then expand to pair counts vectorized per block and ONE tiny keyed
+    sum finishes. No user set ever reaches the driver.
+
+    Oracle: DISTINCT (user, type) self-join type_a < type_b GROUP BY."""
+    from ray.data.aggregate import Count, Sum
+
+    # bounded distinct scan for the type domain
+    tset = (
+        events.select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count())
+        .take_all()
+    )
+    types = sorted(r["event_type"] for r in tset)
+    bit = {t: i for i, t in enumerate(types)}
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.array(
+            [bit[t] for t in batch["event_type"].to_pylist()],
+            dtype=np.int64,
+        )
+        order = np.lexsort((b, uid))
+        u_s, b_s = uid[order], b[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u_s[first], type=pa.int64()),
+                "b": pa.array(b_s[first], type=pa.int64()),
+            }
+        )
+
+    masks = (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "b"])
+        .aggregate(Count())
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "m": pa.array(
+                        np.left_shift(
+                            1,
+                            t["b"].cast(pa.int64()).to_numpy(
+                                zero_copy_only=False
+                            ),
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("m", alias_name="mask"))
+    )
+
+    nt = len(types)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        mask = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros((nt, nt), dtype=np.int64)
+        for i in range(nt):
+            hi = (mask >> i) & 1
+            for j in range(i + 1, nt):
+                out[i, j] = int(np.sum(hi & ((mask >> j) & 1)))
+        ia, ja = np.nonzero(out)
+        return pa.Table.from_pydict(
+            {
+                "type_a": pa.array([types[i] for i in ia], type=pa.string()),
+                "type_b": pa.array([types[j] for j in ja], type=pa.string()),
+                "n_users": pa.array(out[ia, ja], type=pa.int64()),
+            }
+        )
+
+    return (
+        masks.map_batches(expand, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "type_a": t["type_a"],
+                    "type_b": t["type_b"],
+                    "n_users": t["n_users"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

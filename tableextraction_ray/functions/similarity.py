@@ -1123,3 +1123,78 @@ def pq_index_incremental(
         )
 
     return ds.map_batches(encode_new, batch_format="pyarrow")
+
+
+def knn_label_purity(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    head_ds: ray.data.Dataset | None = None,
+    labels_path: str | None = None,
+) -> ray.data.Dataset:
+    """(query_id, label, n_same, purity_fp6) — embedding-quality audit:
+    for each of the first ``n_queries`` vectors, the fraction of its
+    exact top-``k`` cosine neighbors that share its label (purity_fp6 =
+    n_same * 1e6 // k, exact integer). The metric every embedding
+    pipeline reports before trusting ANN-based curation.
+
+    Shape: the neighbor set comes from [[knn_bruteforce]] (per-block
+    top-k pre-prune, broadcast query matrix); labels for the bounded
+    n_queries x k id set come from a ROW-FILTERED parquet read (isin
+    pushdown — never a full-table label scan), and the purity fold is
+    O(n_queries x k) driver arithmetic on that bounded set.
+
+    Oracle: the knn_cosine top-k CTE joined twice against labels."""
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    topk = knn_bruteforce(
+        ds.select_columns(["vec_id", "embedding"]),
+        n_queries=n_queries,
+        k=k,
+        head_ds=head_ds,
+    ).take_all()  # bounded: n_queries * k rows
+    need = sorted(
+        {r["vec_id"] for r in topk} | {r["query_id"] for r in topk}
+    )
+    if labels_path is not None:
+        lt = (
+            pads.dataset(labels_path)
+            .to_table(
+                columns=["vec_id", "label"],
+                filter=_pc.field("vec_id").isin(need),
+            )
+        )
+        labels = dict(
+            zip(lt["vec_id"].to_pylist(), lt["label"].to_pylist())
+        )
+    else:
+        # fall back to a filtered pass over the Dataset (still pruned
+        # to two int columns; at scale prefer labels_path pushdown)
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in ds.select_columns(["vec_id", "label"])
+            .filter(lambda row: row["vec_id"] in set(need))
+            .take_all()
+        }
+    agg: dict[int, int] = {}
+    for r in topk:
+        same = int(labels[r["vec_id"]] == labels[r["query_id"]])
+        agg[r["query_id"]] = agg.get(r["query_id"], 0) + same
+    qids = sorted(agg)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "label": pa.array(
+                    [int(labels[q]) for q in qids], type=pa.int64()
+                ),
+                "n_same": pa.array([agg[q] for q in qids], type=pa.int64()),
+                "purity_fp6": pa.array(
+                    [agg[q] * 1_000_000 // k for q in qids], type=pa.int64()
+                ),
+            }
+        )
+    )

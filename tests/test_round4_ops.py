@@ -503,3 +503,58 @@ class TestEventTransitions:
             for r in event_transitions(events).take_all()
         }
         assert rows == {("a", "b"): 1, ("b", "a"): 1}
+
+
+class TestKnnLabelPurity:
+    def test_purity_on_two_clusters(self, ray_session):
+        import numpy as np
+
+        from tableextraction_ray.functions.similarity import knn_label_purity
+
+        # two tight clusters: queries 0/1 sit in label-0/label-1 blobs
+        rng = []
+        vecs, labels = [], []
+        for i in range(12):
+            lab = i % 2
+            base = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+            vecs.append([base[0] + 0.001 * i, base[1] + 0.001 * (i % 3)])
+            labels.append(lab)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(12)),
+                    "embedding": vecs,
+                    "label": pa.array(labels, type=pa.int32()),
+                }
+            )
+        )
+        rows = {
+            r["query_id"]: r
+            for r in knn_label_purity(ds, n_queries=2, k=5).take_all()
+        }
+        assert rows[0]["label"] == 0 and rows[1]["label"] == 1
+        # 5 nearest of a cluster member are the 5 same-label others
+        assert rows[0]["n_same"] == 5 and rows[0]["purity_fp6"] == 1_000_000
+        assert rows[1]["n_same"] == 5 and rows[1]["purity_fp6"] == 1_000_000
+
+
+class TestEventsUserOverlap:
+    def test_pairwise_shared_users(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            events_user_overlap,
+        )
+
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": [1, 1, 1, 2, 2, 3],
+                    "event_type": ["a", "b", "b", "b", "c", "a"],
+                }
+            )
+        )
+        rows = {
+            (r["type_a"], r["type_b"]): r["n_users"]
+            for r in events_user_overlap(events).take_all()
+        }
+        # u1: {a,b}; u2: {b,c}; u3: {a}
+        assert rows == {("a", "b"): 1, ("b", "c"): 1}
