@@ -2705,33 +2705,37 @@ def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
     (user, type, ts, id) rows shuffle once.
 
     Oracle: LAG() OVER (PARTITION BY user ORDER BY ts, event_id)."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
     def sweep(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_pylist()
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
         ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
         eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(et, return_inverse=True)
         order = np.lexsort((eid, ts))
-        c: Counter = Counter()
-        prev = None
-        for i in order:
-            cur = et[i]
-            if prev is not None:
-                c[(prev, cur)] += 1
-            prev = cur
+        c_s = codes[order]
+        if len(c_s) < 2:
+            return pa.Table.from_pydict(
+                {
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        # vectorized bigram count: pack (prev, next) code pairs
+        pair = c_s[:-1] * len(uniq) + c_s[1:]
+        keys, cnts = np.unique(pair, return_counts=True)
         return pa.Table.from_pydict(
             {
                 "prev_type": pa.array(
-                    [k[0] for k in c.keys()], type=pa.string()
+                    uniq[keys // len(uniq)], type=pa.string()
                 ),
                 "next_type": pa.array(
-                    [k[1] for k in c.keys()], type=pa.string()
+                    uniq[keys % len(uniq)], type=pa.string()
                 ),
-                "n": pa.array(list(c.values()), type=pa.int64()),
+                "n": pa.array(cnts, type=pa.int64()),
             }
         )
 

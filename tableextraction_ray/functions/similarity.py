@@ -1171,13 +1171,18 @@ def knn_label_purity(
             zip(lt["vec_id"].to_pylist(), lt["label"].to_pylist())
         )
     else:
-        # fall back to a filtered pass over the Dataset (still pruned
-        # to two int columns; at scale prefer labels_path pushdown)
+        # fall back to a vectorized isin pass over the Dataset (still
+        # pruned to two int columns; at scale prefer labels_path
+        # pushdown into the parquet scan)
+        need_arr = pa.array(need, type=pa.int64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            keep = _pc.is_in(batch["vec_id"].cast(pa.int64()), need_arr)
+            return batch.select(["vec_id", "label"]).filter(keep)
+
         labels = {
             r["vec_id"]: r["label"]
-            for r in ds.select_columns(["vec_id", "label"])
-            .filter(lambda row: row["vec_id"] in set(need))
-            .take_all()
+            for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
         }
     agg: dict[int, int] = {}
     for r in topk:
