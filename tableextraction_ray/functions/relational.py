@@ -2720,15 +2720,28 @@ def late_shipment_orders(
     Shape: lineitem collapses per block to (orderkey, max_ship_us)
     partials — the EXISTS only needs the max — then ONE orderkey-keyed
     tagged-union groupby overlays the order row (date, priority) onto
-    the lineitem max (Max folds; each side contributes nulls for the
-    other's columns), a stateless filter applies the inequality, and a
-    tiny priority-keyed count finishes. The orders payload rides the
-    shuffle once; lineitem text never does.
+    the lineitem max (Max folds; each side contributes sentinels for
+    the other's columns), a stateless filter applies the inequality,
+    and a tiny priority-keyed count finishes. The priority DOMAIN is
+    tiny, so it rides the shuffle as a dictionary-encoded int (one
+    bounded distinct scan builds the code table) — the keyed exchange
+    carries only int64 columns. The orders payload rides the shuffle
+    once; lineitem text never does.
 
     Oracle: EXISTS subquery with the same integer-us inequality."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Count, Max, Sum
 
     LATE_US = late_days * 86_400_000_000
+
+    # bounded distinct scan: priority domain -> int codes
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in orders.select_columns(["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count())
+        .take_all()
+    )
+    code = {p_: i for i, p_ in enumerate(prios)}
 
     def li_partial(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2747,7 +2760,9 @@ def late_shipment_orders(
                 "order_us": pa.array(
                     np.full(int(last.sum()), -1), type=pa.int64()
                 ),
-                "prio": pa.array([None] * int(last.sum()), type=pa.string()),
+                "prio": pa.array(
+                    np.full(int(last.sum()), -1), type=pa.int64()
+                ),
             }
         )
 
@@ -2760,7 +2775,10 @@ def late_shipment_orders(
                 "order_us": batch["o_orderdate"]
                 .combine_chunks()
                 .cast(pa.int64()),
-                "prio": batch["o_orderpriority"],
+                "prio": pa.array(
+                    [code[x] for x in batch["o_orderpriority"].to_pylist()],
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -2784,14 +2802,14 @@ def late_shipment_orders(
         ship = batch["ship_us"].to_numpy(zero_copy_only=False)
         od = batch["order_us"].to_numpy(zero_copy_only=False)
         late = (od >= 0) & (ship > od + LATE_US)
-        t = batch.filter(pa.array(late))
-        g = t.select(["prio"]).group_by(["prio"]).aggregate(
-            [("prio", "count")]
-        )
+        pr = batch["prio"].to_numpy(zero_copy_only=False)[late]
+        key, cnt = np.unique(pr, return_counts=True)
         return pa.Table.from_pydict(
             {
-                "o_orderpriority": g["prio"],
-                "n_late": g["prio_count"].cast(pa.int64()),
+                "o_orderpriority": pa.array(
+                    [prios[int(i)] for i in key], type=pa.string()
+                ),
+                "n_late": pa.array(cnt, type=pa.int64()),
             }
         )
 
