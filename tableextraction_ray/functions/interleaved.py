@@ -507,27 +507,6 @@ def curate_captions(
         ]
     )
 
-    def attach(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        canon = next((r["canonical_ref"] for r in rows if r["tag"] == 0), None)
-        if canon is None:
-            # span references a payload missing from the media store:
-            # nothing to pair — skip (ingest integrity catches it)
-            return ATT_SCHEMA.empty_table()
-        return pa.Table.from_pylist(
-            [
-                {
-                    "canonical_ref": canon,
-                    "caption": r["caption"],
-                    "doc_id": r["doc_id"],
-                    "span_offset": r["span_offset"],
-                }
-                for r in rows
-                if r["tag"] == 1
-            ],
-            schema=ATT_SCHEMA,
-        )
-
     OUT_SCHEMA = pa.schema(
         [
             ("canonical_ref", pa.string()),
@@ -536,28 +515,149 @@ def curate_captions(
         ]
     )
 
-    def pick(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            group.to_pylist(),
-            key=lambda r: (-len(r["caption"]), r["doc_id"], r["span_offset"]),
-        )
-        return pa.Table.from_pylist(
-            [
-                {
-                    "canonical_ref": rows[0]["canonical_ref"],
-                    "n_candidates": len(rows),
-                    "caption": rows[0]["caption"],
-                }
-            ],
-            schema=OUT_SCHEMA,
-        )
-
     merged = caps.map_batches(tag_caps, batch_format="pyarrow").union(
         dd.map_batches(tag_dd, batch_format="pyarrow")
     )
-    return (
-        merged.groupby("media_ref")
-        .map_groups(attach, batch_format="pyarrow")
-        .groupby("canonical_ref")
-        .map_groups(pick, batch_format="pyarrow")
+
+    # ---- stage 1: attach canonical refs to captions --------------------
+    # ONE sort by (media_ref, tag) replaces a 60k-group map_groups: each
+    # sorted block resolves its INTERIOR keys fully vectorized (the
+    # tag-0 dedup row sorts first in its group and broadcasts to the
+    # group's tag-1 caption rows by group-start fancy indexing); only
+    # the <= 2 keys touching each block edge fold on the driver.
+    sorted_m = (
+        merged.repartition(16).sort(["media_ref", "tag"]).materialize()
+    )
+
+    def attach_interior(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return ATT_SCHEMA.empty_table()
+        ref = np.asarray(batch["media_ref"].to_pylist(), dtype=object)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        canon = np.asarray(
+            batch["canonical_ref"].to_pylist(), dtype=object
+        )
+        inner = (ref != ref[0]) & (ref != ref[-1])
+        new_grp = np.r_[True, ref[1:] != ref[:-1]]
+        gs_idx = np.flatnonzero(new_grp)
+        gid = np.cumsum(new_grp) - 1
+        gs = gs_idx[gid]
+        sel = inner & (tag == 1) & (tag[gs] == 0)
+        idx = np.flatnonzero(sel)
+        return pa.Table.from_pydict(
+            {
+                "canonical_ref": pa.array(
+                    canon[gs[idx]], type=pa.string()
+                ),
+                "caption": batch["caption"].take(pa.array(idx)),
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "span_offset": batch["span_offset"].take(pa.array(idx)),
+            },
+            schema=ATT_SCHEMA,
+        )
+
+    def edge_rows(key: str):
+        def f(batch: pa.Table) -> pa.Table:
+            col = np.asarray(batch[key].to_pylist(), dtype=object)
+            if len(col) == 0:
+                return batch
+            return batch.filter(
+                pa.array((col == col[0]) | (col == col[-1]))
+            )
+
+        return f
+
+    interior_att = sorted_m.map_batches(
+        attach_interior, batch_format="pyarrow"
+    )
+    brows = sorted_m.map_batches(
+        edge_rows("media_ref"), batch_format="pyarrow"
+    ).take_all()  # O(2 x #blocks) keys; groups are caption-fanout-sized
+    by_ref: dict[str, dict] = {}
+    for r in brows:
+        g = by_ref.setdefault(r["media_ref"], {"canon": None, "caps": []})
+        if r["tag"] == 0:
+            g["canon"] = r["canonical_ref"]
+        else:
+            g["caps"].append(r)
+    b_att = [
+        {
+            "canonical_ref": g["canon"],
+            "caption": r["caption"],
+            "doc_id": r["doc_id"],
+            "span_offset": r["span_offset"],
+        }
+        for g in by_ref.values()
+        if g["canon"] is not None
+        for r in g["caps"]
+    ]
+    att = interior_att.union(
+        ray.data.from_arrow(
+            pa.Table.from_pylist(b_att, schema=ATT_SCHEMA)
+        )
+    )
+
+    # ---- stage 2: pick the best caption per canonical payload ----------
+    # same sort-based shape keyed by canonical_ref; best = (longest,
+    # doc_id, span_offset) via one in-block lexsort over code keys.
+    sorted_a = att.repartition(16).sort("canonical_ref").materialize()
+
+    def pick_interior(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return OUT_SCHEMA.empty_table()
+        canon = np.asarray(
+            batch["canonical_ref"].to_pylist(), dtype=object
+        )
+        inner = (canon != canon[0]) & (canon != canon[-1])
+        lens = pc.utf8_length(batch["caption"]).to_numpy(
+            zero_copy_only=False
+        )
+        doc = np.asarray(batch["doc_id"].to_pylist(), dtype=str)
+        off = batch["span_offset"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(canon, return_inverse=True)
+        order = np.lexsort((off, doc, -lens, codes))
+        c_s = codes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        winners = order[first]
+        winners = winners[inner[winners]]
+        counts = np.bincount(codes)
+        return pa.Table.from_pydict(
+            {
+                "canonical_ref": pa.array(
+                    canon[winners], type=pa.string()
+                ),
+                "n_candidates": pa.array(
+                    counts[codes[winners]], type=pa.int64()
+                ),
+                "caption": batch["caption"].take(pa.array(winners)),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    interior_out = sorted_a.map_batches(
+        pick_interior, batch_format="pyarrow"
+    )
+    prows = sorted_a.map_batches(
+        edge_rows("canonical_ref"), batch_format="pyarrow"
+    ).take_all()
+    by_canon: dict[str, list] = {}
+    for r in prows:
+        by_canon.setdefault(r["canonical_ref"], []).append(r)
+    b_out = []
+    for c, rows in by_canon.items():
+        rows.sort(
+            key=lambda r: (-len(r["caption"]), r["doc_id"], r["span_offset"])
+        )
+        b_out.append(
+            {
+                "canonical_ref": c,
+                "n_candidates": len(rows),
+                "caption": rows[0]["caption"],
+            }
+        )
+    return interior_out.union(
+        ray.data.from_arrow(pa.Table.from_pylist(b_out, schema=OUT_SCHEMA))
     )

@@ -364,4 +364,11 @@ def media_content_dedup(media_ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     hashed = media_ds.map_batches(hash_batch, batch_format="pyarrow")
-    return hashed.groupby("payload_md5").map_groups(resolve, batch_format="pyarrow")
+    # narrow repartition before the keyed exchange: the hashing scan
+    # emits one tiny block per media file batch (256+ at bench scale),
+    # and sort-shuffle cost is ~50 ms x #blocks (BASELINE.md)
+    return (
+        hashed.repartition(16)
+        .groupby("payload_md5")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
