@@ -129,6 +129,9 @@ _R4_QUERIES: list[str] = [
     "event_transitions",
     "knn_label_purity",
     "events_user_overlap",
+    "monthly_revenue_running",
+    "cheapest_supplier_per_part",
+    "vocab_coverage_curve",
 ]
 
 
@@ -790,6 +793,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_user_overlap": lambda sf: relational.events_user_overlap(
             _read(sf, "events", ["user_id", "event_type"])
+        ),
+        "monthly_revenue_running": lambda sf: (
+            relational.monthly_revenue_running(
+                _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+            )
+        ),
+        "cheapest_supplier_per_part": lambda sf: (
+            relational.cheapest_supplier_per_part(
+                _read(
+                    sf,
+                    "lineitem",
+                    [
+                        "l_partkey",
+                        "l_suppkey",
+                        "l_quantity",
+                        "l_extendedprice",
+                    ],
+                )
+            )
+        ),
+        "vocab_coverage_curve": lambda sf: textstats.vocab_coverage_curve(
+            docs(sf, ["doc_id", "text"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4091,5 +4116,61 @@ def oracle_sql() -> dict[str, str]:
         FROM du a JOIN du b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type
+    """
+    # Monthly revenue + running cumulative total (window SUM OVER).
+    d["monthly_revenue_running"] = """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT month, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY month) AS BIGINT)
+                 AS cum_rev_cents
+        FROM m
+    """
+    # Q2-shaped group argmin on exact fixed-point unit price.
+    d["cheapest_supplier_per_part"] = """
+        SELECT l_partkey, l_suppkey, unit_price_fp4 FROM (
+          SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                 CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                 CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                      * 100 // CAST(FLOOR(l_quantity + 0.5) AS HUGEINT)
+                      AS BIGINT) AS unit_price_fp4,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS HUGEINT) * 100
+                            // CAST(FLOOR(l_quantity + 0.5) AS HUGEINT),
+                            l_suppkey
+                 ) AS rn
+          FROM lineitem
+          WHERE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) >= 1
+        ) WHERE rn = 1
+    """
+    # Tokenizer coverage curve: occurrence mass of the top-k vocab.
+    d["vocab_coverage_curve"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+            AS token
+          FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM toks),
+        ranked AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC)
+                   AS r,
+                 COUNT(*) AS n
+          FROM toks GROUP BY token
+        ),
+        ks AS (SELECT unnest([8, 16, 32, 64]) AS k)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS covered,
+               CAST(t.total AS BIGINT) AS total,
+               CAST(SUM(n) * 1000000 // t.total AS BIGINT)
+                 AS coverage_fp6
+        FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot t
+        GROUP BY k, t.total
     """
     return d

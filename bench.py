@@ -157,6 +157,9 @@ QUERY_SUITE = [
     "event_transitions",
     "knn_label_purity",
     "events_user_overlap",
+    "monthly_revenue_running",
+    "cheapest_supplier_per_part",
+    "vocab_coverage_curve",
 ]
 
 

@@ -2999,3 +2999,128 @@ def events_user_overlap(events: ray.data.Dataset) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def monthly_revenue_running(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(month, rev_cents, cum_rev_cents) — monthly revenue with a running
+    cumulative total: the window-function (SUM OVER ORDER BY) shape.
+    Money folds as exact integer cents.
+
+    Shape: per-block Arrow partial sums by month -> ONE keyed sum over
+    the BOUNDED month domain -> the cumulative overlay is a driver-side
+    prefix sum over that bounded result (O(#months) driver state — the
+    honest place for an ordered prefix over a small key domain; the
+    unbounded-domain variant is char_budget_prefix's block-offset
+    machinery).
+
+    Oracle: GROUP BY month + SUM() OVER (ORDER BY month)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = pc.strftime(
+            pc.floor_temporal(batch["o_orderdate"], unit="month"),
+            format="%Y-%m",
+        )
+        cents = np.asarray(_cents(batch["o_totalprice"]))
+        t = pa.Table.from_pydict(
+            {"month": months, "c": pa.array(cents, type=pa.int64())}
+        )
+        g = t.group_by(["month"]).aggregate([("c", "sum")])
+        return pa.Table.from_pydict(
+            {"month": g["month"], "rev_cents": g["c_sum"].cast(pa.int64())}
+        )
+
+    rows = sorted(
+        (
+            orders.select_columns(["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+            .take_all()
+        ),
+        key=lambda r: r["month"],
+    )  # bounded: one row per month
+    cum = np.cumsum([r["rev_cents"] for r in rows])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "month": pa.array(
+                    [r["month"] for r in rows], type=pa.string()
+                ),
+                "rev_cents": pa.array(
+                    [r["rev_cents"] for r in rows], type=pa.int64()
+                ),
+                "cum_rev_cents": pa.array(cum, type=pa.int64()),
+            }
+        )
+    )
+
+
+def cheapest_supplier_per_part(
+    lineitem: ray.data.Dataset, min_qty: int = 1
+) -> ray.data.Dataset:
+    """(l_partkey, l_suppkey, unit_price_fp4) — TPC-H Q2-shaped group
+    argmin: the supplier observed selling each part at the lowest unit
+    price, unit_price_fp4 = extendedprice_cents * 100 // quantity (an
+    exact integer fixed-point price per unit; quantity is integer-valued
+    in TPC-H). Ties by smaller suppkey.
+
+    Shape: per-block per-part argmin pre-prune (one candidate per part
+    per block — the same shape as [[top_customer_per_nation]] but keyed
+    on the sf-proportional part domain, so the prune output goes through
+    ONE partkey-keyed groupby min-overlay instead of the driver), then
+    a vectorized per-block fold. Only (part, supp, fp4) int rows ride
+    the shuffle.
+
+    Oracle: ROW_NUMBER PARTITION BY part ORDER BY fp4, suppkey = 1."""
+    from ray.data.aggregate import Min
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = (
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        q = np.floor(qty + 0.5).astype(np.int64)
+        ep = np.asarray(_cents(batch["l_extendedprice"]))
+        keep = q >= min_qty
+        pk, sk, q, ep = pk[keep], sk[keep], q[keep], ep[keep]
+        fp4 = ep * 100 // q
+        order = np.lexsort((sk, fp4, pk))
+        pk_s = pk[order]
+        first = np.ones(len(pk_s), dtype=bool)
+        first[1:] = pk_s[1:] != pk_s[:-1]
+        sel = order[first]
+        # pack (fp4, suppkey) so ONE Min aggregate recovers the argmin:
+        # fp4 < 2^40 and suppkey < 2^23 at any sf here — documented
+        packed = fp4[sel] * (1 << 23) + sk[sel]
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": pa.array(pk[sel], type=pa.int64()),
+                "packed": pa.array(packed, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        lineitem.select_columns(
+            ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+        )
+        .map_batches(block_min, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": batch["l_partkey"].cast(pa.int64()),
+                "l_suppkey": pa.array(
+                    packed & ((1 << 23) - 1), type=pa.int64()
+                ),
+                "unit_price_fp4": pa.array(packed >> 23, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

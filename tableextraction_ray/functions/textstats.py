@@ -2621,3 +2621,58 @@ def length_outliers_mad(
         return t.append_column("dev", pa.array(dev[keep], type=pa.int64()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def vocab_coverage_curve(
+    ds: ray.data.Dataset, ks: tuple[int, ...] = (8, 16, 32, 64)
+) -> ray.data.Dataset:
+    """(k, covered, total, coverage_fp6) — the tokenizer-design curve:
+    what fraction of all token OCCURRENCES the top-k vocabulary covers,
+    for each k in ``ks``. Read together with [[vocab_oov_rate]] it
+    answers "how big must the vocab be before long-tail domains stop
+    fragmenting?".
+
+    Shape: ONE bounded token_freq pass at max(ks) (per-block partial
+    counts, one keyed sum, max(ks) rows out) plus a tiny total-count
+    aggregate; the curve itself is O(max(ks)) driver arithmetic.
+    coverage_fp6 = covered * 1e6 // total, exact integers.
+
+    Oracle: ranked vocab CTE + one SELECT per k, UNION ALL."""
+    from ray.data.aggregate import Sum
+
+    kmax = max(ks)
+    top = token_freq(ds, k=kmax).take_all()  # (token, n) desc order
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tot = sum(len(ascii_tokens(t)) for t in batch["text"].to_pylist())
+        return pa.Table.from_pydict(
+            {"t": pa.array([tot], type=pa.int64())}
+        )
+
+    total = int(
+        ds.map_batches(count_partial, batch_format="pyarrow").aggregate(
+            Sum("t")
+        )["sum(t)"]
+    )
+    ns = [r["n"] for r in top]
+    prefix = np.cumsum(ns)
+    rows_k, rows_cov = [], []
+    for k in sorted(ks):
+        covered = int(prefix[min(k, len(ns)) - 1]) if ns else 0
+        rows_k.append(k)
+        rows_cov.append(covered)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "k": pa.array(rows_k, type=pa.int64()),
+                "covered": pa.array(rows_cov, type=pa.int64()),
+                "total": pa.array(
+                    [total] * len(rows_k), type=pa.int64()
+                ),
+                "coverage_fp6": pa.array(
+                    [c * 1_000_000 // total if total else 0 for c in rows_cov],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

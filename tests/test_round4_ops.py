@@ -558,3 +558,79 @@ class TestEventsUserOverlap:
         }
         # u1: {a,b}; u2: {b,c}; u3: {a}
         assert rows == {("a", "b"): 1, ("b", "c"): 1}
+
+
+class TestMonthlyRevenueRunning:
+    def test_cumsum_over_months(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            monthly_revenue_running,
+        )
+
+        month_us = 32 * 86_400_000_000  # lands in different months
+        orders = ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderdate": pa.array(
+                        [0, 1, month_us], type=pa.timestamp("us")
+                    ),
+                    "o_totalprice": [10.00, 5.005, 1.00],
+                }
+            )
+        )
+        rows = monthly_revenue_running(orders).take_all()
+        # Jan-1970: 1000 + floor(500.5+0.5)=501 -> 1501; Feb: 100
+        assert rows == [
+            {"month": "1970-01", "rev_cents": 1501, "cum_rev_cents": 1501},
+            {"month": "1970-02", "rev_cents": 100, "cum_rev_cents": 1601},
+        ]
+
+
+class TestCheapestSupplierPerPart:
+    def test_argmin_with_rational_price_and_tie(self, ray_session):
+        from tableextraction_ray.functions.relational import (
+            cheapest_supplier_per_part,
+        )
+
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": [1, 1, 1, 2],
+                    "l_suppkey": [9, 3, 5, 7],
+                    "l_quantity": [3.0, 2.0, 2.0, 1.0],
+                    # unit fp4: 900/3=30000, 700/2=35000, 600/2=30000...
+                    "l_extendedprice": [9.00, 7.00, 6.00, 4.00],
+                }
+            )
+        )
+        rows = {
+            r["l_partkey"]: r
+            for r in cheapest_supplier_per_part(li).take_all()
+        }
+        # part 1: supp9 fp4=30000, supp3 fp4=35000, supp5 fp4=30000
+        # -> tie 30000 between supp 9 and 5 -> smaller suppkey 5 wins
+        assert rows[1]["l_suppkey"] == 5
+        assert rows[1]["unit_price_fp4"] == 30000
+        assert rows[2]["l_suppkey"] == 7 and rows[2]["unit_price_fp4"] == 40000
+
+
+class TestVocabCoverageCurve:
+    def test_coverage_monotone_and_exact(self, ray_session):
+        from tableextraction_ray.functions.textstats import (
+            vocab_coverage_curve,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1],
+                    "text": ["a a a b b c d"],
+                }
+            )
+        )
+        rows = {
+            r["k"]: r for r in vocab_coverage_curve(ds, ks=(1, 2)).take_all()
+        }
+        assert rows[1]["covered"] == 3 and rows[1]["total"] == 7
+        assert rows[1]["coverage_fp6"] == 428_571
+        assert rows[2]["covered"] == 5
+        assert rows[2]["coverage_fp6"] == 714_285
