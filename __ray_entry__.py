@@ -132,6 +132,16 @@ _R4_QUERIES: list[str] = [
     "monthly_revenue_running",
     "cheapest_supplier_per_part",
     "vocab_coverage_curve",
+    "returned_item_revenue",
+    "promo_revenue",
+    "large_order_customers",
+    "revenue_rollup",
+    "event_type_hour_pivot",
+    "brand_size_outliers",
+    "churned_customers",
+    "moving_avg_daily_revenue",
+    "sentence_stats",
+    "interleave_shape_hist",
 ]
 
 
@@ -815,6 +825,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "vocab_coverage_curve": lambda sf: textstats.vocab_coverage_curve(
             docs(sf, ["doc_id", "text"])
+        ),
+        "returned_item_revenue": lambda sf: relational.returned_item_revenue(
+            _read(
+                sf,
+                "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            ),
+            _read(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf, "customer", ["c_custkey", "c_name", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            order_count=_parquet_count(sf, "orders"),
+            customer_count=_parquet_count(sf, "customer"),
+        ),
+        "promo_revenue": lambda sf: relational.promo_revenue(
+            _read(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_type"]),
+            part_count=_parquet_count(sf, "part"),
+        ),
+        "large_order_customers": lambda sf: relational.large_order_customers(
+            _read(sf, "lineitem", ["l_orderkey", "l_quantity"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+        ),
+        "revenue_rollup": lambda sf: relational.revenue_rollup(
+            _read(sf, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            customer_count=_parquet_count(sf, "customer"),
+        ),
+        "event_type_hour_pivot": lambda sf: relational.event_type_hour_pivot(
+            _read(sf, "events", ["ts", "event_type"])
+        ),
+        "brand_size_outliers": lambda sf: relational.brand_size_outliers(
+            _read(sf, "part", ["p_partkey", "p_brand", "p_size"])
+        ),
+        "churned_customers": lambda sf: relational.churned_customers(
+            _read(sf, "orders", ["o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        ),
+        "moving_avg_daily_revenue": lambda sf: (
+            relational.moving_avg_daily_revenue(
+                _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+            )
+        ),
+        "sentence_stats": lambda sf: textstats.sentence_stats(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
+        "interleave_shape_hist": lambda sf: (
+            interleaved.interleave_shape_hist(_spans(sf))
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4173,4 +4233,154 @@ def oracle_sql() -> dict[str, str]:
         FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot t
         GROUP BY k, t.total
     """
+
+    # TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    d["returned_item_revenue"] = """
+        SELECT c_custkey, c_name, n_name, rev_cc FROM (
+          SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+                 n.n_name AS n_name,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3
+        ) ORDER BY rev_cc DESC, c_custkey LIMIT 20
+    """
+    # TPC-H Q14 shape: PROMO-part revenue share in exact fixed-point.
+    d["promo_revenue"] = """
+        WITH j AS (
+          SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc,
+                 CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT CAST(SUM(rev_cc * is_promo) AS BIGINT) AS promo_rev_cc,
+               CAST(SUM(rev_cc) AS BIGINT) AS total_rev_cc,
+               CAST(SUM(rev_cc * is_promo) * 1000000 // SUM(rev_cc)
+                    AS BIGINT) AS promo_pct_fp6
+        FROM j
+    """
+    # TPC-H Q18 shape: orders with total quantity over the threshold.
+    d["large_order_customers"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 300
+        )
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+               b.l_orderkey AS o_orderkey, b.total_qty AS total_qty,
+               CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+    # GROUP BY ROLLUP(nation, year) with NULL-free sentinels.
+    d["revenue_rollup"] = """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COALESCE(o_year, -1) AS o_year,
+               CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+               CAST(GROUPING(n_name) + GROUPING(o_year) AS BIGINT) AS lvl
+        FROM (
+          SELECT n.n_name AS n_name,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS rev_c
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        GROUP BY ROLLUP(n_name, o_year)
+    """
+    # PIVOT shape: six-hour day-bucket counts as columns.
+    d["event_type_hour_pivot"] = """
+        SELECT event_type,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b3
+        FROM events GROUP BY 1
+    """
+    # Correlated-subquery shape in exact integer arithmetic.
+    d["brand_size_outliers"] = """
+        SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(s * 10000 // c AS BIGINT) AS brand_avg_fp4
+        FROM (
+          SELECT p_partkey, p_brand, p_size,
+                 SUM(CAST(p_size AS BIGINT))
+                   OVER (PARTITION BY p_brand) AS s,
+                 COUNT(*) OVER (PARTITION BY p_brand) AS c
+          FROM part
+        ) WHERE 2 * p_size * c > 3 * s
+    """
+    # Anti-join shape: customers with no order on/after the cutoff.
+    d["churned_customers"] = """
+        SELECT n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS n_churned,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_c_sum
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY 1
+    """
+    # Window-frame shape: trailing 7-row moving average, integer floor.
+    d["moving_avg_daily_revenue"] = """
+        WITH d AS (
+          SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d')
+                   AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT day, rev_c,
+               CAST(SUM(rev_c) OVER w // COUNT(*) OVER w AS BIGINT) AS ma_c
+        FROM d WINDOW w AS (ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+    # Per-source sentence profile ('[.!?]+' runs; RE2 on both sides).
+    d["sentence_stats"] = """
+        WITH s AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS n_sents
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_sents) AS BIGINT) AS n_sents,
+               CAST(SUM(n_sents) * 1000000 // COUNT(*) AS BIGINT)
+                 AS sents_per_doc_fp6
+        FROM s GROUP BY 1
+    """
+    # Interleave-shape histogram over the spans table.
+    d["interleave_shape_hist"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_text,
+                 CAST(SUM(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_media
+          FROM s GROUP BY doc_id
+        )
+        SELECT n_text, n_media, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per_doc GROUP BY 1, 2
+    """
+
     return d

@@ -160,6 +160,16 @@ QUERY_SUITE = [
     "monthly_revenue_running",
     "cheapest_supplier_per_part",
     "vocab_coverage_curve",
+    "returned_item_revenue",
+    "promo_revenue",
+    "large_order_customers",
+    "revenue_rollup",
+    "event_type_hour_pivot",
+    "brand_size_outliers",
+    "churned_customers",
+    "moving_avg_daily_revenue",
+    "sentence_stats",
+    "interleave_shape_hist",
 ]
 
 

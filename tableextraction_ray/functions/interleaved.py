@@ -661,3 +661,61 @@ def curate_captions(
     return interior_out.union(
         ray.data.from_arrow(pa.Table.from_pylist(b_out, schema=OUT_SCHEMA))
     )
+
+
+def interleave_shape_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(n_text, n_media, n_docs) — corpus-level histogram of interleave
+    SHAPES: how many documents have exactly (n_text text spans, n_media
+    media spans). The catalog pass that tells a 10¹²-doc curation run
+    what modality mixes exist before any decode is scheduled.
+
+    Shape: per-block np.bincount over parent indices (order-independent —
+    no offset sort) → per-block shape partials → ONE keyed groupby on
+    the packed (n_text << 20 | n_media) key; the span-count domain is
+    bounded by max spans per doc, so the exchange is tiny. Zero-span
+    docs are dropped (the _flat_spans contract — UNNEST oracles don't
+    see them).
+
+    Oracle: UNNEST + per-doc conditional counts + GROUP BY pair."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _ids, parent, _order, n_docs, fields = _flat_spans(
+            batch, sort=False
+        )
+        is_text = (
+            pc.equal(fields["kind"], "text")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_text = np.bincount(parent, weights=is_text, minlength=n_docs)
+        n_total = np.bincount(parent, minlength=n_docs)
+        n_text = n_text.astype(np.int64)
+        n_media = (n_total - n_text).astype(np.int64)
+        keep = n_total > 0
+        packed = (n_text[keep] << 20) | n_media[keep]
+        keys, counts = np.unique(packed, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "packed": pa.array(keys, type=pa.int64()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("packed")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_text": pa.array(packed >> 20, type=pa.int64()),
+                "n_media": pa.array(packed & ((1 << 20) - 1), type=pa.int64()),
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

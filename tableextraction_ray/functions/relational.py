@@ -3124,3 +3124,1028 @@ def cheapest_supplier_per_part(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def returned_item_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+    customer_count: int | None = None,
+    top_k: int = 20,
+) -> ray.data.Dataset:
+    """(c_custkey, c_name, n_name, rev_cc) — the TPC-H Q10 shape: top-k
+    customers by revenue from RETURNED items (l_returnflag = 'R'),
+    revenue = exact integer centi-cents price_c * (100 - disc_pct).
+
+    Shuffle discipline: nation (25 rows) always broadcasts; the
+    sf-proportional orderkey→custkey map and customer name map each get
+    the ``broadcast_limit`` guard with the keyed tagged-union fallback
+    (the [[revenue_by_nation]] pattern — same two stages, fewer dims).
+    Returned-item rows pre-combine per (block, orderkey) before any
+    exchange, so the keyed path moves one int row per block-key.
+
+    Oracle: JOIN + GROUP BY + ORDER BY rev DESC LIMIT k (ties broken by
+    c_custkey so both sides pick the same k rows)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    nat_ref = ray.put(nat)
+    if order_count is None:
+        order_count = orders.count()
+    if customer_count is None:
+        customer_count = customer.count()
+
+    def item_partials(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["l_returnflag"], "R")
+        t = batch.filter(mask)
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        part = pa.Table.from_pydict(
+            {
+                "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "rev_cc": pa.array(
+                    price_c * (100 - disc_pct), type=pa.int64()
+                ),
+            }
+        )
+        g = part.group_by(["o_orderkey"]).aggregate([("rev_cc", "sum")])
+        return g.rename_columns(["o_orderkey", "rev_cc"])
+
+    items = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(item_partials, batch_format="pyarrow")
+
+    # ---- stage 1: attach custkey to per-order revenue partials --------
+    if order_count <= broadcast_limit:
+        omap = {
+            r["o_orderkey"]: r["o_custkey"]
+            for r in orders.select_columns(
+                ["o_orderkey", "o_custkey"]
+            ).take_all()
+        }
+        omap_ref = ray.put(omap)
+
+        def attach_cust_bcast(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(omap_ref)
+            ck = (
+                pd.Series(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+                .map(lookup)
+                .fillna(-1)
+                .astype(np.int64)
+                .values
+            )
+            t = pa.Table.from_pydict(
+                {
+                    "c_custkey": pa.array(ck, type=pa.int64()),
+                    "rev_cc": batch["rev_cc"],
+                }
+            )
+            t = t.filter(pc.not_equal(t["c_custkey"], -1))
+            g = t.group_by(["c_custkey"]).aggregate([("rev_cc", "sum")])
+            return g.rename_columns(["c_custkey", "rev_cc"])
+
+        cust_rev = items.map_batches(attach_cust_bcast, batch_format="pyarrow")
+    else:
+        # Scale path: ONE keyed orderkey tagged-union shuffle — only
+        # (orderkey, custkey|rev) int rows ride.
+        def tag_orders(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                    "rev_cc": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_items(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "c_custkey": pa.array([-1] * n, type=pa.int64()),
+                    "rev_cc": batch["rev_cc"],
+                }
+            )
+
+        def attach_cust(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            orows = np.flatnonzero(kind == 0)
+            irows = np.flatnonzero(kind == 1)
+            if len(orows) == 0 or len(irows) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "c_custkey": pa.array([], type=pa.int64()),
+                        "rev_cc": pa.array([], type=pa.int64()),
+                    }
+                )
+            ck = int(group["c_custkey"][int(orows[0])].as_py())
+            rev = int(
+                np.sum(
+                    group["rev_cc"].to_numpy(zero_copy_only=False)[irows]
+                )
+            )
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": pa.array([ck], type=pa.int64()),
+                    "rev_cc": pa.array([rev], type=pa.int64()),
+                }
+            )
+
+        cust_rev = (
+            orders.select_columns(["o_orderkey", "o_custkey"])
+            .map_batches(tag_orders, batch_format="pyarrow")
+            .union(items.map_batches(tag_items, batch_format="pyarrow"))
+            .groupby("o_orderkey")
+            .map_groups(attach_cust, batch_format="pyarrow")
+        )
+
+    per_cust = cust_rev.groupby("c_custkey").aggregate(
+        Sum("rev_cc", alias_name="rev_cc")
+    )
+
+    # ---- stage 2: attach (c_name, n_name) to the per-customer totals ---
+    if customer_count <= broadcast_limit:
+        crows = customer.select_columns(
+            ["c_custkey", "c_name", "c_nationkey"]
+        ).take_all()
+        cmap_ref = ray.put(
+            (
+                {r["c_custkey"]: r["c_name"] for r in crows},
+                {r["c_custkey"]: r["c_nationkey"] for r in crows},
+            )
+        )
+
+        def attach_name(batch: pa.Table) -> pa.Table:
+            name_map, nk_map = ray.get(cmap_ref)
+            nats = ray.get(nat_ref)
+            keys = pd.Series(batch["c_custkey"].to_numpy(zero_copy_only=False))
+            names = keys.map(name_map)
+            nnames = keys.map(nk_map).map(nats)
+            t = pa.Table.from_pydict(
+                {
+                    "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                    "c_name": pa.array(names.values, type=pa.string()),
+                    "n_name": pa.array(nnames.values, type=pa.string()),
+                    "rev_cc": batch["rev_cc"].cast(pa.int64()),
+                }
+            )
+            return t.filter(pc.is_valid(t["c_name"]))
+
+        named = per_cust.map_batches(attach_name, batch_format="pyarrow")
+    else:
+        # Scale path: keyed custkey tagged-union (customer side carries
+        # name + nationkey once per custkey; revenue side one int row).
+        def tag_cust(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "c_name": batch["c_name"],
+                    "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
+                    "rev_cc": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_rev(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "c_name": pa.array([None] * n, type=pa.string()),
+                    "c_nationkey": pa.array([-1] * n, type=pa.int64()),
+                    "rev_cc": batch["rev_cc"].cast(pa.int64()),
+                }
+            )
+
+        def attach2(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            crow = np.flatnonzero(kind == 0)
+            rrow = np.flatnonzero(kind == 1)
+            if len(crow) == 0 or len(rrow) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "c_custkey": pa.array([], type=pa.int64()),
+                        "c_name": pa.array([], type=pa.string()),
+                        "n_name": pa.array([], type=pa.string()),
+                        "rev_cc": pa.array([], type=pa.int64()),
+                    }
+                )
+            nats = ray.get(nat_ref)
+            i = int(crow[0])
+            rev = int(
+                np.sum(group["rev_cc"].to_numpy(zero_copy_only=False)[rrow])
+            )
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": pa.array(
+                        [int(group["c_custkey"][i].as_py())], type=pa.int64()
+                    ),
+                    "c_name": pa.array(
+                        [group["c_name"][i].as_py()], type=pa.string()
+                    ),
+                    "n_name": pa.array(
+                        [nats.get(int(group["c_nationkey"][i].as_py()))],
+                        type=pa.string(),
+                    ),
+                    "rev_cc": pa.array([rev], type=pa.int64()),
+                }
+            )
+
+        named = (
+            customer.select_columns(["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(tag_cust, batch_format="pyarrow")
+            .union(per_cust.map_batches(tag_rev, batch_format="pyarrow"))
+            .groupby("c_custkey")
+            .map_groups(attach2, batch_format="pyarrow")
+        )
+
+    # top-k: per-block prune to k rows, then ONE small driver fold — the
+    # standard bounded top-k head (O(k × #blocks) driver state).
+    def block_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["rev_cc"].to_numpy(zero_copy_only=False)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:top_k]
+        return batch.take(order)
+
+    pruned = named.map_batches(block_topk, batch_format="pyarrow").take_all()
+    pruned.sort(key=lambda r: (-r["rev_cc"], r["c_custkey"]))
+    head = pruned[:top_k]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(
+                    [r["c_custkey"] for r in head], type=pa.int64()
+                ),
+                "c_name": pa.array(
+                    [r["c_name"] for r in head], type=pa.string()
+                ),
+                "n_name": pa.array(
+                    [r["n_name"] for r in head], type=pa.string()
+                ),
+                "rev_cc": pa.array(
+                    [r["rev_cc"] for r in head], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    part_count: int | None = None,
+) -> ray.data.Dataset:
+    """(promo_rev_cc, total_rev_cc, promo_pct_fp6) — the TPC-H Q14 shape:
+    share of revenue from PROMO-type parts, one output row. Revenue is
+    exact integer centi-cents; the share is exact fixed-point
+    ``promo * 10^6 // total`` (no float division).
+
+    Shuffle discipline: the part dimension is sf-proportional, so the
+    partkey→is_promo probe broadcasts only under ``broadcast_limit``;
+    above it, ONE keyed partkey tagged-union shuffle carries
+    (partkey, is_promo|rev) int rows — lineitem pre-combines per
+    (block, partkey) first. The final fold is a 2-int global sum.
+
+    Oracle: SUM(CASE WHEN p_type='PROMO' ...) / SUM(...) in fixed-point."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if part_count is None:
+        part_count = part.count()
+
+    def item_partials(batch: pa.Table) -> pa.Table:
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "l_partkey": batch["l_partkey"].cast(pa.int64()),
+                "rev_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate([("rev_cc", "sum")])
+        return g.rename_columns(["l_partkey", "rev_cc"])
+
+    items = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(item_partials, batch_format="pyarrow")
+
+    if part_count <= broadcast_limit:
+        promo = {
+            r["p_partkey"]: int(r["p_type"] == "PROMO")
+            for r in part.select_columns(["p_partkey", "p_type"]).take_all()
+        }
+        promo_ref = ray.put(promo)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(promo_ref)
+            flags = (
+                pd.Series(batch["l_partkey"].to_numpy(zero_copy_only=False))
+                .map(lookup)
+                .fillna(-1)
+                .astype(np.int64)
+                .values
+            )
+            rev = batch["rev_cc"].to_numpy(zero_copy_only=False)
+            keep = flags >= 0  # inner-join semantics (orphan partkeys drop)
+            rev = rev[keep]
+            flags = flags[keep]
+            return pa.Table.from_pydict(
+                {
+                    "promo_rev_cc": pa.array(
+                        [int(np.sum(rev[flags == 1]))], type=pa.int64()
+                    ),
+                    "total_rev_cc": pa.array(
+                        [int(np.sum(rev))], type=pa.int64()
+                    ),
+                }
+            )
+
+        partials = items.map_batches(fold, batch_format="pyarrow")
+    else:
+        # Scale path: keyed partkey tagged-union; one flag row per part,
+        # one pre-combined rev row per (block, partkey).
+        def tag_part(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "l_partkey": batch["p_partkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "flag": pc.equal(batch["p_type"], "PROMO").cast(
+                        pa.int64()
+                    ),
+                    "rev_cc": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_item(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "l_partkey": batch["l_partkey"],
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "flag": pa.array([-1] * n, type=pa.int64()),
+                    "rev_cc": batch["rev_cc"],
+                }
+            )
+
+        def fold_group(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            prow = np.flatnonzero(kind == 0)
+            irow = np.flatnonzero(kind == 1)
+            if len(prow) == 0 or len(irow) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "promo_rev_cc": pa.array([], type=pa.int64()),
+                        "total_rev_cc": pa.array([], type=pa.int64()),
+                    }
+                )
+            is_promo = int(group["flag"][int(prow[0])].as_py())
+            rev = int(
+                np.sum(group["rev_cc"].to_numpy(zero_copy_only=False)[irow])
+            )
+            return pa.Table.from_pydict(
+                {
+                    "promo_rev_cc": pa.array(
+                        [rev * is_promo], type=pa.int64()
+                    ),
+                    "total_rev_cc": pa.array([rev], type=pa.int64()),
+                }
+            )
+
+        partials = (
+            part.select_columns(["p_partkey", "p_type"])
+            .map_batches(tag_part, batch_format="pyarrow")
+            .union(items.map_batches(tag_item, batch_format="pyarrow"))
+            .groupby("l_partkey")
+            .map_groups(fold_group, batch_format="pyarrow")
+        )
+
+    rows = partials.take_all()  # O(#blocks) two-int rows
+    promo_rev = sum(r["promo_rev_cc"] for r in rows)
+    total_rev = sum(r["total_rev_cc"] for r in rows)
+    pct = promo_rev * 1_000_000 // total_rev if total_rev else 0
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "promo_rev_cc": pa.array([promo_rev], type=pa.int64()),
+                "total_rev_cc": pa.array([total_rev], type=pa.int64()),
+                "promo_pct_fp6": pa.array([pct], type=pa.int64()),
+            }
+        )
+    )
+
+
+def large_order_customers(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    qty_threshold: int = 300,
+) -> ray.data.Dataset:
+    """(c_custkey, c_name, o_orderkey, total_qty, price_c) — the TPC-H
+    Q18 shape: orders whose total line quantity exceeds ``qty_threshold``
+    (HAVING over a fact-side groupby), joined back to orders + customer.
+
+    Shape: per-block (orderkey, qty) partials → ONE keyed Sum over
+    orderkeys → the HAVING filter collapses the result to the survivor
+    set (fixed ~0.03% selectivity at threshold 300 in TPC-H — bounded by
+    selectivity, documented driver state O(survivors)); survivors
+    broadcast as a dict probed by a streaming orders scan, then the
+    (custkey-keyed) survivor rows broadcast again against a streaming
+    customer scan. Both big tables stream; nothing sf-proportional sits
+    on the driver.
+
+    Oracle: GROUP BY + HAVING + two joins."""
+    from ray.data.aggregate import Sum
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "qty": pa.array(
+                    np.floor(q + 0.5).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["o_orderkey"]).aggregate([("qty", "sum")])
+        return g.rename_columns(["o_orderkey", "qty"])
+
+    per_order = (
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+    )
+
+    def keep_large(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["total_qty"], qty_threshold)
+        )
+
+    survivors = {
+        r["o_orderkey"]: r["total_qty"]
+        for r in per_order.map_batches(
+            keep_large, batch_format="pyarrow"
+        ).take_all()
+    }
+    surv_ref = ray.put(survivors)
+
+    def probe_orders(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(surv_ref)
+        keys = pd.Series(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+        qt_all = keys.map(lookup)
+        mask = qt_all.notna().values
+        t = batch.filter(pa.array(mask))
+        qt = qt_all.values[mask].astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "total_qty": pa.array(qt, type=pa.int64()),
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    surviving_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(probe_orders, batch_format="pyarrow")
+
+    # survivor rows are tiny (selectivity-bounded): broadcast them keyed
+    # by custkey and let the CUSTOMER table stream past.
+    so = surviving_orders.take_all()
+    by_cust: dict[int, list] = {}
+    for r in so:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    bc_ref = ray.put(by_cust)
+
+    def probe_customer(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(bc_ref)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        # vectorized membership prune first; the Python loop below touches
+        # ONLY the survivor customers (selectivity-bounded, ~dozens)
+        hit = pd.Series(keys).isin(lookup.keys()).values
+        t = batch.filter(pa.array(hit))
+        out = {
+            "c_custkey": [],
+            "c_name": [],
+            "o_orderkey": [],
+            "total_qty": [],
+            "price_c": [],
+        }
+        for k, nm in zip(
+            t["c_custkey"].to_numpy(zero_copy_only=False),
+            t["c_name"].to_pylist(),
+        ):
+            for r in lookup.get(int(k), ()):
+                out["c_custkey"].append(int(k))
+                out["c_name"].append(nm)
+                out["o_orderkey"].append(r["o_orderkey"])
+                out["total_qty"].append(r["total_qty"])
+                out["price_c"].append(r["price_c"])
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(out["c_custkey"], type=pa.int64()),
+                "c_name": pa.array(out["c_name"], type=pa.string()),
+                "o_orderkey": pa.array(out["o_orderkey"], type=pa.int64()),
+                "total_qty": pa.array(out["total_qty"], type=pa.int64()),
+                "price_c": pa.array(out["price_c"], type=pa.int64()),
+            }
+        )
+
+    return customer.select_columns(["c_custkey", "c_name"]).map_batches(
+        probe_customer, batch_format="pyarrow"
+    )
+
+
+def revenue_rollup(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    customer_count: int | None = None,
+) -> ray.data.Dataset:
+    """(n_name, o_year, rev_c, lvl) — GROUP BY ROLLUP(nation, year) over
+    order revenue: the finest (nation, year) level plus per-nation
+    subtotals and the grand total, encoded NULL-free ('ALL' / -1
+    sentinels; lvl = number of rolled-up columns) so the oracle compare
+    never hashes mixed null dtypes.
+
+    Shape: the finest level is ONE keyed groupby over the bounded
+    (25 nations × ~7 years) domain after per-block partials attach the
+    customer nation (guarded broadcast; above the limit the custkey
+    tagged-union shuffle from [[revenue_by_nation]] stage 2 applies —
+    here routed through the same per-block partial sums, so only
+    (custkey, year, cents) partial rows ride). Coarser levels are exact
+    re-sums of the bounded finest result on the driver (SUM is
+    reassociative — no second pass over the data).
+
+    Oracle: GROUP BY ROLLUP + COALESCE sentinels + GROUPING() level."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    nat_ref = ray.put(nat)
+    if customer_count is None:
+        customer_count = customer.count()
+
+    if customer_count <= broadcast_limit:
+        cmap = {
+            r["c_custkey"]: r["c_nationkey"]
+            for r in customer.select_columns(
+                ["c_custkey", "c_nationkey"]
+            ).take_all()
+        }
+        cmap_ref = ray.put(cmap)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(cmap_ref)
+            nats = ray.get(nat_ref)
+            nk = (
+                pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+                .map(lookup)
+                .fillna(-1)
+                .astype(np.int64)
+            )
+            years = pc.year(batch["o_orderdate"]).cast(pa.int64())
+            t = pa.Table.from_pydict(
+                {
+                    "n_name": pa.array(
+                        nk.map(nats).values, type=pa.string()
+                    ),
+                    "o_year": years,
+                    "rev_c": _cents(batch["o_totalprice"]),
+                }
+            )
+            t = t.filter(pc.is_valid(t["n_name"]))
+            g = t.group_by(["n_name", "o_year"]).aggregate(
+                [("rev_c", "sum")]
+            )
+            return g.rename_columns(["n_name", "o_year", "rev_c"])
+
+        finest = (
+            orders.select_columns(
+                ["o_custkey", "o_orderdate", "o_totalprice"]
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+        )
+    else:
+        # Scale path: custkey tagged-union attaches the nation to
+        # per-(block, custkey, year) partial sums; then the bounded
+        # (nation, year) groupby as above.
+        def tag_cust(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                    "kind": pa.array([0] * n, type=pa.int8()),
+                    "nationkey": batch["c_nationkey"].cast(pa.int64()),
+                    "o_year": pa.array([-1] * n, type=pa.int64()),
+                    "rev_c": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def tag_orders(batch: pa.Table) -> pa.Table:
+            years = pc.year(batch["o_orderdate"]).cast(pa.int64())
+            t = pa.Table.from_pydict(
+                {
+                    "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                    "o_year": years,
+                    "rev_c": _cents(batch["o_totalprice"]),
+                }
+            )
+            g = t.group_by(["c_custkey", "o_year"]).aggregate(
+                [("rev_c", "sum")]
+            )
+            n = g.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "c_custkey": g["c_custkey"],
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                    "nationkey": pa.array([-1] * n, type=pa.int64()),
+                    "o_year": g["o_year"],
+                    "rev_c": g["rev_c_sum"].cast(pa.int64()),
+                }
+            )
+
+        def attach(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            crow = np.flatnonzero(kind == 0)
+            orow = np.flatnonzero(kind == 1)
+            if len(crow) == 0 or len(orow) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "n_name": pa.array([], type=pa.string()),
+                        "o_year": pa.array([], type=pa.int64()),
+                        "rev_c": pa.array([], type=pa.int64()),
+                    }
+                )
+            nats = ray.get(nat_ref)
+            nname = nats.get(
+                int(group["nationkey"][int(crow[0])].as_py())
+            )
+            sel = group.take(orow)
+            n = sel.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "n_name": pa.array([nname] * n, type=pa.string()),
+                    "o_year": sel["o_year"],
+                    "rev_c": sel["rev_c"],
+                }
+            )
+
+        finest = (
+            customer.select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(tag_cust, batch_format="pyarrow")
+            .union(
+                orders.select_columns(
+                    ["o_custkey", "o_orderdate", "o_totalprice"]
+                ).map_batches(tag_orders, batch_format="pyarrow")
+            )
+            .groupby("c_custkey")
+            .map_groups(attach, batch_format="pyarrow")
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+        )
+
+    rows = finest.take_all()  # bounded: nations × years
+    out = {
+        "n_name": [],
+        "o_year": [],
+        "rev_c": [],
+        "lvl": [],
+    }
+    nat_tot: dict[str, int] = {}
+    grand = 0
+    for r in rows:
+        out["n_name"].append(r["n_name"])
+        out["o_year"].append(r["o_year"])
+        out["rev_c"].append(r["rev_c"])
+        out["lvl"].append(0)
+        nat_tot[r["n_name"]] = nat_tot.get(r["n_name"], 0) + r["rev_c"]
+        grand += r["rev_c"]
+    for nm, tot in nat_tot.items():
+        out["n_name"].append(nm)
+        out["o_year"].append(-1)
+        out["rev_c"].append(tot)
+        out["lvl"].append(1)
+    out["n_name"].append("ALL")
+    out["o_year"].append(-1)
+    out["rev_c"].append(grand)
+    out["lvl"].append(2)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_name": pa.array(out["n_name"], type=pa.string()),
+                "o_year": pa.array(out["o_year"], type=pa.int64()),
+                "rev_c": pa.array(out["rev_c"], type=pa.int64()),
+                "lvl": pa.array(out["lvl"], type=pa.int64()),
+            }
+        )
+    )
+
+
+def event_type_hour_pivot(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, b0, b1, b2, b3) — PIVOT shape: per event type, event
+    counts in the four six-hour day buckets (hour // 6) as COLUMNS.
+
+    Shape: per-block Arrow partials over the bounded
+    (event_type × 4-bucket) domain → ONE keyed groupby → the pivot is a
+    driver-side reshape of that bounded result (O(#types × 4)).
+
+    Oracle: SUM(CASE WHEN hour//6 = k THEN 1 END) per bucket."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.hour(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "bucket": pa.array(hours // 6, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [("bucket", "count")]
+        )
+        return g.rename_columns(["event_type", "bucket", "n"])
+
+    rows = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded: #event_types × 4
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        agg.setdefault(r["event_type"], [0, 0, 0, 0])[r["bucket"]] = r["n"]
+    types = sorted(agg)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "b0": pa.array([agg[t][0] for t in types], type=pa.int64()),
+                "b1": pa.array([agg[t][1] for t in types], type=pa.int64()),
+                "b2": pa.array([agg[t][2] for t in types], type=pa.int64()),
+                "b3": pa.array([agg[t][3] for t in types], type=pa.int64()),
+            }
+        )
+    )
+
+
+def brand_size_outliers(part: ray.data.Dataset) -> ray.data.Dataset:
+    """(p_partkey, p_brand, p_size, brand_avg_fp4) — the correlated-
+    subquery shape: parts whose size exceeds 1.5× their OWN brand's
+    average size. The comparison is exact integer arithmetic
+    (2·size·count > 3·sum ⇔ size > 1.5·avg) and brand_avg_fp4 is the
+    exact fixed-point sum*10000//count — no float thresholds.
+
+    Shape: pass 1 folds per-block (brand, sum_size, n) partials into a
+    bounded 25-brand aggregate (TPC-H brand domain is FIXED-size, always
+    broadcastable); pass 2 re-streams part and filters against the
+    broadcast dict. Two streaming scans, zero shuffles.
+
+    Oracle: AVG OVER (PARTITION BY p_brand) window twin in the same
+    integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "p_brand": batch["p_brand"],
+                "size": batch["p_size"].cast(pa.int64()),
+                "n": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["p_brand"]).aggregate(
+            [("size", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["p_brand", "sum_size", "n"])
+
+    stats = {
+        r["p_brand"]: (r["sum_size"], r["n"])
+        for r in part.select_columns(["p_brand", "p_size"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("sum_size", alias_name="sum_size"), Sum("n", alias_name="n"))
+        .take_all()
+    }  # bounded: 25 brands
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(stats_ref)
+        brands = pd.Series(batch["p_brand"].to_pylist())
+        s = brands.map({k: v[0] for k, v in lookup.items()}).values.astype(
+            np.int64
+        )
+        c = brands.map({k: v[1] for k, v in lookup.items()}).values.astype(
+            np.int64
+        )
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 2 * size * c > 3 * s
+        t = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "p_brand": t["p_brand"],
+                "p_size": t["p_size"].cast(pa.int64()),
+                "brand_avg_fp4": pa.array(
+                    s[keep] * 10_000 // c[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    return part.select_columns(["p_partkey", "p_brand", "p_size"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def churned_customers(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    cutoff: str = "2000-01-01",
+) -> ray.data.Dataset:
+    """(n_name, n_churned, bal_c_sum) — anti-join shape: customers with
+    NO order on/after ``cutoff``, counted per nation with their exact
+    acctbal cents sum.
+
+    Shape: the order side collapses to per-block DISTINCT recent
+    custkeys (one int row per block-key), then ONE keyed custkey
+    tagged-union groupby marks each customer has_recent via a Max
+    overlay — the anti-join IS the filter has_recent == 0. Customer
+    attributes ride the same shuffle (one row per customer); nation (25
+    rows) broadcasts for the final bounded rollup. No driver-side key
+    sets, both big tables stream.
+
+    Oracle: NOT EXISTS(correlated) + GROUP BY nation."""
+    from ray.data.aggregate import Max, Sum
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    nat_ref = ray.put(nat)
+    cutoff_ts = np.datetime64(cutoff)
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)[
+            ts >= cutoff_ts
+        ]
+        uk = np.unique(keys).astype(np.int64)
+        n = len(uk)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(uk, type=pa.int64()),
+                "has_recent": pa.array([1] * n, type=pa.int64()),
+                "nationkey": pa.array([-1] * n, type=pa.int64()),
+                "bal_c": pa.array([np.iinfo(np.int64).min] * n, type=pa.int64()),
+            }
+        )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "has_recent": pa.array([0] * n, type=pa.int64()),
+                "nationkey": batch["c_nationkey"].cast(pa.int64()),
+                "bal_c": _cents(batch["c_acctbal"]),
+            }
+        )
+
+    merged = (
+        orders.select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(recent_keys, batch_format="pyarrow")
+        .union(
+            customer.select_columns(
+                ["c_custkey", "c_nationkey", "c_acctbal"]
+            ).map_batches(tag_customer, batch_format="pyarrow")
+        )
+        .groupby("c_custkey")
+        .aggregate(
+            Max("has_recent", alias_name="has_recent"),
+            Max("nationkey", alias_name="nationkey"),
+            Max("bal_c", alias_name="bal_c"),
+        )
+    )
+
+    def churn_partial(batch: pa.Table) -> pa.Table:
+        # keep customers with no recent order; drop order-only keys
+        # (nationkey == -1: custkey had orders but no customer row)
+        keep = pc.and_(
+            pc.equal(batch["has_recent"], 0),
+            pc.not_equal(batch["nationkey"], -1),
+        )
+        t = batch.filter(keep)
+        g = pa.Table.from_pydict(
+            {
+                "nationkey": t["nationkey"],
+                "bal_c": t["bal_c"],
+                "n": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        ).group_by(["nationkey"]).aggregate(
+            [("n", "sum"), ("bal_c", "sum")]
+        )
+        return g.rename_columns(["nationkey", "n_churned", "bal_c_sum"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nats = ray.get(nat_ref)
+        names = (
+            pd.Series(batch["nationkey"].to_numpy(zero_copy_only=False))
+            .map(nats)
+            .values
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "n_churned": batch["n_churned"].cast(pa.int64()),
+                "bal_c_sum": batch["bal_c_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(churn_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_churned", alias_name="n_churned"),
+            Sum("bal_c_sum", alias_name="bal_c_sum"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def moving_avg_daily_revenue(
+    orders: ray.data.Dataset, window: int = 7
+) -> ray.data.Dataset:
+    """(day, rev_c, ma_c) — window-frame shape: daily order revenue with
+    a trailing ``window``-row moving average (ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW over the observed-day sequence). ma_c is
+    the exact integer floor-division sum//count of the frame.
+
+    Shape: per-block partials → ONE keyed Sum over the BOUNDED day
+    domain (~2,400 days at any sf — dates don't grow with scale) → the
+    rolling overlay is a driver-side prefix pass over that bounded
+    result (the [[monthly_revenue_running]] contract).
+
+    Oracle: SUM/COUNT OVER (ORDER BY day ROWS BETWEEN ... ) with the
+    same integer division."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(
+            pc.floor_temporal(batch["o_orderdate"], unit="day"),
+            format="%Y-%m-%d",
+        )
+        t = pa.Table.from_pydict(
+            {"day": days, "c": _cents(batch["o_totalprice"])}
+        )
+        g = t.group_by(["day"]).aggregate([("c", "sum")])
+        return g.rename_columns(["day", "rev_c"])
+
+    rows = sorted(
+        (
+            orders.select_columns(["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+            .take_all()
+        ),
+        key=lambda r: r["day"],
+    )
+    rev = np.array([r["rev_c"] for r in rows], dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(rev)))
+    n = len(rev)
+    idx = np.arange(n)
+    lo = np.maximum(0, idx - window + 1)
+    wsum = csum[idx + 1] - csum[lo]
+    wcnt = idx + 1 - lo
+    ma = wsum // wcnt
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "day": pa.array([r["day"] for r in rows], type=pa.string()),
+                "rev_c": pa.array(rev, type=pa.int64()),
+                "ma_c": pa.array(ma, type=pa.int64()),
+            }
+        )
+    )

@@ -2676,3 +2676,58 @@ def vocab_coverage_curve(
             }
         )
     )
+
+
+def sentence_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_docs, n_sents, sents_per_doc_fp6) — per-source sentence
+    profile: a "sentence" is one run of terminal punctuation ``[.!?]+``
+    (the whole-corpus mean rides as exact fixed-point n_sents*10^6 //
+    n_docs). Counting is one vectorized RE2 kernel per block
+    (``pc.count_substring_regex``) — the text column never leaves the
+    block and only (source, 2 ints) partial rows reach the bounded
+    per-source groupby.
+
+    Oracle: len(regexp_extract_all(text, '[.!?]+')) — RE2 on both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sents = pc.count_substring_regex(batch["text"], r"[.!?]+").cast(
+            pa.int64()
+        )
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_sents": sents,
+                "n_docs": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_sents", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_sents"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_sents", alias_name="n_sents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False)
+        ns = batch["n_sents"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(nd, type=pa.int64()),
+                "n_sents": pa.array(ns, type=pa.int64()),
+                "sents_per_doc_fp6": pa.array(
+                    ns * 1_000_000 // nd, type=pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

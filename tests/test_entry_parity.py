@@ -78,6 +78,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "interleave_pack",
             "span_boilerplate",
             "curate_captions",
+            "interleave_shape_hist",
         )
         else SF_DIR
     )

@@ -1,0 +1,299 @@
+"""Round-4 batch-3 ops: TPC-H Q10/Q14/Q18 shapes, ROLLUP, PIVOT,
+correlated-subquery outliers, churn anti-join, moving-average window,
+sentence stats, interleave shape histogram. Oracle parity runs in
+test_entry_parity; these pin the semantics the oracles can't see —
+broadcast==shuffle equality for every guarded scale path, and
+hand-computed fixtures for the driver-side folds."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tableextraction_ray.functions import interleaved, relational, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rd(t, cols):
+    return ray.data.read_parquet(f"{SF_DIR}/{t}.parquet", columns=cols)
+
+
+class TestReturnedItemRevenue:
+    @pytest.fixture()
+    def tables(self, ray_session):
+        return dict(
+            lineitem=_rd(
+                "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            ),
+            orders=_rd("orders", ["o_orderkey", "o_custkey"]),
+            customer=_rd("customer", ["c_custkey", "c_name", "c_nationkey"]),
+            nation=_rd("nation", ["n_nationkey", "n_name"]),
+        )
+
+    def _canon(self, ds):
+        return [
+            (r["c_custkey"], r["c_name"], r["n_name"], r["rev_cc"])
+            for r in ds.take_all()
+        ]
+
+    def test_shuffle_fallback_matches_broadcast(self, tables):
+        broadcast = self._canon(relational.returned_item_revenue(**tables))
+        shuffled = self._canon(
+            relational.returned_item_revenue(**tables, broadcast_limit=0)
+        )
+        assert broadcast == shuffled and len(broadcast) == 20
+
+    def test_each_single_dim_shuffle_path(self, tables):
+        broadcast = self._canon(relational.returned_item_revenue(**tables))
+        big = 10**12
+        for forced in ("order_count", "customer_count"):
+            got = self._canon(
+                relational.returned_item_revenue(**tables, **{forced: big})
+            )
+            assert got == broadcast, forced
+
+    def test_topk_is_sorted_desc_with_custkey_ties(self, tables):
+        rows = self._canon(relational.returned_item_revenue(**tables))
+        keys = [(-rev, ck) for ck, _, _, rev in rows]
+        assert keys == sorted(keys)
+
+
+class TestPromoRevenue:
+    def test_shuffle_fallback_matches_broadcast(self, ray_session):
+        li = _rd("lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        part = _rd("part", ["p_partkey", "p_type"])
+        a = relational.promo_revenue(li, part).take_all()[0]
+        b = relational.promo_revenue(li, part, broadcast_limit=0).take_all()[0]
+        assert a == b and a["total_rev_cc"] > 0
+
+    def test_hand_computed_share(self, ray_session):
+        li = ray.data.from_items(
+            [
+                {"l_partkey": 1, "l_extendedprice": 10.0, "l_discount": 0.0},
+                {"l_partkey": 2, "l_extendedprice": 30.0, "l_discount": 0.0},
+            ]
+        )
+        part = ray.data.from_items(
+            [
+                {"p_partkey": 1, "p_type": "PROMO"},
+                {"p_partkey": 2, "p_type": "LARGE"},
+            ]
+        )
+        r = relational.promo_revenue(li, part).take_all()[0]
+        # promo 10.00 of 40.00 total -> 25% exactly
+        assert r["promo_pct_fp6"] == 250_000
+        assert r["promo_rev_cc"] == 1000 * 100
+        assert r["total_rev_cc"] == 4000 * 100
+
+
+class TestLargeOrderCustomers:
+    def test_threshold_filters_and_attaches(self, ray_session):
+        li = ray.data.from_items(
+            [
+                {"l_orderkey": 1, "l_quantity": 5.0},
+                {"l_orderkey": 1, "l_quantity": 6.0},
+                {"l_orderkey": 2, "l_quantity": 3.0},
+            ]
+        )
+        orders = ray.data.from_items(
+            [
+                {"o_orderkey": 1, "o_custkey": 7, "o_totalprice": 12.34},
+                {"o_orderkey": 2, "o_custkey": 8, "o_totalprice": 9.99},
+            ]
+        )
+        cust = ray.data.from_items(
+            [
+                {"c_custkey": 7, "c_name": "alice"},
+                {"c_custkey": 8, "c_name": "bob"},
+            ]
+        )
+        rows = relational.large_order_customers(
+            li, orders, cust, qty_threshold=10
+        ).take_all()
+        assert rows == [
+            {
+                "c_custkey": 7,
+                "c_name": "alice",
+                "o_orderkey": 1,
+                "total_qty": 11,
+                "price_c": 1234,
+            }
+        ]
+
+
+class TestRevenueRollup:
+    def test_shuffle_fallback_matches_broadcast(self, ray_session):
+        args = dict(
+            orders=_rd("orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+            customer=_rd("customer", ["c_custkey", "c_nationkey"]),
+            nation=_rd("nation", ["n_nationkey", "n_name"]),
+        )
+        canon = lambda ds: sorted(
+            (r["n_name"], r["o_year"], r["rev_c"], r["lvl"])
+            for r in ds.take_all()
+        )
+        a = canon(relational.revenue_rollup(**args))
+        b = canon(relational.revenue_rollup(**args, broadcast_limit=0))
+        assert a == b and len(a) > 0
+
+    def test_levels_sum_consistently(self, ray_session):
+        rows = relational.revenue_rollup(
+            _rd("orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+            _rd("customer", ["c_custkey", "c_nationkey"]),
+            _rd("nation", ["n_nationkey", "n_name"]),
+        ).take_all()
+        finest = sum(r["rev_c"] for r in rows if r["lvl"] == 0)
+        mids = sum(r["rev_c"] for r in rows if r["lvl"] == 1)
+        grand = [r["rev_c"] for r in rows if r["lvl"] == 2]
+        assert len(grand) == 1 and finest == mids == grand[0]
+
+
+class TestEventTypeHourPivot:
+    def test_buckets_partition_counts(self, ray_session):
+        import datetime as dt
+
+        ev = ray.data.from_items(
+            [
+                {"ts": dt.datetime(2024, 1, 1, h), "event_type": "x"}
+                for h in (0, 5, 6, 12, 18, 23)
+            ]
+        )
+        r = relational.event_type_hour_pivot(ev).take_all()
+        assert r == [
+            {"event_type": "x", "b0": 2, "b1": 1, "b2": 1, "b3": 2}
+        ]
+
+
+class TestBrandSizeOutliers:
+    def test_exact_threshold_excluded(self, ray_session):
+        # brand avg = 10 -> threshold 15; size 15 excluded (strict >), 16 in
+        part = ray.data.from_items(
+            [
+                {"p_partkey": i, "p_brand": "B", "p_size": s}
+                for i, s in enumerate([4, 5, 15, 16], start=1)
+            ]
+        )
+        rows = relational.brand_size_outliers(part).take_all()
+        assert [r["p_partkey"] for r in rows] == [4]
+        assert rows[0]["brand_avg_fp4"] == 100_000  # 10.0000
+
+
+class TestChurnedCustomers:
+    def test_anti_join_per_nation(self, ray_session):
+        import datetime as dt
+
+        orders = ray.data.from_items(
+            [
+                {"o_custkey": 1, "o_orderdate": dt.datetime(2001, 1, 1)},
+                {"o_custkey": 2, "o_orderdate": dt.datetime(1999, 1, 1)},
+            ]
+        )
+        cust = ray.data.from_items(
+            [
+                {"c_custkey": 1, "c_nationkey": 0, "c_acctbal": 5.0},
+                {"c_custkey": 2, "c_nationkey": 0, "c_acctbal": 7.5},
+                {"c_custkey": 3, "c_nationkey": 1, "c_acctbal": -1.25},
+            ]
+        )
+        nation = ray.data.from_items(
+            [
+                {"n_nationkey": 0, "n_name": "A"},
+                {"n_nationkey": 1, "n_name": "B"},
+            ]
+        )
+        rows = sorted(
+            relational.churned_customers(orders, cust, nation).take_all(),
+            key=lambda r: r["n_name"],
+        )
+        # cust 1 has a recent order; 2's is pre-cutoff; 3 has none
+        assert rows == [
+            {"n_name": "A", "n_churned": 1, "bal_c_sum": 750},
+            {"n_name": "B", "n_churned": 1, "bal_c_sum": -125},
+        ]
+
+
+class TestMovingAvgDailyRevenue:
+    def test_ramp_in_window(self, ray_session):
+        import datetime as dt
+
+        orders = ray.data.from_items(
+            [
+                {"o_orderdate": dt.datetime(2024, 1, d), "o_totalprice": float(d)}
+                for d in range(1, 10)
+            ]
+        )
+        rows = relational.moving_avg_daily_revenue(orders, window=3).take_all()
+        rows.sort(key=lambda r: r["day"])
+        assert [r["rev_c"] for r in rows] == [d * 100 for d in range(1, 10)]
+        # day1: 100//1, day2: 300//2, day3+: mean of 3 consecutive = middle
+        assert rows[0]["ma_c"] == 100
+        assert rows[1]["ma_c"] == 150
+        assert [r["ma_c"] for r in rows[2:]] == [d * 100 for d in range(2, 9)]
+
+
+class TestSentenceStats:
+    def test_run_counting_and_fixed_point(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "source": "s", "text": "a. b!? c"},
+                {"doc_id": 2, "source": "s", "text": "no enders"},
+            ]
+        )
+        r = textstats.sentence_stats(docs).take_all()
+        # 'a. b!? c' -> runs '.', '!?' = 2 sentences; doc 2 -> 0
+        assert r == [
+            {
+                "source": "s",
+                "n_docs": 2,
+                "n_sents": 2,
+                "sents_per_doc_fp6": 1_000_000,
+            }
+        ]
+
+
+class TestInterleaveShapeHist:
+    def test_shapes_counted_and_invariant_under_repartition(self, ray_session):
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+
+        def doc(did, kinds):
+            return {
+                "doc_id": did,
+                "spans": [
+                    {"kind": k, "text": "t", "media_ref": "", "offset": i}
+                    for i, k in enumerate(kinds)
+                ],
+            }
+
+        docs = [
+            doc("d1", ["text", "media"]),
+            doc("d2", ["text", "media"]),
+            doc("d3", ["text", "text"]),
+            {"doc_id": "d4", "spans": []},  # zero-span doc: dropped
+        ]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs]),
+                "spans": pa.array(
+                    [d["spans"] for d in docs], type=pa.list_(span_t)
+                ),
+            }
+        )
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            rows = sorted(
+                interleaved.interleave_shape_hist(ds).take_all(),
+                key=lambda r: (r["n_text"], r["n_media"]),
+            )
+            assert rows == [
+                {"n_text": 1, "n_media": 1, "n_docs": 2},
+                {"n_text": 2, "n_media": 0, "n_docs": 1},
+            ]
