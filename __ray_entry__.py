@@ -142,6 +142,11 @@ _R4_QUERIES: list[str] = [
     "moving_avg_daily_revenue",
     "sentence_stats",
     "interleave_shape_hist",
+    "events_value_stddev",
+    "top_customers_concat",
+    "doc_length_deciles",
+    "media_ref_fanout",
+    "mmr_select",
 ]
 
 
@@ -875,6 +880,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "interleave_shape_hist": lambda sf: (
             interleaved.interleave_shape_hist(_spans(sf))
+        ),
+        "events_value_stddev": lambda sf: relational.events_value_stddev(
+            _read(sf, "events", ["event_type", "value"])
+        ),
+        "top_customers_concat": lambda sf: relational.top_customers_concat(
+            _read(
+                sf,
+                "customer",
+                ["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+            ),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        ),
+        "doc_length_deciles": lambda sf: relational.doc_length_deciles(
+            _read(sf, "documents", ["doc_id", "n_chars"])
+        ),
+        "media_ref_fanout": lambda sf: (
+            interleaved.media_ref_fanout(_spans(sf))
+        ),
+        "mmr_select": lambda sf: similarity.mmr_select(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 1),
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4381,6 +4407,68 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_text, n_media, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM per_doc GROUP BY 1, 2
+    """
+
+
+    # STDDEV/VAR aggregate shape: exact integer sample variance in cents2.
+    d["events_value_stddev"] = """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sum_c,
+               CAST(SUM(c*c) AS BIGINT) AS sumsq_c,
+               CAST(CASE WHEN COUNT(*) > 1 THEN
+                 (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(c*c) AS HUGEINT)
+                  - CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT))
+                 // (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+                 ELSE 0 END AS BIGINT) AS var_fp0
+        FROM m GROUP BY 1
+    """
+    # Ordered string aggregation: top-3 names per nation.
+    d["top_customers_concat"] = """
+        WITH r AS (
+          SELECT c_nationkey, c_name,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                            DESC, c_custkey
+                 ) AS rn
+          FROM customer
+        )
+        SELECT n.n_name AS n_name,
+               string_agg(r.c_name, ',' ORDER BY r.rn) AS top_names
+        FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey
+        WHERE r.rn <= 3
+        GROUP BY 1
+    """
+    # Exact NTILE(10) bucket profile over document lengths.
+    d["doc_length_deciles"] = """
+        WITH t AS (
+          SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS ntile,
+                 n_chars
+          FROM documents
+        )
+        SELECT CAST(ntile AS BIGINT) AS ntile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM t GROUP BY 1
+    """
+    # Cross-document media reuse catalog over the spans table.
+    d["media_ref_fanout"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.media_ref AS media_ref
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        )
+        SELECT media_ref,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_refs
+        FROM s WHERE kind <> 'text' GROUP BY 1
     """
 
     return d

@@ -170,6 +170,11 @@ QUERY_SUITE = [
     "moving_avg_daily_revenue",
     "sentence_stats",
     "interleave_shape_hist",
+    "events_value_stddev",
+    "top_customers_concat",
+    "doc_length_deciles",
+    "media_ref_fanout",
+    "mmr_select",
 ]
 
 

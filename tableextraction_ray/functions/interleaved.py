@@ -719,3 +719,79 @@ def interleave_shape_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def media_ref_fanout(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_ref, n_docs, n_refs) — cross-document media reuse catalog:
+    how many documents reference each media asset, and how many times in
+    total. The sibling of media_content_dedup that needs no payload —
+    the dedup planner's first pass at 10¹² docs, pure span metadata.
+
+    Shape: per-block distinct (media_ref, doc_id) pairs with per-pair
+    ref counts → keyed groupby on (media_ref, doc_id) Sum (exact
+    cross-block doc dedup) → per-block re-partials → ONE keyed
+    media_ref groupby (n_docs = row count, n_refs = Sum). Two keyed
+    exchanges, both payload-free int/ref-string rows.
+
+    Oracle: UNNEST → COUNT(*) / COUNT(DISTINCT doc_id) per ref."""
+    from ray.data.aggregate import Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ids, parent, _order, _n, fields = _flat_spans(batch, sort=False)
+        is_media = pc.not_equal(fields["kind"], "text").to_numpy(
+            zero_copy_only=False
+        )
+        refs = fields["media_ref"]
+        doc_per_span = ids.take(pa.array(parent))
+        t = pa.Table.from_pydict(
+            {
+                "media_ref": refs,
+                "doc_id": doc_per_span,
+                "n_refs": pa.array(
+                    np.ones(len(parent), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ).filter(pa.array(is_media))
+        g = t.group_by(["media_ref", "doc_id"]).aggregate([("n_refs", "sum")])
+        return g.rename_columns(["media_ref", "doc_id", "n_refs"])
+
+    per_pair = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["media_ref", "doc_id"])
+        .aggregate(Sum("n_refs", alias_name="n_refs"))
+    )
+
+    def ref_partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "n_docs": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+                "n_refs": batch["n_refs"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["media_ref"]).aggregate(
+            [("n_docs", "sum"), ("n_refs", "sum")]
+        )
+        return g.rename_columns(["media_ref", "n_docs", "n_refs"])
+
+    agg = (
+        per_pair.map_batches(ref_partials, batch_format="pyarrow")
+        .groupby("media_ref")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_refs", alias_name="n_refs"),
+        )
+    )
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+                "n_refs": batch["n_refs"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast_cols, batch_format="pyarrow")

@@ -3267,7 +3267,11 @@ def returned_item_revenue(
             .map_groups(attach_cust, batch_format="pyarrow")
         )
 
-    per_cust = cust_rev.groupby("c_custkey").aggregate(
+    # partials are tiny (one int row per block-orderkey); collapse the
+    # block count before the keyed exchange — the measured ~50 ms/block
+    # fixed shuffle cost dominates otherwise (the orders_for_segment
+    # finding recorded in BASELINE.md).
+    per_cust = cust_rev.repartition(16).groupby("c_custkey").aggregate(
         Sum("rev_cc", alias_name="rev_cc")
     )
 
@@ -3585,6 +3589,9 @@ def large_order_customers(
     per_order = (
         lineitem.select_columns(["l_orderkey", "l_quantity"])
         .map_batches(qty_partials, batch_format="pyarrow")
+        # narrow the partial stream before the keyed exchange (the
+        # measured fixed per-block shuffle cost — see BASELINE.md)
+        .repartition(16)
         .groupby("o_orderkey")
         .aggregate(Sum("qty", alias_name="total_qty"))
     )
@@ -4149,3 +4156,229 @@ def moving_avg_daily_revenue(
             }
         )
     )
+
+
+def events_value_stddev(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n, sum_c, sumsq_c, var_fp0) — per-type moment fold:
+    values quantize to exact integer cents, variance is the exact
+    integer sample variance floor((n·Σx² − (Σx)²) / (n·(n−1))) in
+    cents² — Python bigints on the bounded per-type result, so the
+    n·Σx² product never overflows regardless of scale.
+
+    Shape: per-block Arrow moment partials (3 ints per type per block)
+    → ONE keyed sum over the bounded event_type domain. The STDDEV /
+    VAR aggregate shape with mergeable partials.
+
+    Oracle: the same HUGEINT formula in SQL."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(c), dtype=np.int64)),
+                "sum_c": pa.array(c, type=pa.int64()),
+                "sumsq_c": pa.array(c * c, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_c", "sum"), ("sumsq_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sum_c", "sumsq_c"])
+
+    agg = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sumsq_c", alias_name="sumsq_c"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Python-int loop over the BOUNDED type domain (exact bigints)
+        out = {"event_type": [], "n": [], "sum_c": [], "sumsq_c": [], "var_fp0": []}
+        for r in batch.to_pylist():
+            n, s, ss = int(r["n"]), int(r["sum_c"]), int(r["sumsq_c"])
+            var = (n * ss - s * s) // (n * (n - 1)) if n > 1 else 0
+            out["event_type"].append(r["event_type"])
+            out["n"].append(n)
+            out["sum_c"].append(s)
+            out["sumsq_c"].append(ss)
+            out["var_fp0"].append(var)
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64()),
+                "sum_c": pa.array(out["sum_c"], type=pa.int64()),
+                "sumsq_c": pa.array(out["sumsq_c"], type=pa.int64()),
+                "var_fp0": pa.array(out["var_fp0"], type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_customers_concat(
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """(n_name, top_names) — ordered string aggregation: each nation's
+    top-k customer names by (acctbal DESC, custkey ASC) joined with
+    ','. The GROUP_CONCAT / string_agg(... ORDER BY) shape.
+
+    Shape: per-block per-nation top-k prune (vectorized lexsort on
+    exact cents) → O(k · #nations · #blocks) bounded rows → driver
+    fold. Nation (25 rows) broadcasts; no keyed shuffle at all.
+
+    Oracle: ROW_NUMBER ≤ k + string_agg ORDER BY rn."""
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = np.asarray(_cents(batch["c_acctbal"]))
+        order = np.lexsort((ck, -bal, nk))
+        nk_s = nk[order]
+        # rank within nation run; keep first k of each run
+        first = np.ones(len(nk_s), dtype=bool)
+        first[1:] = nk_s[1:] != nk_s[:-1]
+        run_id = np.cumsum(first) - 1
+        run_start = np.flatnonzero(first)
+        pos_in_run = np.arange(len(nk_s)) - run_start[run_id]
+        sel = order[pos_in_run < k]
+        return batch.take(sel)
+
+    rows = customer.select_columns(
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows.sort(
+        key=lambda r: (
+            r["c_nationkey"],
+            -int(np.floor(r["c_acctbal"] * 100.0 + 0.5)),
+            r["c_custkey"],
+        )
+    )
+    by_nat: dict[int, list[str]] = {}
+    for r in rows:
+        lst = by_nat.setdefault(r["c_nationkey"], [])
+        if len(lst) < k:
+            lst.append(r["c_name"])
+    keys = sorted(by_nat)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_name": pa.array([nat[i] for i in keys], type=pa.string()),
+                "top_names": pa.array(
+                    [",".join(by_nat[i]) for i in keys], type=pa.string()
+                ),
+            }
+        )
+    )
+
+
+def doc_length_deciles(documents: ray.data.Dataset) -> ray.data.Dataset:
+    """(ntile, n_docs, min_chars, max_chars) — exact NTILE(10) over
+    documents ordered by (n_chars, doc_id): the first n%10 buckets get
+    ⌈n/10⌉ rows (SQL NTILE semantics, replicated exactly).
+
+    Shape: ONE global sort by (n_chars, doc_id) → pass 1 reads one
+    (count) meta row per block, the driver prefix-sums them into
+    per-block global-rank offsets (the char_budget_prefix block-offset
+    machinery; driver state O(#blocks)) → pass 2 assigns each row its
+    NTILE bucket vectorized from offset + position and pre-aggregates
+    per bucket in-block → ONE tiny keyed groupby over the 10 buckets.
+
+    Oracle: NTILE(10) OVER (ORDER BY n_chars, doc_id)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    sorted_ds = (
+        documents.select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"])
+        .materialize()
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "first_chars": pa.array(
+                    [batch["n_chars"][0].as_py()], type=pa.int64()
+                ),
+                "first_doc": pa.array(
+                    [batch["doc_id"][0].as_py()], type=pa.int64()
+                ),
+                "count": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    metas = sorted(
+        sorted_ds.map_batches(meta, batch_format="pyarrow").take_all(),
+        key=lambda r: (r["first_chars"], r["first_doc"]),
+    )
+    total = sum(m["count"] for m in metas)
+    offsets = {}
+    run = 0
+    for m in metas:
+        offsets[(m["first_chars"], m["first_doc"])] = run
+        run += m["count"]
+    state_ref = ray.put((offsets, total))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        offsets, n = ray.get(state_ref)
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "ntile": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "min_chars": pa.array([], type=pa.int64()),
+                    "max_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        key = (batch["n_chars"][0].as_py(), batch["doc_id"][0].as_py())
+        rank = offsets[key] + np.arange(batch.num_rows, dtype=np.int64)
+        q, rem = divmod(n, 10)
+        # SQL NTILE: first `rem` buckets have q+1 rows
+        big_span = rem * (q + 1)
+        nt = np.where(
+            rank < big_span,
+            rank // max(q + 1, 1) + 1,
+            rem + (rank - big_span) // max(q, 1) + 1,
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "ntile": pa.array(nt, type=pa.int64()),
+                "chars": batch["n_chars"].cast(pa.int64()),
+                "n_docs": pa.array(np.ones(len(nt), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["ntile"]).aggregate(
+            [("n_docs", "sum"), ("chars", "min"), ("chars", "max")]
+        )
+        return g.rename_columns(["ntile", "n_docs", "min_chars", "max_chars"])
+
+    agg = (
+        sorted_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ntile")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "ntile": batch["ntile"].cast(pa.int64()),
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+                "min_chars": batch["min_chars"].cast(pa.int64()),
+                "max_chars": batch["max_chars"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast_cols, batch_format="pyarrow")

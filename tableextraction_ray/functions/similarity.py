@@ -1203,3 +1203,96 @@ def knn_label_purity(
             }
         )
     )
+
+
+def mmr_select(
+    ds: ray.data.Dataset,
+    n_select: int = 8,
+    pool: int = 64,
+    lam_pct: int = 70,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(rk, vec_id, rel_fp5, score_fp5) — Maximal Marginal Relevance
+    diversified selection: greedily pick ``n_select`` vectors maximizing
+    ``lam·cos(q, d) − (1−lam)·max_{s∈selected} cos(d, s)`` against the
+    query (vec_id 0), from a candidate pool of the ``pool`` highest-
+    relevance vectors. The diversity-selection primitive for curation:
+    top-k alone returns near-duplicates, MMR spends the same budget on
+    coverage.
+
+    Shape: the pool is a distributed per-block top-``pool`` relevance
+    prune (embeddings ride ONLY for block survivors) → bounded
+    O(pool × dim) driver state → the greedy loop is driver-side over
+    that bounded pool (inherently sequential — each pick changes the
+    next argmax; pool ≪ corpus is the scale contract, documented).
+    All scores are the exact fixed-point cosine contract (_quantize /
+    _fp5); ties break by vec_id ascending. Greedy argmax chains are
+    not SQL-expressible — rows-only check + pytest fixtures."""
+    q_rows = _head_rows(ds, head_ds, 1)
+    q_vec = _quantize(
+        np.asarray([q_rows[0]["embedding"]], dtype=np.float64)
+    )
+    q_id = q_rows[0]["vec_id"]
+    q_ref = ray.put((q_id, q_vec))
+
+    def block_pool(batch: pa.Table) -> pa.Table:
+        q_id, q_vec = ray.get(q_ref)
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        rel = _fp5(_cos_matrix(mat, q_vec)[:, 0])
+        mask = vec_ids != q_id
+        vids, vals, sub = vec_ids[mask], rel[mask], mat[mask]
+        order = np.lexsort((vids, -vals))[:pool]
+        out = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vids[order], type=pa.int64()),
+                "rel_fp5": pa.array(vals[order], type=pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in sub[order]],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        return out
+
+    cand = sorted(
+        ds.map_batches(block_pool, batch_format="pyarrow").take_all(),
+        key=lambda r: (-r["rel_fp5"], r["vec_id"]),
+    )[:pool]  # bounded driver fold: O(pool × dim)
+    ids = np.asarray([r["vec_id"] for r in cand], dtype=np.int64)
+    rel = np.asarray([r["rel_fp5"] for r in cand], dtype=np.int64)
+    emb = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
+    # candidate×candidate similarity once (pool² fp5 ints, exact contract)
+    sim = _fp5(_cos_matrix(emb, emb))
+
+    selected: list[int] = []
+    out_rk, out_id, out_rel, out_score = [], [], [], []
+    remaining = np.ones(len(ids), dtype=bool)
+    for rk in range(min(n_select, len(ids))):
+        if not selected:
+            max_sim = np.zeros(len(ids), dtype=np.int64)
+        else:
+            max_sim = sim[:, selected].max(axis=1)
+        # argmax over the REMAINING candidates only (vec_id-ascending
+        # ties); scores stay small so the negation below is overflow-safe
+        idx_rem = np.flatnonzero(remaining)
+        sc = lam_pct * rel[idx_rem] - (100 - lam_pct) * max_sim[idx_rem]
+        best = int(idx_rem[np.lexsort((ids[idx_rem], -sc))[0]])
+        score = np.full(len(ids), 0, dtype=np.int64)
+        score[best] = lam_pct * rel[best] - (100 - lam_pct) * max_sim[best]
+        selected.append(best)
+        remaining[best] = False
+        out_rk.append(rk)
+        out_id.append(int(ids[best]))
+        out_rel.append(int(rel[best]))
+        out_score.append(int(score[best]))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rk": pa.array(out_rk, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "rel_fp5": pa.array(out_rel, type=pa.int64()),
+                "score_fp5": pa.array(out_score, type=pa.int64()),
+            }
+        )
+    )

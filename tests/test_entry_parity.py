@@ -79,6 +79,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "span_boilerplate",
             "curate_captions",
             "interleave_shape_hist",
+            "media_ref_fanout",
         )
         else SF_DIR
     )

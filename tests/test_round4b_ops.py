@@ -297,3 +297,172 @@ class TestInterleaveShapeHist:
                 {"n_text": 1, "n_media": 1, "n_docs": 2},
                 {"n_text": 2, "n_media": 0, "n_docs": 1},
             ]
+
+
+class TestEventsValueStddev:
+    def test_exact_sample_variance(self, ray_session):
+        import datetime as dt
+
+        ev = ray.data.from_items(
+            [
+                {"event_type": "x", "value": 1.0},
+                {"event_type": "x", "value": 2.0},
+                {"event_type": "x", "value": 4.0},
+                {"event_type": "y", "value": 5.0},
+            ]
+        )
+        rows = sorted(
+            relational.events_value_stddev(ev).take_all(),
+            key=lambda r: r["event_type"],
+        )
+        # x: cents 100,200,400 -> n=3 s=700 ss=210000
+        # var = (3*210000 - 490000) // 6 = 140000 // 6 = 23333
+        assert rows[0] == {
+            "event_type": "x",
+            "n": 3,
+            "sum_c": 700,
+            "sumsq_c": 210000,
+            "var_fp0": 23333,
+        }
+        assert rows[1]["n"] == 1 and rows[1]["var_fp0"] == 0
+
+
+class TestTopCustomersConcat:
+    def test_order_and_ties(self, ray_session):
+        cust = ray.data.from_items(
+            [
+                {"c_custkey": 1, "c_name": "a", "c_nationkey": 0, "c_acctbal": 5.0},
+                {"c_custkey": 2, "c_name": "b", "c_nationkey": 0, "c_acctbal": 5.0},
+                {"c_custkey": 3, "c_name": "c", "c_nationkey": 0, "c_acctbal": 9.0},
+                {"c_custkey": 4, "c_name": "d", "c_nationkey": 0, "c_acctbal": 1.0},
+                {"c_custkey": 5, "c_name": "e", "c_nationkey": 1, "c_acctbal": 0.0},
+            ]
+        )
+        nation = ray.data.from_items(
+            [
+                {"n_nationkey": 0, "n_name": "N0"},
+                {"n_nationkey": 1, "n_name": "N1"},
+            ]
+        )
+        rows = sorted(
+            relational.top_customers_concat(cust, nation, k=3).take_all(),
+            key=lambda r: r["n_name"],
+        )
+        # bal 9 first, then the 5.0 tie broken by custkey (a before b)
+        assert rows == [
+            {"n_name": "N0", "top_names": "c,a,b"},
+            {"n_name": "N1", "top_names": "e"},
+        ]
+
+    def test_invariant_under_repartition(self, ray_session):
+        cust = _rd("customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        nation = _rd("nation", ["n_nationkey", "n_name"])
+        a = sorted(
+            map(tuple, (
+                (r["n_name"], r["top_names"])
+                for r in relational.top_customers_concat(cust, nation).take_all()
+            ))
+        )
+        b = sorted(
+            map(tuple, (
+                (r["n_name"], r["top_names"])
+                for r in relational.top_customers_concat(
+                    cust.repartition(7), nation
+                ).take_all()
+            ))
+        )
+        assert a == b and len(a) > 0
+
+
+class TestDocLengthDeciles:
+    def test_ntile_sql_semantics(self, ray_session):
+        # n=12, k=10: buckets 1,2 get 2 rows; 3..10 get 1 (SQL NTILE)
+        docs = ray.data.from_items(
+            [{"doc_id": i, "n_chars": i * 10} for i in range(1, 13)]
+        )
+        rows = sorted(
+            relational.doc_length_deciles(docs).take_all(),
+            key=lambda r: r["ntile"],
+        )
+        assert [r["n_docs"] for r in rows] == [2, 2] + [1] * 8
+        assert rows[0]["min_chars"] == 10 and rows[0]["max_chars"] == 20
+        assert rows[-1]["min_chars"] == rows[-1]["max_chars"] == 120
+
+    def test_invariant_under_repartition(self, ray_session):
+        docs = _rd("documents", ["doc_id", "n_chars"])
+        canon = lambda ds: sorted(
+            (r["ntile"], r["n_docs"], r["min_chars"], r["max_chars"])
+            for r in ds.take_all()
+        )
+        a = canon(relational.doc_length_deciles(docs))
+        b = canon(relational.doc_length_deciles(docs.repartition(9)))
+        assert a == b and len(a) == 10
+
+
+class TestMediaRefFanout:
+    def test_cross_doc_dedup_and_ref_counts(self, ray_session):
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+
+        def m(ref, off):
+            return {"kind": "media", "text": "", "media_ref": ref, "offset": off}
+
+        def t(off):
+            return {"kind": "text", "text": "x", "media_ref": "", "offset": off}
+
+        docs = [
+            {"doc_id": "d1", "spans": [m("a", 0), m("a", 1), t(2)]},
+            {"doc_id": "d2", "spans": [m("a", 0), m("b", 1)]},
+        ]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs]),
+                "spans": pa.array([d["spans"] for d in docs], type=pa.list_(span_t)),
+            }
+        )
+        for parts in (1, 2):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            rows = sorted(
+                interleaved.media_ref_fanout(ds).take_all(),
+                key=lambda r: r["media_ref"],
+            )
+            assert rows == [
+                {"media_ref": "a", "n_docs": 2, "n_refs": 3},
+                {"media_ref": "b", "n_docs": 1, "n_refs": 1},
+            ]
+
+
+class TestMmrSelect:
+    def test_diversity_beats_redundancy(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        # query q=[1,0]; two near-identical high-relevance vectors (1,2)
+        # and one orthogonal-ish lower-relevance vector (3). Top-2 by
+        # relevance alone = {1, 2}; MMR at lam=30 (diversity-weighted)
+        # penalizes 2's ~1.0 similarity to the already-picked 1 more than
+        # its relevance edge and picks {1, 3}.
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0]},
+            {"vec_id": 1, "embedding": [0.99, 0.14]},
+            {"vec_id": 2, "embedding": [0.99, 0.141]},
+            {"vec_id": 3, "embedding": [0.2, 0.98]},
+        ]
+        out = similarity.mmr_select(
+            ray.data.from_items(rows), n_select=2, pool=10, lam_pct=30
+        ).take_all()
+        assert [r["vec_id"] for r in out] == [1, 3]
+        assert out[0]["rk"] == 0 and out[1]["rk"] == 1
+
+    def test_deterministic_under_repartition(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        ds = _rd("embeddings", ["vec_id", "embedding"])
+        a = similarity.mmr_select(ds, n_select=5).take_all()
+        b = similarity.mmr_select(ds.repartition(6), n_select=5).take_all()
+        assert a == b and len(a) == 5
