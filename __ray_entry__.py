@@ -147,6 +147,10 @@ _R4_QUERIES: list[str] = [
     "doc_length_deciles",
     "media_ref_fanout",
     "mmr_select",
+    "lexical_diversity",
+    "user_gap_stats",
+    "span_length_profile",
+    "near_dup_degree_hist",
 ]
 
 
@@ -901,6 +905,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": lambda sf: similarity.mmr_select(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             head_ds=_read_embeddings_head(sf, 1),
+        ),
+        "lexical_diversity": lambda sf: textstats.lexical_diversity(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
+        "user_gap_stats": lambda sf: relational.user_gap_stats(
+            _read(sf, "events", ["user_id", "ts", "event_id"])
+        ),
+        "span_length_profile": lambda sf: (
+            interleaved.span_length_profile(_spans(sf))
+        ),
+        "near_dup_degree_hist": lambda sf: similarity.near_dup_degree_hist(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            row_count=_parquet_count(sf, "embeddings"),
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4469,6 +4486,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_refs
         FROM s WHERE kind <> 'text' GROUP BY 1
+    """
+
+
+    # Per-source lexical diversity: TTR + mean token length, exact fp6.
+    d["lexical_diversity"] = """
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                   AS token
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+               CAST(SUM(length(token)) AS BIGINT) AS sum_token_chars,
+               CAST(COUNT(DISTINCT token) * 1000000
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS ttr_fp6,
+               CAST(SUM(length(token)) * 1000000
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS avg_len_fp6
+        FROM toks GROUP BY 1
+    """
+    # LAG-window inter-event gaps folded per user (exact microseconds).
+    d["user_gap_stats"] = """
+        WITH w AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS prev_us
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(prev_us) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(ts_us - prev_us), 0) AS BIGINT)
+                 AS sum_gap_us,
+               CAST(COALESCE(MAX(ts_us - prev_us), 0) AS BIGINT)
+                 AS max_gap_us
+        FROM w GROUP BY 1
+    """
+    # Span-length histogram per modality over the spans table.
+    d["span_length_profile"] = f"""
+        WITH s AS (
+          SELECT u.s.kind AS kind, length(u.s.text) AS len
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        )
+        SELECT kind,
+               CAST(CASE WHEN len < 1 THEN 0 WHEN len < 16 THEN 1
+                         WHEN len < 64 THEN 2 WHEN len < 256 THEN 3
+                         ELSE 4 END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM s GROUP BY 1, 2
+    """
+    # Degree histogram of the near-dup graph (incl. the degree-0 row).
+    d["near_dup_degree_hist"] = _QUANT_CTE + """,
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM qe a, qe b
+              WHERE a.vec_id < b.vec_id
+                AND CAST(FLOOR(
+                  list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                  / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                ) >= 35000
+            ),
+            ep AS (
+              SELECT vec_a AS vec_id FROM pairs
+              UNION ALL SELECT vec_b FROM pairs
+            ),
+            deg AS (SELECT vec_id, COUNT(*) AS degree FROM ep GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM deg GROUP BY 1
+            UNION ALL
+            SELECT 0,
+                   (SELECT COUNT(*) FROM embeddings)
+                   - (SELECT COUNT(*) FROM deg)
     """
 
     return d

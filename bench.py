@@ -175,6 +175,10 @@ QUERY_SUITE = [
     "doc_length_deciles",
     "media_ref_fanout",
     "mmr_select",
+    "lexical_diversity",
+    "user_gap_stats",
+    "span_length_profile",
+    "near_dup_degree_hist",
 ]
 
 

@@ -795,3 +795,54 @@ def media_ref_fanout(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def span_length_profile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(kind, bucket, n_spans) — corpus-wide span-length histogram per
+    modality: text spans bucket by character length (0, 1-15, 16-63,
+    64-255, 256+ → buckets 0..4 by bit_length thresholds), media spans
+    all land in bucket 0 (no text payload). The pre-pack size census a
+    sequence-packing run reads before choosing its block budget.
+
+    Shape: per-block flat-span bucketing (vectorized digitize) →
+    per-block (kind, bucket) partials → ONE keyed sum over the bounded
+    (2 kinds × 5 buckets) domain.
+
+    Oracle: UNNEST + the same CASE thresholds."""
+    from ray.data.aggregate import Sum
+
+    EDGES = np.array([1, 16, 64, 256], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _ids, _parent, _order, _n, fields = _flat_spans(batch, sort=False)
+        lens = pc.utf8_length(fields["text"]).to_numpy(zero_copy_only=False)
+        kinds = fields["kind"]
+        bucket = np.digitize(lens, EDGES).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "kind": kinds,
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "n_spans": pa.array(
+                    np.ones(len(bucket), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["kind", "bucket"]).aggregate([("n_spans", "sum")])
+        return g.rename_columns(["kind", "bucket", "n_spans"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "bucket"])
+        .aggregate(Sum("n_spans", alias_name="n_spans"))
+    )
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "kind": batch["kind"],
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "n_spans": batch["n_spans"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast_cols, batch_format="pyarrow")

@@ -4382,3 +4382,45 @@ def doc_length_deciles(documents: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def user_gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_gaps, sum_gap_us, max_gap_us) — per-user inter-event
+    gap profile: the LAG(ts) OVER (PARTITION BY user ORDER BY ts,
+    event_id) window shape, folded to exact integer-microsecond gap
+    aggregates per user.
+
+    Shape: ONE keyed groupby on user_id; gaps are computed inside the
+    group with a vectorized lexsort + diff (per-user event counts are
+    human-bounded — the documented partitioning assumption; a hot
+    synthetic user would need the salt-split treatment key_skew_report
+    prescribes). Only (user, ts_us, event_id) int rows ride the shuffle.
+
+    Oracle: LAG window + per-user aggregate on epoch_us."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ts = ts.to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t = ts[order]
+        gaps = np.diff(t)
+        uid = int(group["user_id"][0].as_py())
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "n_gaps": pa.array([len(gaps)], type=pa.int64()),
+                "sum_gap_us": pa.array(
+                    [int(gaps.sum()) if len(gaps) else 0], type=pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    [int(gaps.max()) if len(gaps) else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )

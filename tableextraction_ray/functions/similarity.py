@@ -1296,3 +1296,79 @@ def mmr_select(
             }
         )
     )
+
+
+def near_dup_degree_hist(
+    ds: ray.data.Dataset,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    row_count: int | None = None,
+) -> ray.data.Dataset:
+    """(degree, n_vecs) — degree histogram of the near-duplicate graph:
+    how many vectors have 0, 1, 2, … neighbors above the cosine
+    threshold. The cluster-shape census a dedup planner reads to decide
+    between pair-verify and connected-components before running either.
+
+    Shape: pairs come from [[near_dup_pairs]] (which auto-routes
+    exact→LSH above its broadcast ceiling); each pair block emits both
+    endpoints' partial counts → ONE keyed Sum per vec_id → per-block
+    degree-histogram partials → ONE tiny keyed sum on degree. The
+    degree-0 row is total_rows − |vecs with any pair| (footer-metadata
+    count — no extra pass).
+
+    Oracle: the embedding_near_dup pairs CTE unnested to endpoints."""
+    from ray.data.aggregate import Sum
+
+    if row_count is None:
+        row_count = ds.count()
+    pairs = near_dup_pairs(ds, threshold_fp5=threshold_fp5, row_count=row_count)
+
+    def endpoint_partials(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch["vec_a"].to_numpy(zero_copy_only=False),
+                batch["vec_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        keys, counts = np.unique(ids, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(keys, type=pa.int64()),
+                "deg": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    per_vec = (
+        pairs.map_batches(endpoint_partials, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        degs = batch["deg"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(degs, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "degree": pa.array(keys, type=pa.int64()),
+                "n_vecs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        per_vec.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+        .take_all()
+    )  # bounded: distinct degrees
+    n_with_pairs = sum(r["n_vecs"] for r in rows)
+    out = {"degree": [0], "n_vecs": [row_count - n_with_pairs]}
+    for r in sorted(rows, key=lambda r: r["degree"]):
+        out["degree"].append(r["degree"])
+        out["n_vecs"].append(r["n_vecs"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "degree": pa.array(out["degree"], type=pa.int64()),
+                "n_vecs": pa.array(out["n_vecs"], type=pa.int64()),
+            }
+        )
+    )

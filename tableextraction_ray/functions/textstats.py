@@ -2731,3 +2731,108 @@ def sentence_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lexical_diversity(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_tokens, n_distinct, sum_token_chars, ttr_fp6,
+    avg_len_fp6) — per-source lexical-diversity profile: type-token
+    ratio (distinct / total tokens) and mean token length, both exact
+    fixed-point. The vocabulary-collapse signal that separates
+    template/boilerplate sources from organic text before any model
+    scoring.
+
+    Shape: each block emits (a) one (source, token) row per DISTINCT
+    in-block pair with its count+charsum partials — so the keyed
+    (source, token) dedup groupby receives vocab-bounded rows, never one
+    row per token occurrence; (b) the per-source scalar fold then rides
+    a second tiny keyed sum over the bounded source domain. Token text
+    rides the shuffle ONCE per (block, distinct token).
+
+    Oracle: COUNT / COUNT(DISTINCT) / SUM(len) per source in the same
+    integer fixed-point."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        srcs, toks, ns = [], [], []
+        for s, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(ascii_tokens(t))
+            srcs.extend([s] * len(c))
+            toks.extend(c.keys())
+            ns.extend(c.values())
+        t = pa.Table.from_pydict(
+            {
+                "source": pa.array(srcs, type=pa.string()),
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+        # collapse to one row per in-block (source, token)
+        g = t.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "token", "n"])
+
+    per_token = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def source_partials(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch["token"]).cast(pa.int64())
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "n_distinct": pa.array(
+                    np.ones(len(n), dtype=np.int64), type=pa.int64()
+                ),
+                "sum_token_chars": pa.array(
+                    lens.to_numpy(zero_copy_only=False) * n, type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [
+                ("n_tokens", "sum"),
+                ("n_distinct", "sum"),
+                ("sum_token_chars", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_tokens", "n_distinct", "sum_token_chars"]
+        )
+
+    agg = (
+        per_token.map_batches(source_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("sum_token_chars", alias_name="sum_token_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        nd = batch["n_distinct"].to_numpy(zero_copy_only=False)
+        sc = batch["sum_token_chars"].to_numpy(zero_copy_only=False)
+        safe = np.maximum(nt, 1)
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "n_distinct": pa.array(nd, type=pa.int64()),
+                "sum_token_chars": pa.array(sc, type=pa.int64()),
+                "ttr_fp6": pa.array(nd * 1_000_000 // safe, type=pa.int64()),
+                "avg_len_fp6": pa.array(
+                    sc * 1_000_000 // safe, type=pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -80,6 +80,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "curate_captions",
             "interleave_shape_hist",
             "media_ref_fanout",
+            "span_length_profile",
         )
         else SF_DIR
     )

@@ -466,3 +466,123 @@ class TestMmrSelect:
         a = similarity.mmr_select(ds, n_select=5).take_all()
         b = similarity.mmr_select(ds.repartition(6), n_select=5).take_all()
         assert a == b and len(a) == 5
+
+
+class TestLexicalDiversity:
+    def test_hand_counted_ttr(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "source": "s", "text": "a bb a"},
+                {"doc_id": 2, "source": "s", "text": "ccc a"},
+            ]
+        )
+        r = textstats.lexical_diversity(docs).take_all()
+        # tokens: a,bb,a,ccc,a -> n=5, distinct {a,bb,ccc}=3, chars=1+2+1+3+1=8
+        assert r == [
+            {
+                "source": "s",
+                "n_tokens": 5,
+                "n_distinct": 3,
+                "sum_token_chars": 8,
+                "ttr_fp6": 600_000,
+                "avg_len_fp6": 1_600_000,
+            }
+        ]
+
+    def test_invariant_under_repartition(self, ray_session):
+        docs = _rd("documents", ["doc_id", "text", "source"])
+        canon = lambda ds: sorted(map(tuple, (r.values() for r in ds.take_all())))
+        assert canon(textstats.lexical_diversity(docs)) == canon(
+            textstats.lexical_diversity(docs.repartition(9))
+        )
+
+
+class TestUserGapStats:
+    def test_gaps_with_timestamp_tie(self, ray_session):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = ray.data.from_items(
+            [
+                {"user_id": 1, "ts": t0, "event_id": 2},
+                {"user_id": 1, "ts": t0, "event_id": 1},  # tie: event_id orders
+                {"user_id": 1, "ts": t0 + dt.timedelta(seconds=3), "event_id": 3},
+                {"user_id": 2, "ts": t0, "event_id": 4},
+            ]
+        )
+        rows = sorted(
+            relational.user_gap_stats(ev).take_all(), key=lambda r: r["user_id"]
+        )
+        assert rows[0] == {
+            "user_id": 1,
+            "n_gaps": 2,
+            "sum_gap_us": 3_000_000,
+            "max_gap_us": 3_000_000,
+        }
+        assert rows[1] == {
+            "user_id": 2,
+            "n_gaps": 0,
+            "sum_gap_us": 0,
+            "max_gap_us": 0,
+        }
+
+
+class TestSpanLengthProfile:
+    def test_bucket_boundaries(self, ray_session):
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        spans = [
+            {"kind": "text", "text": "", "media_ref": "", "offset": 0},       # b0
+            {"kind": "text", "text": "x" * 15, "media_ref": "", "offset": 1}, # b1
+            {"kind": "text", "text": "x" * 16, "media_ref": "", "offset": 2}, # b2
+            {"kind": "text", "text": "x" * 256, "media_ref": "", "offset": 3},# b4
+            {"kind": "media", "text": "", "media_ref": "m", "offset": 4},     # b0
+        ]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(["d1"]),
+                "spans": pa.array([spans], type=pa.list_(span_t)),
+            }
+        )
+        rows = sorted(
+            interleaved.span_length_profile(
+                ray.data.from_arrow(tbl)
+            ).take_all(),
+            key=lambda r: (r["kind"], r["bucket"]),
+        )
+        assert rows == [
+            {"kind": "media", "bucket": 0, "n_spans": 1},
+            {"kind": "text", "bucket": 0, "n_spans": 1},
+            {"kind": "text", "bucket": 1, "n_spans": 1},
+            {"kind": "text", "bucket": 2, "n_spans": 1},
+            {"kind": "text", "bucket": 4, "n_spans": 1},
+        ]
+
+
+class TestNearDupDegreeHist:
+    def test_triangle_plus_isolate(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        # 3 identical vectors (triangle, degree 2 each) + 1 orthogonal
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0]},
+            {"vec_id": 1, "embedding": [1.0, 0.0]},
+            {"vec_id": 2, "embedding": [1.0, 0.0]},
+            {"vec_id": 3, "embedding": [0.0, 1.0]},
+        ]
+        out = sorted(
+            similarity.near_dup_degree_hist(
+                ray.data.from_items(rows), threshold_fp5=90_000, row_count=4
+            ).take_all(),
+            key=lambda r: r["degree"],
+        )
+        assert out == [
+            {"degree": 0, "n_vecs": 1},
+            {"degree": 2, "n_vecs": 3},
+        ]
