@@ -3150,7 +3150,7 @@ def returned_item_revenue(
     Oracle: JOIN + GROUP BY + ORDER BY rev DESC LIMIT k (ties broken by
     c_custkey so both sides pick the same k rows)."""
     import pandas as pd
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
     nat_ref = ray.put(nat)
@@ -3291,8 +3291,14 @@ def returned_item_revenue(
             name_map, nk_map = ray.get(cmap_ref)
             nats = ray.get(nat_ref)
             keys = pd.Series(batch["c_custkey"].to_numpy(zero_copy_only=False))
-            names = keys.map(name_map)
-            nnames = keys.map(nk_map).map(nats)
+            # orphan custkeys map to NaN; convert to None BEFORE pa.array
+            # (a float NaN in a string array raises ArrowTypeError, which
+            # would fire before the is_valid filter) — inner-join drop,
+            # same semantics as the tagged-union scale path.
+            names = keys.map(name_map).astype(object)
+            names = names.where(names.notna(), None)
+            nnames = keys.map(nk_map).map(nats).astype(object)
+            nnames = nnames.where(nnames.notna(), None)
             t = pa.Table.from_pydict(
                 {
                     "c_custkey": batch["c_custkey"].cast(pa.int64()),
@@ -3730,11 +3736,13 @@ def revenue_rollup(
                 .astype(np.int64)
             )
             years = pc.year(batch["o_orderdate"]).cast(pa.int64())
+            # orphan custkeys -> None (not NaN) so pa.array doesn't raise
+            # before the is_valid inner-join drop below
+            nn = nk.map(nats).astype(object)
+            nn = nn.where(nn.notna(), None)
             t = pa.Table.from_pydict(
                 {
-                    "n_name": pa.array(
-                        nk.map(nats).values, type=pa.string()
-                    ),
+                    "n_name": pa.array(nn.values, type=pa.string()),
                     "o_year": years,
                     "rev_c": _cents(batch["o_totalprice"]),
                 }
@@ -3946,27 +3954,27 @@ def brand_size_outliers(part: ray.data.Dataset) -> ray.data.Dataset:
         )
         return g.rename_columns(["p_brand", "sum_size", "n"])
 
-    stats = {
-        r["p_brand"]: (r["sum_size"], r["n"])
-        for r in part.select_columns(["p_brand", "p_size"])
+    stat_rows = (
+        part.select_columns(["p_brand", "p_size"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(Sum("sum_size", alias_name="sum_size"), Sum("n", alias_name="n"))
         .take_all()
-    }  # bounded: 25 brands
-    stats_ref = ray.put(stats)
+    )  # bounded: 25 brands
+    stats_ref = ray.put(
+        (
+            {r["p_brand"]: r["sum_size"] for r in stat_rows},
+            {r["p_brand"]: r["n"] for r in stat_rows},
+        )
+    )
 
     def flag(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        lookup = ray.get(stats_ref)
+        sum_map, cnt_map = ray.get(stats_ref)
         brands = pd.Series(batch["p_brand"].to_pylist())
-        s = brands.map({k: v[0] for k, v in lookup.items()}).values.astype(
-            np.int64
-        )
-        c = brands.map({k: v[1] for k, v in lookup.items()}).values.astype(
-            np.int64
-        )
+        s = brands.map(sum_map).values.astype(np.int64)
+        c = brands.map(cnt_map).values.astype(np.int64)
         size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = 2 * size * c > 3 * s
         t = batch.filter(pa.array(keep))
@@ -4077,11 +4085,10 @@ def churned_customers(
         import pandas as pd
 
         nats = ray.get(nat_ref)
-        names = (
-            pd.Series(batch["nationkey"].to_numpy(zero_copy_only=False))
-            .map(nats)
-            .values
-        )
+        names = pd.Series(
+            batch["nationkey"].to_numpy(zero_copy_only=False)
+        ).map(nats).astype(object)
+        names = names.where(names.notna(), None).values
         return pa.Table.from_pydict(
             {
                 "n_name": pa.array(names, type=pa.string()),
@@ -4170,7 +4177,7 @@ def events_value_stddev(events: ray.data.Dataset) -> ray.data.Dataset:
     VAR aggregate shape with mergeable partials.
 
     Oracle: the same HUGEINT formula in SQL."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
@@ -4181,12 +4188,20 @@ def events_value_stddev(events: ray.data.Dataset) -> ray.data.Dataset:
                 "n": pa.array(np.ones(len(c), dtype=np.int64)),
                 "sum_c": pa.array(c, type=pa.int64()),
                 "sumsq_c": pa.array(c * c, type=pa.int64()),
+                "max_c": pa.array(np.abs(c), type=pa.int64()),
             }
         )
         g = t.group_by(["event_type"]).aggregate(
-            [("n", "sum"), ("sum_c", "sum"), ("sumsq_c", "sum")]
+            [
+                ("n", "sum"),
+                ("sum_c", "sum"),
+                ("sumsq_c", "sum"),
+                ("max_c", "max"),
+            ]
         )
-        return g.rename_columns(["event_type", "n", "sum_c", "sumsq_c"])
+        return g.rename_columns(
+            ["event_type", "n", "sum_c", "sumsq_c", "max_c"]
+        )
 
     agg = (
         events.select_columns(["event_type", "value"])
@@ -4196,6 +4211,7 @@ def events_value_stddev(events: ray.data.Dataset) -> ray.data.Dataset:
             Sum("n", alias_name="n"),
             Sum("sum_c", alias_name="sum_c"),
             Sum("sumsq_c", alias_name="sumsq_c"),
+            Max("max_c", alias_name="max_c"),
         )
     )
 
@@ -4204,6 +4220,18 @@ def events_value_stddev(events: ray.data.Dataset) -> ray.data.Dataset:
         out = {"event_type": [], "n": [], "sum_c": [], "sumsq_c": [], "var_fp0": []}
         for r in batch.to_pylist():
             n, s, ss = int(r["n"]), int(r["sum_c"]), int(r["sumsq_c"])
+            # the distributed partial sums fold in int64: fail loudly in
+            # the regime where Sigma(c^2) could have wrapped, instead of
+            # returning a silently wrong variance (the HUGEINT oracle
+            # stays exact there)
+            mc = int(r["max_c"])
+            if n * mc * mc >= 2**63:
+                raise OverflowError(
+                    "events_value_stddev: n*max_c^2 "
+                    f"({n}*{mc}^2) may exceed int64 — the int64 sumsq "
+                    "partials are not safe at this value scale; rescale "
+                    "the quantization or split the sumsq fold"
+                )
             var = (n * ss - s * s) // (n * (n - 1)) if n > 1 else 0
             out["event_type"].append(r["event_type"])
             out["n"].append(n)
@@ -4304,6 +4332,14 @@ def doc_length_deciles(documents: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "first_chars": pa.array([], type=pa.int64()),
+                    "first_doc": pa.array([], type=pa.int64()),
+                    "count": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.Table.from_pydict(
             {
                 "first_chars": pa.array(

@@ -1277,15 +1277,14 @@ def mmr_select(
         # ties); scores stay small so the negation below is overflow-safe
         idx_rem = np.flatnonzero(remaining)
         sc = lam_pct * rel[idx_rem] - (100 - lam_pct) * max_sim[idx_rem]
-        best = int(idx_rem[np.lexsort((ids[idx_rem], -sc))[0]])
-        score = np.full(len(ids), 0, dtype=np.int64)
-        score[best] = lam_pct * rel[best] - (100 - lam_pct) * max_sim[best]
+        best_pos = int(np.lexsort((ids[idx_rem], -sc))[0])
+        best = int(idx_rem[best_pos])
         selected.append(best)
         remaining[best] = False
         out_rk.append(rk)
         out_id.append(int(ids[best]))
         out_rel.append(int(rel[best]))
-        out_score.append(int(score[best]))
+        out_score.append(int(sc[best_pos]))
     return ray.data.from_arrow(
         pa.Table.from_pydict(
             {

@@ -586,3 +586,75 @@ class TestNearDupDegreeHist:
             {"degree": 0, "n_vecs": 1},
             {"degree": 2, "n_vecs": 3},
         ]
+
+
+class TestOrphanAndOverflowGuards:
+    def test_returned_item_revenue_drops_orphan_custkey(self, ray_session):
+        li = ray.data.from_items(
+            [
+                {"l_orderkey": 1, "l_returnflag": "R",
+                 "l_extendedprice": 10.0, "l_discount": 0.0},
+                {"l_orderkey": 2, "l_returnflag": "R",
+                 "l_extendedprice": 20.0, "l_discount": 0.0},
+            ]
+        )
+        orders = ray.data.from_items(
+            [
+                {"o_orderkey": 1, "o_custkey": 7},
+                {"o_orderkey": 2, "o_custkey": 99},  # orphan: no customer
+            ]
+        )
+        cust = ray.data.from_items(
+            [{"c_custkey": 7, "c_name": "alice", "c_nationkey": 0}]
+        )
+        nation = ray.data.from_items([{"n_nationkey": 0, "n_name": "A"}])
+        # broadcast path must DROP the orphan (inner-join semantics), not
+        # crash on NaN->string conversion — and match the shuffle path
+        a = relational.returned_item_revenue(li, orders, cust, nation).take_all()
+        b = relational.returned_item_revenue(
+            li, orders, cust, nation, broadcast_limit=0
+        ).take_all()
+        assert a == b == [
+            {"c_custkey": 7, "c_name": "alice", "n_name": "A", "rev_cc": 100000}
+        ]
+
+    def test_revenue_rollup_drops_orphan_custkey(self, ray_session):
+        import datetime as dt
+
+        orders = ray.data.from_items(
+            [
+                {"o_custkey": 7, "o_orderdate": dt.datetime(2020, 1, 1),
+                 "o_totalprice": 10.0},
+                {"o_custkey": 99, "o_orderdate": dt.datetime(2020, 1, 1),
+                 "o_totalprice": 99.0},  # orphan
+            ]
+        )
+        cust = ray.data.from_items([{"c_custkey": 7, "c_nationkey": 0}])
+        nation = ray.data.from_items([{"n_nationkey": 0, "n_name": "A"}])
+        canon = lambda ds: sorted(
+            (r["n_name"], r["o_year"], r["rev_c"], r["lvl"])
+            for r in ds.take_all()
+        )
+        a = canon(relational.revenue_rollup(orders, cust, nation))
+        b = canon(
+            relational.revenue_rollup(orders, cust, nation, broadcast_limit=0)
+        )
+        assert a == b == [
+            ("A", -1, 1000, 1),
+            ("A", 2020, 1000, 0),
+            ("ALL", -1, 1000, 2),
+        ]
+
+    def test_events_value_stddev_fails_loud_on_overflow_regime(
+        self, ray_session
+    ):
+        import pytest as _pytest
+
+        # one value of ~3.1e7 dollars -> cents ~3.1e9; a synthetic n that
+        # cannot be faked, so use many rows of a huge value: n * max_c^2
+        # >= 2^63 with max_c = 3.1e9 needs n = 1 already (9.6e18 > 9.2e18)
+        ev = ray.data.from_items(
+            [{"event_type": "x", "value": 31_000_000.0}] * 2
+        )
+        with _pytest.raises(Exception, match="int64|OverflowError|sumsq"):
+            relational.events_value_stddev(ev).take_all()
