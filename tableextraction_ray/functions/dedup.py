@@ -1536,3 +1536,105 @@ def dedup_incremental_fuzzy(
         .groupby("doc_id")
         .map_groups(survivors, batch_format="pyarrow")
     )
+
+
+def source_dup_rate(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_docs, n_dup_docs, dup_rate_fp6) — per-source exact-
+    duplicate exposure: how many of a source's documents share their
+    md5 with ANY other document corpus-wide (cross-source dups count
+    for both sides). The per-source dedup-savings report a mixture
+    rebalancer reads before re-weighting.
+
+    Shape: per-block (md5, source) partials with per-pair counts →
+    keyed groupby on md5 carrying the per-source breakdown as rows
+    (one row per (md5, source) — the md5 exchange is payload-free) →
+    groups with total > 1 emit their per-source dup counts → ONE tiny
+    keyed sum over the bounded source domain, joined driver-side with
+    the per-source totals from the same partial pass.
+
+    Oracle: md5 HAVING > 1 semi-join, grouped by source."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "md5": pa.array(md5s, type=pa.string()),
+                "source": batch["source"],
+                "n": pa.array(
+                    np.ones(len(md5s), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["md5", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["md5", "source", "n"])
+
+    per_pair = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["md5", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def dup_partial(group: pa.Table) -> pa.Table:
+        total = int(
+            np.sum(group["n"].to_numpy(zero_copy_only=False))
+        )
+        if total <= 1:
+            return pa.Table.from_pydict(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_dup_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "source": group["source"],
+                "n_dup_docs": group["n"].cast(pa.int64()),
+            }
+        )
+
+    dups = (
+        per_pair.groupby("md5")
+        .map_groups(dup_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_dup_docs", alias_name="n_dup_docs"))
+        .take_all()
+    )  # bounded: #sources
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {"source": batch["source"], "n_docs": batch["n"].cast(pa.int64())}
+        )
+        g = t.group_by(["source"]).aggregate([("n_docs", "sum")])
+        return g.rename_columns(["source", "n_docs"])
+
+    totals = {
+        r["source"]: r["n_docs"]
+        for r in per_pair.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    }
+    dup_map = {r["source"]: r["n_dup_docs"] for r in dups}
+    keys = sorted(totals)
+    nd = [totals[s] for s in keys]
+    du = [dup_map.get(s, 0) for s in keys]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(keys, type=pa.string()),
+                "n_docs": pa.array(nd, type=pa.int64()),
+                "n_dup_docs": pa.array(du, type=pa.int64()),
+                "dup_rate_fp6": pa.array(
+                    [d * 1_000_000 // n for d, n in zip(du, nd)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

@@ -4460,3 +4460,72 @@ def user_gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("user_id")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def orders_monthly_yoy(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(month, rev_c, prev_year_rev_c, yoy_fp6) — year-over-year monthly
+    revenue growth: each month paired with the SAME month one year
+    earlier (LAG 12 over the observed-month sequence is wrong when
+    months are missing — this keys by calendar month arithmetic, the
+    honest YoY), yoy_fp6 = (rev − prev)·10⁶ // prev, 0 when the prior
+    year's month is absent.
+
+    Shape: per-block cent partials → ONE keyed sum over the BOUNDED
+    month domain → O(#months) driver overlay pairing (y−1, m) — the
+    [[monthly_revenue_running]] contract.
+
+    Oracle: self-join months on the shifted key."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = pc.strftime(
+            pc.floor_temporal(batch["o_orderdate"], unit="month"),
+            format="%Y-%m",
+        )
+        t = pa.Table.from_pydict(
+            {"month": months, "c": _cents(batch["o_totalprice"])}
+        )
+        g = t.group_by(["month"]).aggregate([("c", "sum")])
+        return g.rename_columns(["month", "rev_c"])
+
+    rows = sorted(
+        (
+            orders.select_columns(["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+            .take_all()
+        ),
+        key=lambda r: r["month"],
+    )
+    rev = {r["month"]: r["rev_c"] for r in rows}
+    out = {"month": [], "rev_c": [], "prev_year_rev_c": [], "yoy_fp6": []}
+    for r in rows:
+        y, m = r["month"].split("-")
+        prev_key = f"{int(y) - 1:04d}-{m}"
+        prev = rev.get(prev_key, 0)
+        # DuckDB's integer // truncates toward zero; Python's floors —
+        # match the oracle on negative growth by truncating explicitly
+        num = (r["rev_c"] - prev) * 1_000_000
+        if not prev:
+            yoy = 0
+        elif num >= 0:
+            yoy = num // prev
+        else:
+            yoy = -((-num) // prev)
+        out["month"].append(r["month"])
+        out["rev_c"].append(r["rev_c"])
+        out["prev_year_rev_c"].append(prev)
+        out["yoy_fp6"].append(yoy)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "month": pa.array(out["month"], type=pa.string()),
+                "rev_c": pa.array(out["rev_c"], type=pa.int64()),
+                "prev_year_rev_c": pa.array(
+                    out["prev_year_rev_c"], type=pa.int64()
+                ),
+                "yoy_fp6": pa.array(out["yoy_fp6"], type=pa.int64()),
+            }
+        )
+    )

@@ -658,3 +658,55 @@ class TestOrphanAndOverflowGuards:
         )
         with _pytest.raises(Exception, match="int64|OverflowError|sumsq"):
             relational.events_value_stddev(ev).take_all()
+
+
+class TestOrdersMonthlyYoy:
+    def test_calendar_keyed_with_gap_and_truncation(self, ray_session):
+        import datetime as dt
+
+        orders = ray.data.from_items(
+            [
+                {"o_orderdate": dt.datetime(2020, 1, 1), "o_totalprice": 30.0},
+                {"o_orderdate": dt.datetime(2021, 1, 1), "o_totalprice": 10.0},
+                # 2022-02 has no 2021-02 prior month -> prev 0, yoy 0
+                {"o_orderdate": dt.datetime(2022, 2, 1), "o_totalprice": 5.0},
+            ]
+        )
+        rows = sorted(
+            relational.orders_monthly_yoy(orders).take_all(),
+            key=lambda r: r["month"],
+        )
+        assert rows[0] == {
+            "month": "2020-01", "rev_c": 3000, "prev_year_rev_c": 0,
+            "yoy_fp6": 0,
+        }
+        # (1000-3000)*1e6 / 3000 = -666666.67 -> trunc toward zero
+        assert rows[1] == {
+            "month": "2021-01", "rev_c": 1000, "prev_year_rev_c": 3000,
+            "yoy_fp6": -666_666,
+        }
+        assert rows[2]["prev_year_rev_c"] == 0 and rows[2]["yoy_fp6"] == 0
+
+
+class TestSourceDupRate:
+    def test_cross_source_dups_count_both_sides(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "source": "a", "text": "same"},
+                {"doc_id": 2, "source": "b", "text": "same"},
+                {"doc_id": 3, "source": "a", "text": "unique1"},
+                {"doc_id": 4, "source": "a", "text": "dup-in-a"},
+                {"doc_id": 5, "source": "a", "text": "dup-in-a"},
+            ]
+        )
+        rows = sorted(
+            dedup.source_dup_rate(docs).take_all(), key=lambda r: r["source"]
+        )
+        assert rows == [
+            {"source": "a", "n_docs": 4, "n_dup_docs": 3,
+             "dup_rate_fp6": 750_000},
+            {"source": "b", "n_docs": 1, "n_dup_docs": 1,
+             "dup_rate_fp6": 1_000_000},
+        ]
