@@ -153,6 +153,8 @@ _R4_QUERIES: list[str] = [
     "near_dup_degree_hist",
     "orders_monthly_yoy",
     "source_dup_rate",
+    "brand_supplier_counts",
+    "minmax_scale_events",
 ]
 
 
@@ -926,6 +928,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "source_dup_rate": lambda sf: dedup.source_dup_rate(
             docs(sf, ["doc_id", "text", "source"])
+        ),
+        "brand_supplier_counts": lambda sf: relational.brand_supplier_counts(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            _read(sf, "part", ["p_partkey", "p_brand"]),
+            part_count=_parquet_count(sf, "part"),
+        ),
+        "minmax_scale_events": lambda sf: relational.minmax_scale_events(
+            _read(sf, "events", ["event_id", "value"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4605,6 +4615,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000
                     // COUNT(*) AS BIGINT) AS dup_rate_fp6
         FROM h JOIN c ON h.m = c.m GROUP BY 1
+    """
+
+
+    # Q16 shape: distinct suppliers per brand across the fact-dim join.
+    d["brand_supplier_counts"] = """
+        SELECT p.p_brand AS p_brand,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """
+    # Global min-max feature scaling in exact fixed-point.
+    d["minmax_scale_events"] = """
+        WITH c AS (
+          SELECT event_id,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ),
+        b AS (SELECT MIN(cents) AS lo,
+                     GREATEST(MAX(cents) - MIN(cents), 1) AS span
+              FROM c)
+        SELECT c.event_id AS event_id,
+               CAST((c.cents - b.lo) * 1000000 // b.span AS BIGINT)
+                 AS scaled_fp6
+        FROM c, b
     """
 
     return d

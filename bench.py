@@ -181,6 +181,8 @@ QUERY_SUITE = [
     "near_dup_degree_hist",
     "orders_monthly_yoy",
     "source_dup_rate",
+    "brand_supplier_counts",
+    "minmax_scale_events",
 ]
 
 

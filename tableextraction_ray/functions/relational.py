@@ -4529,3 +4529,274 @@ def orders_monthly_yoy(orders: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def keyed_attach_int(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    key: str,
+    val: str,
+    payload: tuple[str, ...],
+    broadcast_limit: int = 2_000_000,
+    dim_count: int | None = None,
+) -> ray.data.Dataset:
+    """Attach ONE int64 dimension value to int64 fact rows by key, with
+    the guarded broadcast / tagged-union discipline in ONE place (the
+    shared core the per-op copies of this pattern should migrate to —
+    round-4 review finding). ``fact`` must already carry int64 columns
+    ``key`` + ``payload``; ``dim`` carries ``key`` + ``val`` (one row
+    per key). Orphan fact keys are DROPPED (inner-join semantics) on
+    BOTH paths. Output columns: key, val, *payload.
+
+    Under ``broadcast_limit`` dim rows: dict broadcast + vectorized map
+    probe (no shuffle). Above: ONE keyed tagged-union groupby; only int
+    rows ride."""
+    import pandas as pd
+
+    if dim_count is None:
+        dim_count = dim.count()
+
+    if dim_count <= broadcast_limit:
+        dmap = {r[key]: r[val] for r in dim.take_all()}
+        dmap_ref = ray.put(dmap)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(dmap_ref)
+            vals = pd.Series(
+                batch[key].to_numpy(zero_copy_only=False)
+            ).map(lookup)
+            keep = vals.notna().values
+            t = batch.filter(pa.array(keep))
+            cols = {
+                key: t[key].cast(pa.int64()),
+                val: pa.array(
+                    vals.values[keep].astype(np.int64), type=pa.int64()
+                ),
+            }
+            for c in payload:
+                cols[c] = t[c].cast(pa.int64())
+            return pa.Table.from_pydict(cols)
+
+        return fact.map_batches(probe, batch_format="pyarrow")
+
+    def tag_dim(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            key: batch[key].cast(pa.int64()),
+            "kind": pa.array([0] * n, type=pa.int8()),
+            val: batch[val].cast(pa.int64()),
+        }
+        for c in payload:
+            cols[c] = pa.array([0] * n, type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    def tag_fact(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            key: batch[key].cast(pa.int64()),
+            "kind": pa.array([1] * n, type=pa.int8()),
+            val: pa.array([0] * n, type=pa.int64()),
+        }
+        for c in payload:
+            cols[c] = batch[c].cast(pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        drow = np.flatnonzero(kind == 0)
+        frow = np.flatnonzero(kind == 1)
+        cols = {key: pa.array([], type=pa.int64()),
+                val: pa.array([], type=pa.int64())}
+        for c in payload:
+            cols[c] = pa.array([], type=pa.int64())
+        if len(drow) == 0 or len(frow) == 0:
+            return pa.Table.from_pydict(cols)
+        v = int(group[val][int(drow[0])].as_py())
+        sel = group.take(frow)
+        cols = {
+            key: sel[key],
+            val: pa.array([v] * sel.num_rows, type=pa.int64()),
+        }
+        for c in payload:
+            cols[c] = sel[c]
+        return pa.Table.from_pydict(cols)
+
+    return (
+        dim.map_batches(tag_dim, batch_format="pyarrow")
+        .union(fact.map_batches(tag_fact, batch_format="pyarrow"))
+        .groupby(key)
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+
+def brand_supplier_counts(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    part_count: int | None = None,
+) -> ray.data.Dataset:
+    """(p_brand, n_suppliers) — the TPC-H Q16 shape adapted to the
+    available tables: how many DISTINCT suppliers have shipped each
+    brand (COUNT DISTINCT across a fact→dim join).
+
+    Shape: per-block distinct (partkey, suppkey) pairs → the shared
+    [[keyed_attach_int]] guarded attach of the brand code (the brand
+    DOMAIN is fixed at 25 in TPC-H — codes assigned from a bounded
+    distinct fold so the attach value is an int even though brands are
+    strings) → keyed dedup groupby on (brand_code, suppkey) → bounded
+    per-brand count.
+
+    Oracle: JOIN + COUNT(DISTINCT l_suppkey) GROUP BY p_brand."""
+    from ray.data.aggregate import Count, Sum
+
+    def brand_partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["p_brand"])
+        return pa.Table.from_pydict({"p_brand": u})
+
+    brands = sorted(
+        {
+            r["p_brand"]
+            for r in part.select_columns(["p_brand"])
+            .map_batches(brand_partial, batch_format="pyarrow")
+            .take_all()
+        }
+    )  # bounded: 25 brands (fixed TPC-H domain)
+    code = {b: i for i, b in enumerate(brands)}
+    code_ref = ray.put(code)
+
+    def dim_codes(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(code_ref)
+        codes = (
+            pd.Series(batch["p_brand"].to_pylist()).map(lookup).values
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": batch["p_partkey"].cast(pa.int64()),
+                "brand_code": pa.array(
+                    codes.astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    dim = part.select_columns(["p_partkey", "p_brand"]).map_batches(
+        dim_codes, batch_format="pyarrow"
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique(pk * (1 << 23) + sk)  # suppkey < 2^23 documented
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": pa.array(packed >> 23, type=pa.int64()),
+                "l_suppkey": pa.array(
+                    packed & ((1 << 23) - 1), type=pa.int64()
+                ),
+            }
+        )
+
+    pairs = lineitem.select_columns(["l_partkey", "l_suppkey"]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+    attached = keyed_attach_int(
+        pairs,
+        dim,
+        key="l_partkey",
+        val="brand_code",
+        payload=("l_suppkey",),
+        broadcast_limit=broadcast_limit,
+        dim_count=part_count if part_count is not None else part.count(),
+    )
+
+    def bs_partial(batch: pa.Table) -> pa.Table:
+        bc = batch["brand_code"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        packed = np.unique(bc * (1 << 23) + sk)
+        return pa.Table.from_pydict(
+            {"bs": pa.array(packed, type=pa.int64())}
+        )
+
+    distinct_bs = (
+        attached.map_batches(bs_partial, batch_format="pyarrow")
+        .groupby("bs")
+        .aggregate(Count())
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bc = batch["bs"].to_numpy(zero_copy_only=False) >> 23
+        keys, counts = np.unique(bc, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "brand_code": pa.array(keys, type=pa.int64()),
+                "n_suppliers": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        distinct_bs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("brand_code")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"))
+        .take_all()
+    )  # bounded: 25 brands
+    rows.sort(key=lambda r: r["brand_code"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "p_brand": pa.array(
+                    [brands[r["brand_code"]] for r in rows], type=pa.string()
+                ),
+                "n_suppliers": pa.array(
+                    [r["n_suppliers"] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def minmax_scale_events(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_id, scaled_fp6) — global min-max feature scaling of the
+    value column to [0, 1] in exact fixed-point: scaled = (c − min)·10⁶
+    // (max − min) over integer cents. The two-pass scaler shape every
+    feature-prep pipeline needs: a tiny global-extremes fold, then a
+    streaming map with the 2-int broadcast.
+
+    Oracle: the same integer expression with MIN/MAX OVER ()."""
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "lo": pa.array([int(c.min())], type=pa.int64()),
+                "hi": pa.array([int(c.max())], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        events.select_columns(["value"])
+        .map_batches(extremes, batch_format="pyarrow")
+        .take_all()
+    )  # O(#blocks) 2-int rows
+    lo = min(r["lo"] for r in rows)
+    hi = max(r["hi"] for r in rows)
+    span = max(hi - lo, 1)
+    bounds_ref = ray.put((lo, span))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        lo, span = ray.get(bounds_ref)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "scaled_fp6": pa.array(
+                    (c - lo) * 1_000_000 // span, type=pa.int64()
+                ),
+            }
+        )
+
+    return events.select_columns(["event_id", "value"]).map_batches(
+        scale, batch_format="pyarrow"
+    )

@@ -710,3 +710,80 @@ class TestSourceDupRate:
             {"source": "b", "n_docs": 1, "n_dup_docs": 1,
              "dup_rate_fp6": 1_000_000},
         ]
+
+
+class TestKeyedAttachInt:
+    def test_orphans_dropped_on_both_paths(self, ray_session):
+        fact = ray.data.from_items(
+            [
+                {"k": 1, "x": 10},
+                {"k": 2, "x": 20},  # orphan: no dim row
+            ]
+        )
+        dim = ray.data.from_items([{"k": 1, "v": 7}])
+        canon = lambda ds: sorted(
+            (r["k"], r["v"], r["x"]) for r in ds.take_all()
+        )
+        a = canon(
+            relational.keyed_attach_int(fact, dim, "k", "v", ("x",))
+        )
+        b = canon(
+            relational.keyed_attach_int(
+                fact, dim, "k", "v", ("x",), broadcast_limit=0
+            )
+        )
+        assert a == b == [(1, 7, 10)]
+
+
+class TestBrandSupplierCounts:
+    def test_distinct_across_parts_and_paths(self, ray_session):
+        li = ray.data.from_items(
+            [
+                {"l_partkey": 1, "l_suppkey": 100},
+                {"l_partkey": 1, "l_suppkey": 100},  # dup pair
+                {"l_partkey": 2, "l_suppkey": 100},  # same supp, other part
+                {"l_partkey": 2, "l_suppkey": 200},
+                {"l_partkey": 3, "l_suppkey": 300},
+            ]
+        )
+        part = ray.data.from_items(
+            [
+                {"p_partkey": 1, "p_brand": "A"},
+                {"p_partkey": 2, "p_brand": "A"},
+                {"p_partkey": 3, "p_brand": "B"},
+            ]
+        )
+        for limit in (2_000_000, 0):
+            rows = sorted(
+                relational.brand_supplier_counts(
+                    li, part, broadcast_limit=limit
+                ).take_all(),
+                key=lambda r: r["p_brand"],
+            )
+            # brand A sees suppliers {100, 200} (100 deduped across parts)
+            assert rows == [
+                {"p_brand": "A", "n_suppliers": 2},
+                {"p_brand": "B", "n_suppliers": 1},
+            ], limit
+
+
+class TestMinmaxScaleEvents:
+    def test_bounds_and_degenerate_span(self, ray_session):
+        ev = ray.data.from_items(
+            [
+                {"event_id": 1, "value": 2.0},
+                {"event_id": 2, "value": 3.0},
+                {"event_id": 3, "value": 4.0},
+            ]
+        )
+        rows = sorted(
+            relational.minmax_scale_events(ev).take_all(),
+            key=lambda r: r["event_id"],
+        )
+        assert [r["scaled_fp6"] for r in rows] == [0, 500_000, 1_000_000]
+        # constant column: span clamps to 1, everything scales to 0
+        const = ray.data.from_items(
+            [{"event_id": i, "value": 5.0} for i in (1, 2)]
+        )
+        rows = relational.minmax_scale_events(const).take_all()
+        assert all(r["scaled_fp6"] == 0 for r in rows)
