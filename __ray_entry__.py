@@ -155,6 +155,7 @@ _R4_QUERIES: list[str] = [
     "source_dup_rate",
     "brand_supplier_counts",
     "minmax_scale_events",
+    "dup_cluster_size_hist",
 ]
 
 
@@ -936,6 +937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "minmax_scale_events": lambda sf: relational.minmax_scale_events(
             _read(sf, "events", ["event_id", "value"])
+        ),
+        "dup_cluster_size_hist": lambda sf: dedup.dup_cluster_size_hist(
+            docs(sf, ["doc_id", "text"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4639,6 +4643,18 @@ def oracle_sql() -> dict[str, str]:
                CAST((c.cents - b.lo) * 1000000 // b.span AS BIGINT)
                  AS scaled_fp6
         FROM c, b
+    """
+
+
+    # Histogram of exact-dup cluster sizes (dedup-savings census).
+    d["dup_cluster_size_hist"] = """
+        WITH c AS (
+          SELECT md5(text) AS m, COUNT(*) AS n FROM documents GROUP BY 1
+        )
+        SELECT CAST(n AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(n * COUNT(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY n
     """
 
     return d

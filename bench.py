@@ -183,6 +183,7 @@ QUERY_SUITE = [
     "source_dup_rate",
     "brand_supplier_counts",
     "minmax_scale_events",
+    "dup_cluster_size_hist",
 ]
 
 

@@ -1638,3 +1638,72 @@ def source_dup_rate(ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def dup_cluster_size_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(cluster_size, n_clusters, n_docs) — histogram of exact-duplicate
+    cluster sizes: how many md5-identical groups of each size the corpus
+    holds and how many documents they cover. With [[source_dup_rate]]
+    and [[near_dup_degree_hist]] this completes the dedup-planner
+    censuses: expected savings = Σ (size−1)·n_clusters over size > 1.
+
+    Shape: per-block (md5, count) partials → ONE keyed md5 groupby →
+    per-block size-histogram partials → ONE tiny keyed sum over the
+    bounded size domain. The md5 exchange is payload-free; text never
+    leaves its block.
+
+    Oracle: GROUP BY md5 → GROUP BY count."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "md5": pa.array(md5s, type=pa.string()),
+                "n": pa.array(
+                    np.ones(len(md5s), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["md5"]).aggregate([("n", "sum")])
+        return g.rename_columns(["md5", "n"])
+
+    per_md5 = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("md5")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        sizes = batch["n"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(sizes, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "cluster_size": pa.array(keys, type=pa.int64()),
+                "n_clusters": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        per_md5.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cs = batch["cluster_size"].to_numpy(zero_copy_only=False)
+        nc = batch["n_clusters"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "cluster_size": pa.array(cs, type=pa.int64()),
+                "n_clusters": pa.array(nc, type=pa.int64()),
+                "n_docs": pa.array(cs * nc, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

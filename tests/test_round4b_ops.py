@@ -787,3 +787,28 @@ class TestMinmaxScaleEvents:
         )
         rows = relational.minmax_scale_events(const).take_all()
         assert all(r["scaled_fp6"] == 0 for r in rows)
+
+
+class TestDupClusterSizeHist:
+    def test_mixed_cluster_sizes(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "a"},
+                {"doc_id": 2, "text": "a"},
+                {"doc_id": 3, "text": "a"},
+                {"doc_id": 4, "text": "b"},
+                {"doc_id": 5, "text": "b"},
+                {"doc_id": 6, "text": "c"},
+            ]
+        )
+        rows = sorted(
+            dedup.dup_cluster_size_hist(docs).take_all(),
+            key=lambda r: r["cluster_size"],
+        )
+        assert rows == [
+            {"cluster_size": 1, "n_clusters": 1, "n_docs": 1},
+            {"cluster_size": 2, "n_clusters": 1, "n_docs": 2},
+            {"cluster_size": 3, "n_clusters": 1, "n_docs": 3},
+        ]
