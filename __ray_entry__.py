@@ -156,6 +156,8 @@ _R4_QUERIES: list[str] = [
     "brand_supplier_counts",
     "minmax_scale_events",
     "dup_cluster_size_hist",
+    "salted_user_counts",
+    "longest_docs_per_source",
 ]
 
 
@@ -940,6 +942,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dup_cluster_size_hist": lambda sf: dedup.dup_cluster_size_hist(
             docs(sf, ["doc_id", "text"])
+        ),
+        "salted_user_counts": lambda sf: relational.salted_user_counts(
+            _read(sf, "events", ["user_id", "event_id", "value"])
+        ),
+        "longest_docs_per_source": lambda sf: (
+            textstats.longest_docs_per_source(
+                docs(sf, ["doc_id", "source", "n_chars"])
+            )
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4655,6 +4665,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_clusters,
                CAST(n * COUNT(*) AS BIGINT) AS n_docs
         FROM c GROUP BY n
+    """
+
+
+    # Salted two-stage aggregation — must be invisible vs plain groupby.
+    d["salted_user_counts"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_c
+        FROM events GROUP BY 1
+    """
+    # Per-group top-k rows: each source's k longest documents.
+    d["longest_docs_per_source"] = """
+        SELECT source, CAST(rk AS BIGINT) AS rk,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= 3
     """
 
     return d

@@ -184,6 +184,8 @@ QUERY_SUITE = [
     "brand_supplier_counts",
     "minmax_scale_events",
     "dup_cluster_size_hist",
+    "salted_user_counts",
+    "longest_docs_per_source",
 ]
 
 

@@ -4800,3 +4800,82 @@ def minmax_scale_events(events: ray.data.Dataset) -> ray.data.Dataset:
     return events.select_columns(["event_id", "value"]).map_batches(
         scale, batch_format="pyarrow"
     )
+
+
+def salted_user_counts(
+    events: ray.data.Dataset, n_salts: int = 8
+) -> ray.data.Dataset:
+    """(user_id, n_events, sum_c) — per-user event counts via SALTED
+    two-stage aggregation: stage 1 groups on (user_id, salt) so a hot
+    key's rows spread across ``n_salts`` reducers, stage 2 folds the
+    salt partials per user. Results are bit-identical to the unsalted
+    groupby (Sum is reassociative) — this is the skew-mitigation shape
+    [[key_skew_report]] prescribes, expressed as a first-class operator.
+    Salt = a cheap value-derived hash (event_id % n_salts), so the
+    same row always lands on the same salt (deterministic, resumable).
+
+    Oracle: plain COUNT/SUM per user — salting must be invisible."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        salt = eid % n_salts
+        t = pa.Table.from_pydict(
+            {
+                "uk": pa.array(uid * n_salts + salt, type=pa.int64()),
+                "n_events": pa.array(
+                    np.ones(len(uid), dtype=np.int64), type=pa.int64()
+                ),
+                "sum_c": pa.array(c, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["uk"]).aggregate(
+            [("n_events", "sum"), ("sum_c", "sum")]
+        )
+        return g.rename_columns(["uk", "n_events", "sum_c"])
+
+    stage1 = (
+        events.select_columns(["user_id", "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("uk")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_c", alias_name="sum_c"),
+        )
+    )
+
+    def desalt(batch: pa.Table) -> pa.Table:
+        uk = batch["uk"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uk // n_salts, type=pa.int64()),
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_c": batch["sum_c"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate(
+            [("n_events", "sum"), ("sum_c", "sum")]
+        )
+        return g.rename_columns(["user_id", "n_events", "sum_c"])
+
+    return (
+        stage1.map_batches(desalt, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_c", alias_name="sum_c"),
+        )
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "user_id": b["user_id"].cast(pa.int64()),
+                    "n_events": b["n_events"].cast(pa.int64()),
+                    "sum_c": b["sum_c"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -2836,3 +2836,59 @@ def lexical_diversity(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def longest_docs_per_source(
+    ds: ray.data.Dataset, k: int = 3
+) -> ray.data.Dataset:
+    """(source, rk, doc_id, n_chars) — the per-group top-k ROWS shape:
+    each source's k longest documents ranked 1..k (ties by doc_id
+    ascending), emitted as rows rather than an aggregate.
+
+    Shape: per-block per-source top-k lexsort prune → O(k · #sources ·
+    #blocks) bounded rows → driver fold. Zero shuffles; the bounded
+    source domain is the scale contract ([[top_customers_concat]]'s
+    twin on the documents table).
+
+    Oracle: ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars
+    DESC, doc_id) <= k."""
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        codes, inv = np.unique(src, return_inverse=True)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nch, inv))
+        inv_s = inv[order]
+        first = np.ones(len(inv_s), dtype=bool)
+        first[1:] = inv_s[1:] != inv_s[:-1]
+        run_start = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(len(inv_s)) - run_start[run_id]
+        sel = order[pos < k]
+        return batch.take(sel)
+
+    rows = ds.select_columns(
+        ["doc_id", "source", "n_chars"]
+    ).map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["source"], -r["n_chars"], r["doc_id"]))
+    out = {"source": [], "rk": [], "doc_id": [], "n_chars": []}
+    seen: dict[str, int] = {}
+    for r in rows:
+        c = seen.get(r["source"], 0)
+        if c < k:
+            seen[r["source"]] = c + 1
+            out["source"].append(r["source"])
+            out["rk"].append(c + 1)
+            out["doc_id"].append(r["doc_id"])
+            out["n_chars"].append(r["n_chars"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(out["source"], type=pa.string()),
+                "rk": pa.array(out["rk"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            }
+        )
+    )

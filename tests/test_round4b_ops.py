@@ -812,3 +812,43 @@ class TestDupClusterSizeHist:
             {"cluster_size": 2, "n_clusters": 1, "n_docs": 2},
             {"cluster_size": 3, "n_clusters": 1, "n_docs": 3},
         ]
+
+
+class TestSaltedUserCounts:
+    def test_salting_invisible_vs_direct_groupby(self, ray_session):
+        ev = _rd("events", ["user_id", "event_id", "value"])
+        a = sorted(
+            (r["user_id"], r["n_events"], r["sum_c"])
+            for r in relational.salted_user_counts(ev, n_salts=8).take_all()
+        )
+        b = sorted(
+            (r["user_id"], r["n_events"], r["sum_c"])
+            for r in relational.salted_user_counts(ev, n_salts=1).take_all()
+        )
+        assert a == b and len(a) > 0
+
+
+class TestLongestDocsPerSource:
+    def test_rank_and_tiebreak(self, ray_session):
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "source": "s", "n_chars": 10},
+                {"doc_id": 2, "source": "s", "n_chars": 30},
+                {"doc_id": 3, "source": "s", "n_chars": 30},  # tie: doc_id
+                {"doc_id": 4, "source": "s", "n_chars": 20},
+                {"doc_id": 5, "source": "s", "n_chars": 5},
+            ]
+        )
+        rows = textstats.longest_docs_per_source(docs, k=3).take_all()
+        assert [(r["rk"], r["doc_id"]) for r in rows] == [
+            (1, 2), (2, 3), (3, 4),
+        ]
+
+    def test_invariant_under_repartition(self, ray_session):
+        docs = _rd("documents", ["doc_id", "source", "n_chars"])
+        canon = lambda ds: [
+            (r["source"], r["rk"], r["doc_id"]) for r in ds.take_all()
+        ]
+        assert canon(textstats.longest_docs_per_source(docs)) == canon(
+            textstats.longest_docs_per_source(docs.repartition(9))
+        )
