@@ -158,6 +158,9 @@ _R4_QUERIES: list[str] = [
     "dup_cluster_size_hist",
     "salted_user_counts",
     "longest_docs_per_source",
+    "forecast_revenue",
+    "priority_line_share",
+    "bracket_revenue",
 ]
 
 
@@ -950,6 +953,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.longest_docs_per_source(
                 docs(sf, ["doc_id", "source", "n_chars"])
             )
+        ),
+        "forecast_revenue": lambda sf: relational.forecast_revenue(
+            _read(
+                sf,
+                "lineitem",
+                ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+            )
+        ),
+        "priority_line_share": lambda sf: relational.priority_line_share(
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+            _read(
+                sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ),
+        ),
+        "bracket_revenue": lambda sf: relational.bracket_revenue(
+            _read(
+                sf,
+                "lineitem",
+                ["l_partkey", "l_quantity", "l_discount", "l_extendedprice"],
+            ),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_size"]),
+            part_count=_parquet_count(sf, "part"),
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4688,6 +4713,62 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rk
           FROM documents
         ) WHERE rk <= 3
+    """
+    # TPC-H Q6 shape: one-row filtered revenue sum, exact fixed-point.
+    d["forecast_revenue"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COALESCE(SUM(
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)), 0)
+                 AS BIGINT) AS rev_cc
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) < 24
+    """
+    # TPC-H Q12 shape (adapted: ship YEAR for the missing l_shipmode):
+    # high- vs low-priority line counts among late-shipped lines.
+    d["priority_line_share"] = """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + 2592000000000
+        GROUP BY 1
+    """
+    # TPC-H Q19 shape: OR-ed (brand, size, quantity) bracket revenue.
+    d["bracket_revenue"] = """
+        WITH pb AS (
+          SELECT p_partkey,
+                 CASE
+                   WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                     THEN 1
+                   WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                     THEN 2
+                   WHEN p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                     THEN 3
+                   ELSE 0
+                 END AS bracket
+          FROM part
+        ), j AS (
+          SELECT pb.bracket AS bracket,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc
+          FROM lineitem JOIN pb ON l_partkey = p_partkey
+          WHERE pb.bracket > 0
+        )
+        SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(rev_cc) AS BIGINT) AS rev_cc
+        FROM j
+        WHERE (bracket = 1 AND qty BETWEEN 1 AND 11)
+           OR (bracket = 2 AND qty BETWEEN 10 AND 20)
+           OR (bracket = 3 AND qty BETWEEN 20 AND 30)
+        GROUP BY 1
     """
 
     return d

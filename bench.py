@@ -186,6 +186,9 @@ QUERY_SUITE = [
     "dup_cluster_size_hist",
     "salted_user_counts",
     "longest_docs_per_source",
+    "forecast_revenue",
+    "priority_line_share",
+    "bracket_revenue",
 ]
 
 

@@ -4879,3 +4879,349 @@ def salted_user_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def forecast_revenue(
+    lineitem: ray.data.Dataset,
+    year: int = 1996,
+    disc_lo_pct: int = 5,
+    disc_hi_pct: int = 7,
+    max_qty: int = 24,
+) -> ray.data.Dataset:
+    """(n_items, rev_cc) — the TPC-H Q6 shape: potential revenue change
+    from items shipped inside a one-year window with a whole-percent
+    discount in [lo, hi] and quantity under ``max_qty``. Revenue is
+    exact integer math (centi-cent price × percent discount,
+    ``price_c * disc_pct``), so Ray and DuckDB agree bit-for-bit.
+
+    Shape: pure streaming scan — column-pruned read, one vectorized
+    filter+sum partial per block, O(#blocks) two-int driver fold. No
+    shuffle at any scale; at 100 TB this query is bounded purely by
+    scan bandwidth (reference has no relational ops — engine extension,
+    SURVEY §2.11).
+
+    Oracle: filtered SUM with the same fixed-point formula and the
+    same integer epoch-micros window bounds."""
+    from datetime import datetime
+
+    lo_us = (
+        int((datetime(year, 1, 1) - datetime(1970, 1, 1)).total_seconds())
+        * 1_000_000
+    )
+    hi_us = (
+        int(
+            (datetime(year + 1, 1, 1) - datetime(1970, 1, 1)).total_seconds()
+        )
+        * 1_000_000
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        disc_pct = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        keep = (
+            (ship >= lo_us)
+            & (ship < hi_us)
+            & (disc_pct >= disc_lo_pct)
+            & (disc_pct <= disc_hi_pct)
+            & (qty < max_qty)
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+                "rev_cc": pa.array(
+                    [int(np.sum(price_c[keep] * disc_pct[keep]))],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        lineitem.select_columns(
+            ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_items": pa.array(
+                    [sum(r["n_items"] for r in rows)], type=pa.int64()
+                ),
+                "rev_cc": pa.array(
+                    [sum(r["rev_cc"] for r in rows)], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def priority_line_share(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    late_days: int = 30,
+) -> ray.data.Dataset:
+    """(ship_year, high_lines, low_lines) — the TPC-H Q12 shape adapted
+    to this corpus (no ``l_shipmode`` column, so the grouping key is the
+    ship YEAR): among lineitems that shipped more than ``late_days``
+    after their order date, count lines from high-priority orders
+    (``1-URGENT`` / ``2-HIGH``) vs the rest, per year. Timestamps
+    compare as integer epoch-micros on both sides.
+
+    Shape: lineitem pre-combines per (block, orderkey, ship_us) — at
+    most one int row per distinct line timestamp per block — then ONE
+    orderkey-keyed tagged-union groupby overlays the order
+    (order date, priority-class) row, per-group math emits
+    (year, class, n) partials, and a tiny year-keyed sum finishes. The
+    priority STRING never rides a shuffle — it collapses to a 0/1 class
+    bit on the order side ([[late_shipment_orders]] dictionary-code
+    discipline).
+
+    Oracle: JOIN + CASE WHEN priority IN (...) with the same integer-us
+    lateness inequality, GROUP BY year."""
+    from ray.data.aggregate import Sum
+
+    LATE_US = late_days * 86_400_000_000
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch["l_orderkey"].cast(pa.int64()),
+                "ship_us": batch["l_shipdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+        g = (
+            t.group_by(["k", "ship_us"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "ship_us", "n"])
+        )
+        return pa.Table.from_pydict(
+            {
+                "k": g["k"],
+                "kind": pa.array([1] * g.num_rows, type=pa.int8()),
+                "ship_us": g["ship_us"],
+                "n": g["n"].cast(pa.int64()),
+                "order_us": pa.array([-1] * g.num_rows, type=pa.int64()),
+                "hi": pa.array([-1] * g.num_rows, type=pa.int64()),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hi = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "k": batch["o_orderkey"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
+                "ship_us": pa.array([-1] * n, type=pa.int64()),
+                "n": pa.array([0] * n, type=pa.int64()),
+                "order_us": batch["o_orderdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "hi": hi,
+            }
+        )
+
+    def per_order(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        orow = np.flatnonzero(kind == 0)
+        lrow = np.flatnonzero(kind == 1)
+        empty = pa.Table.from_pydict(
+            {
+                "ship_year": pa.array([], type=pa.int64()),
+                "high_lines": pa.array([], type=pa.int64()),
+                "low_lines": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(orow) == 0 or len(lrow) == 0:
+            return empty
+        order_us = int(group["order_us"][int(orow[0])].as_py())
+        hi = int(group["hi"][int(orow[0])].as_py())
+        ship = group["ship_us"].to_numpy(zero_copy_only=False)[lrow]
+        cnt = group["n"].to_numpy(zero_copy_only=False)[lrow]
+        late = ship > order_us + LATE_US
+        if not late.any():
+            return empty
+        years = (
+            ship[late].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        ys, idx = np.unique(years, return_inverse=True)
+        n_late = np.bincount(idx, weights=cnt[late]).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "ship_year": pa.array(ys, type=pa.int64()),
+                "high_lines": pa.array(n_late * hi, type=pa.int64()),
+                "low_lines": pa.array(n_late * (1 - hi), type=pa.int64()),
+            }
+        )
+
+    return (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).map_batches(o_partial, batch_format="pyarrow")
+        )
+        .groupby("k")
+        .map_groups(per_order, batch_format="pyarrow")
+        .groupby("ship_year")
+        .aggregate(
+            Sum("high_lines", alias_name="high_lines"),
+            Sum("low_lines", alias_name="low_lines"),
+        )
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "ship_year": b["ship_year"].cast(pa.int64()),
+                    "high_lines": b["high_lines"].cast(pa.int64()),
+                    "low_lines": b["low_lines"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# (bracket, brand, size_lo, size_hi, qty_lo, qty_hi) — disjoint by brand,
+# shared between bracket_revenue and its oracle CASE expression.
+BRACKETS: tuple[tuple[int, str, int, int, int, int], ...] = (
+    (1, "Brand#12", 1, 5, 1, 11),
+    (2, "Brand#23", 1, 10, 10, 20),
+    (3, "Brand#4", 1, 15, 20, 30),
+)
+
+
+def bracket_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    part_count: int | None = None,
+) -> ray.data.Dataset:
+    """(bracket, n_items, rev_cc) — the TPC-H Q19 shape: revenue from
+    three OR-ed (brand, size-range, quantity-range) brackets, one
+    output row per bracket. Revenue is exact integer centi-cents
+    ``price_c * (100 - disc_pct)``.
+
+    Shape: the part dimension classifies each part into a bracket id
+    with one vectorized pass (non-bracket parts drop BEFORE the join,
+    so the dim side the attach sees is already tiny); lineitem
+    pre-combines per (block, partkey, qty) carrying (n, rev_cc) int
+    partials; [[keyed_attach_int]] applies the guarded broadcast /
+    tagged-union discipline; a vectorized per-bracket quantity filter
+    and a 3-row keyed sum finish. Only int rows ever ride an exchange.
+
+    Oracle: JOIN + CASE bracket classification + the same OR-ed
+    quantity windows, GROUP BY bracket."""
+    from ray.data.aggregate import Sum
+
+    if part_count is None:
+        part_count = part.count()
+
+    def classify(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bracket = np.zeros(len(brand), dtype=np.int64)
+        for bid, bname, s_lo, s_hi, _, _ in BRACKETS:
+            bracket[(brand == bname) & (size >= s_lo) & (size <= s_hi)] = bid
+        t = pa.Table.from_pydict(
+            {
+                "l_partkey": batch["p_partkey"].cast(pa.int64()),
+                "bracket": pa.array(bracket, type=pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["bracket"], 0))
+
+    dim = part.select_columns(["p_partkey", "p_brand", "p_size"]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        disc_pct = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        t = pa.Table.from_pydict(
+            {
+                "l_partkey": batch["l_partkey"].cast(pa.int64()),
+                "qty": pa.array(qty, type=pa.int64()),
+                "one": pa.array(np.ones(len(qty), dtype=np.int64)),
+                "rev_cc": pa.array(
+                    price_c * (100 - disc_pct), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_partkey", "qty"]).aggregate(
+            [("one", "sum"), ("rev_cc", "sum")]
+        )
+        return g.rename_columns(["l_partkey", "qty", "n", "rev_cc"])
+
+    fact = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_discount", "l_extendedprice"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = keyed_attach_int(
+        fact,
+        dim,
+        key="l_partkey",
+        val="bracket",
+        payload=("qty", "n", "rev_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=part_count,  # upper bound; bracket parts are fewer
+    )
+
+    qlo = np.zeros(len(BRACKETS) + 1, dtype=np.int64)
+    qhi = np.zeros(len(BRACKETS) + 1, dtype=np.int64)
+    for bid, _, _, _, q_lo, q_hi in BRACKETS:
+        qlo[bid], qhi[bid] = q_lo, q_hi
+
+    def bracket_filter(batch: pa.Table) -> pa.Table:
+        b = batch["bracket"].to_numpy(zero_copy_only=False)
+        q = batch["qty"].to_numpy(zero_copy_only=False)
+        keep = (q >= qlo[b]) & (q <= qhi[b])
+        t = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {
+                "bracket": t["bracket"],
+                "n_items": t["n"],
+                "rev_cc": t["rev_cc"],
+            }
+        )
+
+    return (
+        joined.map_batches(bracket_filter, batch_format="pyarrow")
+        .groupby("bracket")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("rev_cc", alias_name="rev_cc"),
+        )
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "bracket": b["bracket"].cast(pa.int64()),
+                    "n_items": b["n_items"].cast(pa.int64()),
+                    "rev_cc": b["rev_cc"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
