@@ -161,6 +161,9 @@ _R4_QUERIES: list[str] = [
     "forecast_revenue",
     "priority_line_share",
     "bracket_revenue",
+    "shipping_priority",
+    "top_supplier",
+    "small_qty_revenue",
 ]
 
 
@@ -974,6 +977,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["l_partkey", "l_quantity", "l_discount", "l_extendedprice"],
             ),
             _read(sf, "part", ["p_partkey", "p_brand", "p_size"]),
+            part_count=_parquet_count(sf, "part"),
+        ),
+        "shipping_priority": lambda sf: relational.shipping_priority(
+            _read(
+                sf,
+                "lineitem",
+                ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            ),
+            _read(
+                sf,
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            ),
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            customer_count=_parquet_count(sf, "customer"),
+            order_count=_parquet_count(sf, "orders"),
+        ),
+        "top_supplier": lambda sf: relational.top_supplier(
+            _read(
+                sf,
+                "lineitem",
+                ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            ),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+        ),
+        "small_qty_revenue": lambda sf: relational.small_qty_revenue(
+            _read(
+                sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+            ),
+            _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
         ),
     }
@@ -4769,6 +4802,62 @@ def oracle_sql() -> dict[str, str]:
            OR (bracket = 2 AND qty BETWEEN 10 AND 20)
            OR (bracket = 3 AND qty BETWEEN 20 AND 30)
         GROUP BY 1
+    """
+    # TPC-H Q3 shape: top-k unshipped-revenue orders for one segment.
+    # Dates ride as epoch days, priority as its leading digit.
+    d["shipping_priority"] = """
+        SELECT o_orderkey, rev_cc, o_date_days, o_prio FROM (
+          SELECT l.l_orderkey AS o_orderkey,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc,
+                 CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS o_date_days,
+                 CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS o_prio
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1, 3, 4
+        ) ORDER BY rev_cc DESC, o_orderkey LIMIT 10
+    """
+    # TPC-H Q15 shape: max-revenue supplier(s) in one shipdate window.
+    d["top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.rev_cc
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.s_suppkey
+        WHERE r.rev_cc = (SELECT MAX(rev_cc) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+    # TPC-H Q17 shape: small-quantity (below 20% of the part's own avg)
+    # revenue for one brand, exact cross-multiplied threshold.
+    d["small_qty_revenue"] = """
+        WITH sel AS (
+          SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+        ), li AS (
+          SELECT l_partkey,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c
+          FROM lineitem JOIN sel ON l_partkey = p_partkey
+        ), st AS (
+          SELECT l_partkey, SUM(qty) AS sumq, COUNT(*) AS cnt
+          FROM li GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COALESCE(SUM(li.price_c), 0) AS BIGINT) AS price_c_sum
+        FROM li JOIN st ON li.l_partkey = st.l_partkey
+        WHERE 5 * li.qty * st.cnt < st.sumq
     """
 
     return d

@@ -189,6 +189,9 @@ QUERY_SUITE = [
     "forecast_revenue",
     "priority_line_share",
     "bracket_revenue",
+    "shipping_priority",
+    "top_supplier",
+    "small_qty_revenue",
 ]
 
 

@@ -5225,3 +5225,403 @@ def bracket_revenue(
             batch_format="pyarrow",
         )
     )
+
+
+def shipping_priority(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    top_k: int = 10,
+    broadcast_limit: int = 2_000_000,
+    customer_count: int | None = None,
+    order_count: int | None = None,
+) -> ray.data.Dataset:
+    """(o_orderkey, rev_cc, o_date_days, o_prio) — the TPC-H Q3 shape:
+    the ``top_k`` unshipped-revenue orders for one market segment —
+    orders placed before ``cutoff`` whose lineitems shipped after it.
+    Revenue is exact integer centi-cents ``price_c * (100 - disc_pct)``;
+    the order date rides as epoch DAYS and the priority as its leading
+    digit (1-URGENT → 1), so every exchanged column is int64.
+
+    Shape: two [[keyed_attach_int]] guarded attaches — the segment
+    semi-join puts qualifying orders through the custkey attach (the
+    BUILDING customer dim is pre-filtered before it ships anywhere),
+    then the (date, priority) pair packs into ONE int (`days*8 + prio`)
+    and attaches to per-(block, orderkey) revenue partials; a keyed sum
+    and the standard O(k × #blocks) block-top-k driver fold finish.
+
+    Oracle: 3-way JOIN + GROUP BY + ORDER BY rev DESC LIMIT k (ties by
+    orderkey), with the same day/priority integer encodings."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Max, Sum
+
+    cut = datetime.strptime(cutoff, "%Y-%m-%d")
+    cut_us = (
+        int((cut - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    )
+    DAY_US = 86_400_000_000
+
+    if customer_count is None:
+        customer_count = customer.count()
+    if order_count is None:
+        order_count = orders.count()
+
+    def seg_dim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "one": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    seg_customers = customer.select_columns(
+        ["c_custkey", "c_mktsegment"]
+    ).map_batches(seg_dim, batch_format="pyarrow")
+
+    def order_fact(batch: pa.Table) -> pa.Table:
+        od = (
+            batch["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = od < cut_us
+        t = batch.filter(pa.array(keep))
+        days = od[keep] // DAY_US
+        prio = np.array(
+            [int(p[0]) for p in t["o_orderpriority"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "packed": pa.array(days * 8 + prio, type=pa.int64()),
+            }
+        )
+
+    qualifying = keyed_attach_int(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(order_fact, batch_format="pyarrow"),
+        seg_customers,
+        key="c_custkey",
+        val="one",
+        payload=("o_orderkey", "packed"),
+        broadcast_limit=broadcast_limit,
+        dim_count=customer_count,
+    )
+
+    def order_dim(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "packed": batch["packed"],
+            }
+        )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = batch.filter(pa.array(ship > cut_us))
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_pct = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part = pa.Table.from_pydict(
+            {
+                "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "rev_cc": pa.array(
+                    price_c * (100 - disc_pct), type=pa.int64()
+                ),
+            }
+        )
+        g = part.group_by(["o_orderkey"]).aggregate([("rev_cc", "sum")])
+        return g.rename_columns(["o_orderkey", "rev_cc"])
+
+    rev = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(rev_partial, batch_format="pyarrow")
+
+    joined = keyed_attach_int(
+        rev,
+        qualifying.map_batches(order_dim, batch_format="pyarrow"),
+        key="o_orderkey",
+        val="packed",
+        payload=("rev_cc",),
+        broadcast_limit=broadcast_limit,
+        dim_count=order_count,  # upper bound; qualifying orders are fewer
+    )
+
+    per_order = (
+        joined.repartition(16)
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("rev_cc", alias_name="rev_cc"),
+            Max("packed", alias_name="packed"),  # constant per key
+        )
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        rev_np = batch["rev_cc"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rev_np))[:top_k]
+        return batch.take(order)
+
+    pruned = per_order.map_batches(
+        block_topk, batch_format="pyarrow"
+    ).take_all()
+    pruned.sort(key=lambda r: (-r["rev_cc"], r["o_orderkey"]))
+    head = pruned[:top_k]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(
+                    [r["o_orderkey"] for r in head], type=pa.int64()
+                ),
+                "rev_cc": pa.array(
+                    [r["rev_cc"] for r in head], type=pa.int64()
+                ),
+                "o_date_days": pa.array(
+                    [r["packed"] // 8 for r in head], type=pa.int64()
+                ),
+                "o_prio": pa.array(
+                    [r["packed"] % 8 for r in head], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def top_supplier(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> ray.data.Dataset:
+    """(s_suppkey, s_name, rev_cc) — the TPC-H Q15 shape: the
+    supplier(s) with the maximum revenue inside one shipdate window
+    (ALL max ties are returned, sorted by suppkey). Revenue is exact
+    integer centi-cents.
+
+    Shape: windowed lineitem pre-combines per (block, suppkey), ONE
+    suppkey-keyed sum, then a per-block max-ties prune feeds an
+    O(#blocks) driver fold that resolves the global max. Supplier
+    names attach by STREAMING the supplier table against the tiny
+    winner set (a broadcast ray.put of ≤ #ties keys) — the
+    sf-proportional supplier table is never materialized on the
+    driver, so there is no unguarded dimension broadcast.
+
+    Oracle: scalar-subquery max over the grouped revenue CTE."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo_us = (
+        int(
+            (
+                datetime.strptime(start, "%Y-%m-%d") - datetime(1970, 1, 1)
+            ).total_seconds()
+        )
+        * 1_000_000
+    )
+    hi_us = (
+        int(
+            (
+                datetime.strptime(end, "%Y-%m-%d") - datetime(1970, 1, 1)
+            ).total_seconds()
+        )
+        * 1_000_000
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = batch.filter(pa.array((ship >= lo_us) & (ship < hi_us)))
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_pct = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part = pa.Table.from_pydict(
+            {
+                "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                "rev_cc": pa.array(
+                    price_c * (100 - disc_pct), type=pa.int64()
+                ),
+            }
+        )
+        g = part.group_by(["s_suppkey"]).aggregate([("rev_cc", "sum")])
+        return g.rename_columns(["s_suppkey", "rev_cc"])
+
+    per_supp = (
+        lineitem.select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+    )
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        rev = batch["rev_cc"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(rev == rev.max()))
+
+    cand = per_supp.map_batches(block_max, batch_format="pyarrow").take_all()
+    if not cand:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "s_suppkey": pa.array([], type=pa.int64()),
+                    "s_name": pa.array([], type=pa.string()),
+                    "rev_cc": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    best = max(r["rev_cc"] for r in cand)
+    winners = {
+        r["s_suppkey"]: r["rev_cc"] for r in cand if r["rev_cc"] == best
+    }
+    win_ref = ray.put(set(winners))
+
+    def pick_names(batch: pa.Table) -> pa.Table:
+        keys = ray.get(win_ref)
+        mask = pc.is_in(
+            batch["s_suppkey"].cast(pa.int64()),
+            value_set=pa.array(sorted(keys), type=pa.int64()),
+        )
+        t = batch.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"],
+            }
+        )
+
+    named = (
+        supplier.select_columns(["s_suppkey", "s_name"])
+        .map_batches(pick_names, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ #ties rows
+    named.sort(key=lambda r: r["s_suppkey"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(
+                    [r["s_suppkey"] for r in named], type=pa.int64()
+                ),
+                "s_name": pa.array(
+                    [r["s_name"] for r in named], type=pa.string()
+                ),
+                "rev_cc": pa.array(
+                    [winners[r["s_suppkey"]] for r in named], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def small_qty_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    brand: str = "Brand#23",
+    broadcast_limit: int = 2_000_000,
+    part_count: int | None = None,
+) -> ray.data.Dataset:
+    """(n_items, price_c_sum) — the TPC-H Q17 shape: revenue from
+    small-quantity lineitems of one brand's parts, where "small" means
+    below 20% of that part's own average order quantity. The fractional
+    threshold is applied in exact integer cross-multiplied form
+    (``5·qty·cnt < sum_qty``), so no float division exists on either
+    side.
+
+    Shape: the brand dimension pre-filters to its partkeys BEFORE the
+    [[keyed_attach_int]] guarded attach; lineitems of those parts ride
+    ONE partkey-keyed groupby whose per-group fold computes the
+    part-local average and the below-threshold sums in one pass (the
+    correlated subquery collapses into the group); an O(#parts)
+    two-int driver fold finishes.
+
+    Oracle: per-part stats CTE joined back with the same
+    cross-multiplied inequality."""
+    if part_count is None:
+        part_count = part.count()
+
+    def brand_dim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["p_brand"], brand))
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": t["p_partkey"].cast(pa.int64()),
+                "one": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    dim = part.select_columns(["p_partkey", "p_brand"]).map_batches(
+        brand_dim, batch_format="pyarrow"
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": batch["l_partkey"].cast(pa.int64()),
+                "qty": pa.array(qty, type=pa.int64()),
+                "price_c": pa.array(price_c, type=pa.int64()),
+            }
+        )
+
+    fact = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    selected = keyed_attach_int(
+        fact,
+        dim,
+        key="l_partkey",
+        val="one",
+        payload=("qty", "price_c"),
+        broadcast_limit=broadcast_limit,
+        dim_count=part_count,  # upper bound; brand parts are ~1/25
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        qty = group["qty"].to_numpy(zero_copy_only=False)
+        price = group["price_c"].to_numpy(zero_copy_only=False)
+        small = 5 * qty * len(qty) < int(qty.sum())
+        return pa.Table.from_pydict(
+            {
+                "n_items": pa.array([int(small.sum())], type=pa.int64()),
+                "price_c_sum": pa.array(
+                    [int(price[small].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        selected.groupby("l_partkey")
+        .map_groups(per_part, batch_format="pyarrow")
+        .take_all()
+    )  # O(#brand-parts) two-int rows
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_items": pa.array(
+                    [sum(r["n_items"] for r in rows)], type=pa.int64()
+                ),
+                "price_c_sum": pa.array(
+                    [sum(r["price_c_sum"] for r in rows)], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -119,3 +119,113 @@ class TestBracketRevenue:
         )
         got = self._canon(relational.bracket_revenue(**tables))
         assert [b for b, _, _ in got] == [2, 3]
+
+
+class TestShippingPriority:
+    @pytest.fixture()
+    def tables(self, ray_session):
+        return dict(
+            lineitem=_rd(
+                "lineitem",
+                ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            ),
+            orders=_rd(
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            ),
+            customer=_rd("customer", ["c_custkey", "c_mktsegment"]),
+        )
+
+    def _canon(self, ds):
+        return [
+            (r["o_orderkey"], r["rev_cc"], r["o_date_days"], r["o_prio"])
+            for r in ds.take_all()
+        ]
+
+    def test_shuffle_fallback_matches_broadcast(self, tables):
+        broadcast = self._canon(relational.shipping_priority(**tables))
+        shuffled = self._canon(
+            relational.shipping_priority(**tables, broadcast_limit=0)
+        )
+        assert broadcast == shuffled and len(broadcast) == 10
+
+    def test_sorted_desc_and_prio_in_domain(self, tables):
+        rows = self._canon(relational.shipping_priority(**tables))
+        keys = [(-rev, ok) for ok, rev, _, _ in rows]
+        assert keys == sorted(keys)
+        assert all(1 <= p <= 5 for _, _, _, p in rows)
+
+
+class TestTopSupplier:
+    def test_returns_single_global_max(self, ray_session):
+        li = _rd(
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        supp = _rd("supplier", ["s_suppkey", "s_name"])
+        rows = relational.top_supplier(li, supp).take_all()
+        assert len(rows) >= 1 and all(
+            r["rev_cc"] == rows[0]["rev_cc"] for r in rows
+        )
+
+    def test_empty_window_returns_empty(self, ray_session):
+        li = _rd(
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        supp = _rd("supplier", ["s_suppkey", "s_name"])
+        rows = relational.top_supplier(
+            li, supp, start="1921-01-01", end="1921-02-01"
+        ).take_all()
+        assert rows == []
+
+    def test_all_ties_returned(self, ray_session):
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "l_shipdate": pa.array(
+                        [852076800000000] * 3, type=pa.timestamp("us")
+                    ),
+                    "l_extendedprice": [10.0, 10.0, 5.0],
+                    "l_discount": [0.0, 0.0, 0.0],
+                }
+            )
+        )
+        supp = ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "s_name": ["a", "b", "c"],
+                }
+            )
+        )
+        rows = relational.top_supplier(li, supp).take_all()
+        assert [(r["s_suppkey"], r["s_name"]) for r in rows] == [
+            (1, "a"),
+            (2, "b"),
+        ]
+
+
+class TestSmallQtyRevenue:
+    @pytest.fixture()
+    def tables(self, ray_session):
+        return dict(
+            lineitem=_rd(
+                "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+            ),
+            part=_rd("part", ["p_partkey", "p_brand"]),
+        )
+
+    def test_shuffle_fallback_matches_broadcast(self, tables):
+        a = relational.small_qty_revenue(**tables).take_all()
+        b = relational.small_qty_revenue(
+            **tables, broadcast_limit=0
+        ).take_all()
+        assert a == b and len(a) == 1
+
+    def test_missing_brand_returns_zero_row(self, tables):
+        rows = relational.small_qty_revenue(
+            **tables, brand="Brand#999"
+        ).take_all()
+        assert rows == [{"n_items": 0, "price_c_sum": 0}]
