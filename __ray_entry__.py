@@ -164,6 +164,9 @@ _R4_QUERIES: list[str] = [
     "shipping_priority",
     "top_supplier",
     "small_qty_revenue",
+    "nation_trade_volume",
+    "late_supplier_blame",
+    "dormant_rich_customers",
 ]
 
 
@@ -1008,6 +1011,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "nation_trade_volume": lambda sf: relational.nation_trade_volume(
+            _read(
+                sf,
+                "lineitem",
+                [
+                    "l_orderkey",
+                    "l_suppkey",
+                    "l_shipdate",
+                    "l_extendedprice",
+                    "l_discount",
+                ],
+            ),
+            _read(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            order_count=_parquet_count(sf, "orders"),
+            customer_count=_parquet_count(sf, "customer"),
+            supplier_count=_parquet_count(sf, "supplier"),
+        ),
+        "late_supplier_blame": lambda sf: relational.late_supplier_blame(
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]),
+            _read(
+                sf, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]
+            ),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+        ),
+        "dormant_rich_customers": lambda sf: (
+            relational.dormant_rich_customers(
+                _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+                _read(sf, "orders", ["o_custkey", "o_orderdate"]),
+            )
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4858,6 +4894,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(li.price_c), 0) AS BIGINT) AS price_c_sum
         FROM li JOIN st ON li.l_partkey = st.l_partkey
         WHERE 5 * li.qty * st.cnt < st.sumq
+    """
+    # TPC-H Q7 shape: shipping volume per (supp nation, cust nation, year).
+    d["nation_trade_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rev_cc
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND s_nationkey <> c_nationkey
+        GROUP BY 1, 2, 3
+    """
+    # TPC-H Q21 shape (adapted: lateness vs order date, no commitdate):
+    # the lone late supplier on multi-supplier finalized orders.
+    d["late_supplier_blame"] = """
+        WITH x AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(epoch_us(l_shipdate)) AS ship_us
+          FROM lineitem GROUP BY 1, 2
+        ), q AS (
+          SELECT x.l_orderkey, x.l_suppkey,
+                 CASE WHEN x.ship_us
+                      > epoch_us(o.o_orderdate) + 7776000000000
+                      THEN 1 ELSE 0 END AS late
+          FROM x JOIN orders o ON x.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ), blame AS (
+          SELECT l_orderkey,
+                 MAX(CASE WHEN late = 1 THEN l_suppkey END) AS bad
+          FROM q GROUP BY 1
+          HAVING COUNT(*) >= 2 AND SUM(late) = 1
+        )
+        SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM blame JOIN supplier ON bad = s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """
+    # TPC-H Q22 shape (adapted: nationkey subset for the phone prefix,
+    # dormancy = no order after the cutoff; threshold cross-multiplied).
+    d["dormant_rich_customers"] = """
+        WITH stats AS (
+          SELECT CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_c,
+                 COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS acctbal_c_sum
+        FROM customer, stats
+        WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          AND CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) * stats.n
+              > stats.sum_c
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01'
+          )
+        GROUP BY 1
     """
 
     return d

@@ -192,6 +192,9 @@ QUERY_SUITE = [
     "shipping_priority",
     "top_supplier",
     "small_qty_revenue",
+    "nation_trade_volume",
+    "late_supplier_blame",
+    "dormant_rich_customers",
 ]
 
 

@@ -5625,3 +5625,514 @@ def small_qty_revenue(
             }
         )
     )
+
+
+def nation_trade_volume(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    start_year: int = 1996,
+    end_year: int = 1997,
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+    customer_count: int | None = None,
+    supplier_count: int | None = None,
+) -> ray.data.Dataset:
+    """(supp_nation, cust_nation, ship_year, rev_cc) — the TPC-H Q7
+    shape: shipping volume between every DISTINCT (supplier-nation,
+    customer-nation) pair per ship year inside the window. Revenue is
+    exact integer centi-cents.
+
+    Shape: three [[keyed_attach_int]] guarded attaches — supplier
+    nationkey onto per-(block, suppkey, orderkey, year) revenue
+    partials; customer nationkey onto orders (producing an
+    orderkey→cust-nation dim); that dim onto the partials — then an
+    in-block (s_nat, c_nat, year) pre-combine and ONE tiny keyed sum.
+    The 25-row nation name map broadcasts at the end. Only int rows
+    ride every exchange; nation names never shuffle.
+
+    Oracle: 5-way JOIN + year window + n1 ≠ n2, GROUP BY pair × year."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo_us = (
+        int(
+            (datetime(start_year, 1, 1) - datetime(1970, 1, 1)).total_seconds()
+        )
+        * 1_000_000
+    )
+    hi_us = (
+        int(
+            (
+                datetime(end_year + 1, 1, 1) - datetime(1970, 1, 1)
+            ).total_seconds()
+        )
+        * 1_000_000
+    )
+
+    if order_count is None:
+        order_count = orders.count()
+    if customer_count is None:
+        customer_count = customer.count()
+    if supplier_count is None:
+        supplier_count = supplier.count()
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    nat_ref = ray.put(nat)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (ship >= lo_us) & (ship < hi_us)
+        t = batch.filter(pa.array(keep))
+        years = (
+            ship[keep].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_pct = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part = pa.Table.from_pydict(
+            {
+                "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "ship_year": pa.array(years, type=pa.int64()),
+                "rev_cc": pa.array(
+                    price_c * (100 - disc_pct), type=pa.int64()
+                ),
+            }
+        )
+        g = part.group_by(["s_suppkey", "o_orderkey", "ship_year"]).aggregate(
+            [("rev_cc", "sum")]
+        )
+        return g.rename_columns(
+            ["s_suppkey", "o_orderkey", "ship_year", "rev_cc"]
+        )
+
+    partials = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    # supplier nation onto the partials
+    with_snat = keyed_attach_int(
+        partials,
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        key="s_suppkey",
+        val="s_nationkey",
+        payload=("o_orderkey", "ship_year", "rev_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=supplier_count,
+    )
+
+    # orderkey -> customer nation dim (customer attach onto orders)
+    def order_fact(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    order_nat = keyed_attach_int(
+        orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+            order_fact, batch_format="pyarrow"
+        ),
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        key="c_custkey",
+        val="c_nationkey",
+        payload=("o_orderkey",),
+        broadcast_limit=broadcast_limit,
+        dim_count=customer_count,
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"o_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = keyed_attach_int(
+        with_snat,
+        order_nat,
+        key="o_orderkey",
+        val="c_nationkey",
+        payload=("s_nationkey", "ship_year", "rev_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=order_count,
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        s_nat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(s_nat != c_nat))
+        g = t.group_by(["s_nationkey", "c_nationkey", "ship_year"]).aggregate(
+            [("rev_cc", "sum")]
+        )
+        return g.rename_columns(
+            ["s_nationkey", "c_nationkey", "ship_year", "rev_cc"]
+        )
+
+    def name_pairs(batch: pa.Table) -> pa.Table:
+        nats = ray.get(nat_ref)
+        return pa.Table.from_pydict(
+            {
+                "supp_nation": pa.array(
+                    [nats[int(k)] for k in batch["s_nationkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "cust_nation": pa.array(
+                    [nats[int(k)] for k in batch["c_nationkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "ship_year": batch["ship_year"].cast(pa.int64()),
+                "rev_cc": batch["rev_cc"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "ship_year"])
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .map_batches(name_pairs, batch_format="pyarrow")
+    )
+
+
+def late_supplier_blame(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    late_days: int = 90,
+    top_k: int = 20,
+) -> ray.data.Dataset:
+    """(s_suppkey, s_name, numwait) — the TPC-H Q21 shape adapted to
+    this corpus (no commit/receipt dates): on finalized orders
+    (status 'F') with at least TWO distinct suppliers where EXACTLY ONE
+    supplier shipped late (max line shipdate > order date +
+    ``late_days``), blame that supplier; return the ``top_k`` suppliers
+    by blamed-order count (ties by suppkey).
+
+    Shape: lineitem pre-combines per (block, orderkey, suppkey) to a
+    max-shipdate int row (the exists/not-exists pair only needs the
+    per-supplier max), ONE orderkey-keyed tagged-union groupby overlays
+    the order (date) row and emits the blamed suppkey for qualifying
+    orders, a suppkey-keyed count and the standard block-top-k driver
+    fold finish. Names attach by STREAMING supplier against the tiny
+    winner set ([[top_supplier]] discipline — no dim broadcast).
+
+    Oracle: per-(order, supplier) max-ship CTE + HAVING count ≥ 2 AND
+    late-count = 1, then GROUP BY supplier, LIMIT k."""
+    from ray.data.aggregate import Sum
+
+    LATE_US = late_days * 86_400_000_000
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch["l_orderkey"].cast(pa.int64()),
+                "s": batch["l_suppkey"].cast(pa.int64()),
+                "ship_us": batch["l_shipdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "s"]).aggregate([("ship_us", "max")])
+        g = g.rename_columns(["k", "s", "ship_us"])
+        return pa.Table.from_pydict(
+            {
+                "k": g["k"],
+                "kind": pa.array([1] * g.num_rows, type=pa.int8()),
+                "s": g["s"],
+                "ship_us": g["ship_us"],
+                "order_us": pa.array([-1] * g.num_rows, type=pa.int64()),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        n = t.num_rows
+        return pa.Table.from_pydict(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
+                "s": pa.array([-1] * n, type=pa.int64()),
+                "ship_us": pa.array([-1] * n, type=pa.int64()),
+                "order_us": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def per_order(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        orow = np.flatnonzero(kind == 0)
+        lrow = np.flatnonzero(kind == 1)
+        empty = pa.Table.from_pydict(
+            {"s_suppkey": pa.array([], type=pa.int64())}
+        )
+        if len(orow) == 0 or len(lrow) == 0:
+            return empty
+        order_us = int(group["order_us"][int(orow[0])].as_py())
+        supp = group["s"].to_numpy(zero_copy_only=False)[lrow]
+        ship = group["ship_us"].to_numpy(zero_copy_only=False)[lrow]
+        # re-fold per supplier (block partials may repeat a supplier)
+        uniq, inv = np.unique(supp, return_inverse=True)
+        if len(uniq) < 2:
+            return empty
+        max_ship = np.full(len(uniq), -1, dtype=np.int64)
+        np.maximum.at(max_ship, inv, ship)
+        late = max_ship > order_us + LATE_US
+        if int(late.sum()) != 1:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(
+                    [int(uniq[np.flatnonzero(late)[0]])], type=pa.int64()
+                )
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        key, cnt = np.unique(
+            batch["s_suppkey"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(key, type=pa.int64()),
+                "numwait": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    per_supp = (
+        lineitem.select_columns(["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_orderstatus", "o_orderdate"]
+            ).map_batches(o_partial, batch_format="pyarrow")
+        )
+        .groupby("k")
+        .map_groups(per_order, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        nw = batch["numwait"].to_numpy(zero_copy_only=False)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, -nw))[:top_k]
+        return batch.take(order)
+
+    pruned = per_supp.map_batches(block_topk, batch_format="pyarrow").take_all()
+    pruned.sort(key=lambda r: (-r["numwait"], r["s_suppkey"]))
+    head = pruned[:top_k]
+    if not head:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "s_suppkey": pa.array([], type=pa.int64()),
+                    "s_name": pa.array([], type=pa.string()),
+                    "numwait": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    waits = {r["s_suppkey"]: r["numwait"] for r in head}
+    win_ref = ray.put(set(waits))
+
+    def pick_names(batch: pa.Table) -> pa.Table:
+        keys = ray.get(win_ref)
+        mask = pc.is_in(
+            batch["s_suppkey"].cast(pa.int64()),
+            value_set=pa.array(sorted(keys), type=pa.int64()),
+        )
+        t = batch.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"],
+            }
+        )
+
+    named = (
+        supplier.select_columns(["s_suppkey", "s_name"])
+        .map_batches(pick_names, batch_format="pyarrow")
+        .take_all()
+    )
+    named.sort(key=lambda r: (-waits[r["s_suppkey"]], r["s_suppkey"]))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(
+                    [r["s_suppkey"] for r in named], type=pa.int64()
+                ),
+                "s_name": pa.array(
+                    [r["s_name"] for r in named], type=pa.string()
+                ),
+                "numwait": pa.array(
+                    [waits[r["s_suppkey"]] for r in named], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def dormant_rich_customers(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    nationkeys: tuple[int, ...] = (1, 3, 5, 7, 9),
+    cutoff: str = "2000-06-01",
+) -> ray.data.Dataset:
+    """(c_nationkey, n_cust, acctbal_c_sum) — the TPC-H Q22 shape
+    adapted to this corpus (no phone column, so the country-code prefix
+    becomes a nationkey subset; every customer has SOME order, so the
+    anti-join is against orders AFTER ``cutoff``): customers in the
+    nation subset whose balance exceeds the global positive-balance
+    average and who placed no recent order, aggregated per nation. The
+    average threshold is applied exactly via cross-multiplication
+    (``bal_c · n > sum_c``) — no float division on either side.
+
+    Shape: one streaming two-int fold computes the global positive
+    average; the filtered customer rows then anti-join recent-order
+    custkey markers (pre-deduped per block) in ONE custkey-keyed
+    tagged-union groupby; a tiny nation-keyed sum finishes. Driver
+    state is O(#blocks) + the final ≤25-row output.
+
+    Oracle: stats CTE + NOT EXISTS with the same cross-multiplied
+    threshold."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    cut_us = (
+        int(
+            (
+                datetime.strptime(cutoff, "%Y-%m-%d") - datetime(1970, 1, 1)
+            ).total_seconds()
+        )
+        * 1_000_000
+    )
+    nk = np.array(sorted(nationkeys), dtype=np.int64)
+
+    # pass 1: global positive-balance average as an exact (sum_c, n) pair
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0
+        bal_c = np.floor(bal[pos] * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "sum_c": pa.array([int(bal_c.sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        customer.select_columns(["c_acctbal"])
+        .map_batches(stat_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    sum_c = sum(r["sum_c"] for r in stats)
+    n_pos = sum(r["n"] for r in stats)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        natk = (
+            batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bal_c = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        keep = np.isin(natk, nk) & (bal_c * n_pos > sum_c)
+        t = batch.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.Table.from_pydict(
+            {
+                "k": t["c_custkey"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                "bal_c": pa.array(bal_c[keep], type=pa.int64()),
+            }
+        )
+
+    def active_markers(batch: pa.Table) -> pa.Table:
+        od = (
+            batch["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[od >= cut_us]
+        uniq = np.unique(ck).astype(np.int64)
+        n = len(uniq)
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array(uniq, type=pa.int64()),
+                "kind": pa.array([1] * n, type=pa.int8()),
+                "c_nationkey": pa.array([-1] * n, type=pa.int64()),
+                "bal_c": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        if (kind == 1).any() or not (kind == 0).any():
+            return pa.Table.from_pydict(
+                {
+                    "c_nationkey": pa.array([], type=pa.int64()),
+                    "n_cust": pa.array([], type=pa.int64()),
+                    "acctbal_c_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        i = int(np.flatnonzero(kind == 0)[0])
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": pa.array(
+                    [int(group["c_nationkey"][i].as_py())], type=pa.int64()
+                ),
+                "n_cust": pa.array([1], type=pa.int64()),
+                "acctbal_c_sum": pa.array(
+                    [int(group["bal_c"][i].as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        customer.select_columns(["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+                active_markers, batch_format="pyarrow"
+            )
+        )
+        .groupby("k")
+        .map_groups(anti, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("acctbal_c_sum", alias_name="acctbal_c_sum"),
+        )
+        .take_all()  # ≤ |nationkeys| rows; pins the schema when empty
+    )
+    return _dormant_finish(rows)
+
+
+def _dormant_finish(rows: list[dict]) -> ray.data.Dataset:
+    rows.sort(key=lambda r: r["c_nationkey"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "c_nationkey": pa.array(
+                    [r["c_nationkey"] for r in rows], type=pa.int64()
+                ),
+                "n_cust": pa.array(
+                    [r["n_cust"] for r in rows], type=pa.int64()
+                ),
+                "acctbal_c_sum": pa.array(
+                    [r["acctbal_c_sum"] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -229,3 +229,126 @@ class TestSmallQtyRevenue:
             **tables, brand="Brand#999"
         ).take_all()
         assert rows == [{"n_items": 0, "price_c_sum": 0}]
+
+
+class TestNationTradeVolume:
+    @pytest.fixture()
+    def tables(self, ray_session):
+        return dict(
+            lineitem=_rd(
+                "lineitem",
+                [
+                    "l_orderkey",
+                    "l_suppkey",
+                    "l_shipdate",
+                    "l_extendedprice",
+                    "l_discount",
+                ],
+            ),
+            orders=_rd("orders", ["o_orderkey", "o_custkey"]),
+            customer=_rd("customer", ["c_custkey", "c_nationkey"]),
+            supplier=_rd("supplier", ["s_suppkey", "s_nationkey"]),
+            nation=_rd("nation", ["n_nationkey", "n_name"]),
+        )
+
+    def _canon(self, ds):
+        return sorted(
+            (r["supp_nation"], r["cust_nation"], r["ship_year"], r["rev_cc"])
+            for r in ds.take_all()
+        )
+
+    def test_shuffle_fallback_matches_broadcast(self, tables):
+        broadcast = self._canon(relational.nation_trade_volume(**tables))
+        shuffled = self._canon(
+            relational.nation_trade_volume(**tables, broadcast_limit=0)
+        )
+        assert broadcast == shuffled and len(broadcast) > 0
+
+    def test_no_intra_nation_pairs_and_years_in_window(self, tables):
+        rows = self._canon(relational.nation_trade_volume(**tables))
+        assert all(s != c for s, c, _, _ in rows)
+        assert all(y in (1996, 1997) for _, _, y, _ in rows)
+
+
+class TestLateSupplierBlame:
+    def test_blame_counts_on_handmade_orders(self, ray_session):
+        import numpy as np
+
+        DAY = 86_400_000_000
+        # order 1: two suppliers, only supp 7 late -> blamed
+        # order 2: one supplier (late) -> excluded (needs >=2)
+        # order 3: two suppliers, both late -> excluded (exactly one)
+        # order 4: status 'O' -> excluded
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        [1, 1, 2, 3, 3, 4, 4], type=pa.int64()
+                    ),
+                    "l_suppkey": pa.array(
+                        [7, 8, 7, 7, 8, 7, 8], type=pa.int64()
+                    ),
+                    "l_shipdate": pa.array(
+                        np.array(
+                            [200, 10, 200, 200, 200, 200, 10], dtype=np.int64
+                        )
+                        * DAY,
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        orders = ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "o_orderstatus": ["F", "F", "F", "O"],
+                    "o_orderdate": pa.array(
+                        np.array([5, 5, 5, 5], dtype=np.int64) * DAY,
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        supplier = ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([7, 8], type=pa.int64()),
+                    "s_name": ["lateguy", "ok"],
+                }
+            )
+        )
+        rows = relational.late_supplier_blame(li, orders, supplier).take_all()
+        assert [(r["s_suppkey"], r["s_name"], r["numwait"]) for r in rows] == [
+            (7, "lateguy", 1)
+        ]
+
+    def test_fixture_sorted_desc(self, ray_session):
+        rows = relational.late_supplier_blame(
+            _rd("lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]),
+            _rd("orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]),
+            _rd("supplier", ["s_suppkey", "s_name"]),
+        ).take_all()
+        keys = [(-r["numwait"], r["s_suppkey"]) for r in rows]
+        assert keys == sorted(keys) and len(rows) > 0
+
+
+class TestDormantRichCustomers:
+    def test_empty_is_schema_stable(self, ray_session):
+        ds = relational.dormant_rich_customers(
+            _rd("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+            _rd("orders", ["o_custkey", "o_orderdate"]),
+            cutoff="1990-01-01",  # every customer has a later order
+        )
+        # Ray's to_pandas drops columns on 0-row datasets; the schema is
+        # the stable contract here.
+        assert ds.schema().names == ["c_nationkey", "n_cust", "acctbal_c_sum"]
+        assert ds.count() == 0
+
+    def test_threshold_is_strict_and_subset_respected(self, ray_session):
+        rows = relational.dormant_rich_customers(
+            _rd("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+            _rd("orders", ["o_custkey", "o_orderdate"]),
+        ).take_all()
+        assert all(r["c_nationkey"] in (1, 3, 5, 7, 9) for r in rows)
+        assert len(rows) >= 1
