@@ -167,6 +167,8 @@ _R4_QUERIES: list[str] = [
     "nation_trade_volume",
     "late_supplier_blame",
     "dormant_rich_customers",
+    "span_coalesce",
+    "media_position_hist",
 ]
 
 
@@ -1044,6 +1046,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
                 _read(sf, "orders", ["o_custkey", "o_orderdate"]),
             )
+        ),
+        "span_coalesce": lambda sf: interleaved.span_coalesce(_spans(sf)),
+        "media_position_hist": lambda sf: (
+            interleaved.media_position_hist(_spans(sf))
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -4960,6 +4966,52 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '2000-06-01'
           )
         GROUP BY 1
+    """
+    # Text-run reflow over the interleaved spans table: window-function
+    # islands (boundary at kind change or any media span) + ordered
+    # string_agg; offsets renumbered per doc.
+    d["span_coalesce"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                 u.s.media_ref AS media_ref, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), w AS (
+          SELECT *, CASE WHEN lag(kind) OVER dw IS NULL
+                         OR kind <> lag(kind) OVER dw
+                         OR kind = 'media' THEN 1 ELSE 0 END AS b
+          FROM s WINDOW dw AS (PARTITION BY doc_id ORDER BY off)
+        ), r AS (
+          SELECT *, SUM(b) OVER (
+            PARTITION BY doc_id ORDER BY off
+            ROWS UNBOUNDED PRECEDING) - 1 AS run
+          FROM w
+        )
+        SELECT doc_id, CAST(run AS BIGINT) AS "offset",
+               MIN(kind) AS kind,
+               string_agg(text, ' ' ORDER BY off) AS text,
+               MAX(media_ref) AS media_ref,
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM r GROUP BY doc_id, run
+    """
+    # Corpus-level decile histogram of media span positions.
+    d["media_position_hist"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), r AS (
+          SELECT kind,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY off) - 1 AS pos,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n
+          FROM s
+        )
+        SELECT CAST(pos * 10 // n AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_media
+        FROM r WHERE kind = 'media' GROUP BY 1
     """
 
     return d

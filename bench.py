@@ -195,6 +195,8 @@ QUERY_SUITE = [
     "nation_trade_volume",
     "late_supplier_blame",
     "dormant_rich_customers",
+    "span_coalesce",
+    "media_position_hist",
 ]
 
 

@@ -846,3 +846,141 @@ def span_length_profile(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def span_coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Reflow: merge every maximal run of offset-adjacent TEXT spans into
+    one span (texts joined with a single space); media spans never merge.
+    Emits the flattened result — (doc_id, offset, kind, text, media_ref,
+    n_merged) with offsets renumbered 0..runs-1 per document — the
+    compaction pass an interleaved corpus runs before tokenization so
+    downstream char/token budgets see documents, not fragmentation.
+
+    Pure per-doc block-local map: run boundaries come from one vectorized
+    compare over the offset-sorted flat view, and the per-run text join is
+    ``pc.binary_join`` over a runs-shaped ListArray (runs are contiguous
+    after the lexsort) — no Python loop over spans, no shuffle.
+
+    Oracle: window-function islands (lag ≠ kind ∨ kind='media') +
+    string_agg ORDER BY offset."""
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        n = len(parent)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "offset": pa.array([], type=pa.int64()),
+                    "kind": pa.array([], type=pa.string()),
+                    "text": pa.array([], type=pa.string()),
+                    "media_ref": pa.array([], type=pa.string()),
+                    "n_merged": pa.array([], type=pa.int64()),
+                }
+            )
+        p_s = parent[order]
+        kind_s = f["kind"].take(pa.array(order))
+        text_s = f["text"].take(pa.array(order))
+        ref_s = f["media_ref"].take(pa.array(order))
+        is_media = pc.equal(kind_s, "media").to_numpy(zero_copy_only=False)
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = (
+            (p_s[1:] != p_s[:-1])
+            | (is_media[1:] != is_media[:-1])
+            | is_media[1:]
+        )
+        starts = np.flatnonzero(boundary)
+        run_offsets = np.append(starts, n).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(run_offsets), text_s), " "
+        )
+        run_parent = p_s[starts]
+        # per-doc run rank: run index minus the doc's first run index
+        first_run = np.ones(len(starts), dtype=bool)
+        first_run[1:] = run_parent[1:] != run_parent[:-1]
+        run_idx = np.arange(len(starts), dtype=np.int64)
+        doc_first = run_idx[first_run]
+        new_off = run_idx - np.repeat(doc_first, np.diff(
+            np.append(np.flatnonzero(first_run), len(starts))
+        ))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.take(pa.array(run_parent)),
+                "offset": pa.array(new_off, type=pa.int64()),
+                "kind": kind_s.take(pa.array(starts)),
+                "text": texts,
+                "media_ref": ref_s.take(pa.array(starts)),
+                "n_merged": pa.array(
+                    np.diff(run_offsets).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(coalesce, batch_format="pyarrow")
+
+
+def media_position_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(bucket, n_media) — corpus-level decile histogram of WHERE media
+    spans sit inside their documents: bucket = ``rank·10 // n_spans`` of
+    each media span's offset-order rank (0 = document head, 9 = tail).
+    The lead/trail layout signal a multimodal curator uses to pick
+    caption-pairing direction before decoding a single byte.
+
+    Per-block partial: one bincount over the offset-sorted flat view →
+    ≤10-int rows per block → ONE tiny bucket-keyed sum. No payload ever
+    shuffles.
+
+    Oracle: ROW_NUMBER/COUNT window pair with the same integer-floor
+    bucket formula."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        n = len(parent)
+        empty = pa.Table.from_pydict(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "n_media": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        p_s = parent[order]
+        is_media = pc.equal(f["kind"], "media").to_numpy(
+            zero_copy_only=False
+        )[order]
+        n_spans = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        first = np.zeros(n, dtype=np.int64)
+        firsts = np.flatnonzero(
+            np.concatenate(([True], p_s[1:] != p_s[:-1]))
+        )
+        first[firsts] = 1
+        doc_start = np.maximum.accumulate(
+            np.where(first == 1, np.arange(n, dtype=np.int64), 0)
+        )
+        rank = np.arange(n, dtype=np.int64) - doc_start
+        bucket = rank[is_media] * 10 // n_spans[p_s[is_media]]
+        if len(bucket) == 0:
+            return empty
+        key, cnt = np.unique(bucket, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(key, type=pa.int64()),
+                "n_media": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_media", alias_name="n_media"))
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "bucket": b["bucket"].cast(pa.int64()),
+                    "n_media": b["n_media"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -81,6 +81,8 @@ def test_query_matches_oracle(name, con, ray_session):
             "interleave_shape_hist",
             "media_ref_fanout",
             "span_length_profile",
+            "span_coalesce",
+            "media_position_hist",
         )
         else SF_DIR
     )

@@ -5,6 +5,7 @@ content-hash dedup contract."""
 
 import pyarrow as pa
 import pytest
+import ray.data
 
 from tableextraction_ray.functions import interleaved, multimodal
 from tableextraction_ray.sources.corpus import _span_type
@@ -409,3 +410,90 @@ class TestCurateCaptions:
         # has no store row, the store-only ref has no caption candidates
         # -> neither yields a pair
         assert out == []
+
+
+class TestSpanCoalesce:
+    def _mk(self, spans_per_doc):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        [f"d{i}" for i in range(len(spans_per_doc))],
+                        type=pa.string(),
+                    ),
+                    "spans": pa.array(spans_per_doc, type=_span_type()),
+                }
+            )
+        )
+
+    def _span(self, kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    def test_runs_merge_and_media_stays_atomic(self, ray_session):
+        ds = self._mk(
+            [
+                [
+                    self._span("text", "a", "", 0),
+                    self._span("text", "b", "", 1),
+                    self._span("media", "", "m1", 2),
+                    self._span("media", "", "m2", 3),
+                    self._span("text", "c", "", 4),
+                ],
+                [self._span("text", "solo", "", 0)],
+            ]
+        )
+        rows = sorted(
+            (
+                (r["doc_id"], r["offset"], r["kind"], r["text"],
+                 r["media_ref"], r["n_merged"])
+                for r in interleaved.span_coalesce(ds).take_all()
+            )
+        )
+        assert rows == [
+            ("d0", 0, "text", "a b", "", 2),
+            ("d0", 1, "media", "", "m1", 1),
+            ("d0", 2, "media", "", "m2", 1),
+            ("d0", 3, "text", "c", "", 1),
+            ("d1", 0, "text", "solo", "", 1),
+        ]
+
+    def test_out_of_order_offsets_sort_first(self, ray_session):
+        ds = self._mk(
+            [
+                [
+                    self._span("text", "second", "", 5),
+                    self._span("text", "first", "", 1),
+                ]
+            ]
+        )
+        rows = interleaved.span_coalesce(ds).take_all()
+        assert [(r["offset"], r["text"]) for r in rows] == [
+            (0, "first second")
+        ]
+
+
+class TestMediaPositionHist:
+    def test_buckets_by_rank_not_raw_offset(self, ray_session):
+        # 10 spans; media at ranks 0 and 9 -> buckets 0 and 9.
+        spans = [
+            {
+                "kind": "media" if i in (0, 9) else "text",
+                "text": "" if i in (0, 9) else "t",
+                "media_ref": f"m{i}" if i in (0, 9) else "",
+                "offset": i,
+            }
+            for i in range(10)
+        ]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(["d0"], type=pa.string()),
+                    "spans": pa.array([spans], type=_span_type()),
+                }
+            )
+        )
+        rows = sorted(
+            (r["bucket"], r["n_media"])
+            for r in interleaved.media_position_hist(ds).take_all()
+        )
+        assert rows == [(0, 1), (9, 1)]
