@@ -169,6 +169,9 @@ _R4_QUERIES: list[str] = [
     "dormant_rich_customers",
     "span_coalesce",
     "media_position_hist",
+    "hash_sample_k",
+    "per_source_sample_k",
+    "length_token_corr",
 ]
 
 
@@ -1050,6 +1053,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coalesce": lambda sf: interleaved.span_coalesce(_spans(sf)),
         "media_position_hist": lambda sf: (
             interleaved.media_position_hist(_spans(sf))
+        ),
+        "hash_sample_k": lambda sf: selection.hash_sample_k(
+            docs(sf, ["doc_id"])
+        ),
+        "per_source_sample_k": lambda sf: selection.per_source_sample_k(
+            docs(sf, ["doc_id", "source"])
+        ),
+        "length_token_corr": lambda sf: selection.length_token_corr(
+            docs(sf, ["doc_id", "text"])
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
@@ -5012,6 +5024,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(pos * 10 // n AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_media
         FROM r WHERE kind = 'media' GROUP BY 1
+    """
+    # Deterministic uniform sample: k smallest md5(doc_id-as-string).
+    d["hash_sample_k"] = """
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+          FROM documents
+        ) WHERE rank <= 20
+    """
+    # Stratified deterministic sample: k smallest hashes per source.
+    d["per_source_sample_k"] = """
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+          SELECT source, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        ) WHERE rk <= 3
+    """
+    # Streaming Pearson between code-point length and whitespace token
+    # count — exact integer moments, one shared IEEE double expression.
+    d["length_token_corr"] = r"""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(length(text)) AS BIGINT) AS sx,
+                 CAST(SUM(len(regexp_extract_all(
+                   text, '[^ \t\n\r\v\f]+'))) AS BIGINT) AS sy,
+                 CAST(SUM(length(text) * length(text)) AS BIGINT) AS sxx,
+                 CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                      * len(regexp_extract_all(text, '[^ \t\n\r\v\f]+')))
+                      AS BIGINT) AS syy,
+                 CAST(SUM(length(text) * len(regexp_extract_all(
+                   text, '[^ \t\n\r\v\f]+'))) AS BIGINT) AS sxy
+          FROM documents
+        )
+        SELECT n AS n_docs,
+               CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN 0
+                    ELSE CAST(FLOOR(
+                      (n*sxy - sx*sy)
+                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                      * 1000000 + 0.5) AS BIGINT)
+               END AS corr_fp6
+        FROM m
     """
 
     return d

@@ -197,6 +197,9 @@ QUERY_SUITE = [
     "dormant_rich_customers",
     "span_coalesce",
     "media_position_hist",
+    "hash_sample_k",
+    "per_source_sample_k",
+    "length_token_corr",
 ]
 
 

@@ -248,3 +248,183 @@ def lm_perplexity(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def hash_sample_k(documents: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(rank, doc_id) — deterministic uniform-without-replacement sample:
+    the ``k`` documents with the smallest ``md5(str(doc_id))`` hex
+    digest (ties by doc_id), ranked 1..k. The distributed replacement
+    for reservoir sampling — same marginal uniformity, but reproducible
+    and mergeable, so two runs (or two clusters) agree on the sample
+    without coordination.
+
+    Shape: per-block top-k prune on the (hex, doc_id) lexsort →
+    O(k × #blocks) driver fold, zero shuffles. At 100 TB the sample of
+    a 10¹²-row table costs one scan of the doc_id column.
+
+    Oracle: ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+    doc_id) ≤ k."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        )
+        order = np.lexsort((ids, hx))[:k]
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hx[order], type=pa.string()),
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        documents.select_columns(["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: (r["h"], r["doc_id"]))
+    head = rows[:k]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rank": pa.array(range(1, len(head) + 1), type=pa.int64()),
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in head], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def per_source_sample_k(
+    documents: ray.data.Dataset, k: int = 3
+) -> ray.data.Dataset:
+    """(source, rk, doc_id) — stratified deterministic sample: each
+    source's ``k`` smallest-``md5(str(doc_id))`` documents, ranked 1..k
+    within the source — the eval-set constructor that gives every
+    stratum identical representation regardless of its corpus share.
+
+    Shape: per-block per-source lexsort prune (≤ k rows per source per
+    block) → O(k × #sources × #blocks) driver fold, zero shuffles — the
+    [[longest_docs_per_source]] discipline with a hash ranking.
+
+    Oracle: ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5 hex,
+    doc_id) ≤ k."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist())
+        hx = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        )
+        order = np.lexsort((ids, hx, src))
+        src_s = src[order]
+        first = np.ones(len(src_s), dtype=bool)
+        first[1:] = src_s[1:] != src_s[:-1]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(src_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(src_s)))
+        )
+        keep = order[pos < k]
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(src[keep], type=pa.string()),
+                "h": pa.array(hx[keep], type=pa.string()),
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        documents.select_columns(["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: (r["source"], r["h"], r["doc_id"]))
+    out_src, out_rk, out_id = [], [], []
+    prev, rk = None, 0
+    for r in rows:
+        if r["source"] != prev:
+            prev, rk = r["source"], 0
+        rk += 1
+        if rk <= k:
+            out_src.append(r["source"])
+            out_rk.append(rk)
+            out_id.append(r["doc_id"])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(out_src, type=pa.string()),
+                "rk": pa.array(out_rk, type=pa.int64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+            }
+        )
+    )
+
+
+def length_token_corr(documents: ray.data.Dataset) -> ray.data.Dataset:
+    """(n_docs, corr_fp6) — Pearson correlation between document length
+    in code points and ASCII-whitespace token count, as a single
+    streaming-moments pass. All six moment sums are exact int64
+    partials; the final expression is the same IEEE double tree on both
+    sides (`num / (sqrt(a)·sqrt(b))`, inputs integer-exact — the
+    SURVEY bit-stability discipline), rounded to fixed-point 1e6.
+
+    Shape: zero shuffles — one vectorized partial per block, O(#blocks)
+    six-int driver fold. Zero-variance degenerate input yields 0.
+
+    Oracle: the same moment sums and the same double expression."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        y = pc.count_substring_regex(
+            batch["text"], r"[^ \t\n\r\v\f]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        documents.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    import math
+
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    num = n * sxy - sx * sy
+    a = n * sxx - sx * sx
+    b = n * syy - sy * sy
+    if a <= 0 or b <= 0:
+        corr_fp6 = 0
+    else:
+        corr_fp6 = int(
+            math.floor(
+                float(num) / (math.sqrt(a) * math.sqrt(b)) * 1_000_000 + 0.5
+            )
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n], type=pa.int64()),
+                "corr_fp6": pa.array([corr_fp6], type=pa.int64()),
+            }
+        )
+    )

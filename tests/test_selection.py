@@ -292,3 +292,64 @@ class TestLmPerplexity:
             )
         )
         assert one == many
+
+
+class TestHashSamplers:
+    def _docs(self):
+        import ray.data
+
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "source"],
+        )
+
+    def test_hash_sample_repartition_invariant(self, ray_session):
+        from tableextraction_ray.functions import selection
+
+        a = selection.hash_sample_k(self._docs()).take_all()
+        b = selection.hash_sample_k(self._docs().repartition(7)).take_all()
+        assert a == b and len(a) == 20
+        assert [r["rank"] for r in a] == list(range(1, 21))
+
+    def test_per_source_sample_counts(self, ray_session):
+        from tableextraction_ray.functions import selection
+
+        rows = selection.per_source_sample_k(self._docs(), k=3).take_all()
+        per = {}
+        for r in rows:
+            per.setdefault(r["source"], []).append(r["rk"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+        assert all(len(v) <= 3 for v in per.values())
+        b = selection.per_source_sample_k(
+            self._docs().repartition(7), k=3
+        ).take_all()
+        assert rows == b
+
+
+class TestLengthTokenCorr:
+    def test_degenerate_variance_yields_zero(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions import selection
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [1, 2], "text": ["aa bb", "aa bb"]})
+        )
+        rows = selection.length_token_corr(ds).take_all()
+        assert rows == [{"n_docs": 2, "corr_fp6": 0}]
+
+    def test_perfect_linear_correlation(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions import selection
+
+        # texts where length and token count grow in lockstep: k tokens
+        # of one char -> len = 2k-1, tokens = k (perfect correlation)
+        texts = [" ".join(["x"] * k) for k in (1, 2, 3, 4, 5)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(5)), "text": texts})
+        )
+        rows = selection.length_token_corr(ds).take_all()
+        assert rows == [{"n_docs": 5, "corr_fp6": 1_000_000}]
