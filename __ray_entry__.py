@@ -172,6 +172,8 @@ _R4_QUERIES: list[str] = [
     "hash_sample_k",
     "per_source_sample_k",
     "length_token_corr",
+    "nation_market_share",
+    "product_type_profit",
 ]
 
 
@@ -1016,6 +1018,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "nation_market_share": lambda sf: relational.nation_market_share(
+            _read(
+                sf,
+                "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            ),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_regionkey"]),
+            order_count=_parquet_count(sf, "orders"),
+            customer_count=_parquet_count(sf, "customer"),
+            supplier_count=_parquet_count(sf, "supplier"),
+        ),
+        "product_type_profit": lambda sf: relational.product_type_profit(
+            _read(
+                sf,
+                "lineitem",
+                [
+                    "l_orderkey",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                ],
+            ),
+            _read(sf, "orders", ["o_orderkey", "o_orderdate"]),
+            _read(sf, "part", ["p_partkey", "p_name", "p_retailprice"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            order_count=_parquet_count(sf, "orders"),
+            part_count=_parquet_count(sf, "part"),
+            supplier_count=_parquet_count(sf, "supplier"),
         ),
         "nation_trade_volume": lambda sf: relational.nation_trade_volume(
             _read(
@@ -5066,6 +5103,66 @@ def oracle_sql() -> dict[str, str]:
                       * 1000000 + 0.5) AS BIGINT)
                END AS corr_fp6
         FROM m
+    """
+
+    # TPC-H Q8 shape: supplier-nation market share (basis points, exact
+    # integer // division) within region-2 customers' orders, 1995-1996.
+    d["nation_market_share"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc
+          FROM lineitem
+        ), o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+        ), c AS (
+          SELECT c_custkey FROM customer
+          JOIN nation ON n_nationkey = c_nationkey
+          WHERE n_regionkey = 2
+        )
+        SELECT o.o_year,
+               CAST(SUM(CASE WHEN s.s_nationkey = 7 THEN li.rev_cc
+                             ELSE 0 END) AS BIGINT) AS nation_rev_cc,
+               CAST(SUM(li.rev_cc) AS BIGINT) AS total_rev_cc,
+               CAST(SUM(CASE WHEN s.s_nationkey = 7 THEN li.rev_cc
+                             ELSE 0 END) * 10000
+                    // SUM(li.rev_cc) AS BIGINT) AS share_bp
+        FROM li
+        JOIN o ON li.l_orderkey = o.o_orderkey
+        JOIN c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    """
+    # TPC-H Q9 shape: profit by supplier nation x order year over parts
+    # whose name contains 'bolt' (retail price stands in for supplycost).
+    d["product_type_profit"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, l_partkey,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+          FROM lineitem
+        ), p AS (
+          SELECT p_partkey,
+                 CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS retail_c
+          FROM part WHERE p_name LIKE '%bolt%'
+        )
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(li.rev_cc - p.retail_c * 100 * li.qty) AS BIGINT)
+                 AS profit_cc
+        FROM li
+        JOIN p ON li.l_partkey = p.p_partkey
+        JOIN supplier ON li.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON li.l_orderkey = o_orderkey
+        GROUP BY 1, 2
     """
 
     return d

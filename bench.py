@@ -200,6 +200,8 @@ QUERY_SUITE = [
     "hash_sample_k",
     "per_source_sample_k",
     "length_token_corr",
+    "nation_market_share",
+    "product_type_profit",
 ]
 
 

@@ -6136,3 +6136,379 @@ def _dormant_finish(rows: list[dict]) -> ray.data.Dataset:
             }
         )
     )
+
+
+def nation_market_share(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    target_nationkey: int = 7,
+    region_key: int = 2,
+    start_year: int = 1995,
+    end_year: int = 1996,
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+    customer_count: int | None = None,
+    supplier_count: int | None = None,
+) -> ray.data.Dataset:
+    """(o_year, nation_rev_cc, total_rev_cc, share_bp) — the TPC-H Q8
+    shape: within orders placed by customers of one REGION inside a
+    two-year window, the market share (basis points, exact fixed-point
+    ``nation * 10^4 // total``) held by suppliers of one NATION per
+    order year. Revenue is exact integer centi-cents.
+
+    Shape: per-(block, suppkey, orderkey) revenue pre-combine, then
+    three [[keyed_attach_int]] guarded attaches — supplier nationkey
+    onto the partials; customer nationkey onto the year-windowed
+    orders (the 25-row nation→region map broadcasts to filter that
+    dim to the region); the surviving orderkey→year dim onto the
+    partials — an in-block (year, is_target) pre-combine and ONE tiny
+    keyed sum per year. Only int rows ride every exchange.
+
+    Oracle: 4-way JOIN + region/nation filters, integer `//` share."""
+    from datetime import datetime
+
+    if order_count is None:
+        order_count = orders.count()
+    if customer_count is None:
+        customer_count = customer.count()
+    if supplier_count is None:
+        supplier_count = supplier.count()
+
+    lo_us = (
+        int((datetime(start_year, 1, 1) - datetime(1970, 1, 1)).total_seconds())
+        * 1_000_000
+    )
+    hi_us = (
+        int(
+            (datetime(end_year + 1, 1, 1) - datetime(1970, 1, 1)).total_seconds()
+        )
+        * 1_000_000
+    )
+
+    # 25-row nation→region map: genuinely tiny, broadcast unconditionally.
+    nat_region = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in nation.select_columns(
+            ["n_nationkey", "n_regionkey"]
+        ).take_all()
+    }
+    region_nations = {k for k, v in nat_region.items() if v == region_key}
+    region_ref = ray.put(region_nations)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        disc_pct = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "rev_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+        g = t.group_by(["s_suppkey", "o_orderkey"]).aggregate(
+            [("rev_cc", "sum")]
+        )
+        return g.rename_columns(["s_suppkey", "o_orderkey", "rev_cc"])
+
+    partials = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    with_snat = keyed_attach_int(
+        partials,
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        key="s_suppkey",
+        val="s_nationkey",
+        payload=("o_orderkey", "rev_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=supplier_count,
+    )
+
+    # Year-windowed orders → (o_custkey fact, o_orderkey+o_year payload),
+    # customer nation attached, then region-filtered via the broadcast set.
+    def order_fact(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (ts >= lo_us) & (ts < hi_us)
+        t = batch.filter(pa.array(keep))
+        years = (
+            ts[keep].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_year": pa.array(years, type=pa.int64()),
+            }
+        )
+
+    order_nat = keyed_attach_int(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(order_fact, batch_format="pyarrow"),
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        key="c_custkey",
+        val="c_nationkey",
+        payload=("o_orderkey", "o_year"),
+        broadcast_limit=broadcast_limit,
+        dim_count=customer_count,
+    )
+
+    def region_filter(batch: pa.Table) -> pa.Table:
+        nats = ray.get(region_ref)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, np.fromiter(nats, dtype=np.int64))
+        t = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"o_orderkey": t["o_orderkey"], "o_year": t["o_year"]}
+        )
+
+    order_dim = order_nat.map_batches(region_filter, batch_format="pyarrow")
+
+    joined = keyed_attach_int(
+        with_snat,
+        order_dim,
+        key="o_orderkey",
+        val="o_year",
+        payload=("s_nationkey", "rev_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=order_count,
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        snat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        rev = batch["rev_cc"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "nation_rev_cc": pa.array(
+                    rev * (snat == target_nationkey), type=pa.int64()
+                ),
+                "total_rev_cc": pa.array(rev, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["o_year"]).aggregate(
+            [("nation_rev_cc", "sum"), ("total_rev_cc", "sum")]
+        )
+        return g.rename_columns(["o_year", "nation_rev_cc", "total_rev_cc"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nat = batch["nation_rev_cc"].to_numpy(zero_copy_only=False)
+        tot = batch["total_rev_cc"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "nation_rev_cc": pa.array(nat, type=pa.int64()),
+                "total_rev_cc": pa.array(tot, type=pa.int64()),
+                "share_bp": pa.array(
+                    [int(n) * 10_000 // int(t) for n, t in zip(nat, tot)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_rev_cc", alias_name="nation_rev_cc"),
+            Sum("total_rev_cc", alias_name="total_rev_cc"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def product_type_profit(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    part: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    name_token: str = "bolt",
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+    part_count: int | None = None,
+    supplier_count: int | None = None,
+) -> ray.data.Dataset:
+    """(nation, o_year, profit_cc) — the TPC-H Q9 shape: profit by
+    supplier nation and order year over parts whose name contains
+    ``name_token``. Profit is exact integer centi-cents:
+    ``price_c*(100-disc_pct) - retail_c*100*qty`` (qty = half-up int),
+    summable because both terms are linear.
+
+    Shape: per-(block, partkey, suppkey, orderkey) pre-combine of
+    (rev_cc, qty); three [[keyed_attach_int]] guarded attaches —
+    name-filtered part retail price (inner-join semantics ARE the part
+    filter), supplier nationkey, order year — then an in-block
+    (nation, year) pre-combine and ONE tiny keyed sum. The 25-row
+    nation name map broadcasts at the end.
+
+    Oracle: 4-way JOIN + LIKE filter, GROUP BY nation × year."""
+    if order_count is None:
+        order_count = orders.count()
+    if part_count is None:
+        part_count = part.count()
+    if supplier_count is None:
+        supplier_count = supplier.count()
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.select_columns(["n_nationkey", "n_name"]).take_all()
+    }
+    nat_ref = ray.put(nat)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        disc_pct = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "p_partkey": batch["l_partkey"].cast(pa.int64()),
+                "s_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "rev_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+                "qty": pa.array(qty, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["p_partkey", "s_suppkey", "o_orderkey"]).aggregate(
+            [("rev_cc", "sum"), ("qty", "sum")]
+        )
+        return g.rename_columns(
+            ["p_partkey", "s_suppkey", "o_orderkey", "rev_cc", "qty"]
+        )
+
+    partials = lineitem.select_columns(
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    # Name-filtered part dim: retail price in CENTS; the attach's
+    # inner-join semantics drop every lineitem of a non-matching part.
+    def part_dim(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch["p_name"], name_token)
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "retail_c": pa.array(
+                    np.asarray(_cents(t["p_retailprice"])), type=pa.int64()
+                ),
+            }
+        )
+
+    with_retail = keyed_attach_int(
+        partials,
+        part.select_columns(["p_partkey", "p_name", "p_retailprice"]).map_batches(
+            part_dim, batch_format="pyarrow"
+        ),
+        key="p_partkey",
+        val="retail_c",
+        payload=("s_suppkey", "o_orderkey", "rev_cc", "qty"),
+        broadcast_limit=broadcast_limit,
+        dim_count=part_count,
+    )
+
+    def to_profit(batch: pa.Table) -> pa.Table:
+        rev = batch["rev_cc"].to_numpy(zero_copy_only=False)
+        retail = batch["retail_c"].to_numpy(zero_copy_only=False)
+        qty = batch["qty"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "profit_cc": pa.array(
+                    rev - retail * 100 * qty, type=pa.int64()
+                ),
+            }
+        )
+
+    profit = with_retail.map_batches(to_profit, batch_format="pyarrow")
+
+    with_snat = keyed_attach_int(
+        profit,
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        key="s_suppkey",
+        val="s_nationkey",
+        payload=("o_orderkey", "profit_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=supplier_count,
+    )
+
+    def order_dim(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        years = ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_year": pa.array(years, type=pa.int64()),
+            }
+        )
+
+    joined = keyed_attach_int(
+        with_snat,
+        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+            order_dim, batch_format="pyarrow"
+        ),
+        key="o_orderkey",
+        val="o_year",
+        payload=("s_nationkey", "profit_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=order_count,
+    )
+
+    def ny_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "s_nationkey": batch["s_nationkey"].cast(pa.int64()),
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "profit_cc": batch["profit_cc"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["s_nationkey", "o_year"]).aggregate(
+            [("profit_cc", "sum")]
+        )
+        return g.rename_columns(["s_nationkey", "o_year", "profit_cc"])
+
+    def name_rows(batch: pa.Table) -> pa.Table:
+        nats = ray.get(nat_ref)
+        return pa.Table.from_pydict(
+            {
+                "nation": pa.array(
+                    [nats[int(k)] for k in batch["s_nationkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "profit_cc": batch["profit_cc"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(ny_partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "o_year"])
+        .aggregate(Sum("profit_cc", alias_name="profit_cc"))
+        .map_batches(name_rows, batch_format="pyarrow")
+    )
