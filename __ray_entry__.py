@@ -174,6 +174,10 @@ _R4_QUERIES: list[str] = [
     "length_token_corr",
     "nation_market_share",
     "product_type_profit",
+    "bigram_novelty",
+    "embedding_drift",
+    "user_type_gini",
+    "ship_lag_by_priority",
 ]
 
 
@@ -1018,6 +1022,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "bigram_novelty": lambda sf: textstats.bigram_novelty(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "embedding_drift": lambda sf: similarity.embedding_drift(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+        ),
+        "user_type_gini": lambda sf: relational.user_type_gini(
+            _read(sf, "events", ["user_id", "event_type"])
+        ),
+        "ship_lag_by_priority": lambda sf: relational.ship_lag_by_priority(
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+            _read(
+                sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ),
+            order_count=_parquet_count(sf, "orders"),
         ),
         "nation_market_share": lambda sf: relational.nation_market_share(
             _read(
@@ -5105,6 +5125,113 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # Per-doc distinct-bigram novelty vs the ID-ordered corpus prefix
+    # (same 60-bit md5 bigram hash as rare_bigram_rate).
+    d["bigram_novelty"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT DISTINCT doc_id,
+                 unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)])
+                   AS b
+          FROM toks WHERE len(w) >= 2
+        ),
+        xb AS (
+          SELECT doc_id,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS bh
+          FROM bg
+        ),
+        firsts AS (SELECT bh, MIN(doc_id) AS first_doc FROM xb GROUP BY bh),
+        per AS (
+          SELECT x.doc_id,
+                 COUNT(*) AS n_distinct,
+                 CAST(SUM(CASE WHEN x.doc_id > f.first_doc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_seen
+          FROM xb x JOIN firsts f USING (bh)
+          GROUP BY x.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               n_seen,
+               CAST(FLOOR(CAST(n_distinct - n_seen AS DOUBLE) * 1e6
+                          / n_distinct + 0.5) AS BIGINT) AS novel_fp6
+        FROM per
+    """
+    # Parity-half centroid drift per label (the label_centroid_stats
+    # fixed-point rule on each half, then a component-wise L1).
+    d["embedding_drift"] = """
+        WITH qe AS (
+          SELECT label, vec_id % 2 AS half,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(64)) AS d),
+        csum AS (
+          SELECT label, half, d.d,
+                 CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS qc
+          FROM qe CROSS JOIN dims d GROUP BY label, half, d.d
+        ),
+        cent AS (
+          SELECT label, half, list(qc ORDER BY d) AS cq
+          FROM csum GROUP BY label, half
+        ),
+        n AS (
+          SELECT label,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_even,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_odd
+          FROM qe GROUP BY label
+        )
+        SELECT CAST(a.label AS BIGINT) AS label, n.n_even, n.n_odd,
+               CAST(list_sum([abs(a.cq[i+1] - b.cq[i+1])
+                              for i in range(len(a.cq))]) AS BIGINT)
+                 AS drift_l1
+        FROM cent a
+        JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        JOIN n ON n.label = a.label
+    """
+    # Gini impurity of each user's event-type mix — pure rational
+    # arithmetic (numerator non-negative, so // floors identically).
+    d["user_type_gini"] = """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT user_id, SUM(c) AS n, SUM(c * c) AS s2
+          FROM c GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(((n*n - s2) * 2000000 + n*n) // (2 * n*n) AS BIGINT)
+                 AS gini_fp6
+        FROM u
+    """
+    # Ship-lag SLA rollup per order priority; dates are midnight-aligned
+    # so date_diff('day') equals the engine's exact us-division.
+    d["ship_lag_by_priority"] = """
+        WITH lag AS (
+          SELECT o_orderpriority,
+                 date_diff('day', o_orderdate, l_shipdate) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(d) AS BIGINT) AS sum_lag_days,
+               CAST(MAX(d) AS BIGINT) AS max_lag_days,
+               CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
+                 AS avg_lag_fp2
+        FROM lag GROUP BY 1
+    """
     # TPC-H Q8 shape: supplier-nation market share (basis points, exact
     # integer // division) within region-2 customers' orders, 1995-1996.
     d["nation_market_share"] = """

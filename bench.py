@@ -202,6 +202,10 @@ QUERY_SUITE = [
     "length_token_corr",
     "nation_market_share",
     "product_type_profit",
+    "bigram_novelty",
+    "embedding_drift",
+    "user_type_gini",
+    "ship_lag_by_priority",
 ]
 
 

@@ -6512,3 +6512,202 @@ def product_type_profit(
         .aggregate(Sum("profit_cc", alias_name="profit_cc"))
         .map_batches(name_rows, batch_format="pyarrow")
     )
+
+
+def user_type_gini(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, gini_fp6) — behavioral-diversity score per
+    user: the Gini impurity of the user's event_type distribution,
+    ``1 - Σ (c_i/n)²``, in EXACT fixed-point — rational arithmetic only
+    (``((n² - Σc²) * 2·10⁶ + n²) // (2n²)`` is floor(x·10⁶ + 0.5) for
+    the non-negative rational x), so no float division ever happens and
+    the SQL replay is bit-identical. The single-intent (one event type)
+    user scores 0; a uniform k-type user approaches 1 - 1/k. Entropy
+    would need transcendental logs; Gini is the shuffle-friendly,
+    bit-replayable diversity metric.
+
+    Scale shape: per-block (user_id, event_type) count pre-combine, ONE
+    keyed groupby summing counts, an in-block collapse to (user_id, c,
+    c²) partials and ONE keyed user groupby — int rows only, event_type
+    strings never leave their first groupby."""
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    per_type = (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(type_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def square_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "n": pa.array(c, type=pa.int64()),
+                "s2": pa.array(c * c, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate([("n", "sum"), ("s2", "sum")])
+        return g.rename_columns(["user_id", "n", "s2"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(object)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False).astype(object)
+        gini = [
+            int(((nn * nn - ss) * 2_000_000 + nn * nn) // (2 * nn * nn))
+            for nn, ss in zip(n, s2)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "n_events": batch["n"].cast(pa.int64()),
+                "gini_fp6": pa.array(gini, type=pa.int64()),
+            }
+        )
+
+    return (
+        per_type.map_batches(square_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("s2", alias_name="s2"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# o_orderpriority values, code order = lexicographic = urgency order.
+_PRIORITY_CODES = {
+    "1-URGENT": 0,
+    "2-HIGH": 1,
+    "3-MEDIUM": 2,
+    "4-NOT SPECIFIED": 3,
+    "5-LOW": 4,
+}
+
+
+def ship_lag_by_priority(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+    order_count: int | None = None,
+) -> ray.data.Dataset:
+    """(o_orderpriority, n_lines, sum_lag_days, max_lag_days,
+    avg_lag_fp2) — fulfillment-latency SLA report: whole days between
+    order date and each line's ship date, rolled up per order priority.
+    Both date columns are midnight-aligned, so the per-line day count is
+    an EXACT integer division (sign-safe); the average is
+    floor(100·sum/n + 0.5) in IEEE double — the one shared-rounding
+    formula, since sum may be negative and Python's ``//`` floors where
+    DuckDB's truncates.
+
+    Shape: the orders dim rides ONE [[keyed_attach_int]] guarded attach
+    with (orderdate_us·8 + priority_code) PACKED into the single int
+    attach value (codes 0-4 fit 3 bits; us timestamps < 2^60, so the
+    pack is lossless in int64) — one attach instead of two. In-block
+    (code) pre-combine, ONE 5-row keyed sum, priority names restored
+    from the fixed code table.
+
+    Oracle: join + date_diff('day'), GROUP BY priority."""
+    if order_count is None:
+        order_count = orders.count()
+
+    codes = _PRIORITY_CODES
+    names = {v: k for k, v in codes.items()}
+
+    def order_dim(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        code = np.asarray(
+            [codes[p] for p in batch["o_orderpriority"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "packed": pa.array(ts * 8 + code, type=pa.int64()),
+            }
+        )
+
+    def li_fact(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "ship_us": batch["l_shipdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+
+    joined = keyed_attach_int(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+            li_fact, batch_format="pyarrow"
+        ),
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(order_dim, batch_format="pyarrow"),
+        key="o_orderkey",
+        val="packed",
+        payload=("ship_us",),
+        broadcast_limit=broadcast_limit,
+        dim_count=order_count,
+    )
+
+    DAY = 86_400_000_000
+
+    def lag_partial(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        ship = batch["ship_us"].to_numpy(zero_copy_only=False)
+        code = packed % 8
+        order_us = packed // 8
+        lag = (ship - order_us) // DAY
+        t = pa.Table.from_pydict(
+            {
+                "code": pa.array(code, type=pa.int64()),
+                "n_lines": pa.array(np.ones(len(code), dtype=np.int64)),
+                "sum_lag_days": pa.array(lag, type=pa.int64()),
+                "max_lag_days": pa.array(lag, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["code"]).aggregate(
+            [("n_lines", "sum"), ("sum_lag_days", "sum"), ("max_lag_days", "max")]
+        )
+        return g.rename_columns(
+            ["code", "n_lines", "sum_lag_days", "max_lag_days"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_lines"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_lag_days"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        avg = np.floor(100.0 * s / n + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": pa.array(
+                    [names[int(c)] for c in batch["code"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "n_lines": pa.array(n),
+                "sum_lag_days": pa.array(s),
+                "max_lag_days": batch["max_lag_days"].cast(pa.int64()),
+                "avg_lag_fp2": pa.array(avg, type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(lag_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_lag_days", alias_name="sum_lag_days"),
+            Max("max_lag_days", alias_name="max_lag_days"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

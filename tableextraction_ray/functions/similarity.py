@@ -1371,3 +1371,92 @@ def near_dup_degree_hist(
             }
         )
     )
+
+
+def embedding_drift(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(label, n_even, n_odd, drift_l1) — distribution-drift probe over a
+    labeled embedding table: split each label by vec_id parity (the
+    deterministic stand-in for two snapshots/epochs of the same class),
+    compute both halves' exact integer centroids (the
+    [[label_centroid_stats]] fixed-point rule: 1e6-quantized component
+    sums, floor(sum/count + 0.5)), and report the L1 distance between
+    them in fixed-point units. A label whose halves disagree has drifted
+    (teacher change, crawl shift) and gets routed to re-labeling.
+    Labels with an empty half are omitted (no distance to report).
+
+    Scale shape: ONE partial-sum sweep keyed by (label, half) — per-block
+    map_batches partials, driver folds O(#labels x 2 x dim) integers
+    (small by construction of a label space); no shuffle at all.
+
+    Oracle: unnest + per-(label, half, dim) centroid, list L1 join."""
+    import ray as _ray
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        mat_q = _quantize(_stack(batch))
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        halves = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64) % 2
+        ls, hs, sums, counts = [], [], [], []
+        for lb in np.unique(labels):
+            for h in (0, 1):
+                sel = mat_q[(labels == lb) & (halves == h)]
+                if sel.shape[0] == 0:
+                    continue
+                ls.append(int(lb))
+                hs.append(int(h))
+                sums.append(sel.sum(axis=0).astype(np.int64).tolist())
+                counts.append(int(sel.shape[0]))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "half": pa.array(hs, type=pa.int64()),
+                "vec_sum": pa.array(sums, type=pa.list_(pa.int64())),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    sums: dict[tuple[int, int], np.ndarray] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for b in ds.map_batches(part_sums, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lb, h, vs, n in zip(
+            b["label"].to_pylist(),
+            b["half"].to_pylist(),
+            b["vec_sum"].to_pylist(),
+            b["count"].to_pylist(),
+        ):
+            key = (lb, h)
+            if key in sums:
+                sums[key] += np.asarray(vs, dtype=np.int64)
+                counts[key] += n
+            else:
+                sums[key] = np.asarray(vs, dtype=np.int64)
+                counts[key] = n
+
+    rows_lb, rows_ne, rows_no, rows_d = [], [], [], []
+    for lb in sorted({k[0] for k in sums}):
+        if (lb, 0) not in sums or (lb, 1) not in sums:
+            continue
+        c0 = np.floor(
+            sums[(lb, 0)].astype(np.float64) / counts[(lb, 0)] + 0.5
+        ).astype(np.int64)
+        c1 = np.floor(
+            sums[(lb, 1)].astype(np.float64) / counts[(lb, 1)] + 0.5
+        ).astype(np.int64)
+        rows_lb.append(lb)
+        rows_ne.append(counts[(lb, 0)])
+        rows_no.append(counts[(lb, 1)])
+        rows_d.append(int(np.abs(c0 - c1).sum()))
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "label": pa.array(rows_lb, type=pa.int64()),
+                "n_even": pa.array(rows_ne, type=pa.int64()),
+                "n_odd": pa.array(rows_no, type=pa.int64()),
+                "drift_l1": pa.array(rows_d, type=pa.int64()),
+            }
+        )
+    )

@@ -2892,3 +2892,105 @@ def longest_docs_per_source(
             }
         )
     )
+
+
+def bigram_novelty(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_distinct, n_seen, novel_fp6) — per-document n-gram
+    novelty vs the ID-ordered corpus prefix: the fraction of a doc's
+    DISTINCT word bigrams whose first corpus occurrence (min doc_id over
+    docs containing the bigram) is an EARLIER document. The memorization
+    / staleness probe a crawl-curation pipeline runs on each new snapshot
+    — low novelty means the doc re-treads already-collected text.
+
+    Scale shape (the rare_bigram_rate skeleton): docs explode to one
+    (bh, doc_id) row per DISTINCT bigram (shared 60-bit md5 hash; text
+    never rides); ONE keyed bh groupby emits a seen-mark per row whose
+    doc_id exceeds the group min; marks ride a tagged union with per-doc
+    distinct totals into a second int-only doc_id groupby. Docs with
+    fewer than two tokens have no bigrams and are absent (both sides).
+
+    Oracle: DISTINCT unnested bigrams, MIN() OVER per hash, same fp6."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import shingle_base_hash
+
+    MERGE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_distinct", pa.int64()), ("n_seen", pa.int64())]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = ascii_tokens(t)
+            for bg in {toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)}:
+                out_h.append(shingle_base_hash(bg))
+                out_d.append(d)
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, nd = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = ascii_tokens(t)
+            n = len({toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)})
+            if n > 0:
+                ids.append(d)
+                nd.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_distinct": pa.array(nd, type=pa.int64()),
+                "n_seen": pa.array([0] * len(ids), type=pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    def seen_marks(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        seen = d[d > d.min()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(seen, type=pa.int64()),
+                "n_distinct": pa.array([0] * len(seen), type=pa.int64()),
+                "n_seen": pa.array([1] * len(seen), type=pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    marks = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bh")
+        .map_groups(seen_marks, batch_format="pyarrow")
+    )
+    merged = (
+        ds.map_batches(totals, batch_format="pyarrow")
+        .union(marks)
+        .groupby("doc_id")
+        .aggregate(Sum("n_distinct"), Sum("n_seen"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nd = batch["sum(n_distinct)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch["sum(n_seen)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        novel = np.floor((nd - ns).astype(np.float64) * 1e6 / nd + 0.5).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_distinct": pa.array(nd),
+                "n_seen": pa.array(ns),
+                "novel_fp6": pa.array(novel),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -84,3 +84,98 @@ class TestProductTypeProfit:
             **self._tables(), name_token="no_such_part_name"
         ).take_all()
         assert rows == []
+
+
+class TestUserTypeGini:
+    def test_single_type_user_scores_zero(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import relational as rel
+
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+                    "event_type": pa.array(["a", "a", "a", "a", "b"]),
+                }
+            )
+        )
+        rows = {r["user_id"]: r for r in rel.user_type_gini(ev).take_all()}
+        assert rows[1]["gini_fp6"] == 0 and rows[1]["n_events"] == 3
+        # two types, one each: 1 - 2*(1/2)^2 = 0.5
+        assert rows[2]["gini_fp6"] == 500_000
+
+
+class TestShipLagByPriority:
+    def test_shuffle_fallback_matches_broadcast(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        def run(limit):
+            return sorted(
+                (
+                    r["o_orderpriority"],
+                    r["n_lines"],
+                    r["sum_lag_days"],
+                    r["max_lag_days"],
+                    r["avg_lag_fp2"],
+                )
+                for r in rel.ship_lag_by_priority(
+                    _rd("lineitem", ["l_orderkey", "l_shipdate"]),
+                    _rd(
+                        "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                    ),
+                    broadcast_limit=limit,
+                ).take_all()
+            )
+
+        a, b = run(2_000_000), run(0)
+        assert a == b and len(a) == 5
+
+
+class TestBigramNovelty:
+    def test_first_doc_is_fully_novel(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import textstats as ts
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(
+                        ["a b c", "a b d", "x"]  # doc3: no bigrams
+                    ),
+                }
+            )
+        )
+        rows = {r["doc_id"]: r for r in ts.bigram_novelty(docs).take_all()}
+        assert set(rows) == {1, 2}  # doc 3 absent (no bigrams)
+        assert rows[1]["n_seen"] == 0 and rows[1]["novel_fp6"] == 1_000_000
+        # doc2 shares "a b" with doc1 -> 1 of 2 bigrams seen
+        assert rows[2]["n_distinct"] == 2 and rows[2]["n_seen"] == 1
+        assert rows[2]["novel_fp6"] == 500_000
+
+
+class TestEmbeddingDrift:
+    def test_identical_halves_zero_drift(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import similarity as sim
+
+        vec = [0.5] * 64
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "embedding": pa.array(
+                        [vec, vec, vec, vec], type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([5, 5, 5, 5], type=pa.int32()),
+                }
+            )
+        )
+        rows = sim.embedding_drift(emb).take_all()
+        assert rows == [
+            {"label": 5, "n_even": 2, "n_odd": 2, "drift_l1": 0}
+        ]
