@@ -178,6 +178,8 @@ _R4_QUERIES: list[str] = [
     "embedding_drift",
     "user_type_gini",
     "ship_lag_by_priority",
+    "revenue_concentration",
+    "media_orphan_audit",
 ]
 
 
@@ -244,6 +246,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return _spans(sf_dir).map_batches(corrupt, batch_format="pyarrow")
+
+    def _mangled_spans(sf_dir: str):
+        """Deterministic ref mangling so media_orphan_audit's violation
+        rows are non-vacuous (mirrored in the oracle CTE): docs with
+        numeric suffix i%5==0 get their lowest-offset media span's ref
+        suffixed '#stale' — a dangling ref; any store file whose every
+        referencing span was mangled becomes an orphan."""
+        import pyarrow as pa
+
+        from tableextraction_ray.sources.corpus import _span_type
+
+        def mangle(batch: pa.Table) -> pa.Table:
+            out = []
+            for did, sp in zip(
+                batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+            ):
+                i = int(did.rsplit("-", 1)[1])
+                sp = [dict(s) for s in sp]
+                if i % 5 == 0:
+                    media_idx = [
+                        j for j, s in enumerate(sp) if s["kind"] == "media"
+                    ]
+                    if media_idx:
+                        j = min(media_idx, key=lambda j: sp[j]["offset"])
+                        sp[j]["media_ref"] = sp[j]["media_ref"] + "#stale"
+                out.append(sp)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"],
+                    "spans": pa.array(out, type=_span_type()),
+                }
+            )
+
+        return _spans(sf_dir).map_batches(mangle, batch_format="pyarrow")
 
     def _boiler_spans(sf_dir: str):
         """Deterministic span-level boilerplate injection (the corpus's
@@ -1022,6 +1058,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "revenue_concentration": lambda sf: relational.revenue_concentration(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"])
+        ),
+        "media_orphan_audit": lambda sf: interleaved.media_orphan_audit(
+            _mangled_spans(sf), media(sf).select_columns(["media_ref"])
         ),
         "bigram_novelty": lambda sf: textstats.bigram_novelty(
             docs(sf, ["doc_id", "text"])
@@ -5125,6 +5167,58 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # Pareto concentration of order revenue in the top-100 customers.
+    d["revenue_concentration"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        ),
+        top AS (
+          SELECT rev_c FROM per ORDER BY rev_c DESC, o_custkey LIMIT 100
+        )
+        SELECT CAST(100 AS BIGINT) AS k,
+               CAST((SELECT SUM(rev_c) FROM top) AS BIGINT) AS topk_rev_c,
+               CAST((SELECT SUM(rev_c) FROM per) AS BIGINT) AS total_rev_c,
+               CAST((SELECT SUM(rev_c) FROM top) * 10000
+                    // (SELECT SUM(rev_c) FROM per) AS BIGINT) AS share_bp
+    """
+    # Referential-integrity audit over the DELIBERATELY mangled refs
+    # (the _mangled_spans wrapper, replayed here: i%5 docs' lowest-offset
+    # media span gets '#stale') against the media store listing.
+    d["media_orphan_audit"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, CAST(substr(t.doc_id, 5) AS INT) AS i,
+                 u.s.kind AS kind, u.s.media_ref AS media_ref,
+                 u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (
+          SELECT i, media_ref,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+          FROM s WHERE kind = 'media'
+        ),
+        refs AS (
+          SELECT CASE WHEN i % 5 = 0 AND rn = 1
+                      THEN media_ref || '#stale'
+                      ELSE media_ref END AS media_ref
+          FROM m
+        ),
+        agg AS (SELECT media_ref, COUNT(*) AS n FROM refs GROUP BY 1),
+        files AS (
+          SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref
+          FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        )
+        SELECT COALESCE(a.media_ref, f.media_ref) AS media_ref,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_span_refs,
+               CASE WHEN f.media_ref IS NULL THEN 'dangling_ref'
+                    ELSE 'orphan_file' END AS status
+        FROM agg a FULL OUTER JOIN files f ON a.media_ref = f.media_ref
+        WHERE a.media_ref IS NULL OR f.media_ref IS NULL
+    """
     # Per-doc distinct-bigram novelty vs the ID-ordered corpus prefix
     # (same 60-bit md5 bigram hash as rare_bigram_rate).
     d["bigram_novelty"] = r"""

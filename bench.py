@@ -206,6 +206,8 @@ QUERY_SUITE = [
     "embedding_drift",
     "user_type_gini",
     "ship_lag_by_priority",
+    "revenue_concentration",
+    "media_orphan_audit",
 ]
 
 

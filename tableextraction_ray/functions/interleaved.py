@@ -984,3 +984,78 @@ def media_position_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def media_orphan_audit(
+    ds: ray.data.Dataset, media: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(media_ref, n_span_refs, status) — referential-integrity audit
+    between the spans table and the media store, the interleaved twin of
+    the relational [[fk_integrity]] check: ``dangling_ref`` rows are
+    media spans whose ref has no stored payload (lost object, mangled
+    URL); ``orphan_file`` rows are stored payloads no span references
+    (delete candidates — at 100 TB orphaned media is real money).
+    Consistent refs are omitted.
+
+    Scale shape: the spans side pre-combines to one (ref, count) row per
+    DISTINCT ref per block (text never rides); the store side ships one
+    (ref, flag) row per object; ONE keyed tagged-union groupby on the
+    ref string resolves both directions — no join operator, no driver
+    state.
+
+    Oracle: FULL OUTER JOIN of the unnested span refs against the
+    read_blob filename listing."""
+    from ray.data.aggregate import Sum
+
+    def span_side(batch: pa.Table) -> pa.Table:
+        _, _, _, _, fields = _flat_spans(batch, sort=False)
+        kind = fields["kind"].to_numpy(zero_copy_only=False)
+        refs = fields["media_ref"].to_numpy(zero_copy_only=False)
+        m = refs[kind == "media"]
+        uniq, counts = np.unique(m, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(uniq, type=pa.string()),
+                "n_span_refs": pa.array(counts.astype(np.int64)),
+                "n_files": pa.array(np.zeros(len(uniq), np.int64)),
+            }
+        )
+
+    def file_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"].cast(pa.string()),
+                "n_span_refs": pa.array([0] * n, type=pa.int64()),
+                "n_files": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(span_side, batch_format="pyarrow")
+        .union(media.map_batches(file_side, batch_format="pyarrow"))
+        .groupby("media_ref")
+        .aggregate(
+            Sum("n_span_refs", alias_name="n_span_refs"),
+            Sum("n_files", alias_name="n_files"),
+        )
+    )
+
+    def statuses(batch: pa.Table) -> pa.Table:
+        ns = batch["n_span_refs"].to_numpy(zero_copy_only=False)
+        nf = batch["n_files"].to_numpy(zero_copy_only=False)
+        bad = (ns == 0) | (nf == 0)
+        t = batch.filter(pa.array(bad))
+        ns_b = ns[bad]
+        return pa.Table.from_pydict(
+            {
+                "media_ref": t["media_ref"],
+                "n_span_refs": pa.array(ns_b, type=pa.int64()),
+                "status": pa.array(
+                    np.where(ns_b > 0, "dangling_ref", "orphan_file"),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return merged.map_batches(statuses, batch_format="pyarrow")

@@ -6711,3 +6711,83 @@ def ship_lag_by_priority(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def revenue_concentration(
+    orders: ray.data.Dataset, k: int = 100
+) -> ray.data.Dataset:
+    """(k, topk_rev_c, total_rev_c, share_bp) — Pareto concentration
+    report: the share of total order revenue (exact integer cents) held
+    by the top-``k`` customers, in basis points (exact
+    ``topk * 10^4 // total``). The skew diagnostic run before choosing
+    partitioning keys — a high share means customer-keyed stages need
+    salting ([[salted_user_counts]] is the mitigation twin).
+
+    Scale shape: per-block custkey pre-combine, ONE keyed custkey sum,
+    per-block top-k prune (k rows per block survive — no global sort),
+    single-group final fold; total rides the same sweep as a 1-row
+    partial per block, so the whole report is one pass + one tiny
+    exchange."""
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "rev_c": pa.array(
+                    np.asarray(_cents(batch["o_totalprice"])), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate([("rev_c", "sum")])
+        return g.rename_columns(["o_custkey", "rev_c"])
+
+    per_cust = (
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def block_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "g": pa.array([], type=pa.int32()),
+                    "topk_rev_c": pa.array([], type=pa.int64()),
+                    "block_total_c": pa.array([], type=pa.int64()),
+                }
+            )
+        rev = batch["rev_c"].to_numpy(zero_copy_only=False)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array([0] * len(order), type=pa.int32()),
+                "topk_rev_c": pa.array(rev[order], type=pa.int64()),
+                "block_total_c": pa.array(
+                    np.concatenate(
+                        [[rev.sum()], np.zeros(max(len(order) - 1, 0), np.int64)]
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def final_fold(group: pa.Table) -> pa.Table:
+        tops = np.sort(group["topk_rev_c"].to_numpy(zero_copy_only=False))[::-1][:k]
+        total = int(group["block_total_c"].to_numpy(zero_copy_only=False).sum())
+        topk = int(tops.sum())
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "topk_rev_c": pa.array([topk], type=pa.int64()),
+                "total_rev_c": pa.array([total], type=pa.int64()),
+                "share_bp": pa.array([topk * 10_000 // total], type=pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(block_prune, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final_fold, batch_format="pyarrow")
+    )

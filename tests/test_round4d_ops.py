@@ -179,3 +179,80 @@ class TestEmbeddingDrift:
         assert rows == [
             {"label": 5, "n_even": 2, "n_odd": 2, "drift_l1": 0}
         ]
+
+
+class TestRevenueConcentration:
+    def test_small_k_matches_manual(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from tableextraction_ray.functions import relational as rel
+
+        got = rel.revenue_concentration(
+            _rd("orders", ["o_custkey", "o_totalprice"]), k=5
+        ).take_all()[0]
+        t = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+        t["rev_c"] = np.floor(t["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        per = t.groupby("o_custkey")["rev_c"].sum().sort_values(
+            ascending=False
+        )
+        topk, total = int(per.head(5).sum()), int(per.sum())
+        assert got == {
+            "k": 5,
+            "topk_rev_c": topk,
+            "total_rev_c": total,
+            "share_bp": topk * 10_000 // total,
+        }
+
+
+class TestMediaOrphanAudit:
+    def test_both_directions_on_handmade_spans(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import interleaved as il
+
+        span_t = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        spans = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(["doc-0", "doc-1"]),
+                    "spans": pa.array(
+                        [
+                            [
+                                {"kind": "media", "text": "",
+                                 "media_ref": "media/a.png", "offset": 0},
+                                {"kind": "media", "text": "",
+                                 "media_ref": "media/ghost.png", "offset": 1},
+                            ],
+                            [
+                                {"kind": "media", "text": "",
+                                 "media_ref": "media/a.png", "offset": 0},
+                            ],
+                        ],
+                        type=span_t,
+                    ),
+                }
+            )
+        )
+        files = ray.data.from_arrow(
+            pa.table(
+                {"media_ref": pa.array(["media/a.png", "media/unused.png"])}
+            )
+        )
+        rows = sorted(
+            (r["media_ref"], r["n_span_refs"], r["status"])
+            for r in il.media_orphan_audit(spans, files).take_all()
+        )
+        assert rows == [
+            ("media/ghost.png", 1, "dangling_ref"),
+            ("media/unused.png", 0, "orphan_file"),
+        ]
