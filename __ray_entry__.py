@@ -180,6 +180,8 @@ _R4_QUERIES: list[str] = [
     "ship_lag_by_priority",
     "revenue_concentration",
     "media_orphan_audit",
+    "cross_source_dup_matrix",
+    "quality_length_grid",
 ]
 
 
@@ -1058,6 +1060,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "cross_source_dup_matrix": lambda sf: dedup.cross_source_dup_matrix(
+            docs(sf, ["source", "text"])
+        ),
+        "quality_length_grid": lambda sf: textstats.quality_length_grid(
+            docs(sf, ["doc_id", "text"])
         ),
         "revenue_concentration": lambda sf: relational.revenue_concentration(
             _read(sf, "orders", ["o_custkey", "o_totalprice"])
@@ -5167,6 +5175,55 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # Cross-source shared-5-gram contamination matrix (same 60-bit md5
+    # shingle hash as the dedup family; DISTINCT per source).
+    d["cross_source_dup_matrix"] = r"""
+        WITH toks AS (
+          SELECT source, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT source,
+                 unnest([array_to_string(w[i+1:i+5], ' ')
+                         for i in range(len(w) - 4)]) AS f
+          FROM toks WHERE len(w) >= 5
+        ),
+        xh AS (
+          SELECT DISTINCT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS bh
+          FROM g
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM xh a JOIN xh b ON a.bh = b.bh AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    # 2-D quality-vs-length calibration grid on fixed integer bucket
+    # edges (alpha ratio via the shared quality_score fp6 expression).
+    d["quality_length_grid"] = r"""
+        WITH chars AS (
+          SELECT length(text) AS total,
+                 length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g'))
+                   AS n_alpha
+          FROM documents
+        ),
+        q AS (
+          SELECT total,
+                 CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                   CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT)
+                 END AS alpha_fp6
+          FROM chars
+        )
+        SELECT LEAST(alpha_fp6 // 100000, 9) AS alpha_bucket,
+               LEAST(total // 256, 15) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(total) AS BIGINT) AS sum_chars
+        FROM q GROUP BY 1, 2
+    """
     # Pareto concentration of order revenue in the top-100 customers.
     d["revenue_concentration"] = """
         WITH per AS (

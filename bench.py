@@ -208,6 +208,8 @@ QUERY_SUITE = [
     "ship_lag_by_priority",
     "revenue_concentration",
     "media_orphan_audit",
+    "cross_source_dup_matrix",
+    "quality_length_grid",
 ]
 
 

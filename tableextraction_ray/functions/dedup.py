@@ -1707,3 +1707,72 @@ def dup_cluster_size_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cross_source_dup_matrix(
+    ds: ray.data.Dataset, n: int = 5
+) -> ray.data.Dataset:
+    """(src_a, src_b, n_shared) — cross-source contamination matrix: for
+    every unordered source pair, the number of DISTINCT word ``n``-gram
+    shingles present in both sources' documents. The who-copies-from-whom
+    diagnostic a crawl-curation team reads before weighting sources:
+    a hot cell means two feeds overlap (mirror, scraper, syndication)
+    and their mixture weights double-count the same text.
+
+    Scale shape: docs explode to per-block-DISTINCT (shingle-hash,
+    source) pairs (the 60-bit md5 [[shingle_base_hash]]; text never
+    rides); ONE keyed groupby on the hash emits each group's unordered
+    source-pair set (≤ C(#sources, 2) rows per group — #sources is
+    small by construction); ONE tiny keyed (src_a, src_b) sum. Collision
+    semantics are shared with the oracle by construction.
+
+    Oracle: DISTINCT (hash, source) self-join with src_a < src_b."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    from .textstats import ascii_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_s: list[str] = []
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(t)
+            for sh in {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }:
+                out_h.append(shingle_base_hash(sh))
+                out_s.append(src)
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(out_h, type=pa.int64()),
+                "source": pa.array(out_s, type=pa.string()),
+            }
+        )
+
+    PAIR_SCHEMA = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("n_shared", pa.int64())]
+    )
+
+    def pair_marks(group: pa.Table) -> pa.Table:
+        srcs = sorted(set(group["source"].to_pylist()))
+        if len(srcs) < 2:
+            return pa.Table.from_pylist([], schema=PAIR_SCHEMA)
+        pairs = list(combinations(srcs, 2))
+        return pa.Table.from_pydict(
+            {
+                "src_a": pa.array([a for a, _ in pairs], type=pa.string()),
+                "src_b": pa.array([b for _, b in pairs], type=pa.string()),
+                "n_shared": pa.array([1] * len(pairs), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bh")
+        .map_groups(pair_marks, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )

@@ -2994,3 +2994,51 @@ def bigram_novelty(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_length_grid(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(alpha_bucket, len_bucket, n_docs, sum_chars) — 2-D calibration
+    grid of document quality vs length: alpha-ratio in 10 fixed-width
+    buckets (``min(alpha_fp6 // 10^5, 9)``) crossed with length in
+    256-char buckets capped at 15 (``min(n_chars // 256, 15)``). The
+    filter-threshold tuning artifact: a curation team reads the grid to
+    see whether low-alpha docs are concentrated in a length band before
+    committing a Gopher-style cutoff. Fixed integer bucket edges — no
+    global quantile pass, so the whole grid is one map + ONE ≤160-row
+    keyed combiner sum ([[doc_length_deciles]] is the global-rank twin).
+
+    Oracle: same bucket arithmetic, GROUP BY both buckets."""
+    from ray.data.aggregate import Sum
+
+    q = quality_score(ds)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        alpha = batch["alpha_fp6"].to_numpy(zero_copy_only=False)
+        n_chars = batch["n_chars_t"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "alpha_bucket": pa.array(
+                    np.minimum(alpha // 100_000, 9), type=pa.int64()
+                ),
+                "len_bucket": pa.array(
+                    np.minimum(n_chars // 256, 15), type=pa.int64()
+                ),
+                "n_docs": pa.array(np.ones(len(alpha), dtype=np.int64)),
+                "sum_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["alpha_bucket", "len_bucket"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(
+            ["alpha_bucket", "len_bucket", "n_docs", "sum_chars"]
+        )
+
+    return (
+        q.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["alpha_bucket", "len_bucket"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )

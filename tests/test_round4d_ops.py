@@ -256,3 +256,46 @@ class TestMediaOrphanAudit:
             ("media/ghost.png", 1, "dangling_ref"),
             ("media/unused.png", 0, "orphan_file"),
         ]
+
+
+class TestCrossSourceDupMatrix:
+    def test_shared_shingle_counts_once(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["s1", "s2", "s2", "s3"]),
+                    "text": pa.array(
+                        [
+                            "a b c d e f",      # s1: shingles abcde, bcdef
+                            "a b c d e",        # s2: abcde (shared w/ s1)
+                            "z a b c d e",      # s2 again: zabcd, abcde (distinct-per-source)
+                            "q w e r t",        # s3: no overlap
+                        ]
+                    ),
+                }
+            )
+        )
+        rows = sorted(
+            (r["src_a"], r["src_b"], r["n_shared"])
+            for r in dedup.cross_source_dup_matrix(docs).take_all()
+        )
+        assert rows == [("s1", "s2", 1)]
+
+
+class TestQualityLengthGrid:
+    def test_doc_count_conserved(self, ray_session):
+        from tableextraction_ray.functions import textstats as ts
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = ts.quality_length_grid(docs).take_all()
+        assert sum(r["n_docs"] for r in rows) == 500
+        assert all(
+            0 <= r["alpha_bucket"] <= 9 and 0 <= r["len_bucket"] <= 15
+            for r in rows
+        )
