@@ -182,6 +182,7 @@ _R4_QUERIES: list[str] = [
     "media_orphan_audit",
     "cross_source_dup_matrix",
     "quality_length_grid",
+    "knn_recall_report",
 ]
 
 
@@ -1060,6 +1061,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "knn_recall_report": lambda sf: similarity.knn_recall_report(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 8),
+            ivf_head_ds=_read_embeddings_head(sf, 16),
         ),
         "cross_source_dup_matrix": lambda sf: dedup.cross_source_dup_matrix(
             docs(sf, ["source", "text"])
@@ -5382,6 +5388,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Recall@10 of the IVF index vs exact kNN — both replays composed as
+    # subqueries (membership LEFT JOIN, integer // recall).
+    d["knn_recall_report"] = f"""
+        SELECT e.query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 100000 // 10 AS BIGINT) AS recall_fp5
+        FROM ({d['knn_cosine']}) e
+        LEFT JOIN ({d['knn_ivf']}) i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY 1
     """
     # TPC-H Q8 shape: supplier-nation market share (basis points, exact
     # integer // division) within region-2 customers' orders, 1995-1996.

@@ -210,6 +210,7 @@ QUERY_SUITE = [
     "media_orphan_audit",
     "cross_source_dup_matrix",
     "quality_length_grid",
+    "knn_recall_report",
 ]
 
 

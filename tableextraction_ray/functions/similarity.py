@@ -1460,3 +1460,85 @@ def embedding_drift(ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def knn_recall_report(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    head_ds: ray.data.Dataset | None = None,
+    ivf_head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, k, n_hit, recall_fp5) — the ANN evaluation loop as a
+    first-class operator: recall@k of the [[knn_ivf]] approximate index
+    against the [[knn_cosine]] exact ground truth, per query (exact
+    fixed-point ``n_hit · 10^5 // k``). The acceptance gate run after
+    every index build/parameter change — an index that silently drops to
+    0.6 recall poisons every retrieval-curation stage downstream.
+
+    Scale shape: both sides' top-k lists are O(n_queries × k) int rows;
+    they ride ONE tagged union keyed by (query_id, vec_id) (membership
+    intersection), then ONE tiny query_id sum. The expensive parts ARE
+    the two index sweeps, each already scale-shaped; the report adds no
+    full-data pass.
+
+    Oracle: the knn_ivf and knn_cosine replays as subqueries, LEFT JOIN
+    membership, integer // recall."""
+    from ray.data.aggregate import Sum
+
+    exact = knn_bruteforce(ds, n_queries=n_queries, k=k, head_ds=head_ds)
+    approx = ivf_knn(ds, n_queries=n_queries, k=k, head_ds=ivf_head_ds)
+
+    def tag(flag_e: int, flag_i: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "query_id": batch["query_id"].cast(pa.int64()),
+                    "vec_id": batch["vec_id"].cast(pa.int64()),
+                    "in_exact": pa.array([flag_e] * n, type=pa.int64()),
+                    "in_ivf": pa.array([flag_i] * n, type=pa.int64()),
+                }
+            )
+
+        return fn
+
+    merged = (
+        exact.map_batches(tag(1, 0), batch_format="pyarrow")
+        .union(approx.map_batches(tag(0, 1), batch_format="pyarrow"))
+        .groupby(["query_id", "vec_id"])
+        .aggregate(
+            Sum("in_exact", alias_name="in_exact"),
+            Sum("in_ivf", alias_name="in_ivf"),
+        )
+    )
+
+    def hit_partial(batch: pa.Table) -> pa.Table:
+        e = batch["in_exact"].to_numpy(zero_copy_only=False)
+        i = batch["in_ivf"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "query_id": batch["query_id"].cast(pa.int64()),
+                "n_hit": pa.array(((e > 0) & (i > 0)).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["query_id"]).aggregate([("n_hit", "sum")])
+        return g.rename_columns(["query_id", "n_hit"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hits = batch["n_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "query_id": batch["query_id"].cast(pa.int64()),
+                "k": pa.array([k] * len(hits), type=pa.int64()),
+                "n_hit": pa.array(hits),
+                "recall_fp5": pa.array(hits * 100_000 // k, type=pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(hit_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n_hit", alias_name="n_hit"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

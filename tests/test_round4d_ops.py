@@ -299,3 +299,19 @@ class TestQualityLengthGrid:
             0 <= r["alpha_bucket"] <= 9 and 0 <= r["len_bucket"] <= 15
             for r in rows
         )
+
+
+class TestKnnRecallReport:
+    def test_recall_bounds_and_identity(self, ray_session):
+        from tableextraction_ray.functions import similarity as sim
+
+        emb = ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        rows = sim.knn_recall_report(emb).take_all()
+        assert len(rows) == 8  # one per query
+        for r in rows:
+            assert 0 <= r["n_hit"] <= r["k"] == 10
+            assert r["recall_fp5"] == r["n_hit"] * 100_000 // 10
+        mean = sum(r["n_hit"] for r in rows) / (len(rows) * 10)
+        assert mean >= 0.5  # sanity floor documented by the recall tests
