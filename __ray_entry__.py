@@ -183,6 +183,8 @@ _R4_QUERIES: list[str] = [
     "cross_source_dup_matrix",
     "quality_length_grid",
     "knn_recall_report",
+    "source_token_gini",
+    "event_type_burstiness",
 ]
 
 
@@ -1061,6 +1063,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "source_token_gini": lambda sf: textstats.source_token_gini(
+            docs(sf, ["source", "text"])
+        ),
+        "event_type_burstiness": lambda sf: relational.event_type_burstiness(
+            _read(sf, "events", ["ts", "event_type"])
         ),
         "knn_recall_report": lambda sf: similarity.knn_recall_report(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -5388,6 +5396,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Per-source vocabulary Gini concentration (same 60-bit md5 token
+    # hash and rational gini as user_type_gini).
+    d["source_token_gini"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        xh AS (
+          SELECT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS th
+          FROM toks
+        ),
+        c AS (SELECT source, th, COUNT(*) AS c FROM xh GROUP BY 1, 2),
+        u AS (
+          SELECT source, SUM(c) AS n, SUM(c * c) AS s2, COUNT(*) AS d
+          FROM c GROUP BY 1
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(d AS BIGINT) AS n_distinct,
+               CAST(((n*n - s2) * 2000000 + n*n) // (2 * n*n) AS BIGINT)
+                 AS gini_fp6
+        FROM u
+    """
+    # Fano factor (variance/mean) of per-hour counts per event type —
+    # pure rational on integer counts over OBSERVED hours.
+    d["event_type_burstiness"] = """
+        WITH hc AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, COUNT(*) AS h, SUM(c) AS s, SUM(c * c) AS s2
+          FROM hc GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(h AS BIGINT) AS n_hours,
+               CAST(s AS BIGINT) AS n_events,
+               CAST((2 * (h * s2 - s * s) * 1000 + h * s) // (2 * h * s)
+                    AS BIGINT) AS fano_fp3
+        FROM m
     """
     # Recall@10 of the IVF index vs exact kNN — both replays composed as
     # subqueries (membership LEFT JOIN, integer // recall).

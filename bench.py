@@ -211,6 +211,8 @@ QUERY_SUITE = [
     "cross_source_dup_matrix",
     "quality_length_grid",
     "knn_recall_report",
+    "source_token_gini",
+    "event_type_burstiness",
 ]
 
 

@@ -6791,3 +6791,87 @@ def revenue_concentration(
         .groupby("g")
         .map_groups(final_fold, batch_format="pyarrow")
     )
+
+
+def event_type_burstiness(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n_hours, n_events, fano_fp3) — traffic burstiness per
+    event type: the Fano factor (population variance / mean) of the
+    type's per-hour event counts over its OBSERVED hours, in pure
+    rational arithmetic — ``var/mean = (h·Σc² − S²) / (h·S)`` on integer
+    counts, emitted as ``floor(x·10³ + 0.5)`` via the exact
+    ``(2·(h·Σc²−S²)·10³ + h·S) // (2·h·S)`` form (numerator
+    non-negative, so // floors identically in SQL). Poisson-like traffic
+    scores ≈ mean-independent 1000; a bursty bot spike scores far
+    higher. [[hourly_anomalies]] flags the hours; this ranks the types.
+
+    Scale shape: per-block (type, hour) count pre-combine, ONE keyed
+    sum, an in-block collapse to per-type (h, S, Σc²) partials and ONE
+    tiny type groupby — the [[user_type_gini]] two-stage moment shape
+    over a time key."""
+
+    HOUR_US = 3_600_000_000
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"].cast(pa.string()),
+                "hour": pa.array(ts - ts % HOUR_US, type=pa.int64()),
+                "c": pa.array(np.ones(len(ts), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "hour", "c"])
+
+    per_hour = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(hour_partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"].cast(pa.string()),
+                "h": pa.array(np.ones(len(c), dtype=np.int64)),
+                "s": pa.array(c, type=pa.int64()),
+                "s2": pa.array(c * c, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("h", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        return g.rename_columns(["event_type", "h", "s", "s2"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(object)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(object)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False).astype(object)
+        fano = [
+            int((2 * (hh * ss2 - sss * sss) * 1_000 + hh * sss)
+                // (2 * hh * sss))
+            for hh, sss, ss2 in zip(h, s, s2)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"].cast(pa.string()),
+                "n_hours": batch["h"].cast(pa.int64()),
+                "n_events": batch["s"].cast(pa.int64()),
+                "fano_fp3": pa.array(fano, type=pa.int64()),
+            }
+        )
+
+    return (
+        per_hour.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("h", alias_name="h"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -3042,3 +3042,92 @@ def quality_length_grid(ds: ray.data.Dataset) -> ray.data.Dataset:
             Sum("sum_chars", alias_name="sum_chars"),
         )
     )
+
+
+def source_token_gini(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_tokens, n_distinct, gini_fp6) — vocabulary
+    concentration per source: the Gini impurity of the source's token
+    frequency distribution in the [[user_type_gini]] pure-rational
+    contract (``((n²−Σc²)·2·10⁶+n²)//(2n²)``, no float division). The
+    vocabulary-collapse detector: a spam or template source re-emitting
+    a handful of tokens scores near 0 while healthy prose sits high —
+    read next to [[source_vocab_overlap]] before setting mixture
+    weights.
+
+    Scale shape: per-block (source, token-hash) count pre-combine (the
+    60-bit md5 [[shingle_base_hash]]; token strings never ride), ONE
+    keyed (source, hash) sum, an in-block collapse to per-source
+    (n, Σc², distinct) partials and ONE tiny source groupby. Hash
+    collisions are part of the contract on both sides."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import shingle_base_hash
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_s: list[str] = []
+        out_h: list[int] = []
+        out_c: list[int] = []
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok, c in Counter(ascii_tokens(t)).items():
+                out_s.append(src)
+                out_h.append(shingle_base_hash(tok))
+                out_c.append(c)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(out_s, type=pa.string()),
+                "th": pa.array(out_h, type=pa.int64()),
+                "c": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    per_token = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "th"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def square_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n": pa.array(c, type=pa.int64()),
+                "s2": pa.array(c * c, type=pa.int64()),
+                "d": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("s2", "sum"), ("d", "sum")]
+        )
+        return g.rename_columns(["source", "n", "s2", "d"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(object)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False).astype(object)
+        gini = [
+            int(((nn * nn - ss) * 2_000_000 + nn * nn) // (2 * nn * nn))
+            for nn, ss in zip(n, s2)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n_tokens": batch["n"].cast(pa.int64()),
+                "n_distinct": batch["d"].cast(pa.int64()),
+                "gini_fp6": pa.array(gini, type=pa.int64()),
+            }
+        )
+
+    return (
+        per_token.map_batches(square_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s2", alias_name="s2"),
+            Sum("d", alias_name="d"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

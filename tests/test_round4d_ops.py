@@ -315,3 +315,60 @@ class TestKnnRecallReport:
             assert r["recall_fp5"] == r["n_hit"] * 100_000 // 10
         mean = sum(r["n_hit"] for r in rows) / (len(rows) * 10)
         assert mean >= 0.5  # sanity floor documented by the recall tests
+
+
+class TestSourceTokenGini:
+    def test_template_source_scores_low(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import textstats as ts
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["spam", "spam", "prose"]),
+                    "text": pa.array(
+                        ["buy buy buy buy", "buy buy", "one two three four"]
+                    ),
+                }
+            )
+        )
+        rows = {r["source"]: r for r in ts.source_token_gini(docs).take_all()}
+        assert rows["spam"]["gini_fp6"] == 0  # single token -> 0
+        assert rows["spam"]["n_tokens"] == 6 and rows["spam"]["n_distinct"] == 1
+        # 4 uniform tokens: 1 - 4*(1/4)^2 = 0.75
+        assert rows["prose"]["gini_fp6"] == 750_000
+
+
+class TestEventTypeBurstiness:
+    def test_uniform_hours_score_poissonish_floor(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import relational as rel
+
+        HOUR = 3_600_000_000
+        # type 'flat': 2 events in each of 3 hours -> var=0 -> fano 0
+        # type 'burst': counts 1 and 5 over 2 hours -> var=4, mean=3 ->
+        # fano = 4/3 -> 1333
+        ts_flat = [h * HOUR + i for h in range(3) for i in range(2)]
+        ts_burst = [0 * HOUR] * 1 + [1 * HOUR + i for i in range(5)]
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        np.array(ts_flat + ts_burst, dtype=np.int64),
+                        type=pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array(
+                        ["flat"] * 6 + ["burst"] * 6
+                    ),
+                }
+            )
+        )
+        rows = {
+            r["event_type"]: r
+            for r in rel.event_type_burstiness(ev).take_all()
+        }
+        assert rows["flat"]["fano_fp3"] == 0
+        assert rows["burst"]["fano_fp3"] == 1333
