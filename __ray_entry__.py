@@ -185,6 +185,7 @@ _R4_QUERIES: list[str] = [
     "knn_recall_report",
     "source_token_gini",
     "event_type_burstiness",
+    "lsh_band_sweep",
 ]
 
 
@@ -1063,6 +1064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "lsh_band_sweep": lambda sf: dedup.lsh_band_sweep(
+            docs(sf, ["doc_id", "text"])
         ),
         "source_token_gini": lambda sf: textstats.source_token_gini(
             docs(sf, ["source", "text"])
@@ -5397,6 +5401,33 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
     """
+    # LSH banding parameter sweep: the shared signature CTE (everything
+    # before its fixed 4-band split) re-banded per configuration.
+    _sig_prefix = _SHINGLES_CTE.split("bands AS (")[0].rstrip().rstrip(",")
+    d["lsh_band_sweep"] = (
+        _sig_prefix
+        + """,
+        cfg AS (SELECT unnest([2, 4, 8]) AS n_bands),
+        sbands AS (
+          SELECT c.n_bands, s.doc_id, b.band,
+                 md5(array_to_string(
+                   s.mh[b.band * (16 // c.n_bands) + 1
+                        : (b.band + 1) * (16 // c.n_bands)], '|')) AS key
+          FROM sig s, cfg c, (SELECT unnest(range(8)) AS band) b
+          WHERE b.band < c.n_bands
+        ),
+        scand AS (
+          SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sbands a JOIN sbands b
+            ON a.n_bands = b.n_bands AND a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT n_bands,
+               CAST(16 // n_bands AS BIGINT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM scand GROUP BY 1
+    """
+    )
     # Per-source vocabulary Gini concentration (same 60-bit md5 token
     # hash and rational gini as user_type_gini).
     d["source_token_gini"] = r"""

@@ -213,6 +213,7 @@ QUERY_SUITE = [
     "knn_recall_report",
     "source_token_gini",
     "event_type_burstiness",
+    "lsh_band_sweep",
 ]
 
 

@@ -1776,3 +1776,115 @@ def cross_source_dup_matrix(
         .groupby(["src_a", "src_b"])
         .aggregate(Sum("n_shared", alias_name="n_shared"))
     )
+
+
+def lsh_band_sweep(
+    ds: ray.data.Dataset, band_counts: tuple[int, ...] = (2, 4, 8)
+) -> ray.data.Dataset:
+    """(n_bands, rows_per_band, n_candidates) — LSH parameter sweep: the
+    distinct candidate-pair count the 16-perm minhash signature would
+    produce under each banding (more bands → shorter keys → higher
+    recall AND more false candidates). The tuning artifact read before
+    committing a banding to a 10^12-doc dedup run — candidates cost an
+    exact-verify each, so this curve IS the budget curve. One signature
+    pass serves every configuration; the [[minhash_candidates]]
+    exact-text rep collapse applies per bucket (same skew guard).
+
+    Scale shape: one signature map emits Σ n_bands rows per doc; ONE
+    keyed (n_bands, band, key) groupby expands per-bucket rep pairs;
+    ONE (n_bands, pair) distinct groupby; ONE tiny per-config sum.
+
+    Oracle: the shared signature CTE re-banded per config."""
+    from ray.data.aggregate import Count, Sum
+
+    def sweep_band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, nbs, bands, keys, md5s = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = shingle_set(text)
+            if not sh:
+                continue
+            sig = minhash_signature(sh)
+            h = _md5(text)
+            for nb in band_counts:
+                r = len(sig) // nb
+                for b in range(nb):
+                    key = _md5(
+                        "|".join(str(v) for v in sig[b * r : (b + 1) * r])
+                    )
+                    doc_ids.append(doc_id)
+                    nbs.append(nb)
+                    bands.append(b)
+                    keys.append(key)
+                    md5s.append(h)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_bands": pa.array(nbs, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "text_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        reps: dict[str, int] = {}
+        for doc_id, h in zip(
+            group["doc_id"].to_pylist(), group["text_md5"].to_pylist()
+        ):
+            if h not in reps or doc_id < reps[h]:
+                reps[h] = doc_id
+        ids = sorted(reps.values())
+        nb = int(group["n_bands"][0].as_py())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "n_bands": pa.array([nb] * len(a), type=pa.int64()),
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    distinct_pairs = (
+        ds.map_batches(sweep_band_rows, batch_format="pyarrow")
+        .groupby(["n_bands", "band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["n_bands", "doc_a", "doc_b"])
+        .aggregate(Count())
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "n_bands": batch["n_bands"].cast(pa.int64()),
+                "n_candidates": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["n_bands"]).aggregate([("n_candidates", "sum")])
+        return g.rename_columns(["n_bands", "n_candidates"])
+
+    sig_len = 16  # NUM_BANDS * ROWS_PER_BAND — the fixed signature width
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nb = batch["n_bands"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_bands": pa.array(nb, type=pa.int64()),
+                "rows_per_band": pa.array(sig_len // nb, type=pa.int64()),
+                "n_candidates": batch["n_candidates"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        distinct_pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("n_bands")
+        .aggregate(Sum("n_candidates", alias_name="n_candidates"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -372,3 +372,27 @@ class TestEventTypeBurstiness:
         }
         assert rows["flat"]["fano_fp3"] == 0
         assert rows["burst"]["fano_fp3"] == 1333
+
+
+class TestLshBandSweep:
+    def test_monotone_recall_and_four_band_consistency(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = {
+            r["n_bands"]: r for r in dedup.lsh_band_sweep(docs).take_all()
+        }
+        # more bands (shorter keys) can only ADD candidate pairs
+        counts = [rows[nb]["n_candidates"] for nb in sorted(rows)]
+        assert counts == sorted(counts)
+        for nb, r in rows.items():
+            assert r["rows_per_band"] == 16 // nb
+        # the 4-band config must reproduce minhash_candidates exactly
+        base = dedup.minhash_candidates(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+        assert rows.get(4, {"n_candidates": 0})["n_candidates"] == base
