@@ -186,6 +186,9 @@ _R4_QUERIES: list[str] = [
     "source_token_gini",
     "event_type_burstiness",
     "lsh_band_sweep",
+    "media_payload_size_hist",
+    "compression_ratio",
+    "canonicalize_media_refs",
 ]
 
 
@@ -1064,6 +1067,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "media_payload_size_hist": lambda sf: (
+            multimodal.media_payload_size_hist(media(sf))
+        ),
+        "compression_ratio": lambda sf: textstats.compression_ratio(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "canonicalize_media_refs": lambda sf: (
+            interleaved.canonicalize_media_refs(_spans(sf), media(sf))
         ),
         "lsh_band_sweep": lambda sf: dedup.lsh_band_sweep(
             docs(sf, ["doc_id", "text"])
@@ -5400,6 +5412,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Media store size census (4 KiB buckets, capped at 15).
+    d["media_payload_size_hist"] = f"""
+        SELECT LEAST(octet_length(content) // 4096, 15) AS size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(octet_length(content)) AS BIGINT) AS sum_bytes
+        FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        GROUP BY 1
+    """
+    # Span-rewrite to payload-dedup canonical refs: unnested media spans
+    # JOIN the media_content_dedup canonical CTE.
+    d["canonicalize_media_refs"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.media_ref AS media_ref,
+                 CAST(u.s."offset" AS BIGINT) AS span_offset
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (
+          SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                 md5(lower(hex(content))) AS payload_md5
+          FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        ),
+        c AS (
+          SELECT media_ref,
+                 MIN(media_ref) OVER (PARTITION BY payload_md5)
+                   AS canonical_ref
+          FROM m
+        )
+        SELECT s.doc_id, s.span_offset, s.media_ref, c.canonical_ref,
+               s.media_ref <> c.canonical_ref AS rewritten
+        FROM s JOIN c ON s.media_ref = c.media_ref
+        WHERE s.kind = 'media'
     """
     # LSH banding parameter sweep: the shared signature CTE (everything
     # before its fixed 4-band split) re-banded per configuration.

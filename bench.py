@@ -214,6 +214,9 @@ QUERY_SUITE = [
     "source_token_gini",
     "event_type_burstiness",
     "lsh_band_sweep",
+    "media_payload_size_hist",
+    "compression_ratio",
+    "canonicalize_media_refs",
 ]
 
 

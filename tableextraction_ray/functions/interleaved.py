@@ -1059,3 +1059,96 @@ def media_orphan_audit(
         )
 
     return merged.map_batches(statuses, batch_format="pyarrow")
+
+
+def canonicalize_media_refs(
+    ds: ray.data.Dataset, media: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(doc_id, span_offset, media_ref, canonical_ref, rewritten) — the
+    span-rewrite step [[media_content_dedup]]'s docstring promises: every
+    media span's ref is replaced by its payload-dedup canonical (the
+    lexicographically smallest ref sharing the payload md5), so
+    downstream decode/embed stages key on ONE ref per distinct payload.
+
+    Scale shape: media payloads hash inside the scan and drop
+    ([[media_content_dedup]] reused verbatim); the flat media spans and
+    the (ref, canonical) map meet in ONE keyed tagged-union groupby on
+    the ref string — NO broadcast of the ref map (at 10^12 docs the
+    media catalog is itself huge), no driver state.
+
+    Oracle: unnested media spans JOIN the payload-md5 canonical CTE."""
+    from .multimodal import media_content_dedup
+
+    canon = media_content_dedup(media)
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        ids, parent, _, _, fields = _flat_spans(batch, sort=False)
+        kind = fields["kind"].to_numpy(zero_copy_only=False)
+        m = kind == "media"
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(
+                    fields["media_ref"].to_numpy(zero_copy_only=False)[m],
+                    type=pa.string(),
+                ),
+                "doc_id": pa.array(
+                    ids.to_numpy(zero_copy_only=False)[parent][m],
+                    type=pa.string(),
+                ),
+                "span_offset": pa.array(
+                    fields["offset"]
+                    .to_numpy(zero_copy_only=False)[m]
+                    .astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "canonical_ref": pa.array([""] * int(m.sum()), type=pa.string()),
+            }
+        )
+
+    def canon_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"].cast(pa.string()),
+                "doc_id": pa.array([""] * n, type=pa.string()),
+                "span_offset": pa.array([-1] * n, type=pa.int64()),
+                "canonical_ref": batch["canonical_ref"].cast(pa.string()),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        off = group["span_offset"].to_numpy(zero_copy_only=False)
+        crow = np.flatnonzero(off < 0)
+        srow = np.flatnonzero(off >= 0)
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "span_offset": pa.array([], type=pa.int64()),
+                "media_ref": pa.array([], type=pa.string()),
+                "canonical_ref": pa.array([], type=pa.string()),
+                "rewritten": pa.array([], type=pa.bool_()),
+            }
+        )
+        if len(crow) == 0 or len(srow) == 0:
+            return empty
+        canon_ref = group["canonical_ref"][int(crow[0])].as_py()
+        sel = group.take(srow)
+        ref = sel["media_ref"]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sel["doc_id"],
+                "span_offset": sel["span_offset"],
+                "media_ref": ref,
+                "canonical_ref": pa.array(
+                    [canon_ref] * sel.num_rows, type=pa.string()
+                ),
+                "rewritten": pc.not_equal(ref, canon_ref),
+            }
+        )
+
+    return (
+        ds.map_batches(span_rows, batch_format="pyarrow")
+        .union(canon.map_batches(canon_rows, batch_format="pyarrow"))
+        .groupby("media_ref")
+        .map_groups(attach, batch_format="pyarrow")
+    )

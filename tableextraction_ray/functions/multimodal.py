@@ -372,3 +372,43 @@ def media_content_dedup(media_ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("payload_md5")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def media_payload_size_hist(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(size_bucket, n_files, sum_bytes) — media store size census in
+    4 KiB buckets capped at 15 (``min(octet_length // 4096, 15)``): the
+    storage-planning artifact for a multimodal corpus (which size class
+    dominates bytes decides block size and decode batch size — see the
+    interleave_pack budget notes). Payload bytes are measured INSIDE the
+    scan batch and dropped; only ≤16 int partial rows per block ride the
+    ONE tiny keyed sum.
+
+    Oracle: read_blob octet_length with the same bucket arithmetic."""
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        sizes = np.asarray(
+            [len(m) for m in batch["payload"].to_pylist()], dtype=np.int64
+        )
+        t = pa.Table.from_pydict(
+            {
+                "size_bucket": pa.array(
+                    np.minimum(sizes // 4096, 15), type=pa.int64()
+                ),
+                "n_files": pa.array(np.ones(len(sizes), dtype=np.int64)),
+                "sum_bytes": pa.array(sizes, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["size_bucket"]).aggregate(
+            [("n_files", "sum"), ("sum_bytes", "sum")]
+        )
+        return g.rename_columns(["size_bucket", "n_files", "sum_bytes"])
+
+    return (
+        media_ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("size_bucket")
+        .aggregate(
+            Sum("n_files", alias_name="n_files"),
+            Sum("sum_bytes", alias_name="sum_bytes"),
+        )
+    )

@@ -3131,3 +3131,39 @@ def source_token_gini(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def compression_ratio(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bytes, n_zlib, ratio_fp4) — the Gopher/C4 compression-
+    ratio quality signal: zlib-compressed size over raw UTF-8 size,
+    fixed-point 1e4. Highly repetitive (template/spam) text compresses
+    far below prose; filter thresholds come from [[quality_length_grid]]
+    -style calibration. DEFLATE is not expressible in SQL, so this query
+    is rows-only checked (the [[dehyphenate]] precedent); level is
+    pinned for cross-run determinism.
+
+    Scale shape: pure per-batch map, zero shuffles."""
+    import zlib
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n_raw: list[int] = []
+        n_z: list[int] = []
+        ratio: list[int] = []
+        for t in batch["text"].to_pylist():
+            raw = t.encode("utf-8")
+            z = zlib.compress(raw, 6)
+            n_raw.append(len(raw))
+            n_z.append(len(z))
+            ratio.append(
+                int(np.floor(len(z) * 1e4 / len(raw) + 0.5)) if raw else 0
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_raw, type=pa.int64()),
+                "n_zlib": pa.array(n_z, type=pa.int64()),
+                "ratio_fp4": pa.array(ratio, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

@@ -84,6 +84,8 @@ def test_query_matches_oracle(name, con, ray_session):
             "span_coalesce",
             "media_position_hist",
             "media_orphan_audit",
+            "media_payload_size_hist",
+            "canonicalize_media_refs",
         )
         else SF_DIR
     )

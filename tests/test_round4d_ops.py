@@ -396,3 +396,81 @@ class TestLshBandSweep:
             )
         ).count()
         assert rows.get(4, {"n_candidates": 0})["n_candidates"] == base
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_below_prose(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import textstats as ts
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(
+                        ["spam " * 200, "the quick brown fox " * 3, ""]
+                    ),
+                }
+            )
+        )
+        rows = {r["doc_id"]: r for r in ts.compression_ratio(docs).take_all()}
+        assert rows[1]["ratio_fp4"] < rows[2]["ratio_fp4"]
+        assert rows[3] == {"doc_id": 3, "n_bytes": 0, "n_zlib": rows[3]["n_zlib"], "ratio_fp4": 0}
+        assert rows[1]["n_bytes"] == 1000
+
+
+class TestCanonicalizeMediaRefs:
+    def test_rewrite_points_at_shared_payload_min(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import interleaved as il
+
+        span_t = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        spans = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(["doc-0"]),
+                    "spans": pa.array(
+                        [
+                            [
+                                {"kind": "media", "text": "",
+                                 "media_ref": "media/b.png", "offset": 0},
+                                {"kind": "text", "text": "x",
+                                 "media_ref": "", "offset": 1},
+                            ]
+                        ],
+                        type=span_t,
+                    ),
+                }
+            )
+        )
+        media = ray.data.from_arrow(
+            pa.table(
+                {
+                    "media_ref": pa.array(["media/a.png", "media/b.png"]),
+                    "payload": pa.array(
+                        [b"same-bytes", b"same-bytes"], type=pa.large_binary()
+                    ),
+                }
+            )
+        )
+        rows = il.canonicalize_media_refs(spans, media).take_all()
+        assert rows == [
+            {
+                "doc_id": "doc-0",
+                "span_offset": 0,
+                "media_ref": "media/b.png",
+                "canonical_ref": "media/a.png",
+                "rewritten": True,
+            }
+        ]
