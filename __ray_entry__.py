@@ -189,6 +189,8 @@ _R4_QUERIES: list[str] = [
     "media_payload_size_hist",
     "compression_ratio",
     "canonicalize_media_refs",
+    "customer_rfm",
+    "embedding_norm_outliers",
 ]
 
 
@@ -1067,6 +1069,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "customer_rfm": lambda sf: relational.customer_rfm(
+            _read(sf, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        ),
+        "embedding_norm_outliers": lambda sf: (
+            similarity.embedding_norm_outliers(
+                _read(sf, "embeddings", ["vec_id", "embedding"])
+            )
         ),
         "media_payload_size_hist": lambda sf: (
             multimodal.media_payload_size_hist(media(sf))
@@ -5412,6 +5422,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # RFM segmentation under fixed integer thresholds; recency relative
+    # to the corpus max order date (midnight-aligned, exact day division).
+    d["customer_rfm"] = """
+        WITH m AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+        per AS (
+          SELECT o_custkey AS c_custkey,
+                 MAX(o_orderdate) AS last_d,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT c_custkey,
+               CAST(date_diff('day', last_d, m.mx) AS BIGINT)
+                 AS recency_days,
+               n_orders, sum_rev_c,
+               CAST(CASE WHEN date_diff('day', last_d, m.mx) <= 400
+                         THEN 4 ELSE 0 END
+                    + CASE WHEN n_orders >= 10 THEN 2 ELSE 0 END
+                    + CASE WHEN sum_rev_c >= 1000000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS rfm_code
+        FROM per, m
+    """
+    # Broken-embedding norm outliers: exact integer z-test on quantized
+    # squared norms, HUGEINT-widened exactly like the engine's Python ints.
+    d["embedding_norm_outliers"] = """
+        WITH qe AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, list_sum([x*x for x in q]) AS nsq FROM qe),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(nsq) AS s,
+                 SUM(CAST(nsq AS HUGEINT) * nsq) AS qq
+          FROM n
+        )
+        SELECT n.vec_id, CAST(n.nsq AS BIGINT) AS nsq
+        FROM n, m
+        WHERE (CAST(m.n AS HUGEINT) * n.nsq - m.s)
+              * (CAST(m.n AS HUGEINT) * n.nsq - m.s)
+              > 4 * (CAST(m.n AS HUGEINT) * m.qq
+                     - CAST(m.s AS HUGEINT) * m.s)
     """
     # Media store size census (4 KiB buckets, capped at 15).
     d["media_payload_size_hist"] = f"""

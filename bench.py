@@ -217,6 +217,8 @@ QUERY_SUITE = [
     "media_payload_size_hist",
     "compression_ratio",
     "canonicalize_media_refs",
+    "customer_rfm",
+    "embedding_norm_outliers",
 ]
 
 

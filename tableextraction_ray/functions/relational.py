@@ -6875,3 +6875,89 @@ def event_type_burstiness(events: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def customer_rfm(
+    orders: ray.data.Dataset,
+    recency_cut_days: int = 400,
+    freq_cut: int = 10,
+    monetary_cut_c: int = 1_000_000,
+) -> ray.data.Dataset:
+    """(c_custkey, recency_days, n_orders, sum_rev_c, rfm_code) — classic
+    RFM segmentation over the orders stream: days since the customer's
+    last order (relative to the corpus max order date), order count and
+    exact integer-cent revenue, folded into the 3-bit segment code
+    ``4·[recent] + 2·[frequent] + 1·[big-spender]`` under fixed integer
+    thresholds (quantile-free — the same stability choice as
+    [[quality_length_grid]]). Code 7 is the champion segment; 0 the
+    churn-risk bucket the win-back campaign targets.
+
+    Scale shape: the corpus max date folds from per-block 1-row partials
+    (driver O(1)); one per-block custkey pre-combine and ONE keyed
+    custkey sum; midnight-aligned dates make the day division exact."""
+    DAY = 86_400_000_000
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].combine_chunks().cast(pa.int64())
+        return pa.Table.from_pydict(
+            {"m": pa.array([pc.max(ts).as_py()], type=pa.int64())}
+        )
+
+    corpus_max = max(
+        r["m"]
+        for r in orders.select_columns(["o_orderdate"])
+        .map_batches(max_partial, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "last_us": batch["o_orderdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "n_orders": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "rev_c": pa.array(
+                    np.asarray(_cents(batch["o_totalprice"])), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["c_custkey"]).aggregate(
+            [("last_us", "max"), ("n_orders", "sum"), ("rev_c", "sum")]
+        )
+        return g.rename_columns(["c_custkey", "last_us", "n_orders", "rev_c"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy(zero_copy_only=False)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        rev = batch["rev_c"].to_numpy(zero_copy_only=False)
+        rec = (corpus_max - last) // DAY
+        code = (
+            (rec <= recency_cut_days).astype(np.int64) * 4
+            + (n >= freq_cut).astype(np.int64) * 2
+            + (rev >= monetary_cut_c).astype(np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "recency_days": pa.array(rec, type=pa.int64()),
+                "n_orders": pa.array(n, type=pa.int64()),
+                "sum_rev_c": pa.array(rev, type=pa.int64()),
+                "rfm_code": pa.array(code, type=pa.int64()),
+            }
+        )
+
+    return (
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("rev_c", alias_name="rev_c"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1542,3 +1542,63 @@ def knn_recall_report(
         .aggregate(Sum("n_hit", alias_name="n_hit"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def embedding_norm_outliers(
+    ds: ray.data.Dataset, z: int = 2
+) -> ray.data.Dataset:
+    """(vec_id, nsq) — broken-embedding detector: vectors whose exact
+    quantized squared norm is a > z-sigma outlier against the corpus
+    population. A unit-normalized embedding table's norms concentrate
+    tightly; truncated reads, zero rows, or mixed-model batches stand
+    out immediately. The z-test is [[outlier_events]]'s EXACT integer
+    inequality ``(n·x − S)² > z²·(n·Q − S²)`` — float-free, Python ints
+    on the driver, HUGEINT in the oracle (int128 bounds hold to ~10⁵
+    vectors per run at 64 dims; shard the sweep beyond that).
+
+    Scale shape: pass 1 folds 3 integer moments from per-block partials
+    (driver state O(1)); the broadcast moments flag in pass 2 — no
+    shuffle at all."""
+    import ray as _ray
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(_stack(batch))
+        nsq = (q * q).sum(axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(nsq)], type=pa.int64()),
+                "s": pa.array([int(nsq.sum())], type=pa.int64()),
+                "qq": pa.array(
+                    [str(int(sum(int(v) * int(v) for v in nsq)))],
+                    type=pa.string(),  # int128-wide partial rides as text
+                ),
+            }
+        )
+
+    n_tot, s_tot, qq_tot = 0, 0, 0
+    for b in ds.map_batches(moment_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_tot += int(pc.sum(b["n"]).as_py())
+        s_tot += int(pc.sum(b["s"]).as_py())
+        qq_tot += sum(int(v) for v in b["qq"].to_pylist())
+
+    mom_ref = _ray.put((n_tot, s_tot, qq_tot, z * z))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n, s, qq, zz = _ray.get(mom_ref)
+        q = _quantize(_stack(batch))
+        nsq = (q * q).sum(axis=1).astype(np.int64)
+        rhs = zz * (n * qq - s * s)
+        keep = [
+            (n * int(x) - s) * (n * int(x) - s) > rhs for x in nsq
+        ]
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)[keep]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "nsq": pa.array(nsq[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -474,3 +474,43 @@ class TestCanonicalizeMediaRefs:
                 "rewritten": True,
             }
         ]
+
+
+class TestCustomerRfm:
+    def test_code_bits_match_columns(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        rows = rel.customer_rfm(
+            _rd("orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        ).take_all()
+        assert rows
+        for r in rows:
+            bits = (
+                (r["recency_days"] <= 400) * 4
+                + (r["n_orders"] >= 10) * 2
+                + (r["sum_rev_c"] >= 1_000_000)
+            )
+            assert r["rfm_code"] == bits
+
+
+class TestEmbeddingNormOutliers:
+    def test_planted_broken_vector_flags(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import similarity as sim
+
+        good = [[0.125] * 64 for _ in range(30)]
+        broken = [[0.0] * 64]  # zero vector: norm wildly off-population
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(31), type=pa.int64()),
+                    "embedding": pa.array(
+                        good + broken, type=pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        rows = sim.embedding_norm_outliers(emb).take_all()
+        assert [r["vec_id"] for r in rows] == [30]
+        assert rows[0]["nsq"] == 0
