@@ -191,6 +191,8 @@ _R4_QUERIES: list[str] = [
     "canonicalize_media_refs",
     "customer_rfm",
     "embedding_norm_outliers",
+    "hll_error_report",
+    "stream_inversions",
 ]
 
 
@@ -1069,6 +1071,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "hll_error_report": lambda sf: sketch.hll_error_report(
+            _read(sf, "events", ["ts", "user_id"])
+        ),
+        "stream_inversions": lambda sf: relational.stream_inversions(
+            _read(sf, "events", ["user_id", "event_id", "ts"])
         ),
         "customer_rfm": lambda sf: relational.customer_rfm(
             _read(sf, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
@@ -5422,6 +5430,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # HLL-vs-exact hourly distinct users error report: both replays as
+    # subqueries, exact // relative error.
+    d["hll_error_report"] = f"""
+        SELECT e.hour,
+               CAST(e.n_users AS BIGINT) AS n_exact,
+               CAST(h.n_users_est AS BIGINT) AS n_est,
+               CAST(abs(h.n_users_est - e.n_users) AS BIGINT) AS abs_err,
+               CAST(abs(h.n_users_est - e.n_users) * 1000000 // e.n_users
+                    AS BIGINT) AS err_fp6
+        FROM ({d['events_hourly_users']}) e
+        JOIN ({d['events_hourly_users_hll']}) h USING (hour)
+    """
+    # Out-of-orderness inversions per user: the O(n²) strict-pair join
+    # (the engine counts the same pairs via mergesort).
+    d["stream_inversions"] = """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        ),
+        inv AS (
+          SELECT a.user_id, COUNT(*) AS n_inv
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.t > b.t
+          GROUP BY 1
+        ),
+        n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1)
+        SELECT n.user_id,
+               CAST(n.n AS BIGINT) AS n_events,
+               CAST(COALESCE(i.n_inv, 0) AS BIGINT) AS n_inversions,
+               CASE WHEN n.n >= 2
+                    THEN CAST(COALESCE(i.n_inv, 0) * 1000000
+                              // (n.n * (n.n - 1) // 2) AS BIGINT)
+                    ELSE 0 END AS inv_fp6
+        FROM n LEFT JOIN inv i USING (user_id)
     """
     # RFM segmentation under fixed integer thresholds; recency relative
     # to the corpus max order date (midnight-aligned, exact day division).

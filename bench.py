@@ -219,6 +219,8 @@ QUERY_SUITE = [
     "canonicalize_media_refs",
     "customer_rfm",
     "embedding_norm_outliers",
+    "hll_error_report",
+    "stream_inversions",
 ]
 
 

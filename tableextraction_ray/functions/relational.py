@@ -6961,3 +6961,93 @@ def customer_rfm(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def stream_inversions(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, n_inversions, inv_fp6) — out-of-orderness
+    profile per user: the number of event pairs whose arrival order
+    (event_id) contradicts their event time (strictly later ts arriving
+    first), normalized by C(n, 2) in exact fixed-point. The watermark-
+    tuning diagnostic a streaming pipeline reads before choosing
+    allowed-lateness: a high inversion rate means event time and arrival
+    order are uncorrelated and windows must buffer accordingly.
+
+    Scale shape: ONE keyed user groupby of (event_id, ts) int pairs;
+    the per-group count is an O(n log n) mergesort inversion count (NOT
+    the O(n²) pair join the oracle uses — same answer, different
+    asymptotics; strict > on ts, so equal-time pairs never count)."""
+    from ray.data.aggregate import Count
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "t": batch["ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def _count_inversions(vals: np.ndarray) -> int:
+        # iterative bottom-up mergesort counting strict inversions
+        n = len(vals)
+        a = vals.astype(np.int64).copy()
+        buf = np.empty_like(a)
+        inv = 0
+        width = 1
+        while width < n:
+            for lo in range(0, n, 2 * width):
+                mid = min(lo + width, n)
+                hi = min(lo + 2 * width, n)
+                i, j, k = lo, mid, lo
+                while i < mid and j < hi:
+                    if a[i] <= a[j]:
+                        buf[k] = a[i]
+                        i += 1
+                    else:
+                        buf[k] = a[j]
+                        inv += mid - i
+                        j += 1
+                    k += 1
+                buf[k:hi] = a[i:mid] if i < mid else a[j:hi]
+                a[lo:hi] = buf[lo:hi]
+            width *= 2
+        return inv
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_inversions", pa.int64()),
+            ("inv_fp6", pa.int64()),
+        ]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = np.argsort(
+            group["event_id"].to_numpy(zero_copy_only=False), kind="stable"
+        )
+        ts = group["t"].to_numpy(zero_copy_only=False)[order]
+        n = len(ts)
+        inv = _count_inversions(ts) if n >= 2 else 0
+        denom = n * (n - 1) // 2
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [group["user_id"][0].as_py()], type=pa.int64()
+                ),
+                "n_events": pa.array([n], type=pa.int64()),
+                "n_inversions": pa.array([inv], type=pa.int64()),
+                "inv_fp6": pa.array(
+                    [inv * 1_000_000 // denom if denom else 0],
+                    type=pa.int64(),
+                ),
+            },
+            schema=OUT,
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

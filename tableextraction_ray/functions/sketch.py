@@ -429,3 +429,67 @@ def hourly_value_quantiles_sketch(
         .groupby("hour")
         .map_groups(quantiles, batch_format="pyarrow")
     )
+
+
+def hll_error_report(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(hour, n_exact, n_est, abs_err, err_fp6) — sketch acceptance gate:
+    the HLL hourly-distinct-users estimate ([[events_hourly_users_hll]])
+    side-by-side with the exact count, with the relative error in exact
+    fixed-point (``|est − exact| · 10⁶ // exact``). The eval twin of
+    [[knn_recall_report]] for the sketch family — run before trusting a
+    12-bit HLL on a new key domain (error should sit near the 1.04/√m ≈
+    1.6% bound).
+
+    Scale shape: both sides are per-hour aggregates (tiny); they meet in
+    ONE tagged union + hour groupby. The expensive parts ARE the two
+    sweeps, each already scale-shaped (the exact side shuffles distinct
+    (hour, user) pairs; the sketch side only 4096-byte registers)."""
+    from ray.data.aggregate import Sum
+
+    exact = hourly_users(events)
+    est = hourly_users_hll(events)
+
+    def tag_exact(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "n_exact": batch["n_users"].cast(pa.int64()),
+                "n_est": pa.array([0] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_est(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "n_exact": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "n_est": batch["n_users_est"].cast(pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ex = batch["n_exact"].to_numpy(zero_copy_only=False)
+        es = batch["n_est"].to_numpy(zero_copy_only=False)
+        err = np.abs(es - ex)
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "n_exact": pa.array(ex, type=pa.int64()),
+                "n_est": pa.array(es, type=pa.int64()),
+                "abs_err": pa.array(err, type=pa.int64()),
+                "err_fp6": pa.array(
+                    err * 1_000_000 // ex, type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        exact.map_batches(tag_exact, batch_format="pyarrow")
+        .union(est.map_batches(tag_est, batch_format="pyarrow"))
+        .groupby("hour")
+        .aggregate(
+            Sum("n_exact", alias_name="n_exact"),
+            Sum("n_est", alias_name="n_est"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -514,3 +514,44 @@ class TestEmbeddingNormOutliers:
         rows = sim.embedding_norm_outliers(emb).take_all()
         assert [r["vec_id"] for r in rows] == [30]
         assert rows[0]["nsq"] == 0
+
+
+class TestHllErrorReport:
+    def test_error_within_sketch_bound(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        rows = sketch.hll_error_report(
+            _rd("events", ["ts", "user_id"])
+        ).take_all()
+        assert rows
+        for r in rows:
+            assert r["abs_err"] == abs(r["n_est"] - r["n_exact"])
+            # 12-bit HLL: 1.04/sqrt(4096) ~ 1.6%; allow 5x headroom
+            assert r["err_fp6"] <= 81_250
+
+
+class TestStreamInversions:
+    def test_handmade_orderings(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import relational as rel
+
+        # user 1: ts reversed vs arrival -> all C(3,2)=3 pairs invert
+        # user 2: in order -> 0; user 3: equal ts -> strict > never fires
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], type=pa.int64()),
+                    "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+                    "ts": pa.array(
+                        np.array([30, 20, 10, 1, 2, 5, 5], dtype=np.int64),
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        rows = {r["user_id"]: r for r in rel.stream_inversions(ev).take_all()}
+        assert rows[1]["n_inversions"] == 3 and rows[1]["inv_fp6"] == 1_000_000
+        assert rows[2]["n_inversions"] == 0
+        assert rows[3]["n_inversions"] == 0
