@@ -193,6 +193,7 @@ _R4_QUERIES: list[str] = [
     "embedding_norm_outliers",
     "hll_error_report",
     "stream_inversions",
+    "dedup_candidates_recall",
 ]
 
 
@@ -1071,6 +1072,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "dedup_candidates_recall": lambda sf: dedup.dedup_candidates_recall(
+            docs(sf, ["doc_id", "text"])
         ),
         "hll_error_report": lambda sf: sketch.hll_error_report(
             _read(sf, "events", ["ts", "user_id"])
@@ -5431,6 +5435,37 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
     """
+    # LSH candidate recall vs the exact Jaccard>=tau ground truth over
+    # exact-text reps — hashed-list intersections on the O(n^2) oracle
+    # side (the engine counts the same intersections per shared hash).
+    d["dedup_candidates_recall"] = (
+        _SHINGLES_CTE
+        + """,
+        xd AS (SELECT doc_id, list_distinct(xs) AS xh FROM xs),
+        tp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.xh, b.xh)) AS inter,
+                 len(a.xh) + len(b.xh) - len(list_intersect(a.xh, b.xh))
+                   AS uni
+          FROM xd a JOIN xd b ON a.doc_id < b.doc_id
+        ),
+        tr AS (
+          SELECT da, db FROM tp
+          WHERE inter > 0 AND inter * 1000000 >= 500000 * uni
+        )
+        SELECT CAST(500000 AS BIGINT) AS tau_fp6,
+               CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM tr
+                     JOIN cand ON da = doc_a AND db = doc_b) AS BIGINT)
+                 AS n_hit,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM tr) > 0
+                    THEN (SELECT COUNT(*) FROM tr
+                          JOIN cand ON da = doc_a AND db = doc_b)
+                         * 100000 // (SELECT COUNT(*) FROM tr)
+                    ELSE 0 END AS BIGINT) AS recall_fp5
+    """
+    )
     # HLL-vs-exact hourly distinct users error report: both replays as
     # subqueries, exact // relative error.
     d["hll_error_report"] = f"""

@@ -221,6 +221,7 @@ QUERY_SUITE = [
     "embedding_norm_outliers",
     "hll_error_report",
     "stream_inversions",
+    "dedup_candidates_recall",
 ]
 
 

@@ -1888,3 +1888,278 @@ def lsh_band_sweep(
         .aggregate(Sum("n_candidates", alias_name="n_candidates"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def dedup_candidates_recall(
+    ds: ray.data.Dataset, tau_fp6: int = 500_000
+) -> ray.data.Dataset:
+    """(tau_fp6, n_truth, n_candidates, n_hit, recall_fp5) — the text-
+    dedup acceptance gate ([[knn_recall_report]]'s twin): recall of the
+    [[minhash_candidates]] LSH pair set against the EXACT ground truth —
+    every pair of exact-text representatives with 3-gram-hash Jaccard
+    ≥ tau (cross-multiplied integer inequality, no float division).
+    Banding theory predicts the recall at a given tau; this measures it
+    on the actual corpus before a 10^12-doc dedup run commits to the
+    banding ([[lsh_band_sweep]] gives the cost side of the trade).
+
+    Scale shape: ground truth WITHOUT an all-pairs pass — intersections
+    count per shared DISTINCT shingle hash (the [[cross_source_dup_matrix]]
+    trick: ONE hash groupby emits in-bucket rep pairs), then per-doc
+    distinct-shingle sizes attach through two keyed tagged unions; LSH
+    candidates and truth meet in ONE pair-keyed union. Int rows on every
+    exchange; text rides nothing. Co-bucket pair volume is the same
+    quantity the LSH run itself pays — skew-capped by construction of
+    the 60-bit hash domain.
+
+    Oracle: the shared signature CTE's rep/shingle prefix + hashed-list
+    intersections over the O(n²) rep pair join (same answer, different
+    asymptotics)."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_m: list[str] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hs = {shingle_base_hash(s) for s in shingle_set(text)}
+            if not hs:
+                continue
+            md5 = _md5(text)
+            for h in hs:
+                out_h.append(h)
+                out_d.append(doc_id)
+                out_m.append(md5)
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "text_md5": pa.array(out_m, type=pa.string()),
+            }
+        )
+
+    PAIR = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64())]
+    )
+
+    def bucket_rep_pairs(group: pa.Table) -> pa.Table:
+        reps: dict[str, int] = {}
+        for doc_id, h in zip(
+            group["doc_id"].to_pylist(), group["text_md5"].to_pylist()
+        ):
+            if h not in reps or doc_id < reps[h]:
+                reps[h] = doc_id
+        ids = sorted(reps.values())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "inter": pa.array([1] * len(a), type=pa.int64()),
+            },
+            schema=PAIR,
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    inters = (
+        exploded.groupby("bh")
+        .map_groups(bucket_rep_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("inter", alias_name="inter"))
+    )
+
+    # Per-rep distinct-shingle sizes: (doc_id, size) — reps only (the
+    # exact-dup copies of a rep share its md5; min-doc wins per block,
+    # then globally via the min aggregate).
+    def size_rows(batch: pa.Table) -> pa.Table:
+        rows: dict[str, tuple[int, int]] = {}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hs = {shingle_base_hash(s) for s in shingle_set(text)}
+            if not hs:
+                continue
+            md5 = _md5(text)
+            if md5 not in rows or doc_id < rows[md5][0]:
+                rows[md5] = (doc_id, len(hs))
+        return pa.Table.from_pydict(
+            {
+                "text_md5": pa.array(list(rows), type=pa.string()),
+                "doc_id": pa.array(
+                    [v[0] for v in rows.values()], type=pa.int64()
+                ),
+                "size": pa.array(
+                    [v[1] for v in rows.values()], type=pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    sizes = (
+        ds.map_batches(size_rows, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Min("size", alias_name="size"))
+    )
+
+    # Attach size_a then size_b through keyed tagged unions on the doc id.
+    ATT = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("other", pa.int64()),
+            ("inter", pa.int64()),
+            ("size", pa.int64()),
+            ("kind", pa.int8()),
+        ]
+    )
+
+    def tag_pairs_on(col_key: str, col_other: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "key": batch[col_key].cast(pa.int64()),
+                    "other": batch[col_other].cast(pa.int64()),
+                    "inter": batch["inter"].cast(pa.int64()),
+                    "size": pa.array([0] * n, type=pa.int64()),
+                    "kind": pa.array([1] * n, type=pa.int8()),
+                },
+                schema=ATT,
+            )
+
+        return fn
+
+    def tag_sizes(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": batch["doc_id"].cast(pa.int64()),
+                "other": pa.array([0] * n, type=pa.int64()),
+                "inter": pa.array([0] * n, type=pa.int64()),
+                "size": batch["size"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
+            },
+            schema=ATT,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        srow = np.flatnonzero(kind == 0)
+        prow = np.flatnonzero(kind == 1)
+        if len(srow) == 0 or len(prow) == 0:
+            return pa.Table.from_pylist([], schema=ATT)
+        size = int(group["size"][int(srow[0])].as_py())
+        sel = group.take(prow)
+        return pa.Table.from_pydict(
+            {
+                "key": sel["other"],  # re-key on the OTHER endpoint
+                "other": sel["key"],
+                "inter": sel["inter"],
+                "size": pa.array(
+                    np.maximum(
+                        sel["size"].to_numpy(zero_copy_only=False), 0
+                    )
+                    + size,
+                    type=pa.int64(),
+                ),
+                "kind": pa.array([1] * sel.num_rows, type=pa.int8()),
+            },
+            schema=ATT,
+        )
+
+    # pass 1: key on doc_a, accumulate size_a (size carries the running
+    # sum); pass 2: key on doc_b (already re-keyed), add size_b.
+    pass1 = (
+        inters.map_batches(tag_pairs_on("doc_a", "doc_b"), batch_format="pyarrow")
+        .union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    pass2 = (
+        pass1.union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    # pass2 rows: key=doc_a (re-keyed back), other=doc_b, size=sa+sb.
+    def truth_rows(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False)
+        both = batch["size"].to_numpy(zero_copy_only=False)
+        union = both - inter
+        keep = inter * 1_000_000 >= tau_fp6 * union
+        t = batch.filter(pa.array(keep))
+        a = t["key"].to_numpy(zero_copy_only=False)
+        b = t["other"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(np.minimum(a, b), type=pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), type=pa.int64()),
+                "in_truth": pa.array(np.ones(len(a), dtype=np.int64)),
+                "in_lsh": pa.array(np.zeros(len(a), dtype=np.int64)),
+            }
+        )
+
+    truth = pass2.map_batches(truth_rows, batch_format="pyarrow")
+
+    def lsh_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
+                "in_truth": pa.array([0] * n, type=pa.int64()),
+                "in_lsh": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        truth.union(
+            minhash_candidates(ds).map_batches(
+                lsh_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("in_truth", alias_name="in_truth"),
+            Sum("in_lsh", alias_name="in_lsh"),
+        )
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch["in_truth"].to_numpy(zero_copy_only=False) > 0
+        l = batch["in_lsh"].to_numpy(zero_copy_only=False) > 0
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array([0], type=pa.int32()),
+                "n_truth": pa.array([int(t.sum())], type=pa.int64()),
+                "n_candidates": pa.array([int(l.sum())], type=pa.int64()),
+                "n_hit": pa.array([int((t & l).sum())], type=pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        nt = int(group["n_truth"].to_numpy(zero_copy_only=False).sum())
+        nc = int(group["n_candidates"].to_numpy(zero_copy_only=False).sum())
+        nh = int(group["n_hit"].to_numpy(zero_copy_only=False).sum())
+        return pa.Table.from_pydict(
+            {
+                "tau_fp6": pa.array([tau_fp6], type=pa.int64()),
+                "n_truth": pa.array([nt], type=pa.int64()),
+                "n_candidates": pa.array([nc], type=pa.int64()),
+                "n_hit": pa.array([nh], type=pa.int64()),
+                "recall_fp5": pa.array(
+                    [nh * 100_000 // nt if nt else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        merged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -555,3 +555,21 @@ class TestStreamInversions:
         assert rows[1]["n_inversions"] == 3 and rows[1]["inv_fp6"] == 1_000_000
         assert rows[2]["n_inversions"] == 0
         assert rows[3]["n_inversions"] == 0
+
+
+class TestDedupCandidatesRecall:
+    def test_planted_near_dups_recalled(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        row = dedup.dedup_candidates_recall(docs).take_all()[0]
+        assert row["tau_fp6"] == 500_000
+        assert 0 <= row["n_hit"] <= min(row["n_truth"], row["n_candidates"])
+        assert row["recall_fp5"] == (
+            row["n_hit"] * 100_000 // row["n_truth"] if row["n_truth"] else 0
+        )
+        # 16-perm/4-band LSH at J>=0.5: collision prob 1-(1-j^4)^4 >= 0.23;
+        # the planted near-dups sit far above tau, so recall is high.
+        assert row["n_truth"] > 0 and row["recall_fp5"] >= 50_000
