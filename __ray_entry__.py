@@ -194,6 +194,8 @@ _R4_QUERIES: list[str] = [
     "hll_error_report",
     "stream_inversions",
     "dedup_candidates_recall",
+    "pq_recall_report",
+    "sessionize_gap_sweep",
 ]
 
 
@@ -1072,6 +1074,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "pq_recall_report": lambda sf: similarity.pq_recall_report(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            head_ds=_read_embeddings_head(sf, 8),
+            pq_head_ds=_read_embeddings_head(sf, 16),
+        ),
+        "sessionize_gap_sweep": lambda sf: relational.sessionize_gap_sweep(
+            _read(sf, "events", ["user_id", "ts"])
         ),
         "dedup_candidates_recall": lambda sf: dedup.dedup_candidates_recall(
             docs(sf, ["doc_id", "text"])
@@ -5434,6 +5444,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Recall@10 of the PQ/ADC index vs exact kNN (the knn_recall_report
+    # composition with the PQ replay).
+    d["pq_recall_report"] = f"""
+        SELECT e.query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 100000 // 10 AS BIGINT) AS recall_fp5
+        FROM ({d['knn_cosine']}) e
+        LEFT JOIN ({d['knn_pq']}) i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY 1
+    """
+    # Sessionization gap sweep: session breaks are gaps STRICTLY above
+    # each threshold over per-user sorted times (NULL first-gap safe).
+    d["sessionize_gap_sweep"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        l AS (
+          SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+          FROM e
+        ),
+        cfg AS (SELECT unnest([15, 30, 60]) AS g),
+        s AS (
+          SELECT c.g, user_id,
+                 1 + SUM(CASE WHEN gap > CAST(c.g AS BIGINT) * 60000000
+                              THEN 1 ELSE 0 END) AS ns
+          FROM l, cfg c GROUP BY 1, 2
+        )
+        SELECT CAST(g AS BIGINT) AS gap_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ns) AS BIGINT) AS n_sessions
+        FROM s GROUP BY 1
     """
     # LSH candidate recall vs the exact Jaccard>=tau ground truth over
     # exact-text reps — hashed-list intersections on the O(n^2) oracle

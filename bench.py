@@ -222,6 +222,8 @@ QUERY_SUITE = [
     "hll_error_report",
     "stream_inversions",
     "dedup_candidates_recall",
+    "pq_recall_report",
+    "sessionize_gap_sweep",
 ]
 
 

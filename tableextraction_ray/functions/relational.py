@@ -7051,3 +7051,67 @@ def stream_inversions(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def sessionize_gap_sweep(
+    events: ray.data.Dataset, gaps_minutes: tuple[int, ...] = (15, 30, 60)
+) -> ray.data.Dataset:
+    """(gap_minutes, n_users, n_sessions) — sessionization parameter
+    sweep: total session count at each inactivity-gap threshold from ONE
+    pass over the sorted per-user event times (a session break is a gap
+    STRICTLY above the threshold; a single-event user is one session at
+    every threshold). The tuning artifact behind [[sessionize]]'s fixed
+    gap — the knee of this curve is where the chosen threshold stops
+    mattering, the [[lsh_band_sweep]] pattern applied to stream
+    windowing.
+
+    Scale shape: ONE keyed user groupby; the per-group sweep is a sort +
+    one vectorized diff evaluated against every threshold; ≤|gaps| int
+    rows per user ride the tiny final sum."""
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "t": batch["ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("gap_minutes", pa.int64()),
+            ("n_users", pa.int64()),
+            ("n_sessions", pa.int64()),
+        ]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        t = np.sort(group["t"].to_numpy(zero_copy_only=False))
+        d = np.diff(t)
+        return pa.Table.from_pydict(
+            {
+                "gap_minutes": pa.array(list(gaps_minutes), type=pa.int64()),
+                "n_users": pa.array([1] * len(gaps_minutes), type=pa.int64()),
+                "n_sessions": pa.array(
+                    [
+                        1 + int((d > g * 60_000_000).sum())
+                        for g in gaps_minutes
+                    ],
+                    type=pa.int64(),
+                ),
+            },
+            schema=OUT,
+        )
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("gap_minutes")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_sessions", alias_name="n_sessions"),
+        )
+    )

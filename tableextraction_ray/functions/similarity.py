@@ -1484,10 +1484,35 @@ def knn_recall_report(
 
     Oracle: the knn_ivf and knn_cosine replays as subqueries, LEFT JOIN
     membership, integer // recall."""
-    from ray.data.aggregate import Sum
-
     exact = knn_bruteforce(ds, n_queries=n_queries, k=k, head_ds=head_ds)
     approx = ivf_knn(ds, n_queries=n_queries, k=k, head_ds=ivf_head_ds)
+    return _topk_recall(exact, approx, k)
+
+
+def pq_recall_report(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    head_ds: ray.data.Dataset | None = None,
+    pq_head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, k, n_hit, recall_fp5) — [[knn_recall_report]]'s PQ/ADC
+    twin: recall@k of the [[knn_pq]] product-quantized index against the
+    exact cosine ground truth. Together the two reports cover both
+    approximate index families the engine serves; the same tagged-union
+    machinery ([[_topk_recall]]) computes the intersection."""
+    exact = knn_bruteforce(ds, n_queries=n_queries, k=k, head_ds=head_ds)
+    approx = pq_topk(ds, n_queries=n_queries, k=k, head_ds=pq_head_ds)
+    return _topk_recall(exact, approx, k)
+
+
+def _topk_recall(
+    exact: ray.data.Dataset, approx: ray.data.Dataset, k: int
+) -> ray.data.Dataset:
+    """Shared recall@k machinery: both (query_id, vec_id, ...) top-k
+    lists ride ONE tagged union keyed by (query_id, vec_id), then ONE
+    tiny query_id sum — int rows only, no full-data pass."""
+    from ray.data.aggregate import Sum
 
     def tag(flag_e: int, flag_i: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -573,3 +573,44 @@ class TestDedupCandidatesRecall:
         # 16-perm/4-band LSH at J>=0.5: collision prob 1-(1-j^4)^4 >= 0.23;
         # the planted near-dups sit far above tau, so recall is high.
         assert row["n_truth"] > 0 and row["recall_fp5"] >= 50_000
+
+
+class TestPqRecallReport:
+    def test_bounds_and_arithmetic(self, ray_session):
+        from tableextraction_ray.functions import similarity as sim
+
+        emb = ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        rows = sim.pq_recall_report(emb).take_all()
+        assert len(rows) == 8
+        for r in rows:
+            assert 0 <= r["n_hit"] <= r["k"] == 10
+            assert r["recall_fp5"] == r["n_hit"] * 100_000 // 10
+
+
+class TestSessionizeGapSweep:
+    def test_monotone_in_gap_and_handmade_counts(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import relational as rel
+
+        MIN = 60_000_000
+        # user 1: gaps of 20min and 45min -> 3/2/1 sessions at 15/30/60
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                    "ts": pa.array(
+                        np.array([0, 20 * MIN, 65 * MIN], dtype=np.int64),
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        rows = {
+            r["gap_minutes"]: r["n_sessions"]
+            for r in rel.sessionize_gap_sweep(ev).take_all()
+        }
+        assert rows == {15: 3, 30: 2, 60: 1}
