@@ -196,6 +196,8 @@ _R4_QUERIES: list[str] = [
     "dedup_candidates_recall",
     "pq_recall_report",
     "sessionize_gap_sweep",
+    "simhash_nearest",
+    "mixture_token_plan",
 ]
 
 
@@ -1074,6 +1076,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "simhash_nearest": lambda sf: dedup.simhash_nearest(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "mixture_token_plan": lambda sf: selection.mixture_token_plan(
+            docs(sf, ["source", "text"])
         ),
         "pq_recall_report": lambda sf: similarity.pq_recall_report(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -5444,6 +5452,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Per-rep distance to the nearest in-ball SimHash neighbor (the
+    # pairs replay exploded both directions, MIN per doc).
+    d["simhash_nearest"] = f"""
+        WITH p AS ({d['dedup_simhash_pairs']}),
+        both_dirs AS (
+          SELECT doc_a AS doc_id, hamming FROM p
+          UNION ALL
+          SELECT doc_b AS doc_id, hamming FROM p
+        )
+        SELECT doc_id, CAST(MIN(hamming) AS BIGINT) AS nearest_hamming
+        FROM both_dirs GROUP BY 1
+    """
+    # Uniform-quota token mixture plan: per-source token counts + pure
+    # integer quota/rate/epoch arithmetic (target = half the corpus).
+    d["mixture_token_plan"] = r"""
+        WITH t AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+')))
+                      AS BIGINT) AS n
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS ns FROM t)
+        SELECT source,
+               n AS n_tokens,
+               CAST((total // 2) // ns AS BIGINT) AS quota_tokens,
+               CAST(LEAST(1000000,
+                          ((total // 2) // ns) * 1000000 // n) AS BIGINT)
+                 AS rate_fp6,
+               CAST(((total // 2) // ns) * 1000 // n AS BIGINT)
+                 AS epochs_fp3
+        FROM t, tot
     """
     # Recall@10 of the PQ/ADC index vs exact kNN (the knn_recall_report
     # composition with the PQ replay).

@@ -224,6 +224,8 @@ QUERY_SUITE = [
     "dedup_candidates_recall",
     "pq_recall_report",
     "sessionize_gap_sweep",
+    "simhash_nearest",
+    "mixture_token_plan",
 ]
 
 

@@ -2163,3 +2163,40 @@ def dedup_candidates_recall(
         .groupby("g")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def simhash_nearest(
+    ds: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, nearest_hamming) — per-representative distance to the
+    nearest OTHER fingerprint within the SimHash Hamming ball: the
+    margin diagnostic behind a [[simhash_near_dup]] threshold choice
+    (documents at distance exactly ``max_hamming`` are one bit flip from
+    dropping out — a cluster of them means the threshold sits on a
+    density ridge and should move). Representatives with no neighbor
+    inside the ball are omitted (both sides agree).
+
+    Scale shape: the pigeonhole pair set rides once; each pair explodes
+    to its two directed rows and ONE keyed doc groupby takes the min."""
+    from ray.data.aggregate import Min
+
+    pairs = simhash_near_dup(ds, max_hamming=max_hamming)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        h = batch["hamming"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "nearest_hamming": pa.array(
+                    np.concatenate([h, h]), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("nearest_hamming", alias_name="nearest_hamming"))
+    )

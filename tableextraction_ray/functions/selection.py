@@ -428,3 +428,72 @@ def length_token_corr(documents: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def mixture_token_plan(
+    ds: ray.data.Dataset, target_tokens: int | None = None
+) -> ray.data.Dataset:
+    """(source, n_tokens, quota_tokens, rate_fp6, epochs_fp3) — the
+    token-budget mixture plan a pretraining run derives before sampling:
+    under a uniform per-source quota of ``target_tokens`` (default: half
+    the corpus), each source's sampling rate (capped at 1.0 — an
+    under-quota source can't be sampled above itself; the residual
+    surfaces as epochs > 1.0 meaning REPETITION, the DoReMi/epoch-
+    weighting decision point). Pure integer arithmetic throughout
+    (non-negative, so ``//`` floors identically in SQL).
+
+    Scale shape: per-block (source, n_tokens) combine, ONE keyed source
+    sum, O(#sources) driver fold — the [[dsir_weights]] shape without
+    the importance model."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n_tokens": pa.array(
+                    [len(ascii_tokens(t)) for t in batch["text"].to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by(["source"]).aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["source", "n_tokens"])
+
+    rows = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .take_all()
+    )
+    total = sum(r["n_tokens"] for r in rows)
+    ns = len(rows)
+    tgt = total // 2 if target_tokens is None else target_tokens
+    quota = tgt // ns if ns else 0
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [r["source"] for r in rows], type=pa.string()
+                ),
+                "n_tokens": pa.array(
+                    [r["n_tokens"] for r in rows], type=pa.int64()
+                ),
+                "quota_tokens": pa.array([quota] * ns, type=pa.int64()),
+                "rate_fp6": pa.array(
+                    [
+                        min(1_000_000, quota * 1_000_000 // r["n_tokens"])
+                        for r in rows
+                    ],
+                    type=pa.int64(),
+                ),
+                "epochs_fp3": pa.array(
+                    [quota * 1_000 // r["n_tokens"] for r in rows],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

@@ -614,3 +614,40 @@ class TestSessionizeGapSweep:
             for r in rel.sessionize_gap_sweep(ev).take_all()
         }
         assert rows == {15: 3, 30: 2, 60: 1}
+
+
+class TestSimhashNearest:
+    def test_min_over_pair_set(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = dedup.simhash_near_dup(docs).take_all()
+        expect: dict = {}
+        for p in pairs:
+            for d in (p["doc_a"], p["doc_b"]):
+                expect[d] = min(expect.get(d, 99), p["hamming"])
+        got = {
+            r["doc_id"]: r["nearest_hamming"]
+            for r in dedup.simhash_nearest(docs).take_all()
+        }
+        assert got == expect and len(got) > 0
+
+
+class TestMixtureTokenPlan:
+    def test_quota_and_cap_arithmetic(self, ray_session):
+        from tableextraction_ray.functions import selection
+
+        rows = selection.mixture_token_plan(
+            _rd("documents", ["source", "text"])
+        ).take_all()
+        assert len(rows) == 20
+        total = sum(r["n_tokens"] for r in rows)
+        quota = (total // 2) // 20
+        for r in rows:
+            assert r["quota_tokens"] == quota
+            assert r["rate_fp6"] == min(
+                1_000_000, quota * 1_000_000 // r["n_tokens"]
+            )
+            assert r["epochs_fp3"] == quota * 1_000 // r["n_tokens"]
