@@ -1944,23 +1944,21 @@ def dedup_candidates_recall(
     )
 
     def bucket_rep_pairs(group: pa.Table) -> pa.Table:
-        reps: dict[str, int] = {}
-        for doc_id, h in zip(
-            group["doc_id"].to_pylist(), group["text_md5"].to_pylist()
-        ):
-            if h not in reps or doc_id < reps[h]:
-                reps[h] = doc_id
-        ids = sorted(reps.values())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        # vectorized in-bucket rep collapse (min doc per md5) + pair
+        # expansion: co-shingle buckets are df-sized (hundreds of docs on
+        # a vocabulary-bounded corpus), so Python pair loops dominate —
+        # the basket_pairs de-Python lesson applied here.
+        md5s = group["text_md5"].to_numpy(zero_copy_only=False)
+        docs_np = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs_np, md5s))
+        _, first = np.unique(md5s[order], return_index=True)
+        ids = np.sort(docs_np[order][first])
+        i, j = np.triu_indices(len(ids), k=1)
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(a, type=pa.int64()),
-                "doc_b": pa.array(b, type=pa.int64()),
-                "inter": pa.array([1] * len(a), type=pa.int64()),
+                "doc_a": pa.array(ids[i], type=pa.int64()),
+                "doc_b": pa.array(ids[j], type=pa.int64()),
+                "inter": pa.array(np.ones(len(i), dtype=np.int64)),
             },
             schema=PAIR,
         )
