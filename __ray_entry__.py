@@ -198,6 +198,8 @@ _R4_QUERIES: list[str] = [
     "sessionize_gap_sweep",
     "simhash_nearest",
     "mixture_token_plan",
+    "important_parts",
+    "promo_part_suppliers",
 ]
 
 
@@ -1076,6 +1078,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "important_parts": lambda sf: relational.important_parts(
+            _read(
+                sf,
+                "lineitem",
+                ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+            ),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            supplier_count=_parquet_count(sf, "supplier"),
+        ),
+        "promo_part_suppliers": lambda sf: relational.promo_part_suppliers(
+            _read(
+                sf,
+                "lineitem",
+                ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"],
+            ),
+            _read(sf, "part", ["p_partkey", "p_name"]),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+            part_count=_parquet_count(sf, "part"),
+            supplier_count=_parquet_count(sf, "supplier"),
         ),
         "simhash_nearest": lambda sf: dedup.simhash_nearest(
             docs(sf, ["doc_id", "text"])
@@ -5452,6 +5474,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # TPC-H Q11 shape: parts whose nation-supplied value exceeds a ppm
+    # fraction of the nation total (cross-multiplied integer HAVING).
+    d["important_parts"] = """
+        WITH v AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS value_cc
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey = 3
+          GROUP BY 1
+        ),
+        t AS (SELECT SUM(value_cc) AS total FROM v)
+        SELECT v.p_partkey, v.value_cc, CAST(t.total AS BIGINT) AS total_cc
+        FROM v, t
+        WHERE v.value_cc * 1000000 > 1000 * t.total
+    """
+    # TPC-H Q20 shape: suppliers moving > min_qty of any 'red' part in
+    # the ship-year window (shipped qty stands in for availqty).
+    d["promo_part_suppliers"] = """
+        WITH red AS (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+        ),
+        sp AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS qty
+          FROM lineitem JOIN red ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(qty) AS BIGINT) AS sum_qty
+          FROM sp WHERE qty > 50 GROUP BY 1
+        )
+        SELECT w.s_suppkey, s.s_name, w.n_parts, w.sum_qty
+        FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
     """
     # Per-rep distance to the nearest in-ball SimHash neighbor (the
     # pairs replay exploded both directions, MIN per doc).

@@ -226,6 +226,8 @@ QUERY_SUITE = [
     "sessionize_gap_sweep",
     "simhash_nearest",
     "mixture_token_plan",
+    "important_parts",
+    "promo_part_suppliers",
 ]
 
 

@@ -7115,3 +7115,271 @@ def sessionize_gap_sweep(
             Sum("n_sessions", alias_name="n_sessions"),
         )
     )
+
+
+def important_parts(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation_key: int = 3,
+    fraction_ppm: int = 1_000,
+    broadcast_limit: int = 2_000_000,
+    supplier_count: int | None = None,
+) -> ray.data.Dataset:
+    """(p_partkey, value_cc, total_cc) — the TPC-H Q11 shape (partsupp's
+    availqty·supplycost stands in as shipped lineitem value): among
+    lines supplied by nation ``nation_key``'s suppliers, the parts whose
+    total value exceeds ``fraction_ppm`` parts-per-million of the
+    nation's total, by the exact cross-multiplied integer inequality
+    ``value · 10⁶ > fraction_ppm · total`` (the HAVING-sum-over-
+    sum-subquery collapsed into one broadcast scalar — no second pass).
+
+    Shape: ONE guarded supplier-nation attach; per-block partkey
+    pre-combine; ONE keyed partkey sum; the grand total folds from the
+    same partials as an O(#blocks) driver scalar and broadcasts into
+    the final filter map."""
+    if supplier_count is None:
+        supplier_count = supplier.count()
+
+    def li_fact(batch: pa.Table) -> pa.Table:
+        price_c = np.asarray(_cents(batch["l_extendedprice"]))
+        disc_pct = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "p_partkey": batch["l_partkey"].cast(pa.int64()),
+                "value_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+
+    facts = lineitem.select_columns(
+        ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_fact, batch_format="pyarrow")
+
+    # nation filter via the guarded attach (inner-join semantics drop
+    # other nations' suppliers)
+    def nation_dim(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nationkey"].cast(pa.int64()), nation_key)
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "one": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    tagged = keyed_attach_int(
+        facts,
+        supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+            nation_dim, batch_format="pyarrow"
+        ),
+        key="s_suppkey",
+        val="one",
+        payload=("p_partkey", "value_cc"),
+        broadcast_limit=broadcast_limit,
+        dim_count=supplier_count,
+    )
+
+    def part_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "p_partkey": batch["p_partkey"].cast(pa.int64()),
+                "value_cc": batch["value_cc"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["p_partkey"]).aggregate([("value_cc", "sum")])
+        return g.rename_columns(["p_partkey", "value_cc"])
+
+    per_part = (
+        tagged.map_batches(part_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_cc", alias_name="value_cc"))
+    )
+
+    # grand total: O(#blocks) 1-row partials folded on the driver
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "t": pa.array(
+                    [int(batch["value_cc"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    total = sum(
+        r["t"]
+        for r in per_part.map_batches(
+            total_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+
+    def keep_important(batch: pa.Table) -> pa.Table:
+        v = batch["value_cc"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(v * 1_000_000 > fraction_ppm * total))
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "value_cc": t["value_cc"].cast(pa.int64()),
+                "total_cc": pa.array([total] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    return per_part.map_batches(keep_important, batch_format="pyarrow")
+
+
+def promo_part_suppliers(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    name_token: str = "red",
+    year: int = 1996,
+    min_qty: int = 50,
+    broadcast_limit: int = 2_000_000,
+    part_count: int | None = None,
+    supplier_count: int | None = None,
+) -> ray.data.Dataset:
+    """(s_suppkey, s_name, n_parts, sum_qty) — the TPC-H Q20 shape
+    (shipped quantity stands in for availqty): suppliers who moved more
+    than ``min_qty`` units of ANY ``name_token``-matching part inside
+    the ship-year window, with how many such parts and the total
+    quantity — the candidate list for a part-promotion contract.
+
+    Shape: the name-filtered part dim attaches first (inner join IS the
+    filter), per-(supp, part) qty pre-combine, ONE keyed sum, an
+    in-block HAVING filter, per-supplier combine, and the supplier-name
+    attach STREAMS supplier against the tiny qualifying set (no name
+    broadcast). Exactly one wide exchange carries int rows."""
+    from datetime import datetime
+
+    if part_count is None:
+        part_count = part.count()
+    if supplier_count is None:
+        supplier_count = supplier.count()
+
+    lo_us = (
+        int((datetime(year, 1, 1) - datetime(1970, 1, 1)).total_seconds())
+        * 1_000_000
+    )
+    hi_us = (
+        int((datetime(year + 1, 1, 1) - datetime(1970, 1, 1)).total_seconds())
+        * 1_000_000
+    )
+
+    def li_fact(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch["l_shipdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (ship >= lo_us) & (ship < hi_us)
+        t = batch.filter(pa.array(keep))
+        qty = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        out = pa.Table.from_pydict(
+            {
+                "p_partkey": t["l_partkey"].cast(pa.int64()),
+                "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                "qty": pa.array(qty, type=pa.int64()),
+            }
+        )
+        g = out.group_by(["p_partkey", "s_suppkey"]).aggregate(
+            [("qty", "sum")]
+        )
+        return g.rename_columns(["p_partkey", "s_suppkey", "qty"])
+
+    facts = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"]
+    ).map_batches(li_fact, batch_format="pyarrow")
+
+    def part_dim(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch["p_name"], name_token)
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "one": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    tagged = keyed_attach_int(
+        facts,
+        part.select_columns(["p_partkey", "p_name"]).map_batches(
+            part_dim, batch_format="pyarrow"
+        ),
+        key="p_partkey",
+        val="one",
+        payload=("s_suppkey", "qty"),
+        broadcast_limit=broadcast_limit,
+        dim_count=part_count,
+    )
+
+    per_sp = (
+        tagged.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "p_partkey": b["p_partkey"],
+                    "s_suppkey": b["s_suppkey"],
+                    "qty": b["qty"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Sum("qty", alias_name="qty"))
+    )
+
+    def qualify_partial(batch: pa.Table) -> pa.Table:
+        q = batch["qty"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(q > min_qty))
+        out = pa.Table.from_pydict(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "n_parts": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_qty": t["qty"].cast(pa.int64()),
+            }
+        )
+        g = out.group_by(["s_suppkey"]).aggregate(
+            [("n_parts", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(["s_suppkey", "n_parts", "sum_qty"])
+
+    winners = (
+        per_sp.map_batches(qualify_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("sum_qty", alias_name="sum_qty"),
+        )
+    )
+
+    # name attach: STREAM supplier against the tiny winner set
+    wset_rows = winners.take_all()
+    wmap = {
+        r["s_suppkey"]: (r["n_parts"], r["sum_qty"]) for r in wset_rows
+    }
+    wref = ray.put(wmap)
+
+    def name_rows(batch: pa.Table) -> pa.Table:
+        wm = ray.get(wref)
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([int(k) in wm for k in keys])
+        t = batch.filter(pa.array(keep))
+        ks = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(ks, type=pa.int64()),
+                "s_name": t["s_name"].cast(pa.string()),
+                "n_parts": pa.array(
+                    [wm[int(k)][0] for k in ks], type=pa.int64()
+                ),
+                "sum_qty": pa.array(
+                    [wm[int(k)][1] for k in ks], type=pa.int64()
+                ),
+            }
+        )
+
+    return supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
+        name_rows, batch_format="pyarrow"
+    )

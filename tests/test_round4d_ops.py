@@ -651,3 +651,57 @@ class TestMixtureTokenPlan:
                 1_000_000, quota * 1_000_000 // r["n_tokens"]
             )
             assert r["epochs_fp3"] == quota * 1_000 // r["n_tokens"]
+
+
+class TestImportantParts:
+    def test_threshold_and_fallback(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        def run(limit):
+            return sorted(
+                (r["p_partkey"], r["value_cc"], r["total_cc"])
+                for r in rel.important_parts(
+                    _rd(
+                        "lineitem",
+                        ["l_suppkey", "l_partkey", "l_extendedprice",
+                         "l_discount"],
+                    ),
+                    _rd("supplier", ["s_suppkey", "s_nationkey"]),
+                    broadcast_limit=limit,
+                ).take_all()
+            )
+
+        a, b = run(2_000_000), run(0)
+        assert a == b and len(a) > 0
+        for _, v, t in a:
+            assert v * 1_000_000 > 1_000 * t
+
+    def test_absent_nation_yields_empty(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        rows = rel.important_parts(
+            _rd(
+                "lineitem",
+                ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+            ),
+            _rd("supplier", ["s_suppkey", "s_nationkey"]),
+            nation_key=7,  # no nation-7 supplier at sf0.001
+        ).take_all()
+        assert rows == []
+
+
+class TestPromoPartSuppliers:
+    def test_qualifiers_exceed_threshold(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        rows = rel.promo_part_suppliers(
+            _rd(
+                "lineitem",
+                ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"],
+            ),
+            _rd("part", ["p_partkey", "p_name"]),
+            _rd("supplier", ["s_suppkey", "s_name"]),
+        ).take_all()
+        assert rows
+        for r in rows:
+            assert r["n_parts"] >= 1 and r["sum_qty"] > 50 * 0 + r["n_parts"] * 50
