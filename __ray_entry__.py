@@ -200,6 +200,8 @@ _R4_QUERIES: list[str] = [
     "mixture_token_plan",
     "important_parts",
     "promo_part_suppliers",
+    "winnow_density_check",
+    "media_dhash_pairs",
 ]
 
 
@@ -1078,6 +1080,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "winnow_density_check": lambda sf: dedup.winnow_density_check(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "media_dhash_pairs": lambda sf: multimodal.media_dhash_pairs(
+            media(sf)
         ),
         "important_parts": lambda sf: relational.important_parts(
             _read(
@@ -5474,6 +5482,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Winnowing density-guarantee audit over the selector replay.
+    d["winnow_density_check"] = f"""
+        WITH wf AS ({d['winnow_fingerprints']}),
+        g AS (
+          SELECT doc_id,
+                 pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS gap
+          FROM wf
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fp,
+               CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+               COALESCE(MAX(gap), 0) <= 4 AS gap_ok
+        FROM g GROUP BY 1
     """
     # TPC-H Q11 shape: parts whose nation-supplied value exceeds a ppm
     # fraction of the nation total (cross-multiplied integer HAVING).

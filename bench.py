@@ -228,6 +228,8 @@ QUERY_SUITE = [
     "mixture_token_plan",
     "important_parts",
     "promo_part_suppliers",
+    "winnow_density_check",
+    "media_dhash_pairs",
 ]
 
 

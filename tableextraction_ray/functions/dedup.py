@@ -2198,3 +2198,47 @@ def simhash_nearest(
         .groupby("doc_id")
         .aggregate(Min("nearest_hamming", alias_name="nearest_hamming"))
     )
+
+
+def winnow_density_check(
+    ds: ray.data.Dataset, k: int = 5, w: int = 4
+) -> ray.data.Dataset:
+    """(doc_id, n_fp, max_gap, gap_ok) — fingerprinting guarantee audit:
+    winnowing promises every window of ``w`` consecutive k-gram
+    positions contains a selected fingerprint, i.e. consecutive selected
+    positions never differ by more than ``w``. A violation means the
+    selection rule (or a port of it) is broken — the eval-family gate
+    for [[winnow_fingerprints]] ([[span_integrity]]'s cousin for the
+    fingerprint stream). Runs the real selector and audits its output;
+    on a correct implementation every row has gap_ok = true (the audit
+    is the point — it runs after any selector change).
+
+    Scale shape: the selector's per-doc map output rides ONE keyed doc
+    groupby; the per-group audit is a sort + diff."""
+    fp = winnow_fingerprints(ds, k=k, w=w)
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_fp", pa.int64()),
+            ("max_gap", pa.int64()),
+            ("gap_ok", pa.bool_()),
+        ]
+    )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        pos = np.sort(group["pos"].to_numpy(zero_copy_only=False))
+        gap = int(np.diff(pos).max()) if len(pos) >= 2 else 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    [group["doc_id"][0].as_py()], type=pa.int64()
+                ),
+                "n_fp": pa.array([len(pos)], type=pa.int64()),
+                "max_gap": pa.array([gap], type=pa.int64()),
+                "gap_ok": pa.array([gap <= w], type=pa.bool_()),
+            },
+            schema=OUT,
+        )
+
+    return fp.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")

@@ -412,3 +412,144 @@ def media_payload_size_hist(media_ds: ray.data.Dataset) -> ray.data.Dataset:
             Sum("sum_bytes", alias_name="sum_bytes"),
         )
     )
+
+
+def _dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash: integer block means on a 9×8 grid (exact
+    ``sum // count`` arithmetic — no float resize), bit j set where the
+    right cell's mean exceeds the left's. Deterministic for any decoder
+    producing the same pixels."""
+    h_edges = (np.arange(9) * gray.shape[0]) // 8
+    w_edges = (np.arange(10) * gray.shape[1]) // 9
+    cells = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        rows = gray[h_edges[r] : max(h_edges[r + 1], h_edges[r] + 1)]
+        for c in range(9):
+            block = rows[:, w_edges[c] : max(w_edges[c + 1], w_edges[c] + 1)]
+            cells[r, c] = int(block.sum()) // block.size
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def media_dhash_pairs(
+    media_ds: ray.data.Dataset, max_hamming: int = 7
+) -> ray.data.Dataset:
+    """(ref_a, ref_b, hamming) — PERCEPTUAL media near-duplication: the
+    64-bit dHash of each payload's decoded grayscale (the real pure-
+    NumPy PNG decode path — no stubbed pixel math), paired by the
+    [[simhash_near_dup]] pigeonhole discipline (``max_hamming + 1``
+    disjoint bands; any in-ball pair agrees on a whole band, so the
+    keyed band groupby is a lossless candidate generator). Catches
+    re-encoded / lightly-retouched images that byte-exact
+    [[media_content_dedup]] misses. Identical hashes collapse to their
+    lexicographically-smallest ref first (the skew guard).
+
+    Pixel decode is not SQL-expressible — rows-only check (the
+    [[media_stats]] precedent), pinned by an encode→decode pytest
+    fixture.
+
+    Scale shape: payloads hash inside the scan batch and drop; band
+    rows are (int key, ref) — ONE keyed groupby; pairs emit from their
+    first agreeing band only (no distinct-pairs all-to-all)."""
+    from ray.data.aggregate import Min
+
+    from .. import png
+
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError("max_hamming + 1 must divide 64 (e.g. 3, 7, 15)")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        refs, hashes = [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                gray = png.decode_gray(payload)
+            except Exception:
+                continue  # skip-corrupt (ingest_files on_error precedent)
+            if gray.size == 0:
+                continue
+            refs.append(ref)
+            hashes.append(_dhash64(gray))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "dhash": pa.array(
+                    np.asarray(hashes, dtype=np.uint64).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    reps = (
+        media_ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("dhash")
+        .aggregate(Min("media_ref", alias_name="media_ref"))
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        fp = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        refs = batch["media_ref"].to_numpy(zero_copy_only=False)
+        keys, out_refs, out_fp = [], [], []
+        for j in range(n_bands):
+            val = (fp >> np.uint64(j * width)) & np.uint64(mask)
+            keys.extend((np.int64(j) << np.int64(48)) | val.astype(np.int64))
+            out_refs.extend(refs)
+            out_fp.extend(fp.astype(np.int64))
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "media_ref": pa.array(out_refs, type=pa.string()),
+                "dhash": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [("ref_a", pa.string()), ("ref_b", pa.string()), ("hamming", pa.int64())]
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        refs = group["media_ref"].to_pylist()
+        fps = group["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = int(group["key"][0].as_py()) >> 48
+        a_out, b_out, h_out = [], [], []
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                x = int(fps[i] ^ fps[j])
+                ham = bin(x).count("1")
+                if ham > max_hamming:
+                    continue
+                # emit only from the FIRST agreeing band (pair dedup
+                # decided locally from the two fingerprints in hand)
+                first = next(
+                    b
+                    for b in range(n_bands)
+                    if (x >> (b * width)) & mask == 0
+                )
+                if first != band:
+                    continue
+                ra, rb = sorted((refs[i], refs[j]))
+                a_out.append(ra)
+                b_out.append(rb)
+                h_out.append(ham)
+        return pa.Table.from_pydict(
+            {
+                "ref_a": pa.array(a_out, type=pa.string()),
+                "ref_b": pa.array(b_out, type=pa.string()),
+                "hamming": pa.array(h_out, type=pa.int64()),
+            },
+            schema=OUT,
+        )
+
+    return (
+        reps.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )

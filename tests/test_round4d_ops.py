@@ -705,3 +705,56 @@ class TestPromoPartSuppliers:
         assert rows
         for r in rows:
             assert r["n_parts"] >= 1 and r["sum_qty"] > 50 * 0 + r["n_parts"] * 50
+
+
+class TestWinnowDensityCheck:
+    def test_guarantee_holds_on_corpus(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        rows = dedup.winnow_density_check(
+            _rd("documents", ["doc_id", "text"])
+        ).take_all()
+        assert len(rows) == 500
+        assert all(r["gap_ok"] for r in rows)
+        assert all(r["max_gap"] <= 4 for r in rows)
+
+
+class TestMediaDhashPairs:
+    def test_encode_decode_near_dup_detected(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableextraction_ray import png
+        from tableextraction_ray.functions import multimodal as mm
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, size=(64, 72), dtype=np.uint8)
+        # near-dup: brighten one corner slightly (few dHash bits flip);
+        # far image: independent noise
+        near = base.copy()
+        near[:8, :8] = 255      # saturate grid cell (0,0)
+        near[:8, 8:16] = 0      # zero cell (0,1) -> flips bit(0,1)
+        near[56:, 64:] = 255    # saturate cell (7,8)
+        far = rng.integers(0, 256, size=(64, 72), dtype=np.uint8)
+        media = ray.data.from_arrow(
+            pa.table(
+                {
+                    "media_ref": pa.array(["a.png", "b.png", "z.png"]),
+                    "payload": pa.array(
+                        [
+                            png.encode_gray(base),
+                            png.encode_gray(near),
+                            png.encode_gray(far),
+                        ],
+                        type=pa.large_binary(),
+                    ),
+                }
+            )
+        )
+        pairs = {
+            (r["ref_a"], r["ref_b"]): r["hamming"]
+            for r in mm.media_dhash_pairs(media).take_all()
+        }
+        assert ("a.png", "b.png") in pairs
+        assert pairs[("a.png", "b.png")] <= 7
+        assert ("a.png", "z.png") not in pairs
