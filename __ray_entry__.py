@@ -202,6 +202,8 @@ _R4_QUERIES: list[str] = [
     "promo_part_suppliers",
     "winnow_density_check",
     "media_dhash_pairs",
+    "quantile_sketch_error",
+    "cms_error_report",
 ]
 
 
@@ -1080,6 +1082,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "quantile_sketch_error": lambda sf: sketch.quantile_sketch_error(
+            _read(sf, "events", ["ts", "value"])
+        ),
+        "cms_error_report": lambda sf: sketch.cms_error_report(
+            docs(sf, ["text"])
         ),
         "winnow_density_check": lambda sf: dedup.winnow_density_check(
             docs(sf, ["doc_id", "text"])
@@ -5482,6 +5490,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Histogram-quantile sketch error vs the exact percentiles (bin
+    # width 100 cents; contract: 0 <= err < bin).
+    d["quantile_sketch_error"] = f"""
+        SELECT e.hour,
+               CAST(s.p50_est_c - e.p50_c AS BIGINT) AS p50_err_c,
+               CAST(s.p95_est_c - e.p95_c AS BIGINT) AS p95_err_c,
+               CAST(s.p99_est_c - e.p99_c AS BIGINT) AS p99_err_c,
+               (s.p50_est_c - e.p50_c BETWEEN 0 AND 99)
+               AND (s.p95_est_c - e.p95_c BETWEEN 0 AND 99)
+               AND (s.p99_est_c - e.p99_c BETWEEN 0 AND 99)
+                 AS within_bound
+        FROM ({d['events_hourly_percentiles']}) e
+        JOIN ({d['events_hourly_quantiles_sketch']}) s USING (hour)
+    """
+    # CMS survivor overcount vs exact counts (est >= true always).
+    d["cms_error_report"] = rf"""
+        WITH hh AS ({d['cms_heavy_hitters']}),
+        toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        ex AS (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM toks JOIN hh ON t = hh.token GROUP BY 1
+        )
+        SELECT hh.token,
+               CAST(hh.est_count AS BIGINT) AS est_count,
+               ex.true_count,
+               CAST(hh.est_count - ex.true_count AS BIGINT) AS overcount
+        FROM hh JOIN ex USING (token)
     """
     # Winnowing density-guarantee audit over the selector replay.
     d["winnow_density_check"] = f"""

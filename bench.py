@@ -230,6 +230,8 @@ QUERY_SUITE = [
     "promo_part_suppliers",
     "winnow_density_check",
     "media_dhash_pairs",
+    "quantile_sketch_error",
+    "cms_error_report",
 ]
 
 

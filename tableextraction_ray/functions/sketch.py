@@ -493,3 +493,146 @@ def hll_error_report(events: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def quantile_sketch_error(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(hour, p50_err_c, p95_err_c, p99_err_c, within_bound) — sketch
+    acceptance gate for the histogram quantiles: per hour, the estimate
+    minus the exact percentile at each rank. The histogram contract
+    guarantees 0 ≤ err < bin width; within_bound asserts it — the
+    [[hll_error_report]] pattern for the quantile family.
+
+    Scale shape: both sides are per-hour aggregates meeting in ONE
+    tagged union + hour groupby; the sweeps themselves are the already-
+    scale-shaped operators."""
+    from ray.data.aggregate import Sum
+
+    exact = hourly_value_percentiles(events)
+    est = hourly_value_quantiles_sketch(events)
+
+    def tag_exact(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "p50_t": batch["p50_c"].cast(pa.int64()),
+                "p95_t": batch["p95_c"].cast(pa.int64()),
+                "p99_t": batch["p99_c"].cast(pa.int64()),
+                "p50_e": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "p95_e": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "p99_e": pa.array([0] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_est(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "p50_t": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "p95_t": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "p99_t": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "p50_e": batch["p50_est_c"].cast(pa.int64()),
+                "p95_e": batch["p95_est_c"].cast(pa.int64()),
+                "p99_e": batch["p99_est_c"].cast(pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {
+            n: batch[n].to_numpy(zero_copy_only=False)
+            for n in ("p50_t", "p95_t", "p99_t", "p50_e", "p95_e", "p99_e")
+        }
+        e50 = cols["p50_e"] - cols["p50_t"]
+        e95 = cols["p95_e"] - cols["p95_t"]
+        e99 = cols["p99_e"] - cols["p99_t"]
+        ok = (
+            (e50 >= 0) & (e50 < HIST_BIN_CENTS)
+            & (e95 >= 0) & (e95 < HIST_BIN_CENTS)
+            & (e99 >= 0) & (e99 < HIST_BIN_CENTS)
+        )
+        return pa.Table.from_pydict(
+            {
+                "hour": batch["hour"],
+                "p50_err_c": pa.array(e50, type=pa.int64()),
+                "p95_err_c": pa.array(e95, type=pa.int64()),
+                "p99_err_c": pa.array(e99, type=pa.int64()),
+                "within_bound": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return (
+        exact.map_batches(tag_exact, batch_format="pyarrow")
+        .union(est.map_batches(tag_est, batch_format="pyarrow"))
+        .groupby("hour")
+        .aggregate(
+            Sum("p50_t", alias_name="p50_t"),
+            Sum("p95_t", alias_name="p95_t"),
+            Sum("p99_t", alias_name="p99_t"),
+            Sum("p50_e", alias_name="p50_e"),
+            Sum("p95_e", alias_name="p95_e"),
+            Sum("p99_e", alias_name="p99_e"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def cms_error_report(
+    docs: ray.data.Dataset,
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> ray.data.Dataset:
+    """(token, est_count, true_count, overcount) — count-min acceptance
+    gate: for every CMS heavy-hitter survivor, the exact count and the
+    (always ≥ 0) collision overcount. The standard second pass a CMS
+    first-pass filter feeds — kept here as the eval artifact (overcount
+    magnitude tells whether width needs doubling).
+
+    Scale shape: the CMS side is the O(D×W) sketch fold; the exact side
+    counts ONLY the survivor tokens (the whole point of the filter) via
+    a broadcast survivor set and a keyed token sum bounded by |survivors|."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    survivors = cms_heavy_hitters(docs, threshold=threshold, depth=depth, width=width)
+    surv_rows = survivors.take_all()
+    est_map = {r["token"]: r["est_count"] for r in surv_rows}
+    surv_ref = _ray.put(set(est_map))
+
+    from .textstats import ascii_tokens
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        sset = _ray.get(surv_ref)
+        cnt: Counter[str] = Counter()
+        for t in batch["text"].to_pylist():
+            for w in ascii_tokens(t):
+                if w in sset:
+                    cnt[w] += 1
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(cnt), type=pa.string()),
+                "true_count": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("true_count", alias_name="true_count"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        true = batch["true_count"].to_numpy(zero_copy_only=False)
+        est = np.asarray([est_map[t] for t in toks], dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "est_count": pa.array(est, type=pa.int64()),
+                "true_count": pa.array(true, type=pa.int64()),
+                "overcount": pa.array(est - true, type=pa.int64()),
+            }
+        )
+
+    return exact.map_batches(finish, batch_format="pyarrow")

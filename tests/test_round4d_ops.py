@@ -758,3 +758,24 @@ class TestMediaDhashPairs:
         assert ("a.png", "b.png") in pairs
         assert pairs[("a.png", "b.png")] <= 7
         assert ("a.png", "z.png") not in pairs
+
+
+class TestQuantileSketchError:
+    def test_contract_bound_holds(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        rows = sketch.quantile_sketch_error(
+            _rd("events", ["ts", "value"])
+        ).take_all()
+        assert rows and all(r["within_bound"] for r in rows)
+
+
+class TestCmsErrorReport:
+    def test_overcount_nonnegative(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        rows = sketch.cms_error_report(_rd("documents", ["text"])).take_all()
+        assert rows
+        for r in rows:
+            assert r["overcount"] >= 0
+            assert r["est_count"] == r["true_count"] + r["overcount"]
