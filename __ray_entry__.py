@@ -204,6 +204,7 @@ _R4_QUERIES: list[str] = [
     "media_dhash_pairs",
     "quantile_sketch_error",
     "cms_error_report",
+    "dup_cluster_source_mix",
 ]
 
 
@@ -1082,6 +1083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "dup_cluster_source_mix": lambda sf: dedup.dup_cluster_source_mix(
+            docs(sf, ["doc_id", "text", "source"])
         ),
         "quantile_sketch_error": lambda sf: sketch.quantile_sketch_error(
             _read(sf, "events", ["ts", "value"])
@@ -5490,6 +5494,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Cluster-level syndication mix over the connected-components replay.
+    d["dup_cluster_source_mix"] = f"""
+        WITH c AS ({d['dedup_clusters']})
+        SELECT c.cluster_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT d2.source) AS BIGINT) AS n_sources
+        FROM c JOIN documents d2 ON c.doc_id = d2.doc_id
+        GROUP BY 1 HAVING COUNT(*) > 1
     """
     # Histogram-quantile sketch error vs the exact percentiles (bin
     # width 100 cents; contract: 0 <= err < bin).

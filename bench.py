@@ -232,6 +232,7 @@ QUERY_SUITE = [
     "media_dhash_pairs",
     "quantile_sketch_error",
     "cms_error_report",
+    "dup_cluster_source_mix",
 ]
 
 

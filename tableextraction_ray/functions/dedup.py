@@ -2242,3 +2242,108 @@ def winnow_density_check(
         )
 
     return fp.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+
+
+def dup_cluster_source_mix(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(cluster_rep, n_docs, n_sources) — syndication evidence at cluster
+    granularity: for every non-singleton near-dup cluster
+    ([[dedup_clusters]] connected components), how many documents it
+    holds and how many DISTINCT sources they span. A multi-source
+    cluster is content syndicated (or scraped) across feeds — the
+    cluster-level view of [[cross_source_dup_matrix]], read when
+    deciding which source keeps the canonical copy.
+
+    Scale shape: cluster labels and (doc, source) rows meet in ONE
+    doc-keyed tagged union; per-(cluster, source) distinct collapse,
+    then ONE tiny cluster groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    clusters = dedup_clusters(ds)
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cluster_rep": batch["cluster_rep"].cast(pa.int64()),
+                "source": pa.array([""] * batch.num_rows, type=pa.string()),
+            }
+        )
+
+    def tag_source(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cluster_rep": pa.array(
+                    [-1] * batch.num_rows, type=pa.int64()
+                ),
+                "source": batch["source"].cast(pa.string()),
+            }
+        )
+
+    JOINED = pa.schema(
+        [("cluster_rep", pa.int64()), ("source", pa.string())]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        reps = group["cluster_rep"].to_numpy(zero_copy_only=False)
+        crow = np.flatnonzero(reps >= 0)
+        srow = np.flatnonzero(reps < 0)
+        if len(crow) == 0 or len(srow) == 0:
+            return pa.Table.from_pylist([], schema=JOINED)
+        rep = int(reps[crow[0]])
+        return pa.Table.from_pydict(
+            {
+                "cluster_rep": pa.array(
+                    [rep] * len(srow), type=pa.int64()
+                ),
+                "source": group.take(srow)["source"],
+            },
+            schema=JOINED,
+        )
+
+    per_pair = (
+        clusters.map_batches(tag_cluster, batch_format="pyarrow")
+        .union(
+            ds.map_batches(tag_source, batch_format="pyarrow")
+        )
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["cluster_rep", "source"])
+        .aggregate(Count())
+    )
+
+    def cluster_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "cluster_rep": batch["cluster_rep"].cast(pa.int64()),
+                "n_docs": batch["count()"].cast(pa.int64()),
+                "n_sources": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["cluster_rep"]).aggregate(
+            [("n_docs", "sum"), ("n_sources", "sum")]
+        )
+        return g.rename_columns(["cluster_rep", "n_docs", "n_sources"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(nd > 1))
+        return pa.Table.from_pydict(
+            {
+                "cluster_rep": t["cluster_rep"].cast(pa.int64()),
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "n_sources": t["n_sources"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        per_pair.map_batches(cluster_partial, batch_format="pyarrow")
+        .groupby("cluster_rep")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_sources", alias_name="n_sources"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

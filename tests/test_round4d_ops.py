@@ -779,3 +779,16 @@ class TestCmsErrorReport:
         for r in rows:
             assert r["overcount"] >= 0
             assert r["est_count"] == r["true_count"] + r["overcount"]
+
+
+class TestDupClusterSourceMix:
+    def test_sources_bounded_by_docs(self, ray_session):
+        from tableextraction_ray.functions import dedup
+
+        rows = dedup.dup_cluster_source_mix(
+            _rd("documents", ["doc_id", "text", "source"])
+        ).take_all()
+        assert rows
+        for r in rows:
+            assert r["n_docs"] > 1
+            assert 1 <= r["n_sources"] <= r["n_docs"]
