@@ -205,6 +205,8 @@ _R4_QUERIES: list[str] = [
     "quantile_sketch_error",
     "cms_error_report",
     "dup_cluster_source_mix",
+    "anomaly_incidents",
+    "linenumber_integrity",
 ]
 
 
@@ -1083,6 +1085,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             _read(sf, "part", ["p_partkey", "p_brand"]),
             part_count=_parquet_count(sf, "part"),
+        ),
+        "anomaly_incidents": lambda sf: relational.anomaly_incidents(
+            _read(sf, "events", ["ts", "event_type"])
+        ),
+        "linenumber_integrity": lambda sf: relational.linenumber_integrity(
+            _read(sf, "lineitem", ["l_orderkey", "l_linenumber"])
         ),
         "dup_cluster_source_mix": lambda sf: dedup.dup_cluster_source_mix(
             docs(sf, ["doc_id", "text", "source"])
@@ -5494,6 +5502,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
                  AS avg_lag_fp2
         FROM lag GROUP BY 1
+    """
+    # Incident coalescing over the hourly-anomaly replay (islands on
+    # the hour axis; lexicographic MIN/MAX of the hour strings is
+    # chronological for this fixed format).
+    d["anomaly_incidents"] = f"""
+        WITH a AS ({d['hourly_anomalies']}),
+        x AS (
+          SELECT event_type, hour, n,
+                 epoch_us(strptime(hour, '%Y-%m-%d %H:00:00'))
+                   // 3600000000 AS hi
+          FROM a
+        ),
+        g AS (
+          SELECT *, hi - ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY hi) AS grp
+          FROM x
+        )
+        SELECT event_type,
+               MIN(hour) AS start_hour,
+               MAX(hour) AS end_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(n) AS BIGINT) AS total_n
+        FROM g GROUP BY event_type, grp
+    """
+    # Line-number contiguity audit (distinct count == max == n).
+    d["linenumber_integrity"] = """
+        SELECT l_orderkey,
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_lines,
+               CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+               COUNT(DISTINCT l_linenumber) = MAX(l_linenumber)
+                 AS contiguous
+        FROM lineitem GROUP BY 1
     """
     # Cluster-level syndication mix over the connected-components replay.
     d["dup_cluster_source_mix"] = f"""

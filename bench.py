@@ -233,6 +233,8 @@ QUERY_SUITE = [
     "quantile_sketch_error",
     "cms_error_report",
     "dup_cluster_source_mix",
+    "anomaly_incidents",
+    "linenumber_integrity",
 ]
 
 

@@ -7383,3 +7383,128 @@ def promo_part_suppliers(
     return supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
         name_rows, batch_format="pyarrow"
     )
+
+
+def anomaly_incidents(
+    events: ray.data.Dataset, z: int = 1
+) -> ray.data.Dataset:
+    """(event_type, start_hour, end_hour, n_hours, total_n) — incident
+    coalescing over the [[hourly_anomalies]] output: consecutive
+    anomalous hours of one event type merge into a single incident
+    window (the islands trick [[span_coalesce]] uses on span offsets,
+    applied to the time axis). On-call pages fire per INCIDENT, not per
+    hour — this is the dedup step between the detector and the pager.
+
+    Scale shape: the anomaly sweep's tiny (type, hour, n) output rides
+    ONE type-keyed groupby; the per-group coalesce is a sort + gap scan."""
+
+    anomalies = hourly_anomalies(events, z=z)
+
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("start_hour", pa.string()),
+            ("end_hour", pa.string()),
+            ("n_hours", pa.int64()),
+            ("total_n", pa.int64()),
+        ]
+    )
+
+    def coalesce(group: pa.Table) -> pa.Table:
+        hours = np.asarray(group["hour"].to_pylist())
+        n = group["n"].to_numpy(zero_copy_only=False)
+        hi = (
+            hours.astype("datetime64[s]").astype(np.int64) // 3600
+        )
+        order = np.argsort(hi)
+        hi, hours, n = hi[order], hours[order], n[order]
+        breaks = np.flatnonzero(np.diff(hi) > 1)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(hi) - 1]])
+        et = group["event_type"][0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array([et] * len(starts), type=pa.string()),
+                "start_hour": pa.array(hours[starts], type=pa.string()),
+                "end_hour": pa.array(hours[ends], type=pa.string()),
+                "n_hours": pa.array(ends - starts + 1, type=pa.int64()),
+                "total_n": pa.array(
+                    [int(n[s : e + 1].sum()) for s, e in zip(starts, ends)],
+                    type=pa.int64(),
+                ),
+            },
+            schema=OUT,
+        )
+
+    return anomalies.groupby("event_type").map_groups(
+        coalesce, batch_format="pyarrow"
+    )
+
+
+def linenumber_integrity(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(l_orderkey, n_lines, max_ln, contiguous) — the relational twin
+    of [[span_integrity]]: every order's line numbers must be exactly
+    1..n (no gaps, no duplicates). n == max AND the distinct count
+    equals n implies contiguity for positive line numbers; violations
+    point at partial writes or replayed CDC batches upstream.
+
+    Scale shape: in-block pair collapse, ONE global (order, ln) distinct
+    groupby (cross-block duplicate line numbers must collapse BEFORE the
+    count — per-block distinct alone would double-count), an in-block
+    per-order combine and ONE keyed order sum/max."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["l_orderkey", "l_linenumber"])
+            .group_by(["l_orderkey", "l_linenumber"])
+            .aggregate([])
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+            }
+        )
+
+    distinct_pairs = (
+        lineitem.select_columns(["l_orderkey", "l_linenumber"])
+        .map_batches(block_distinct, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Count())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.Table.from_pydict(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "n_lines": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "max_ln": batch["l_linenumber"].cast(pa.int64()),
+            }
+        )
+        a = g.group_by(["l_orderkey"]).aggregate(
+            [("n_lines", "sum"), ("max_ln", "max")]
+        )
+        return a.rename_columns(["l_orderkey", "n_lines", "max_ln"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_lines"].to_numpy(zero_copy_only=False)
+        mx = batch["max_ln"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "n_lines": pa.array(n, type=pa.int64()),
+                "max_ln": pa.array(mx, type=pa.int64()),
+                "contiguous": pa.array(n == mx, type=pa.bool_()),
+            }
+        )
+
+    return (
+        distinct_pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Max("max_ln", alias_name="max_ln"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -792,3 +792,40 @@ class TestDupClusterSourceMix:
         for r in rows:
             assert r["n_docs"] > 1
             assert 1 <= r["n_sources"] <= r["n_docs"]
+
+
+class TestAnomalyIncidents:
+    def test_islands_merge_consecutive_hours(self, ray_session):
+        from tableextraction_ray.functions import relational as rel
+
+        incidents = rel.anomaly_incidents(
+            _rd("events", ["ts", "event_type"])
+        ).take_all()
+        anomalies = rel.hourly_anomalies(
+            _rd("events", ["ts", "event_type"]), z=1
+        ).take_all()
+        assert sum(r["n_hours"] for r in incidents) == len(anomalies)
+        for r in incidents:
+            assert r["start_hour"] <= r["end_hour"]
+
+
+class TestLinenumberIntegrity:
+    def test_contiguity_holds_and_flags_planted_gap(self, ray_session):
+        import pyarrow as pa
+
+        from tableextraction_ray.functions import relational as rel
+
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+                    "l_linenumber": pa.array([1, 2, 3, 1, 3], type=pa.int32()),
+                }
+            )
+        )
+        rows = {
+            r["l_orderkey"]: r
+            for r in rel.linenumber_integrity(li).take_all()
+        }
+        assert rows[1]["contiguous"] and rows[1]["n_lines"] == 3
+        assert not rows[2]["contiguous"] and rows[2]["max_ln"] == 3
