@@ -2155,6 +2155,7 @@ def pagerank_bipartite(
     scale: int = 10**12,
     damping: int = 85,
     num_partitions: int = 8,
+    broadcast_node_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(node_type, key, rank_fp) — PageRank over the bipartite
     part <-> supplier co-occurrence graph (an undirected edge wherever a
@@ -2174,7 +2175,13 @@ def pagerank_bipartite(
     damping * sum fits int64 at any graph size; the oracle widens via
     HUGEINT).
 
-    Shape: edges dedup once (ONE keyed groupby) and MATERIALIZE — the
+    Shape: edges dedup once (ONE keyed groupby) and MATERIALIZE. When
+    |V| <= ``broadcast_node_limit`` the rank vector (O(|V|) ints, NOT
+    the O(|E|) edge list) is broadcast via ray.put and each iteration
+    is one map_batches + one keyed Sum over distributed edges — the
+    guarded small-dimension pattern used across this module. Above the
+    limit (true web-graph scale, where the rank vector itself exceeds
+    driver memory) the fully distributed path runs instead: the
     per-iteration cost is one rank->edges native hash join keyed by src
     (the 1:many propagation), one dst-keyed sum, and a TAGGED-UNION
     groupby overlay to re-attach deg (1:1 — the Max-fold pattern, which
@@ -2253,6 +2260,68 @@ def pagerank_bipartite(
     nv = int(deg.count())
     base = ((100 - damping) * scale) // (100 * nv)
     r_init = scale // nv
+    if nv <= broadcast_node_limit:
+        # Broadcast fast path: the rank vector is O(|V|) ints — two
+        # columns of <= broadcast_node_limit int64s on the driver (the
+        # orders_by_segment size-guard pattern). Edges stay distributed
+        # and are never driver-resident; each iteration is ONE
+        # map_batches (in-block searchsorted probe of the broadcast
+        # contrib vector + in-block dst combiner) -> ONE keyed Sum ->
+        # an O(|V|) to_pandas, replacing the join path's per-iteration
+        # hash join + two groupbys + tagged union. Arithmetic is
+        # bit-identical to the join path (same floor points); a
+        # path-equality test forces broadcast_node_limit=0 and compares.
+        dp = deg.to_pandas()
+        nodes = dp["node"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes)
+        nodes = nodes[order]
+        degs = dp["deg"].to_numpy().astype(np.int64)[order]
+        r = np.full(nv, r_init, dtype=np.int64)
+        for _ in range(iters):
+            contrib_ref = ray.put(r // degs)
+
+            def msg_partial_bc(
+                batch: pa.Table,
+                _nodes=nodes,
+                _ref=contrib_ref,
+            ) -> pa.Table:
+                c_all = ray.get(_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                c = c_all[np.searchsorted(_nodes, src)]
+                uniq, inv = np.unique(dst, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, c)
+                return pa.Table.from_pydict(
+                    {
+                        "dst": pa.array(uniq, type=pa.int64()),
+                        "c": pa.array(sums, type=pa.int64()),
+                    }
+                )
+
+            sp = (
+                edges.map_batches(msg_partial_bc, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Sum("c", alias_name="s"))
+                .to_pandas()
+            )
+            s = np.zeros(nv, dtype=np.int64)
+            s[np.searchsorted(nodes, sp["dst"].to_numpy().astype(np.int64))] = (
+                sp["s"].to_numpy().astype(np.int64)
+            )
+            r = base + (damping * s) // 100
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node_type": pa.array(
+                        np.where(nodes % 2 == 0, "part", "supplier"),
+                        type=pa.string(),
+                    ),
+                    "key": pa.array(nodes // 2, type=pa.int64()),
+                    "rank_fp": pa.array(r, type=pa.int64()),
+                }
+            )
+        )
     num_partitions = max(1, min(num_partitions, nv // 64))
 
     def seed(batch: pa.Table) -> pa.Table:

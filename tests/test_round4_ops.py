@@ -387,6 +387,37 @@ class TestPagerankBipartite:
             500_000_000_000,
         ]
 
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        # broadcast_node_limit=0 forces the fully distributed
+        # join-per-iteration path; the default takes the guarded
+        # broadcast fast path. Both must be bit-identical.
+        from tableextraction_ray.functions.relational import (
+            pagerank_bipartite,
+        )
+
+        rng = __import__("random").Random(7)
+        n = 400
+        li = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": [rng.randint(1, 60) for _ in range(n)],
+                    "l_suppkey": [rng.randint(1, 15) for _ in range(n)],
+                }
+            )
+        ).repartition(4)
+        key = lambda r: (r["node_type"], r["key"])
+        fast = {
+            key(r): r["rank_fp"]
+            for r in pagerank_bipartite(li, num_partitions=2).take_all()
+        }
+        slow = {
+            key(r): r["rank_fp"]
+            for r in pagerank_bipartite(
+                li, num_partitions=2, broadcast_node_limit=0
+            ).take_all()
+        }
+        assert fast == slow
+
 
 class TestBasketPairs:
     def test_pair_counts_dedup_within_order(self, ray_session):
