@@ -1891,7 +1891,9 @@ def lsh_band_sweep(
 
 
 def dedup_candidates_recall(
-    ds: ray.data.Dataset, tau_fp6: int = 500_000
+    ds: ray.data.Dataset,
+    tau_fp6: int = 500_000,
+    size_broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(tau_fp6, n_truth, n_candidates, n_hit, recall_fp5) — the text-
     dedup acceptance gate ([[knn_recall_report]]'s twin): recall of the
@@ -1903,8 +1905,12 @@ def dedup_candidates_recall(
     banding ([[lsh_band_sweep]] gives the cost side of the trade).
 
     Scale shape: ground truth WITHOUT an all-pairs pass — intersections
-    count per shared DISTINCT shingle hash (the [[cross_source_dup_matrix]]
-    trick: ONE hash groupby emits in-bucket rep pairs), then per-doc
+    count per shared DISTINCT shingle hash, via ONE global sort by
+    (shingle hash, text md5, doc) and fully VECTORIZED in-block
+    triangular pair expansion of the interior buckets (the basket_pairs
+    machinery — a per-bucket map_groups here would make one Python call
+    per distinct shingle, millions at corpus scale); the <= 2 buckets
+    touching each block edge fold on the driver. Per-doc
     distinct-shingle sizes attach through two keyed tagged unions; LSH
     candidates and truth meet in ONE pair-keyed union. Int rows on every
     exchange; text rides nothing. Co-bucket pair volume is the same
@@ -1917,25 +1923,40 @@ def dedup_candidates_recall(
     from ray.data.aggregate import Sum
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_h: list[int] = []
-        out_d: list[int] = []
-        out_m: list[str] = []
+        # In-batch rep pre-collapse (min doc per distinct text) BEFORE
+        # shingling: exact copies inside a batch shingle once. The md5
+        # rides as two int64 halves so every downstream compare/sort is
+        # on ints, never 32-char strings.
+        reps: dict[str, int] = {}
+        texts: dict[str, str] = {}
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            hs = {shingle_base_hash(s) for s in shingle_set(text)}
+            m = _md5(text)
+            if m not in reps or doc_id < reps[m]:
+                reps[m] = doc_id
+                texts[m] = text
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_hi: list[int] = []
+        out_lo: list[int] = []
+        for m, doc_id in reps.items():
+            hs = {shingle_base_hash(s) for s in shingle_set(texts[m])}
             if not hs:
                 continue
-            md5 = _md5(text)
+            hi = int(m[:16], 16) - 2**63
+            lo = int(m[16:], 16) - 2**63
             for h in hs:
                 out_h.append(h)
                 out_d.append(doc_id)
-                out_m.append(md5)
+                out_hi.append(hi)
+                out_lo.append(lo)
         return pa.Table.from_pydict(
             {
                 "bh": pa.array(out_h, type=pa.int64()),
+                "m_hi": pa.array(out_hi, type=pa.int64()),
+                "m_lo": pa.array(out_lo, type=pa.int64()),
                 "doc_id": pa.array(out_d, type=pa.int64()),
-                "text_md5": pa.array(out_m, type=pa.string()),
             }
         )
 
@@ -1943,33 +1964,113 @@ def dedup_candidates_recall(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64())]
     )
 
-    def bucket_rep_pairs(group: pa.Table) -> pa.Table:
-        # vectorized in-bucket rep collapse (min doc per md5) + pair
-        # expansion: co-shingle buckets are df-sized (hundreds of docs on
-        # a vocabulary-bounded corpus), so Python pair loops dominate —
-        # the basket_pairs de-Python lesson applied here.
-        md5s = group["text_md5"].to_numpy(zero_copy_only=False)
-        docs_np = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs_np, md5s))
-        _, first = np.unique(md5s[order], return_index=True)
-        ids = np.sort(docs_np[order][first])
-        i, j = np.triu_indices(len(ids), k=1)
+    def _empty_pairs() -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(ids[i], type=pa.int64()),
-                "doc_b": pa.array(ids[j], type=pa.int64()),
-                "inter": pa.array(np.ones(len(i), dtype=np.int64)),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
             },
             schema=PAIR,
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    inters = (
-        exploded.groupby("bh")
-        .map_groups(bucket_rep_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("inter", alias_name="inter"))
+    sorted_ds = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .sort(["bh", "m_hi", "m_lo", "doc_id"])
+        .materialize()
     )
+
+    def interior_pairs(batch: pa.Table) -> pa.Table:
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        if len(bh) == 0:
+            return _empty_pairs()
+        hi = batch["m_hi"].to_numpy(zero_copy_only=False)
+        lo = batch["m_lo"].to_numpy(zero_copy_only=False)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        inner = (bh != bh[0]) & (bh != bh[-1])
+        # in-block (bh, md5) rep collapse: first row of each run is the
+        # min doc (doc is the last sort key); a run crossing a block
+        # edge has its bh at the edge and is a boundary bucket
+        dup = np.zeros(len(bh), dtype=bool)
+        dup[1:] = (
+            (bh[1:] == bh[:-1]) & (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])
+        )
+        keep = inner & ~dup
+        bhi, di = bh[keep], d[keep]
+        n = len(bhi)
+        if n < 2:
+            return _empty_pairs()
+        # triangular expansion: position p of a bucket sized g pairs
+        # with the (g-1-p) rows after it (basket_pairs machinery)
+        new_grp = np.r_[True, bhi[1:] != bhi[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        sizes = np.bincount(gid)
+        ends = np.cumsum(sizes) - 1
+        r_e = ends[gid] - np.arange(n)
+        total = int(r_e.sum())
+        if total == 0:
+            return _empty_pairs()
+        ia = np.repeat(np.arange(n), r_e)
+        cum0 = np.cumsum(r_e) - r_e
+        jb = ia + 1 + (np.arange(total) - np.repeat(cum0, r_e))
+        a = np.minimum(di[ia], di[jb])
+        b = np.maximum(di[ia], di[jb])
+        # in-block pair combiner (lexsort run-length, no key packing —
+        # doc ids need not fit 31 bits): the pair-key shuffle carries
+        # one row per distinct in-block pair
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.r_[idx, len(a)])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a[idx], type=pa.int64()),
+                "doc_b": pa.array(b[idx], type=pa.int64()),
+                "inter": pa.array(cnt.astype(np.int64)),
+            },
+            schema=PAIR,
+        )
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        if len(bh) == 0:
+            return batch
+        return batch.filter(pa.array((bh == bh[0]) | (bh == bh[-1])))
+
+    interior = sorted_ds.map_batches(interior_pairs, batch_format="pyarrow")
+    # boundary buckets are O(2 x #blocks) buckets of df-bounded size:
+    # fold them on the driver (the basket_pairs pattern)
+    per_bucket: dict[int, dict[tuple[int, int], int]] = {}
+    for r in sorted_ds.map_batches(
+        boundary_rows, batch_format="pyarrow"
+    ).take_all():
+        mp = per_bucket.setdefault(r["bh"], {})
+        k = (r["m_hi"], r["m_lo"])
+        if k not in mp or r["doc_id"] < mp[k]:
+            mp[k] = r["doc_id"]
+    bpairs: dict[tuple[int, int], int] = {}
+    for mp in per_bucket.values():
+        ids = sorted(mp.values())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                kk = (ids[i], ids[j])
+                bpairs[kk] = bpairs.get(kk, 0) + 1
+    boundary = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([k[0] for k in bpairs], type=pa.int64()),
+                "doc_b": pa.array([k[1] for k in bpairs], type=pa.int64()),
+                "inter": pa.array(list(bpairs.values()), type=pa.int64()),
+            },
+            schema=PAIR,
+        )
+    )
+    # high-cardinality pair-key fold: sort + run-length, NOT groupby —
+    # Ray's sort-aggregate pays per-group Python at ~1M distinct pairs
+    from .exchange import keyed_sum
+
+    inters = keyed_sum(interior.union(boundary), ["doc_a", "doc_b"], "inter")
 
     # Per-rep distinct-shingle sizes: (doc_id, size) — reps only (the
     # exact-dup copies of a rep share its md5; min-doc wins per block,
@@ -2003,7 +2104,9 @@ def dedup_candidates_recall(
         ds.map_batches(size_rows, batch_format="pyarrow")
         .groupby("text_md5")
         .aggregate(Min("doc_id", alias_name="doc_id"), Min("size", alias_name="size"))
+        .materialize()  # consumed twice below whichever path runs
     )
+    n_sizes = int(sizes.count())
 
     # Attach size_a then size_b through keyed tagged unions on the doc id.
     ATT = pa.schema(
@@ -2103,6 +2206,44 @@ def dedup_candidates_recall(
         )
 
     truth = pass2.map_batches(truth_rows, batch_format="pyarrow")
+    if n_sizes <= size_broadcast_limit:
+        # Broadcast fast path: the (rep doc -> distinct-shingle size)
+        # map is two int64 columns of <= size_broadcast_limit entries —
+        # ship it once via ray.put and score every truth pair in one
+        # vectorized map_batches, replacing the two keyed tagged-union
+        # attach passes above (each one Python map_groups call per rep).
+        # Above the limit (10^12-doc scale, where the rep-size map
+        # exceeds driver memory) the lazy pass1/pass2 plan runs instead;
+        # a path-equality test forces size_broadcast_limit=0.
+        sp = sizes.to_pandas()
+        s_keys = sp["doc_id"].to_numpy().astype(np.int64)
+        s_order = np.argsort(s_keys)
+        s_keys = s_keys[s_order]
+        s_vals = sp["size"].to_numpy().astype(np.int64)[s_order]
+        sz_ref = ray.put((s_keys, s_vals))
+
+        def truth_rows_bc(batch: pa.Table, _ref=sz_ref) -> pa.Table:
+            keys, vals = ray.get(_ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            inter = batch["inter"].to_numpy(zero_copy_only=False)
+            both = (
+                vals[np.searchsorted(keys, a)]
+                + vals[np.searchsorted(keys, b)]
+            )
+            union = both - inter
+            keep = inter * 1_000_000 >= tau_fp6 * union
+            t_a, t_b = a[keep], b[keep]
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array(t_a, type=pa.int64()),
+                    "doc_b": pa.array(t_b, type=pa.int64()),
+                    "in_truth": pa.array(np.ones(len(t_a), dtype=np.int64)),
+                    "in_lsh": pa.array(np.zeros(len(t_a), dtype=np.int64)),
+                }
+            )
+
+        truth = inters.map_batches(truth_rows_bc, batch_format="pyarrow")
 
     def lsh_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

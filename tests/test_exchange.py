@@ -1,0 +1,89 @@
+"""keyed_sum: the sort + run-length keyed fold must equal
+groupby().aggregate(Sum) bit-for-bit, including on skewed inputs whose
+hot key spans multiple sort blocks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from tableextraction_ray.functions.exchange import keyed_sum
+
+
+def _ref(ds, keys, value):
+    df = (
+        ds.groupby(keys)
+        .aggregate(Sum(value, alias_name=value))
+        .to_pandas()
+    )
+    cols = ([keys] if isinstance(keys, str) else list(keys)) + [value]
+    return df[cols].sort_values(cols[:-1]).reset_index(drop=True)
+
+
+def _got(ds, keys, value):
+    df = keyed_sum(ds, keys, value).to_pandas()
+    cols = ([keys] if isinstance(keys, str) else list(keys)) + [value]
+    return df[cols].sort_values(cols[:-1]).reset_index(drop=True)
+
+
+class TestKeyedSum:
+    def test_two_key_skewed_matches_groupby(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 60_000
+        a = rng.integers(0, 300, n).astype(np.int64)
+        b = rng.integers(0, 300, n).astype(np.int64)
+        a[: n // 3] = 7  # hot key spanning many sort blocks
+        b[: n // 3] = 9
+        v = rng.integers(-5, 50, n).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"x": a, "y": b, "v": v})
+        ).repartition(16)
+        assert _ref(ds, ["x", "y"], "v").equals(_got(ds, ["x", "y"], "v"))
+
+    def test_single_key_matches_groupby(self, ray_session):
+        rng = np.random.default_rng(4)
+        n = 20_000
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": rng.integers(0, 50, n).astype(np.int64),
+                    "v": rng.integers(0, 9, n).astype(np.int64),
+                }
+            )
+        ).repartition(8)
+        assert _ref(ds, "k", "v").equals(_got(ds, "k", "v"))
+
+    def test_empty_and_single_row(self, ray_session):
+        e = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        assert keyed_sum(e, "k", "v").count() == 0
+        o = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([5], type=pa.int64()),
+                    "v": pa.array([3], type=pa.int64()),
+                }
+            )
+        )
+        assert keyed_sum(o, "k", "v").take_all() == [{"k": 5, "v": 3}]
+
+    def test_all_rows_one_key(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1] * 5000, type=pa.int64()),
+                    "v": pa.array(list(range(5000)), type=pa.int64()),
+                }
+            )
+        ).repartition(8)
+        assert keyed_sum(ds, "k", "v").take_all() == [
+            {"k": 1, "v": sum(range(5000))}
+        ]
