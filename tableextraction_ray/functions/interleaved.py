@@ -755,10 +755,14 @@ def media_ref_fanout(ds: ray.data.Dataset) -> ray.data.Dataset:
         g = t.group_by(["media_ref", "doc_id"]).aggregate([("n_refs", "sum")])
         return g.rename_columns(["media_ref", "doc_id", "n_refs"])
 
-    per_pair = (
-        ds.map_batches(pair_partials, batch_format="pyarrow")
-        .groupby(["media_ref", "doc_id"])
-        .aggregate(Sum("n_refs", alias_name="n_refs"))
+    # (media_ref, doc_id) pairs are near-distinct — sort + run-length
+    # fold, not groupby (per-group Python cost; see functions/exchange.py)
+    from .exchange import keyed_sum
+
+    per_pair = keyed_sum(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        ["media_ref", "doc_id"],
+        "n_refs",
     )
 
     def ref_partials(batch: pa.Table) -> pa.Table:
@@ -776,13 +780,12 @@ def media_ref_fanout(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
         return g.rename_columns(["media_ref", "n_docs", "n_refs"])
 
-    agg = (
-        per_pair.map_batches(ref_partials, batch_format="pyarrow")
-        .groupby("media_ref")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_refs", alias_name="n_refs"),
-        )
+    from .exchange import keyed_fold
+
+    agg = keyed_fold(
+        per_pair.map_batches(ref_partials, batch_format="pyarrow"),
+        "media_ref",
+        [("n_docs", "sum"), ("n_refs", "sum")],
     )
 
     def cast_cols(batch: pa.Table) -> pa.Table:
@@ -1031,6 +1034,12 @@ def media_orphan_audit(
             }
         )
 
+    # NOTE: measured BOTH plans at bench scale — the spans scan
+    # dominates (~10s of ~16s) and the ~90k-group aggregate overlaps
+    # with it in ONE streaming execution; functions/exchange.py's
+    # keyed_fold measured no faster here (15.6s vs 15.9s) because its
+    # materialize barrier splits the plan into three executions and
+    # forfeits the overlap. Keep the native groupby: same wall, simpler.
     merged = (
         ds.map_batches(span_side, batch_format="pyarrow")
         .union(media.map_batches(file_side, batch_format="pyarrow"))
@@ -1116,39 +1125,92 @@ def canonicalize_media_refs(
             }
         )
 
-    def attach(group: pa.Table) -> pa.Table:
-        off = group["span_offset"].to_numpy(zero_copy_only=False)
-        crow = np.flatnonzero(off < 0)
-        srow = np.flatnonzero(off >= 0)
-        empty = pa.Table.from_pydict(
-            {
-                "doc_id": pa.array([], type=pa.string()),
-                "span_offset": pa.array([], type=pa.int64()),
-                "media_ref": pa.array([], type=pa.string()),
-                "canonical_ref": pa.array([], type=pa.string()),
-                "rewritten": pa.array([], type=pa.bool_()),
-            }
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("span_offset", pa.int64()),
+            ("media_ref", pa.string()),
+            ("canonical_ref", pa.string()),
+            ("rewritten", pa.bool_()),
+        ]
+    )
+
+    # ONE sort by (ref, span_offset) replaces a per-ref map_groups (one
+    # Python call per distinct ref — ~70k at bench scale): the canon row
+    # carries span_offset = -1 so it sorts FIRST in its group, and each
+    # sorted block resolves its INTERIOR refs by group-start fancy
+    # indexing; the <= 2 refs touching each block edge fold on the
+    # driver (the functions/exchange.py pattern).
+    merged = ds.map_batches(span_rows, batch_format="pyarrow").union(
+        canon.map_batches(canon_rows, batch_format="pyarrow")
+    )
+    sorted_m = (
+        merged.repartition(16)
+        .sort(["media_ref", "span_offset"])
+        .materialize()
+    )
+
+    def attach_interior(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return OUT.empty_table()
+        ref = np.asarray(batch["media_ref"].to_pylist(), dtype=object)
+        off = batch["span_offset"].to_numpy(zero_copy_only=False)
+        canon_col = np.asarray(
+            batch["canonical_ref"].to_pylist(), dtype=object
         )
-        if len(crow) == 0 or len(srow) == 0:
-            return empty
-        canon_ref = group["canonical_ref"][int(crow[0])].as_py()
-        sel = group.take(srow)
-        ref = sel["media_ref"]
+        inner = (ref != ref[0]) & (ref != ref[-1])
+        new = np.r_[True, ref[1:] != ref[:-1]]
+        gs_idx = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        gs = gs_idx[gid]
+        # a span row resolves iff its group START is a canon row
+        # (refs with no stored payload have no canon row and drop —
+        # same inner-join semantics as the map_groups attach)
+        sel = inner & (off >= 0) & (off[gs] < 0)
+        idx = np.flatnonzero(sel)
+        canon_at = canon_col[gs[idx]]
         return pa.Table.from_pydict(
             {
-                "doc_id": sel["doc_id"],
-                "span_offset": sel["span_offset"],
-                "media_ref": ref,
-                "canonical_ref": pa.array(
-                    [canon_ref] * sel.num_rows, type=pa.string()
-                ),
-                "rewritten": pc.not_equal(ref, canon_ref),
-            }
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "span_offset": batch["span_offset"].take(pa.array(idx)),
+                "media_ref": pa.array(ref[idx], type=pa.string()),
+                "canonical_ref": pa.array(canon_at, type=pa.string()),
+                "rewritten": pa.array(ref[idx] != canon_at),
+            },
+            schema=OUT,
         )
 
-    return (
-        ds.map_batches(span_rows, batch_format="pyarrow")
-        .union(canon.map_batches(canon_rows, batch_format="pyarrow"))
-        .groupby("media_ref")
-        .map_groups(attach, batch_format="pyarrow")
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        ref = np.asarray(batch["media_ref"].to_pylist(), dtype=object)
+        if len(ref) == 0:
+            return batch
+        return batch.filter(pa.array((ref == ref[0]) | (ref == ref[-1])))
+
+    interior = sorted_m.map_batches(
+        attach_interior, batch_format="pyarrow", batch_size=None
+    )
+    by_ref: dict[str, dict] = {}
+    for r in sorted_m.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        g = by_ref.setdefault(r["media_ref"], {"canon": None, "spans": []})
+        if r["span_offset"] < 0:
+            g["canon"] = r["canonical_ref"]
+        else:
+            g["spans"].append(r)
+    b_rows = [
+        {
+            "doc_id": r["doc_id"],
+            "span_offset": r["span_offset"],
+            "media_ref": r["media_ref"],
+            "canonical_ref": g["canon"],
+            "rewritten": r["media_ref"] != g["canon"],
+        }
+        for g in by_ref.values()
+        if g["canon"] is not None
+        for r in g["spans"]
+    ]
+    return interior.union(
+        ray.data.from_arrow(pa.Table.from_pylist(b_rows, schema=OUT))
     )

@@ -349,28 +349,83 @@ def media_content_dedup(media_ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    def resolve(group: pa.Table) -> pa.Table:
-        refs = group["media_ref"]
-        canonical = pc.min_max(refs)["min"]
-        n = group.num_rows
-        return pa.Table.from_pydict(
-            {
-                "media_ref": refs,
-                "payload_md5": group["payload_md5"],
-                "canonical_ref": pa.array([canonical.as_py()] * n, type=pa.string()),
-                "n_copies": pa.array([n] * n, type=pa.int64()),
-                "is_dup": pc.not_equal(refs, canonical),
-            }
-        )
+    OUT = pa.schema(
+        [
+            ("media_ref", pa.string()),
+            ("payload_md5", pa.string()),
+            ("canonical_ref", pa.string()),
+            ("n_copies", pa.int64()),
+            ("is_dup", pa.bool_()),
+        ]
+    )
 
     hashed = media_ds.map_batches(hash_batch, batch_format="pyarrow")
-    # narrow repartition before the keyed exchange: the hashing scan
-    # emits one tiny block per media file batch (256+ at bench scale),
-    # and sort-shuffle cost is ~50 ms x #blocks (BASELINE.md)
-    return (
+    # ONE sort by (md5, ref) replaces a per-md5 map_groups (one Python
+    # call per distinct payload — ~70k at bench scale, the measured
+    # bottleneck): each sorted block resolves its INTERIOR md5 groups
+    # fully vectorized (group start = min ref = canonical), and the
+    # <= 2 md5s touching each block edge fold on the driver (the
+    # functions/exchange.py pattern). Narrow repartition first: the
+    # hashing scan emits one tiny block per media file batch.
+    sorted_h = (
         hashed.repartition(16)
-        .groupby("payload_md5")
-        .map_groups(resolve, batch_format="pyarrow")
+        .sort(["payload_md5", "media_ref"])
+        .materialize()
+    )
+
+    def resolve_interior(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return OUT.empty_table()
+        md5 = np.asarray(batch["payload_md5"].to_pylist(), dtype=object)
+        ref = np.asarray(batch["media_ref"].to_pylist(), dtype=object)
+        inner = (md5 != md5[0]) & (md5 != md5[-1])
+        new = np.r_[True, md5[1:] != md5[:-1]]
+        gs_idx = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        canonical = ref[gs_idx][gid]  # ref-sorted within md5: start = min
+        counts = np.bincount(gid)[gid]
+        idx = np.flatnonzero(inner)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(ref[idx], type=pa.string()),
+                "payload_md5": pa.array(md5[idx], type=pa.string()),
+                "canonical_ref": pa.array(canonical[idx], type=pa.string()),
+                "n_copies": pa.array(counts[idx], type=pa.int64()),
+                "is_dup": pa.array(ref[idx] != canonical[idx]),
+            },
+            schema=OUT,
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        md5 = np.asarray(batch["payload_md5"].to_pylist(), dtype=object)
+        if len(md5) == 0:
+            return batch
+        return batch.filter(pa.array((md5 == md5[0]) | (md5 == md5[-1])))
+
+    interior = sorted_h.map_batches(
+        resolve_interior, batch_format="pyarrow", batch_size=None
+    )
+    by_md5: dict[str, list[str]] = {}
+    for r in sorted_h.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        by_md5.setdefault(r["payload_md5"], []).append(r["media_ref"])
+    rows = []
+    for m, refs in by_md5.items():
+        canonical = min(refs)
+        for ref in refs:
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "payload_md5": m,
+                    "canonical_ref": canonical,
+                    "n_copies": len(refs),
+                    "is_dup": ref != canonical,
+                }
+            )
+    return interior.union(
+        ray.data.from_arrow(pa.Table.from_pylist(rows, schema=OUT))
     )
 
 

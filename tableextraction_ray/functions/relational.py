@@ -2084,19 +2084,20 @@ def fk_integrity_report(
                 }
             )
 
-        merged = (
+        # high-cardinality key fold (every child FK value is a group):
+        # sort + run-length, not groupby — see functions/exchange.py
+        from .exchange import keyed_fold
+
+        merged = keyed_fold(
             child.select_columns([ckey])
             .map_batches(child_partial, batch_format="pyarrow")
             .union(
                 parent.select_columns([pkey]).map_batches(
                     parent_partial, batch_format="pyarrow"
                 )
-            )
-            .groupby("k")
-            .aggregate(
-                Sum("cnt", alias_name="cnt"),
-                Max("is_parent", alias_name="is_parent"),
-            )
+            ),
+            "k",
+            [("cnt", "sum"), ("is_parent", "max")],
         )
 
         def fold(batch: pa.Table) -> pa.Table:
@@ -2567,11 +2568,11 @@ def basket_pairs(
             }
         )
     )
-    counts = (
-        interior.union(boundary)
-        .groupby("pkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
-    )
+    # pair keys are near-distinct: sort + run-length fold, not groupby
+    # (per-group Python output cost — see functions/exchange.py)
+    from .exchange import keyed_sum
+
+    counts = keyed_sum(interior.union(boundary), "pkey", "n_orders")
 
     def block_top(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

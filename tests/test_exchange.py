@@ -75,6 +75,68 @@ class TestKeyedSum:
         )
         assert keyed_sum(o, "k", "v").take_all() == [{"k": 5, "v": 3}]
 
+    def test_min_max_fold_matches_groupby(self, ray_session):
+        from ray.data.aggregate import Max, Min
+
+        from tableextraction_ray.functions.exchange import keyed_fold
+
+        rng = np.random.default_rng(9)
+        n = 30_000
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": rng.integers(0, 2000, n).astype(np.int64),
+                    "a": rng.integers(-100, 100, n).astype(np.int64),
+                    "b": rng.integers(0, 10**9, n).astype(np.int64),
+                }
+            )
+        ).repartition(8)
+        ref = (
+            ds.groupby("k")
+            .aggregate(
+                Sum("a", alias_name="a"),
+                Min("b", alias_name="b_min"),
+                Max("b", alias_name="b_max"),
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        got = keyed_fold(
+            ds.map_batches(
+                lambda t: t.append_column("b_min", t["b"]).append_column(
+                    "b_max", t["b"]
+                ),
+                batch_format="pyarrow",
+            ),
+            "k",
+            [("a", "sum"), ("b_min", "min"), ("b_max", "max")],
+        ).to_pandas()
+        got = (
+            got[["k", "a", "b_min", "b_max"]]
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert ref[["k", "a", "b_min", "b_max"]].equals(got)
+
+    def test_string_keys(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 20_000
+        ks = [f"key_{i:04d}" for i in rng.integers(0, 500, n)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(ks, type=pa.string()),
+                    "v": pa.array(
+                        rng.integers(0, 7, n).astype(np.int64)
+                    ),
+                }
+            )
+        ).repartition(8)
+        assert _ref(ds, "k", "v").equals(_got(ds, "k", "v"))
+
     def test_all_rows_one_key(self, ray_session):
         ds = ray.data.from_arrow(
             pa.table(
