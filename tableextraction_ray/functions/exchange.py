@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["keyed_fold", "keyed_sum"]
+__all__ = ["keyed_first", "keyed_fold", "keyed_sum"]
 
 _UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 
@@ -169,3 +169,90 @@ def keyed_sum(
 ) -> ray.data.Dataset:
     """groupby(keys).sum(value) — the single-op form of keyed_fold."""
     return keyed_fold(ds, keys, [(value, "sum")])
+
+
+def keyed_first(
+    ds: ray.data.Dataset, keys: list[str] | str, order_cols: list[str]
+) -> ray.data.Dataset:
+    """Per distinct ``keys`` tuple, the single row sorting FIRST by
+    (keys + order_cols) — the distributed argmin / representative pick
+    (e.g. min ref per content hash). Same sort + run-length plan and
+    block-edge driver fold as keyed_fold; output columns are
+    ``keys + order_cols``."""
+    if isinstance(keys, str):
+        keys = [keys]
+    all_cols = [*keys, *order_cols]
+    sorted_ds = ds.sort(all_cols).materialize()
+    schema = sorted_ds.schema()
+    if schema is None:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {c: pa.array([], type=pa.int64()) for c in all_cols}
+            )
+        )
+    fields = {n: schema.base_schema.field(n).type for n in all_cols}
+
+    def _starts(batch: pa.Table) -> np.ndarray:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        n = batch.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            diff = np.zeros(n - 1, dtype=bool)
+            for ka in karrs:
+                diff |= ka[1:] != ka[:-1]
+            new[1:] = diff
+        return new
+
+    def interior(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.select(all_cols)
+        karr0 = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        is_first = np.ones(n, dtype=bool)
+        is_last = np.ones(n, dtype=bool)
+        for ka in karr0:
+            is_first &= ka == ka[0]
+            is_last &= ka == ka[-1]
+        sel = _starts(batch) & ~(is_first | is_last)
+        return batch.select(all_cols).filter(pa.array(sel))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.select(all_cols)
+        karr0 = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        is_first = np.ones(n, dtype=bool)
+        is_last = np.ones(n, dtype=bool)
+        for ka in karr0:
+            is_first &= ka == ka[0]
+            is_last &= ka == ka[-1]
+        # only the first row of each edge key can win globally
+        sel = _starts(batch) & (is_first | is_last)
+        return batch.select(all_cols).filter(pa.array(sel))
+
+    interior_ds = sorted_ds.map_batches(
+        interior, batch_format="pyarrow", batch_size=None
+    )
+    best: dict[tuple, tuple] = {}
+    for r in sorted_ds.map_batches(
+        edges, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        kk = tuple(r[k] for k in keys)
+        cand = tuple(r[c] for c in order_cols)
+        if kk not in best or cand < best[kk]:
+            best[kk] = cand
+    edge_tbl = pa.Table.from_pydict(
+        {
+            **{
+                k: pa.array([kk[i] for kk in best], type=fields[k])
+                for i, k in enumerate(keys)
+            },
+            **{
+                c: pa.array(
+                    [v[i] for v in best.values()], type=fields[c]
+                )
+                for i, c in enumerate(order_cols)
+            },
+        }
+    )
+    return interior_ds.union(ray.data.from_arrow(edge_tbl))

@@ -469,6 +469,20 @@ def media_payload_size_hist(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array — pure elementwise
+    uint64 ops (6 passes, no lookup-table gather: the POP8 byte-gather
+    it replaced allocated an 8x int64 intermediate per tile)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (
+        (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    ).astype(np.int64)
+
+
 def _dhash64(gray: np.ndarray) -> int:
     """64-bit difference hash: integer block means on a 9×8 grid (exact
     ``sum // count`` arithmetic — no float resize), bit j set where the
@@ -491,14 +505,13 @@ def _dhash64(gray: np.ndarray) -> int:
 
 
 def media_dhash_pairs(
-    media_ds: ray.data.Dataset, max_hamming: int = 7
+    media_ds: ray.data.Dataset,
+    max_hamming: int = 7,
+    brute_limit: int = 200_000,
 ) -> ray.data.Dataset:
     """(ref_a, ref_b, hamming) — PERCEPTUAL media near-duplication: the
     64-bit dHash of each payload's decoded grayscale (the real pure-
-    NumPy PNG decode path — no stubbed pixel math), paired by the
-    [[simhash_near_dup]] pigeonhole discipline (``max_hamming + 1``
-    disjoint bands; any in-ball pair agrees on a whole band, so the
-    keyed band groupby is a lossless candidate generator). Catches
+    NumPy PNG decode path — no stubbed pixel math). Catches
     re-encoded / lightly-retouched images that byte-exact
     [[media_content_dedup]] misses. Identical hashes collapse to their
     lexicographically-smallest ref first (the skew guard).
@@ -507,11 +520,25 @@ def media_dhash_pairs(
     [[media_stats]] precedent), pinned by an encode→decode pytest
     fixture.
 
-    Scale shape: payloads hash inside the scan batch and drop; band
-    rows are (int key, ref) — ONE keyed groupby; pairs emit from their
-    first agreeing band only (no distinct-pairs all-to-all)."""
-    from ray.data.aggregate import Min
+    Scale shape AUTO-ROUTES on the rep count (both paths emit the
+    identical pair set, asserted in tests):
 
+    - reps <= ``brute_limit``: DISTRIBUTED TILED BRUTE FORCE — the
+      (dhash, ref) rep table broadcasts via ray.put (two flat arrays)
+      and a dataset of tile-pair indices fans the O(reps²) comparison
+      across tasks in bounded TILE×TILE blocks. Rationale: low-entropy
+      imagery concentrates fingerprints so hard that banding's biggest
+      bucket approaches the whole rep set (measured 26k of 42k reps in
+      one bucket at bench scale = 814M pair slots in ONE task, 8×
+      re-evaluated across bands); brute tiles do the same comparisons
+      ONCE, perfectly parallel.
+    - above: the [[simhash_near_dup]] pigeonhole banding
+      (``max_hamming + 1`` disjoint bands; any in-ball pair agrees on
+      a whole band, so the keyed band groupby is a lossless candidate
+      generator; pairs emit from their first agreeing band only — no
+      distinct-pairs all-to-all). The right plan when fingerprints are
+      high-entropy and buckets stay small; payloads hash inside the
+      scan batch and drop, band rows are (int key, ref)."""
     from .. import png
 
     n_bands = max_hamming + 1
@@ -543,11 +570,85 @@ def media_dhash_pairs(
             }
         )
 
-    reps = (
-        media_ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("dhash")
-        .aggregate(Min("media_ref", alias_name="media_ref"))
+    # distinct-hash rep pick: sort + first-of-run (keyed_first), not a
+    # Min groupby — every distinct fingerprint is a group
+    from .exchange import keyed_first
+
+    reps = keyed_first(
+        media_ds.map_batches(hash_batch, batch_format="pyarrow"),
+        "dhash",
+        ["media_ref"],
+    ).materialize()
+
+    OUT = pa.schema(
+        [
+            ("ref_a", pa.string()),
+            ("ref_b", pa.string()),
+            ("hamming", pa.int64()),
+        ]
     )
+    TILE = 2048  # bounds per-step memory to TILE^2 pair slots (~32 MB)
+
+    if int(reps.count()) <= brute_limit:
+        rp = reps.to_pandas()
+        all_fps = rp["dhash"].to_numpy().astype(np.uint64)
+        all_refs = rp["media_ref"].to_numpy()
+        # rep arrays sorted BY REF so lexicographic (ref_a, ref_b)
+        # ordering reduces to integer index min/max — the 12M-pair
+        # object-string np.minimum this replaces was ~20% of the wall
+        r_order = np.argsort(all_refs)
+        all_fps = all_fps[r_order]
+        all_refs = all_refs[r_order]
+        reps_ref = ray.put((all_fps, all_refs))
+        n = len(all_fps)
+        tiles = [
+            {"s1": s1, "s2": s2}
+            for s1 in range(0, max(n, 1), TILE)
+            for s2 in range(s1, max(n, 1), TILE)
+        ]
+
+        def tile_pairs(batch: pa.Table) -> pa.Table:
+            fps, refs = ray.get(reps_ref)
+            a_parts, b_parts, h_parts = [], [], []
+            for s1, s2 in zip(
+                batch["s1"].to_pylist(), batch["s2"].to_pylist()
+            ):
+                f1 = fps[s1 : s1 + TILE]
+                f2 = fps[s2 : s2 + TILE]
+                if len(f1) == 0 or len(f2) == 0:
+                    continue
+                x = f1[:, None] ^ f2[None, :]
+                ham = _popcount64(x)
+                near = ham <= max_hamming
+                if s1 == s2:
+                    near &= np.triu(np.ones(x.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(near)
+                if len(ii) == 0:
+                    continue
+                gi, gj = ii + s1, jj + s2
+                a_parts.append(refs[np.minimum(gi, gj)])
+                b_parts.append(refs[np.maximum(gi, gj)])
+                h_parts.append(ham[ii, jj].astype(np.int64))
+            if not a_parts:
+                return OUT.empty_table()
+            return pa.Table.from_pydict(
+                {
+                    "ref_a": pa.array(
+                        np.concatenate(a_parts), type=pa.string()
+                    ),
+                    "ref_b": pa.array(
+                        np.concatenate(b_parts), type=pa.string()
+                    ),
+                    "hamming": pa.array(
+                        np.concatenate(h_parts), type=pa.int64()
+                    ),
+                },
+                schema=OUT,
+            )
+
+        return ray.data.from_items(
+            tiles, override_num_blocks=max(1, len(tiles))
+        ).map_batches(tile_pairs, batch_format="pyarrow", batch_size=1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         fp = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -566,39 +667,60 @@ def media_dhash_pairs(
             }
         )
 
-    OUT = pa.schema(
-        [("ref_a", pa.string()), ("ref_b", pa.string()), ("hamming", pa.int64())]
-    )
-
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        refs = group["media_ref"].to_pylist()
+        n = group.num_rows
+        if n < 2:
+            return OUT.empty_table()
+        refs = np.asarray(group["media_ref"].to_pylist(), dtype=object)
         fps = group["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band = int(group["key"][0].as_py()) >> 48
-        a_out, b_out, h_out = [], [], []
-        for i in range(len(refs)):
-            for j in range(i + 1, len(refs)):
-                x = int(fps[i] ^ fps[j])
-                ham = bin(x).count("1")
-                if ham > max_hamming:
+        a_parts, b_parts, h_parts = [], [], []
+        # tile-pair sweep: concentrated fingerprints (synthetic or
+        # near-constant imagery) make single buckets tens of thousands
+        # strong — a one-shot triangular expansion would allocate
+        # O(bucket^2) arrays (measured 814M pair slots at bench scale),
+        # so sweep TILE x TILE blocks with bounded memory instead
+        for s1 in range(0, n, TILE):
+            f1 = fps[s1 : s1 + TILE]
+            for s2 in range(s1, n, TILE):
+                f2 = fps[s2 : s2 + TILE]
+                x = f1[:, None] ^ f2[None, :]
+                ham = _popcount64(x)
+                near = ham <= max_hamming
+                if s1 == s2:
+                    near &= np.triu(np.ones(x.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(near)
+                if len(ii) == 0:
                     continue
+                xk = x[ii, jj]
+                # first agreeing band per pair (vectorized pigeonhole);
                 # emit only from the FIRST agreeing band (pair dedup
                 # decided locally from the two fingerprints in hand)
-                first = next(
-                    b
-                    for b in range(n_bands)
-                    if (x >> (b * width)) & mask == 0
+                zero = np.stack(
+                    [
+                        ((xk >> np.uint64(b * width)) & np.uint64(mask))
+                        == 0
+                        for b in range(n_bands)
+                    ],
+                    axis=1,
                 )
-                if first != band:
+                own = zero.argmax(axis=1) == band
+                if not own.any():
                     continue
-                ra, rb = sorted((refs[i], refs[j]))
-                a_out.append(ra)
-                b_out.append(rb)
-                h_out.append(ham)
+                gi = ii[own] + s1
+                gj = jj[own] + s2
+                ra = np.minimum(refs[gi], refs[gj])
+                rb = np.maximum(refs[gi], refs[gj])
+                a_parts.append(ra)
+                b_parts.append(rb)
+                h_parts.append(ham[ii[own], jj[own]].astype(np.int64))
+        if not a_parts:
+            return OUT.empty_table()
         return pa.Table.from_pydict(
             {
-                "ref_a": pa.array(a_out, type=pa.string()),
-                "ref_b": pa.array(b_out, type=pa.string()),
-                "hamming": pa.array(h_out, type=pa.int64()),
+                "ref_a": pa.array(np.concatenate(a_parts), type=pa.string()),
+                "ref_b": pa.array(np.concatenate(b_parts), type=pa.string()),
+                "hamming": pa.array(np.concatenate(h_parts), type=pa.int64()),
             },
             schema=OUT,
         )

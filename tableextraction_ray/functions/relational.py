@@ -2852,20 +2852,20 @@ def late_shipment_orders(
             }
         )
 
-    merged = (
+    # every orderkey is a group (sf-proportional cardinality): sort +
+    # run-length fold, not groupby — see functions/exchange.py
+    from .exchange import keyed_fold
+
+    merged = keyed_fold(
         lineitem.select_columns(["l_orderkey", "l_shipdate"])
         .map_batches(li_partial, batch_format="pyarrow")
         .union(
             orders.select_columns(
                 ["o_orderkey", "o_orderdate", "o_orderpriority"]
             ).map_batches(o_partial, batch_format="pyarrow")
-        )
-        .groupby("k")
-        .aggregate(
-            Max("ship_us", alias_name="ship_us"),
-            Max("order_us", alias_name="order_us"),
-            Max("prio", alias_name="prio"),
-        )
+        ),
+        "k",
+        [("ship_us", "max"), ("order_us", "max"), ("prio", "max")],
     )
 
     def flag_partial(batch: pa.Table) -> pa.Table:
@@ -4618,30 +4618,37 @@ def keyed_attach_int(
     per key). Orphan fact keys are DROPPED (inner-join semantics) on
     BOTH paths. Output columns: key, val, *payload.
 
-    Under ``broadcast_limit`` dim rows: dict broadcast + vectorized map
-    probe (no shuffle). Above: ONE keyed tagged-union groupby; only int
-    rows ride."""
-    import pandas as pd
-
+    Under ``broadcast_limit`` dim rows: two sorted int64 numpy columns
+    broadcast via ray.put + searchsorted probe (no shuffle, no Python
+    dict — a 2M-entry dict build costs seconds where the array sort is
+    ms). Above: ONE keyed tagged-union sort with vectorized group-start
+    attach; only int rows ride."""
     if dim_count is None:
         dim_count = dim.count()
 
     if dim_count <= broadcast_limit:
-        dmap = {r[key]: r[val] for r in dim.take_all()}
-        dmap_ref = ray.put(dmap)
+        dp = dim.select_columns([key, val]).to_pandas()
+        d_keys = dp[key].to_numpy().astype(np.int64)
+        d_order = np.argsort(d_keys)
+        d_keys = d_keys[d_order]
+        d_vals = dp[val].to_numpy().astype(np.int64)[d_order]
+        ref = ray.put((d_keys, d_vals))
 
         def probe(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(dmap_ref)
-            vals = pd.Series(
-                batch[key].to_numpy(zero_copy_only=False)
-            ).map(lookup)
-            keep = vals.notna().values
+            keys_s, vals_s = ray.get(ref)
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(keys_s) == 0:
+                keep = np.zeros(len(k), dtype=bool)
+                pos = np.zeros(len(k), dtype=np.int64)
+            else:
+                pos = np.minimum(
+                    np.searchsorted(keys_s, k), len(keys_s) - 1
+                )
+                keep = keys_s[pos] == k
             t = batch.filter(pa.array(keep))
             cols = {
                 key: t[key].cast(pa.int64()),
-                val: pa.array(
-                    vals.values[keep].astype(np.int64), type=pa.int64()
-                ),
+                val: pa.array(vals_s[pos[keep]], type=pa.int64()),
             }
             for c in payload:
                 cols[c] = t[c].cast(pa.int64())
@@ -4671,31 +4678,71 @@ def keyed_attach_int(
             cols[c] = batch[c].cast(pa.int64())
         return pa.Table.from_pydict(cols)
 
-    def attach(group: pa.Table) -> pa.Table:
-        kind = group["kind"].to_numpy(zero_copy_only=False)
-        drow = np.flatnonzero(kind == 0)
-        frow = np.flatnonzero(kind == 1)
-        cols = {key: pa.array([], type=pa.int64()),
-                val: pa.array([], type=pa.int64())}
-        for c in payload:
-            cols[c] = pa.array([], type=pa.int64())
-        if len(drow) == 0 or len(frow) == 0:
-            return pa.Table.from_pydict(cols)
-        v = int(group[val][int(drow[0])].as_py())
-        sel = group.take(frow)
-        cols = {
-            key: sel[key],
-            val: pa.array([v] * sel.num_rows, type=pa.int64()),
-        }
-        for c in payload:
-            cols[c] = sel[c]
-        return pa.Table.from_pydict(cols)
+    OUT = pa.schema(
+        [(key, pa.int64()), (val, pa.int64())]
+        + [(c, pa.int64()) for c in payload]
+    )
 
-    return (
+    # ONE sort by (key, kind) replaces a per-key map_groups (one Python
+    # call per distinct key — sf-proportional): the dim row (kind=0)
+    # sorts FIRST in its key group, each sorted block resolves its
+    # INTERIOR keys by group-start fancy indexing, and the <= 2 keys
+    # touching each block edge fold on the driver (the
+    # functions/exchange.py pattern). Orphan fact keys (group start not
+    # a dim row) drop — same inner-join semantics as the broadcast path.
+    sorted_m = (
         dim.map_batches(tag_dim, batch_format="pyarrow")
         .union(fact.map_batches(tag_fact, batch_format="pyarrow"))
-        .groupby(key)
-        .map_groups(attach, batch_format="pyarrow")
+        .sort([key, "kind"])
+        .materialize()
+    )
+
+    def attach_interior(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return OUT.empty_table()
+        k = batch[key].to_numpy(zero_copy_only=False)
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        v = batch[val].to_numpy(zero_copy_only=False)
+        inner = (k != k[0]) & (k != k[-1])
+        new = np.r_[True, k[1:] != k[:-1]]
+        gs = np.flatnonzero(new)[np.cumsum(new) - 1]
+        sel = inner & (kind == 1) & (kind[gs] == 0)
+        idx = np.flatnonzero(sel)
+        cols = {
+            key: pa.array(k[idx], type=pa.int64()),
+            val: pa.array(v[gs[idx]], type=pa.int64()),
+        }
+        for c in payload:
+            cols[c] = batch[c].take(pa.array(idx))
+        return pa.Table.from_pydict(cols, schema=OUT)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return batch
+        return batch.filter(pa.array((k == k[0]) | (k == k[-1])))
+
+    interior = sorted_m.map_batches(
+        attach_interior, batch_format="pyarrow", batch_size=None
+    )
+    by_key: dict[int, dict] = {}
+    for r in sorted_m.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        g = by_key.setdefault(r[key], {"v": None, "facts": []})
+        if r["kind"] == 0:
+            g["v"] = r[val]
+        else:
+            g["facts"].append(r)
+    b_rows = [
+        {key: r[key], val: g["v"], **{c: r[c] for c in payload}}
+        for g in by_key.values()
+        if g["v"] is not None
+        for r in g["facts"]
+    ]
+    return interior.union(
+        ray.data.from_arrow(pa.Table.from_pylist(b_rows, schema=OUT))
     )
 
 

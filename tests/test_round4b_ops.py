@@ -734,6 +734,37 @@ class TestKeyedAttachInt:
         )
         assert a == b == [(1, 7, 10)]
 
+    def test_paths_agree_randomized(self, ray_session):
+        # broadcast searchsorted probe vs sort + group-start attach on a
+        # skewed fact with orphans and a hot key spanning blocks
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(17)
+        n = 40_000
+        fk = rng.integers(0, 500, n).astype(np.int64)
+        fk[: n // 4] = 7  # hot key
+        fact = ray.data.from_arrow(
+            pa.table(
+                {"k": fk, "x": np.arange(n, dtype=np.int64)}
+            )
+        ).repartition(8)
+        dkeys = np.arange(0, 400, dtype=np.int64)  # keys 400+ are orphans
+        dim = ray.data.from_arrow(
+            pa.table({"k": dkeys, "v": dkeys * 3 + 1})
+        ).repartition(4)
+        canon = lambda ds: sorted(
+            (r["k"], r["v"], r["x"]) for r in ds.take_all()
+        )
+        a = canon(relational.keyed_attach_int(fact, dim, "k", "v", ("x",)))
+        b = canon(
+            relational.keyed_attach_int(
+                fact, dim, "k", "v", ("x",), broadcast_limit=0
+            )
+        )
+        assert a == b
+        assert len(a) == int((fk < 400).sum())
+
 
 class TestBrandSupplierCounts:
     def test_distinct_across_parts_and_paths(self, ray_session):
