@@ -207,6 +207,7 @@ _R4_QUERIES: list[str] = [
     "dup_cluster_source_mix",
     "anomaly_incidents",
     "linenumber_integrity",
+    "hll_audience_overlap",
 ]
 
 
@@ -567,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_hourly_users_hll": lambda sf: sketch.hourly_users_hll(
             _read(sf, "events", ["user_id", "ts"])
+        ),
+        "hll_audience_overlap": lambda sf: sketch.hll_audience_overlap(
+            _read(sf, "events", ["event_type", "user_id"])
         ),
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
             _read(sf, "events", ["ts", "value"])
@@ -3756,6 +3760,74 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 4096 * ln(4096.0 / zeros)
                                    ELSE raw END + 0.5) AS BIGINT) AS n_users_est
             FROM estv
+        """,
+        "hll_audience_overlap": """
+            WITH du AS (
+              SELECT DISTINCT event_type AS side, user_id FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ),
+            hhx AS (
+              SELECT side,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS h
+              FROM du
+            ),
+            rr AS (
+              SELECT side, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT side, idx, MAX(r) AS r FROM rr GROUP BY side, idx),
+            uregs AS (SELECT idx, MAX(r) AS r FROM regs GROUP BY idx),
+            est AS (
+              SELECT side,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY side
+            ),
+            sides AS (SELECT 'click' AS side UNION ALL SELECT 'purchase'),
+            estv AS (
+              SELECT s.side, 4096 - COALESCE(e.n_present, 0) AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(COALESCE(e.s_present, 0) AS HUGEINT)
+                              + (4096 - COALESCE(e.n_present, 0))
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM sides s LEFT JOIN est e USING (side)
+            ),
+            fin AS (
+              SELECT side,
+                     CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT) AS est
+              FROM estv
+            ),
+            ufin AS (
+              SELECT CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT) AS est
+              FROM (
+                SELECT 4096 - n_present AS zeros,
+                       ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                         * 9007199254740992
+                         / CAST(CAST(COALESCE(s_present, 0) AS HUGEINT)
+                                + (4096 - n_present)
+                                  * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+                FROM (
+                  SELECT SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                         COUNT(*) AS n_present
+                  FROM uregs
+                )
+              )
+            )
+            SELECT 'click' AS type_a, 'purchase' AS type_b,
+                   (SELECT est FROM fin WHERE side = 'click') AS n_a_est,
+                   (SELECT est FROM fin WHERE side = 'purchase') AS n_b_est,
+                   (SELECT est FROM ufin) AS n_union_est,
+                   GREATEST((SELECT est FROM fin WHERE side = 'click')
+                            + (SELECT est FROM fin WHERE side = 'purchase')
+                            - (SELECT est FROM ufin), 0) AS n_inter_est
         """,
         "distinct_sources": """
             SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source

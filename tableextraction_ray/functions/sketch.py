@@ -192,6 +192,122 @@ def _hll_fold_one(registers: np.ndarray, uid) -> None:
         registers[idx] = rank
 
 
+def hll_audience_overlap(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> ray.data.Dataset:
+    """ONE row (type_a, type_b, n_a_est, n_b_est, n_union_est,
+    n_inter_est) — HLL SET OPERATIONS: distinct-user audience of two
+    event types, their union (elementwise register max — the defining
+    mergeability property of the sketch) and their intersection via
+    inclusion-exclusion (a + b − union, clamped at 0; the standard HLL
+    intersection, error grows as the true overlap shrinks). The
+    audience-overlap question ("how many purchasers also click?") at
+    10^12 events without shuffling a single user id — registers are
+    the only exchange.
+
+    Scale shape: per-batch (side, registers) partials exactly as
+    [[events_hourly_users_hll]]; ONE 2-key register-max groupby; the
+    final row folds on the driver from two 4 KiB vectors. Estimator is
+    the bit-reproducible integer-harmonic form (see _hll_estimate), so
+    the whole report replays in SQL."""
+    m = 1 << HLL_P
+
+    PARTIAL_SCHEMA = pa.schema(
+        [("side", pa.string()), ("registers", pa.list_(pa.int8()))]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.Table.from_pydict(
+                {
+                    "side": batch["event_type"],
+                    "user_id": batch["user_id"],
+                }
+            )
+            .filter(
+                pc.is_in(
+                    batch["event_type"],
+                    value_set=pa.array([type_a, type_b]),
+                )
+            )
+            .group_by(["side", "user_id"])
+            .aggregate([])
+        )
+        sides = np.asarray(t["side"].to_pylist())
+        users = t["user_id"].to_pylist()
+        hcache: dict = {}
+        hs = np.empty(len(users), dtype=np.uint64)
+        for i, u in enumerate(users):
+            v = hcache.get(u)
+            if v is None:
+                v = hcache[u] = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big"
+                )
+            hs[i] = v
+        idx = (hs & np.uint64(m - 1)).astype(np.int64)
+        rank = (
+            (64 - HLL_P) - _bit_length_u64(hs >> np.uint64(HLL_P)) + 1
+        ).astype(np.int8)
+        out_sides, out_regs = [], []
+        for s in np.unique(sides):
+            sel = sides == s
+            regs = np.zeros(m, dtype=np.int8)
+            np.maximum.at(regs, idx[sel], rank[sel])
+            out_sides.append(str(s))
+            out_regs.append(regs.tolist())
+        return pa.Table.from_pydict(
+            {
+                "side": pa.array(out_sides, type=pa.string()),
+                "registers": pa.array(out_regs, type=pa.list_(pa.int8())),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["side"][0].as_py()
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group["registers"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.int8), out=regs)
+        return pa.Table.from_pydict(
+            {
+                "side": pa.array([side], type=pa.string()),
+                "registers": pa.array(
+                    [regs.tolist()], type=pa.list_(pa.int8())
+                ),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    by_side = {
+        r["side"]: np.asarray(r["registers"], dtype=np.int8)
+        for r in events.select_columns(["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("side")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    }
+    regs_a = by_side.get(type_a, np.zeros(m, dtype=np.int8))
+    regs_b = by_side.get(type_b, np.zeros(m, dtype=np.int8))
+    n_a = _hll_estimate(regs_a)
+    n_b = _hll_estimate(regs_b)
+    n_union = _hll_estimate(np.maximum(regs_a, regs_b))
+    n_inter = max(0, n_a + n_b - n_union)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "type_a": pa.array([type_a], type=pa.string()),
+                "type_b": pa.array([type_b], type=pa.string()),
+                "n_a_est": pa.array([n_a], type=pa.int64()),
+                "n_b_est": pa.array([n_b], type=pa.int64()),
+                "n_union_est": pa.array([n_union], type=pa.int64()),
+                "n_inter_est": pa.array([n_inter], type=pa.int64()),
+            }
+        )
+    )
+
+
 def hourly_value_percentiles(
     events: ray.data.Dataset, qs: tuple[int, ...] = (50, 95, 99)
 ) -> ray.data.Dataset:

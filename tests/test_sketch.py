@@ -226,3 +226,76 @@ class TestHistogramQuantiles:
             for r in hourly_value_quantiles_sketch(events.repartition(13)).take_all()
         )
         assert a == b
+
+
+class TestHllAudienceOverlap:
+    def _events(self, ray_session=None):
+        import pyarrow as pa
+        import ray.data
+
+        # 600 clickers (u0..u599), 400 purchasers (u400..u799):
+        # true |A|=600 |B|=400 |A∪B|=800 |A∩B|=200
+        rows_t, rows_u = [], []
+        for u in range(600):
+            rows_t.append("click")
+            rows_u.append(f"u{u}")
+        for u in range(400, 800):
+            rows_t.append("purchase")
+            rows_u.append(f"u{u}")
+        # noise the operator must ignore
+        rows_t += ["view"] * 50
+        rows_u += [f"u{u}" for u in range(50)]
+        return ray.data.from_arrow(
+            pa.table({"event_type": rows_t, "user_id": rows_u})
+        )
+
+    def test_estimates_within_hll_error(self, ray_session):
+        from tableextraction_ray.functions.sketch import hll_audience_overlap
+
+        row = hll_audience_overlap(self._events()).take_all()[0]
+        assert row["type_a"] == "click" and row["type_b"] == "purchase"
+        # 4096 registers -> ~1.6% standard error; allow 5 sigma + small-n slack
+        assert abs(row["n_a_est"] - 600) <= 60
+        assert abs(row["n_b_est"] - 400) <= 45
+        assert abs(row["n_union_est"] - 800) <= 80
+        assert abs(row["n_inter_est"] - 200) <= 120  # IE error compounds
+        assert row["n_inter_est"] == max(
+            0, row["n_a_est"] + row["n_b_est"] - row["n_union_est"]
+        )
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.sketch import hll_audience_overlap
+
+        a = hll_audience_overlap(self._events().repartition(1)).take_all()
+        b = hll_audience_overlap(self._events().repartition(13)).take_all()
+        assert a == b
+
+    def test_disjoint_and_missing_side(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import hll_audience_overlap
+
+        disjoint = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": ["click"] * 100 + ["purchase"] * 100,
+                    "user_id": [f"a{i}" for i in range(100)]
+                    + [f"b{i}" for i in range(100)],
+                }
+            )
+        )
+        row = hll_audience_overlap(disjoint).take_all()[0]
+        assert row["n_inter_est"] <= 25  # near-zero overlap, IE noise only
+        only_a = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": ["click"] * 50,
+                    "user_id": [f"a{i}" for i in range(50)],
+                }
+            )
+        )
+        row = hll_audience_overlap(only_a).take_all()[0]
+        assert row["n_b_est"] == 0
+        assert row["n_union_est"] == row["n_a_est"]
+        assert row["n_inter_est"] == 0
