@@ -208,6 +208,7 @@ _R4_QUERIES: list[str] = [
     "anomaly_incidents",
     "linenumber_integrity",
     "hll_audience_overlap",
+    "audience_overlap_exact",
 ]
 
 
@@ -570,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "ts"])
         ),
         "hll_audience_overlap": lambda sf: sketch.hll_audience_overlap(
+            _read(sf, "events", ["event_type", "user_id"])
+        ),
+        "audience_overlap_exact": lambda sf: sketch.audience_overlap_exact(
             _read(sf, "events", ["event_type", "user_id"])
         ),
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
@@ -3760,6 +3764,32 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 4096 * ln(4096.0 / zeros)
                                    ELSE raw END + 0.5) AS BIGINT) AS n_users_est
             FROM estv
+        """,
+        "audience_overlap_exact": """
+            WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+            pairs AS (
+              SELECT a.t AS type_a, b.t AS type_b
+              FROM types a, types b WHERE a.t < b.t
+            ),
+            aud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+            cnt AS (SELECT t, COUNT(*) AS n FROM aud GROUP BY t),
+            inter AS (
+              SELECT x.t AS ta, y.t AS tb, COUNT(*) AS n
+              FROM aud x JOIN aud y
+                ON x.user_id = y.user_id AND x.t < y.t
+              GROUP BY x.t, y.t
+            )
+            SELECT p.type_a, p.type_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   COALESCE(i.n, 0) AS n_inter,
+                   CASE WHEN ca.n + cb.n - COALESCE(i.n, 0) > 0
+                        THEN COALESCE(i.n, 0) * 1000000
+                             // (ca.n + cb.n - COALESCE(i.n, 0))
+                        ELSE 0 END AS jaccard_fp6
+            FROM pairs p
+            JOIN cnt ca ON ca.t = p.type_a
+            JOIN cnt cb ON cb.t = p.type_b
+            LEFT JOIN inter i ON i.ta = p.type_a AND i.tb = p.type_b
         """,
         "hll_audience_overlap": """
             WITH du AS (

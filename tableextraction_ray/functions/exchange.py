@@ -39,7 +39,12 @@ import ray.data
 
 __all__ = ["keyed_first", "keyed_fold", "keyed_sum"]
 
-_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+_UFUNC = {
+    "sum": np.add,
+    "min": np.minimum,
+    "max": np.maximum,
+    "or": np.bitwise_or,  # set-bit folds (idempotent, merge-exact)
+}
 
 
 def keyed_fold(
@@ -142,11 +147,12 @@ def keyed_fold(
             merged[kk] = [r[c] for c in vcols]
         else:
             for i, (c, op) in enumerate(aggs):
-                cur[i] = (
-                    cur[i] + r[c]
-                    if op == "sum"
-                    else (min if op == "min" else max)(cur[i], r[c])
-                )
+                if op == "sum":
+                    cur[i] = cur[i] + r[c]
+                elif op == "or":
+                    cur[i] = cur[i] | r[c]
+                else:
+                    cur[i] = (min if op == "min" else max)(cur[i], r[c])
     edge_tbl = pa.Table.from_pydict(
         {
             **{

@@ -149,3 +149,20 @@ class TestKeyedSum:
         assert keyed_sum(ds, "k", "v").take_all() == [
             {"k": 1, "v": sum(range(5000))}
         ]
+
+    def test_or_fold_matches_driver_or(self, ray_session):
+        from tableextraction_ray.functions.exchange import keyed_fold
+
+        rng = np.random.default_rng(5)
+        n = 20_000
+        k = rng.integers(0, 800, n).astype(np.int64)
+        v = (np.int64(1) << rng.integers(0, 8, n).astype(np.int64))
+        ds = ray.data.from_arrow(pa.table({"k": k, "v": v})).repartition(8)
+        got = {
+            r["k"]: r["v"]
+            for r in keyed_fold(ds, "k", [("v", "or")]).take_all()
+        }
+        ref: dict[int, int] = {}
+        for kk, vv in zip(k.tolist(), v.tolist()):
+            ref[kk] = ref.get(kk, 0) | vv
+        assert got == ref

@@ -299,3 +299,58 @@ class TestHllAudienceOverlap:
         assert row["n_b_est"] == 0
         assert row["n_union_est"] == row["n_a_est"]
         assert row["n_inter_est"] == 0
+
+
+class TestAudienceOverlapExact:
+    def test_matches_hand_computed(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            audience_overlap_exact,
+        )
+
+        # A={1..6}, B={4..9} -> |A|=6 |B|=6 inter={4,5,6}=3 union=9
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": ["click"] * 8 + ["purchase"] * 6,
+                    # duplicate events must not inflate distincts
+                    "user_id": [1, 2, 3, 4, 5, 6, 1, 4, 4, 5, 6, 7, 8, 9],
+                }
+            )
+        ).repartition(4)
+        rows = audience_overlap_exact(ev).take_all()
+        assert rows == [
+            {
+                "type_a": "click",
+                "type_b": "purchase",
+                "n_a": 6,
+                "n_b": 6,
+                "n_inter": 3,
+                "jaccard_fp6": 3 * 1_000_000 // 9,
+            }
+        ]
+
+    def test_hll_estimate_tracks_exact(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            audience_overlap_exact,
+            hll_audience_overlap,
+        )
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+        )
+        exact = {
+            (r["type_a"], r["type_b"]): r
+            for r in audience_overlap_exact(ev).take_all()
+        }
+        est = hll_audience_overlap(ev).take_all()[0]
+        ex = exact[("click", "purchase")]
+        # 4096 registers ~1.6% sigma; 5-sigma bounds on each side
+        assert abs(est["n_a_est"] - ex["n_a"]) <= max(10, ex["n_a"] * 8 // 100)
+        assert abs(est["n_b_est"] - ex["n_b"]) <= max(10, ex["n_b"] * 8 // 100)
+        union = ex["n_a"] + ex["n_b"] - ex["n_inter"]
+        assert abs(est["n_union_est"] - union) <= max(10, union * 8 // 100)
