@@ -209,6 +209,7 @@ _R4_QUERIES: list[str] = [
     "linenumber_integrity",
     "hll_audience_overlap",
     "audience_overlap_exact",
+    "typo_token_pairs",
 ]
 
 
@@ -244,6 +245,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from tableextraction_ray.sources import read_documents
 
         return read_documents(_corpus_for(sf_dir))
+
+    def _typo_docs(sf_dir: str):
+        """Deterministic typo injection so typo_token_pairs is
+        non-vacuous on the 31-token synthetic vocabulary (mirrored in
+        the oracle CTE): docs with doc_id % 7 == 0 get a copy of their
+        FIRST token with its first character replaced by 'x' prepended
+        to the text — a single-substitution neighbor of a real vocab
+        token."""
+        import re
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^ \t\n\r\v\f]+")
+
+        def mangle(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            out = []
+            for did, text in zip(ids, texts):
+                m = tok_re.search(text or "")
+                if did % 7 == 0 and m and len(m.group(0)) > 1:
+                    out.append("x" + m.group(0)[1:] + " " + text)
+                else:
+                    out.append(text)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": pa.array(out, type=pa.string()),
+                }
+            )
+
+        return docs(sf_dir, ["doc_id", "text"]).map_batches(
+            mangle, batch_format="pyarrow"
+        )
 
     def _corrupt_spans(sf_dir: str):
         """Deterministic span corruption so span_integrity's violation
@@ -533,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "normalize_text": lambda sf: textstats.normalize_text(docs(sf, ["doc_id", "text"])),
         "token_freq": lambda sf: textstats.token_freq(docs(sf, ["doc_id", "text"])),
+        "typo_token_pairs": lambda sf: textstats.typo_token_pairs(
+            _typo_docs(sf)
+        ),
         "tokenize_ids": lambda sf: textstats.tokenize_ids(
             docs(sf, ["doc_id", "text"])
         ),
@@ -1857,6 +1895,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
             FROM ranked r JOIN quota q USING (source) WHERE r.rk <= q.q
+        """,
+        "typo_token_pairs": r"""
+            WITH d2 AS (
+                -- deterministic typo injection (_typo_docs mirror):
+                -- doc_id % 7 == 0 prepends the first token with its
+                -- first char replaced by 'x'
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                                 AND length(regexp_extract(text,
+                                     '[^ \t\n\r\v\f]+')) > 1
+                            THEN 'x' || substring(regexp_extract(text,
+                                     '[^ \t\n\r\v\f]+'), 2)
+                                 || ' ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+                FROM d2
+            ),
+            tf AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+            v AS (SELECT token, n FROM tf ORDER BY n DESC, token ASC LIMIT 2000)
+            SELECT a.token AS token_a, b.token AS token_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM v a JOIN v b
+              ON a.token < b.token AND levenshtein(a.token, b.token) = 1
         """,
         "token_freq": r"""
             WITH toks AS (

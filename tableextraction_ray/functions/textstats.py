@@ -2001,6 +2001,117 @@ def extract_main_content(
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def typo_token_pairs(
+    ds: ray.data.Dataset, vocab_k: int = 2000
+) -> ray.data.Dataset:
+    """(token_a, token_b, n_a, n_b) — vocabulary token pairs at edit
+    distance EXACTLY 1 (one substitution, insertion or deletion), found
+    WITHOUT an all-pairs pass: the SymSpell deletion-neighborhood trick
+    (Garbe 2012). Two tokens are within edit distance 1 iff they share
+    a member of {token} ∪ {single-deletion variants}, so each vocab
+    token emits ≤ len+1 variant rows, ONE variant-keyed groupby
+    collects candidates, and an in-bucket exact distance-1 check kills
+    the ≤2-distance false positives the neighborhood admits. The
+    typo/near-miss normalization primitive (query-log cleanup, OCR
+    confusion pairs) — at a 10^8-type vocabulary the candidate volume
+    is O(vocab · len), never O(vocab²).
+
+    Vocab = top-``vocab_k`` whitespace tokens by (n desc, token) — the
+    [[token_freq]] pass reused verbatim, so the oracle's LIMIT picks
+    the identical set. A pair sharing several variants (always, via
+    each side's own deletion) dedups in ONE pair-keyed groupby.
+
+    Oracle: self-join of the same top-k vocab ON levenshtein() = 1."""
+    from ray.data.aggregate import Max
+
+    vocab = token_freq(ds, k=vocab_k)
+
+    def variants(batch: pa.Table) -> pa.Table:
+        out_v, out_t, out_n = [], [], []
+        for t, n in zip(
+            batch["token"].to_pylist(), batch["n"].to_pylist()
+        ):
+            out_v.append(t)
+            out_t.append(t)
+            out_n.append(n)
+            for i in range(len(t)):
+                out_v.append(t[:i] + t[i + 1 :])
+                out_t.append(t)
+                out_n.append(n)
+        return pa.Table.from_pydict(
+            {
+                "variant": pa.array(out_v, type=pa.string()),
+                "token": pa.array(out_t, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def _dist1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(1 for x, y in zip(a, b) if x != y) == 1
+        if abs(la - lb) != 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # a is shorter: b deletes to a iff they align around one gap
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    PAIR = pa.schema(
+        [
+            ("token_a", pa.string()),
+            ("token_b", pa.string()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        toks = group["token"].to_pylist()
+        ns = group["n"].to_pylist()
+        seen: dict[str, int] = {}
+        for t, n in zip(toks, ns):
+            seen[t] = n
+        items = sorted(seen.items())
+        rows = []
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a, b = items[i][0], items[j][0]
+                if _dist1(a, b):
+                    rows.append(
+                        {
+                            "token_a": a,
+                            "token_b": b,
+                            "n_a": items[i][1],
+                            "n_b": items[j][1],
+                        }
+                    )
+        return pa.Table.from_pylist(rows, schema=PAIR)
+
+    pairs = (
+        vocab.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["token_a", "token_b"])
+        .aggregate(Max("n_a", alias_name="n_a"), Max("n_b", alias_name="n_b"))
+    )
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "token_a": batch["token_a"],
+                "token_b": batch["token_b"],
+                "n_a": batch["n_a"].cast(pa.int64()),
+                "n_b": batch["n_b"].cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(cast_cols, batch_format="pyarrow")
+
+
 def pmi_collocations(
     ds: ray.data.Dataset,
     k: int = 50,

@@ -1183,3 +1183,46 @@ class TestSourceVocabOverlap:
         )
         out = source_vocab_overlap(docs, vocab_size=1).take_all()
         assert len(out) == 1 and out[0]["n_common"] == 0
+
+
+class TestTypoTokenPairs:
+    def test_substitution_insertion_and_verify(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.textstats import typo_token_pairs
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "cat cut dog dig dogg"},
+                {"doc_id": 2, "text": "cat cat cut hello hallo"},
+                # 'abcd'/'cdab' share no single-deletion variant; also
+                # 'ab'/'ba' (transposition = distance 2) must NOT pair
+                {"doc_id": 3, "text": "abcd cdab ab ba"},
+            ]
+        ).repartition(2)
+        rows = sorted(
+            (r["token_a"], r["token_b"], r["n_a"], r["n_b"])
+            for r in typo_token_pairs(docs, vocab_k=20).take_all()
+        )
+        assert rows == [
+            ("cat", "cut", 3, 2),
+            ("dig", "dog", 1, 1),
+            ("dog", "dogg", 1, 1),
+            ("hallo", "hello", 1, 1),
+        ]
+
+    def test_vocab_cap_excludes_tail(self, ray_session):
+        import ray.data
+
+        from tableextraction_ray.functions.textstats import typo_token_pairs
+
+        # 'dog'/'dig' are rank 3/4 by (n desc, token) -> vocab_k=2 keeps
+        # only 'cat' (x3) and 'cut' (x2); the dog/dig pair must vanish
+        docs = ray.data.from_items(
+            [{"doc_id": 1, "text": "cat cat cat cut cut dog dig"}]
+        )
+        rows = [
+            (r["token_a"], r["token_b"])
+            for r in typo_token_pairs(docs, vocab_k=2).take_all()
+        ]
+        assert rows == [("cat", "cut")]
