@@ -4628,10 +4628,15 @@ def keyed_attach_int(
 
     if dim_count <= broadcast_limit:
         dp = dim.select_columns([key, val]).to_pandas()
-        d_keys = dp[key].to_numpy().astype(np.int64)
-        d_order = np.argsort(d_keys)
-        d_keys = d_keys[d_order]
-        d_vals = dp[val].to_numpy().astype(np.int64)[d_order]
+        if len(dp) == 0:
+            # an empty-dim to_pandas loses its columns entirely
+            d_keys = np.empty(0, dtype=np.int64)
+            d_vals = np.empty(0, dtype=np.int64)
+        else:
+            d_keys = dp[key].to_numpy().astype(np.int64)
+            d_order = np.argsort(d_keys)
+            d_keys = d_keys[d_order]
+            d_vals = dp[val].to_numpy().astype(np.int64)[d_order]
         ref = ray.put((d_keys, d_vals))
 
         def probe(batch: pa.Table) -> pa.Table:

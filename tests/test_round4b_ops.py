@@ -734,6 +734,25 @@ class TestKeyedAttachInt:
         )
         assert a == b == [(1, 7, 10)]
 
+    def test_empty_dim_drops_all_facts(self, ray_session):
+        # regression: an empty-dim to_pandas loses its columns — the
+        # broadcast probe must still run and drop every fact row
+        import pyarrow as pa
+
+        fact = ray.data.from_items([{"k": 1, "x": 10}, {"k": 2, "x": 20}])
+        dim = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        assert (
+            relational.keyed_attach_int(fact, dim, "k", "v", ("x",)).count()
+            == 0
+        )
+
     def test_paths_agree_randomized(self, ray_session):
         # broadcast searchsorted probe vs sort + group-start attach on a
         # skewed fact with orphans and a hot key spanning blocks
