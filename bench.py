@@ -235,6 +235,9 @@ QUERY_SUITE = [
     "dup_cluster_source_mix",
     "anomaly_incidents",
     "linenumber_integrity",
+    "hll_audience_overlap",
+    "audience_overlap_exact",
+    "typo_token_pairs",
 ]
 
 
