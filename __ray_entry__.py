@@ -210,6 +210,7 @@ _R4_QUERIES: list[str] = [
     "hll_audience_overlap",
     "audience_overlap_exact",
     "typo_token_pairs",
+    "value_quantiles_selection",
 ]
 
 
@@ -613,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "audience_overlap_exact": lambda sf: sketch.audience_overlap_exact(
             _read(sf, "events", ["event_type", "user_id"])
+        ),
+        "value_quantiles_selection": lambda sf: (
+            sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
         ),
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
             _read(sf, "events", ["ts", "value"])
@@ -3828,6 +3832,20 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 4096 * ln(4096.0 / zeros)
                                    ELSE raw END + 0.5) AS BIGINT) AS n_users_est
             FROM estv
+        """,
+        "value_quantiles_selection": """
+            WITH v AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+            n AS (SELECT COUNT(*) AS c FROM v),
+            p AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+            SELECT p.pct AS pct,
+                   (p.pct * n.c + 99) // 100 AS rank,
+                   r.v AS value_c
+            FROM p, n
+            JOIN r ON r.rk = (p.pct * n.c + 99) // 100
         """,
         "audience_overlap_exact": """
             WITH types AS (SELECT DISTINCT event_type AS t FROM events),

@@ -596,6 +596,153 @@ def cms_heavy_hitters(
 HIST_BIN_CENTS = 100  # $1 bins over integer cents
 
 
+def value_quantiles_selection(
+    events: ray.data.Dataset,
+    qs: tuple[int, ...] = (25, 50, 75, 99),
+    bins: int = 4096,
+    pull_limit: int = 200_000,
+    max_iters: int = 8,
+) -> ray.data.Dataset:
+    """(pct, rank, value_c) — EXACT global percentiles of the integer
+    cent values by DISTRIBUTED SELECTION (iterative histogram
+    refinement), the no-sort path to order statistics: a global sort of
+    10^12 rows is an all-to-all shuffle of every row, while selection
+    needs only O(log_bins(domain)) SCAN passes, each reducing to
+    ``bins`` mergeable int counters per block. Rank convention is the
+    house exact ceil-rank (q*n + 99) // 100 (shared with
+    [[events_hourly_percentiles]] / the histogram sketch).
+
+    Per iteration: one filtered scan histograms the candidate range
+    into ``bins`` equal integer buckets (per-block np.bincount
+    partials; the driver folds O(bins · #blocks) ints), each target
+    rank walks into its bucket, and when a target's bucket population
+    is <= ``pull_limit`` the exact values of that bucket pull once and
+    the rank indexes the sorted pull. The cent domain (<= ~2^40)
+    resolves in 2-4 passes; fail-loud if ``max_iters`` can't shrink a
+    pathological range (can't happen with integer widths: each pass
+    divides the range by ``bins``).
+
+    Oracle: ROW_NUMBER rank pick at the same ceil-ranks."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import _cents
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"v": _cents(batch["value"])})
+
+    vals = events.map_batches(to_cents, batch_format="pyarrow").materialize()
+    stats = vals.aggregate(
+        Min("v", alias_name="lo"), Max("v", alias_name="hi"), Count()
+    )
+    n = int(stats["count()"])
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "pct": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "value_c": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    glo, ghi = int(stats["lo"]), int(stats["hi"])
+    # per-target state: candidate range [lo, hi] and the rank WITHIN it
+    targets = {
+        pct: {"lo": glo, "hi": ghi, "rank": (pct * n + 99) // 100}
+        for pct in qs
+    }
+    resolved: dict[int, int] = {}
+    for _ in range(max_iters):
+        pending = {p: t for p, t in targets.items() if p not in resolved}
+        if not pending:
+            break
+        # distinct candidate ranges this pass (targets often share)
+        ranges = sorted({(t["lo"], t["hi"]) for t in pending.values()})
+
+        def hist_partial(
+            batch: pa.Table, _ranges=ranges, _bins=bins
+        ) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            out_r, out_b, out_c = [], [], []
+            for ri, (lo, hi) in enumerate(_ranges):
+                w = (hi - lo) // _bins + 1
+                sel = v[(v >= lo) & (v <= hi)]
+                if len(sel) == 0:
+                    continue
+                cnt = np.bincount((sel - lo) // w, minlength=_bins)
+                nz = np.flatnonzero(cnt)
+                out_r.extend([ri] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(cnt[nz].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "ri": pa.array(out_r, type=pa.int64()),
+                    "b": pa.array(out_b, type=pa.int64()),
+                    "c": pa.array(out_c, type=pa.int64()),
+                }
+            )
+
+        hists: dict[int, np.ndarray] = {
+            ri: np.zeros(bins, dtype=np.int64) for ri in range(len(ranges))
+        }
+        for r in vals.map_batches(
+            hist_partial, batch_format="pyarrow"
+        ).take_all():
+            hists[r["ri"]][r["b"]] += r["c"]
+        for pct, t in pending.items():
+            lo, hi = t["lo"], t["hi"]
+            ri = ranges.index((lo, hi))
+            w = (hi - lo) // bins + 1
+            cum = np.cumsum(hists[ri])
+            b = int(np.searchsorted(cum, t["rank"]))
+            in_bucket = int(hists[ri][b])
+            t["rank"] -= int(cum[b - 1]) if b else 0
+            t["lo"] = lo + b * w
+            t["hi"] = min(hi, lo + (b + 1) * w - 1)
+            if t["lo"] == t["hi"]:
+                resolved[pct] = t["lo"]
+            elif in_bucket <= pull_limit:
+                # exact pull of one bucket's values (bounded)
+                pulled = np.sort(
+                    np.concatenate(
+                        [
+                            b2["v"].to_numpy(zero_copy_only=False)
+                            for b2 in vals.map_batches(
+                                lambda t2, _lo=t["lo"], _hi=t["hi"]: t2.filter(
+                                    pc.and_(
+                                        pc.greater_equal(t2["v"], _lo),
+                                        pc.less_equal(t2["v"], _hi),
+                                    )
+                                ),
+                                batch_format="pyarrow",
+                            ).iter_batches(batch_format="pyarrow")
+                        ]
+                        or [np.empty(0, dtype=np.int64)]
+                    )
+                )
+                resolved[pct] = int(pulled[t["rank"] - 1])
+    unresolved = [p for p in targets if p not in resolved]
+    if unresolved:
+        raise RuntimeError(
+            f"selection did not converge for percentiles {unresolved} "
+            f"within {max_iters} passes"
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "pct": pa.array(sorted(qs), type=pa.int64()),
+                "rank": pa.array(
+                    [(p * n + 99) // 100 for p in sorted(qs)],
+                    type=pa.int64(),
+                ),
+                "value_c": pa.array(
+                    [resolved[p] for p in sorted(qs)], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def hourly_value_quantiles_sketch(
     events: ray.data.Dataset,
     qs: tuple[int, ...] = (50, 95, 99),

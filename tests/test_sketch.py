@@ -354,3 +354,69 @@ class TestAudienceOverlapExact:
         assert abs(est["n_b_est"] - ex["n_b"]) <= max(10, ex["n_b"] * 8 // 100)
         union = ex["n_a"] + ex["n_b"] - ex["n_inter"]
         assert abs(est["n_union_est"] - union) <= max(10, union * 8 // 100)
+
+
+class TestValueQuantilesSelection:
+    def test_matches_sorted_reference_small_buckets(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            value_quantiles_selection,
+        )
+
+        rng = __import__("numpy").random.default_rng(2)
+        vals = rng.integers(0, 10**6, 5000) / 100.0
+        ev = ray.data.from_arrow(pa.table({"value": vals})).repartition(8)
+        import numpy as np
+
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        s = np.sort(cents)
+        n = len(s)
+        rows = {
+            r["pct"]: r
+            for r in value_quantiles_selection(ev).take_all()
+        }
+        for pct in (25, 50, 75, 99):
+            rk = (pct * n + 99) // 100
+            assert rows[pct]["rank"] == rk
+            assert rows[pct]["value_c"] == int(s[rk - 1]), pct
+
+    def test_forced_multi_iteration_refinement(self, ray_session):
+        # bins=4 and pull_limit=0 force the range to shrink only by
+        # histogram refinement down to a single-cent bucket
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            value_quantiles_selection,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 100_000, 2000) / 100.0
+        ev = ray.data.from_arrow(pa.table({"value": vals})).repartition(4)
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        s = np.sort(cents)
+        n = len(s)
+        rows = {
+            r["pct"]: r["value_c"]
+            for r in value_quantiles_selection(
+                ev, qs=(50,), bins=4, pull_limit=0, max_iters=30
+            ).take_all()
+        }
+        rk = (50 * n + 99) // 100
+        assert rows[50] == int(s[rk - 1])
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tableextraction_ray.functions.sketch import (
+            value_quantiles_selection,
+        )
+
+        ev = ray.data.from_arrow(
+            pa.table({"value": pa.array([], type=pa.float64())})
+        )
+        assert value_quantiles_selection(ev).count() == 0
