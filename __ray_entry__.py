@@ -211,6 +211,7 @@ _R4_QUERIES: list[str] = [
     "audience_overlap_exact",
     "typo_token_pairs",
     "value_quantiles_selection",
+    "kmv_users_by_type",
 ]
 
 
@@ -613,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         ),
         "audience_overlap_exact": lambda sf: sketch.audience_overlap_exact(
+            _read(sf, "events", ["event_type", "user_id"])
+        ),
+        "kmv_users_by_type": lambda sf: sketch.kmv_users_by_type(
             _read(sf, "events", ["event_type", "user_id"])
         ),
         "value_quantiles_selection": lambda sf: (
@@ -3832,6 +3836,34 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 4096 * ln(4096.0 / zeros)
                                    ELSE raw END + 0.5) AS BIGINT) AS n_users_est
             FROM estv
+        """,
+        # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
+        # smallest DISTINCT hash per type drives the pure-integer
+        # estimator (k-1) * 2^64 // h_k in HUGEINT — bit-identical to
+        # the Python side. Groups with < k distinct hashes are exact.
+        "kmv_users_by_type": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, hv,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hv
+                     ) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM h
+            )
+            SELECT event_type,
+                   CASE WHEN MAX(n) < 256 THEN MAX(n)
+                        ELSE CAST(
+                          255::HUGEINT * 18446744073709551616::HUGEINT
+                          // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                  AS HUGEINT) AS BIGINT)
+                   END AS n_users_est
+            FROM r GROUP BY event_type
         """,
         "value_quantiles_selection": """
             WITH v AS (

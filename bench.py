@@ -237,6 +237,7 @@ QUERY_SUITE = [
     "linenumber_integrity",
     "hll_audience_overlap",
     "audience_overlap_exact",
+    "kmv_users_by_type",
     "typo_token_pairs",
 ]
 

@@ -1016,3 +1016,93 @@ def cms_error_report(
         )
 
     return exact.map_batches(finish, batch_format="pyarrow")
+
+
+KMV_K = 256  # ~1/sqrt(k-2) ≈ 6.3 % standard error
+
+
+def kmv_users_by_type(
+    events: ray.data.Dataset, k: int = KMV_K
+) -> ray.data.Dataset:
+    """(event_type, n_users_est) — K-Minimum-Values distinct sketch
+    (Bar-Yossef et al. 2002): per group keep only the k smallest md5
+    hashes of the user ids; the k-th smallest order statistic estimates
+    the cardinality as floor((k-1) * 2^64 / h_(k)). The third leg of the
+    cardinality family next to exact ([[events_hourly_users]]) and HLL
+    ([[events_hourly_users_hll]]): unlike HLL its partials are
+    *samples*, so the same sketch also answers distinct-set intersection
+    sizes, and its size adapts (≤ k values) instead of fixed 2^p.
+
+    Scale shape: per-batch (event_type, user) dedup → per-type k-min
+    hash lists (bounded ≤ k u64 each) → ONE keyed merge per event_type.
+    The exchange moves O(#types × k) values regardless of cardinality.
+
+    Exactness contract: the estimate is deterministic GIVEN the hash
+    (same md5-prefix u64 as the HLL twin) and the arithmetic is pure
+    integer — (k-1) * 2^64 // h_k — so the DuckDB oracle replays it
+    bit-for-bit with HUGEINT math. Groups with < k distinct hashes
+    report the exact distinct hash count."""
+
+    PARTIAL_SCHEMA = pa.schema(
+        [("event_type", pa.string()), ("kmin", pa.list_(pa.uint64()))]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.Table.from_pydict(
+                {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        types = np.asarray(t["event_type"].to_pylist())
+        users = t["user_id"].to_pylist()
+        hcache: dict = {}
+        hs = np.empty(len(users), dtype=np.uint64)
+        for i, u in enumerate(users):
+            v = hcache.get(u)
+            if v is None:
+                v = hcache[u] = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big"
+                )
+            hs[i] = v
+        out_t: list[str] = []
+        out_h: list[list[int]] = []
+        for et in np.unique(types):
+            sel = np.unique(hs[types == et])  # sorted + distinct
+            out_t.append(str(et))
+            out_h.append(sel[:k].tolist())
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "kmin": pa.array(out_h, type=pa.list_(pa.uint64())),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        et = group["event_type"][0].as_py()
+        allh = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(x, dtype=np.uint64)
+                    for x in group["kmin"].to_pylist()
+                ]
+            )
+        )
+        if len(allh) < k:
+            est = int(len(allh))
+        else:
+            est = (k - 1) * (1 << 64) // int(allh[k - 1])
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array([et], type=pa.string()),
+                "n_users_est": pa.array([est], type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )

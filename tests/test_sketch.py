@@ -420,3 +420,61 @@ class TestValueQuantilesSelection:
             pa.table({"value": pa.array([], type=pa.float64())})
         )
         assert value_quantiles_selection(ev).count() == 0
+
+
+class TestKmvUsersByType:
+    def _ev(self):
+        return ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+        )
+
+    def test_error_bound_vs_exact(self, ray_session):
+        """KMV estimate within ~3 standard errors (1/sqrt(k-2)) of the
+        exact per-type distinct count; exact below k distinct users."""
+        df = self._ev().to_pandas()
+        exact = df.groupby("event_type")["user_id"].nunique().to_dict()
+        est = {
+            r["event_type"]: r["n_users_est"]
+            for r in sketch.kmv_users_by_type(self._ev()).take_all()
+        }
+        assert set(est) == set(exact)
+        se = 3.0 / (sketch.KMV_K - 2) ** 0.5
+        for et, n in exact.items():
+            if n < sketch.KMV_K:
+                assert est[et] == n, (et, n, est[et])
+            else:
+                assert abs(est[et] - n) <= se * n, (et, n, est[et])
+
+    def test_partition_invariance(self, ray_session):
+        """k-min merge is associative/commutative/idempotent: estimates
+        cannot depend on how events land in batches."""
+        a = sorted(
+            (r["event_type"], r["n_users_est"])
+            for r in sketch.kmv_users_by_type(self._ev()).take_all()
+        )
+        b = sorted(
+            (r["event_type"], r["n_users_est"])
+            for r in sketch.kmv_users_by_type(
+                self._ev().repartition(23)
+            ).take_all()
+        )
+        assert a == b
+
+    def test_small_k_exact_formula(self, ray_session):
+        """With tiny k the estimator must follow the integer contract
+        (k-1) * 2^64 // h_k exactly (replayed here in pure Python)."""
+        import hashlib as _h
+
+        df = self._ev().to_pandas()
+        k = 8
+        got = {
+            r["event_type"]: r["n_users_est"]
+            for r in sketch.kmv_users_by_type(self._ev(), k=k).take_all()
+        }
+        for et, sub in df.groupby("event_type"):
+            hs = sorted(
+                int.from_bytes(_h.md5(str(u).encode()).digest()[:8], "big")
+                for u in set(sub["user_id"])
+            )
+            want = len(hs) if len(hs) < k else (k - 1) * (1 << 64) // hs[k - 1]
+            assert got[et] == want, (et, want, got[et])
