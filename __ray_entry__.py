@@ -212,6 +212,9 @@ _R4_QUERIES: list[str] = [
     "typo_token_pairs",
     "value_quantiles_selection",
     "kmv_users_by_type",
+    "near_dup_triangles",
+    "negative_pairs",
+    "pca_recon_error",
 ]
 
 
@@ -693,6 +696,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_near_dup_lsh": lambda sf: similarity.lsh_near_dup(
             _read(sf, "embeddings", ["vec_id", "embedding"])
+        ),
+        "near_dup_triangles": lambda sf: similarity.near_dup_triangles(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
+        ),
+        # rows-only: PCA eigendecomposition is not SQL-expressible; the
+        # numpy-replay exactness test lives in tests/test_round4b_ops.py.
+        "pca_recon_error": lambda sf: similarity.pca_recon_error(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"])
         ),
         # -- text analysis --
         "fingerprint": lambda sf: textstats.fingerprint(docs(sf, ["doc_id", "text"])),
@@ -1344,6 +1355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_token_corr": lambda sf: selection.length_token_corr(
             docs(sf, ["doc_id", "text"])
         ),
+        "negative_pairs": lambda sf: selection.negative_pairs(
+            docs(sf, ["doc_id"])
+        ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
     # order (round-3 verdict #1): put queries that have never received a
@@ -1736,6 +1750,45 @@ def oracle_sql() -> dict[str, str]:
               FROM qe a, qe b WHERE a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos_fp5 FROM pairs WHERE cos_fp5 >= 35000
+        """,
+        # Triangle census over the same exact pair set: e1=(a,b), e2=(a,c),
+        # e3=(b,c) with a<b<c counts each triangle once; wedges from the
+        # degree sum d*(d-1)/2; clustering coefficient replayed with the
+        # identical pure-integer rounding (600000*T + W) // (2W).
+        "near_dup_triangles": _QUANT_CTE
+        + """,
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM qe a, qe b WHERE a.vec_id < b.vec_id
+                AND CAST(FLOOR(
+                  list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                  / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                ) >= 35000
+            ),
+            deg AS (
+              SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p
+              ) GROUP BY v
+            ),
+            tri AS (
+              SELECT COUNT(*) AS t FROM p e1
+              JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            wn AS (
+              SELECT COUNT(*) AS n_nodes,
+                     CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+              FROM deg
+            ),
+            ne AS (SELECT COUNT(*) AS n_edges FROM p)
+            SELECT wn.n_nodes AS n_nodes, ne.n_edges AS n_edges,
+                   wn.n_wedges AS n_wedges, tri.t AS n_triangles,
+                   CASE WHEN wn.n_wedges = 0 THEN 0
+                        ELSE CAST((600000::HUGEINT * tri.t + wn.n_wedges)
+                             // (2 * wn.n_wedges) AS BIGINT)
+                   END AS clustering_fp5
+            FROM wn, ne, tri
         """,
         # Full LSH replay: md5-derived integer hyperplanes (uniform in
         # [-1e6, 1e6]) dotted against the 1e6-quantized vectors — every
@@ -5475,6 +5528,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
           FROM documents
         ) WHERE rank <= 20
+    """
+    # Hash-ring in-batch negatives: row_number over the md5-u64 order,
+    # each doc joined to the docs at ring offsets 1..k (mod n).
+    d["negative_pairs"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT AS hv
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM h
+        ),
+        l AS (SELECT unnest([1, 2]) AS lag)
+        SELECT a.doc_id AS doc_id, CAST(l.lag AS BIGINT) AS lag,
+               b.doc_id AS neg_doc_id
+        FROM o a CROSS JOIN l
+        JOIN o b ON b.rn = (a.rn + l.lag) % a.n
     """
     # Stratified deterministic sample: k smallest hashes per source.
     d["per_source_sample_k"] = """

@@ -238,6 +238,9 @@ QUERY_SUITE = [
     "hll_audience_overlap",
     "audience_overlap_exact",
     "kmv_users_by_type",
+    "near_dup_triangles",
+    "negative_pairs",
+    "pca_recon_error",
     "typo_token_pairs",
 ]
 

@@ -4432,7 +4432,13 @@ def doc_length_deciles(documents: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     metas = sorted(
-        sorted_ds.map_batches(meta, batch_format="pyarrow").take_all(),
+        sorted_ds.map_batches(
+            # batch_size=None: one batch per materialized block, so the
+            # offsets keyed in THIS pass are exactly the batch-firsts the
+            # second pass looks up (default bundling may coalesce blocks
+            # differently between two executions).
+            meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
         key=lambda r: (r["first_chars"], r["first_doc"]),
     )
     total = sum(m["count"] for m in metas)
@@ -4477,7 +4483,9 @@ def doc_length_deciles(documents: ray.data.Dataset) -> ray.data.Dataset:
         return g.rename_columns(["ntile", "n_docs", "min_chars", "max_chars"])
 
     agg = (
-        sorted_ds.map_batches(bucketize, batch_format="pyarrow")
+        sorted_ds.map_batches(
+            bucketize, batch_format="pyarrow", batch_size=None
+        )
         .groupby("ntile")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),

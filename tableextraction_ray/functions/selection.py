@@ -18,6 +18,8 @@ operator replays bit-for-bit in SQL despite being a log-probability score.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -496,4 +498,139 @@ def mixture_token_plan(
                 ),
             }
         )
+    )
+
+
+def negative_pairs(documents: ray.data.Dataset, k: int = 2) -> ray.data.Dataset:
+    """(doc_id, lag, neg_doc_id) — deterministic in-batch-negative pairing
+    for contrastive training: documents are placed on a pseudo-random
+    RING (ordered by md5(str(doc_id)) u64, ties by doc_id) and each doc
+    pairs with the next ``k`` docs on the ring. Hash order makes the
+    negatives uniform-random with respect to any content signal, yet
+    reproducible and coordination-free — two runs (or the text and the
+    embedding job) derive the identical pair set, which is what lets a
+    100-TB contrastive-pretraining pipeline shard the pairing without a
+    shuffle join against a sampled negative table.
+
+    Shape: ONE global sort by (hash, doc_id) → pass 1 reads one meta row
+    per block (block-first key + the block's FIRST k ids), the driver
+    stitches each block's k-successor list (+ global wrap) — state
+    O(k × #blocks) — → pass 2 emits every (doc, lag, successor) pair
+    vectorized in-block with the broadcast successor tails. No row ever
+    crosses the wire except the O(k × #blocks) meta rows.
+
+    Oracle: row_number() over the same hash order, joined on
+    (rn + lag) % n. Requires n > k for self-pair-free output (both
+    sides degrade identically below that)."""
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs = np.empty(len(ids), dtype=np.uint64)
+        for i, d in enumerate(ids):
+            hs[i] = int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[:8], "big"
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "h": pa.array(hs, type=pa.uint64()),
+            }
+        )
+
+    sorted_ds = (
+        documents.select_columns(["doc_id"])
+        .map_batches(hashed, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .materialize()
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "first_h": pa.array([], type=pa.uint64()),
+                    "first_doc": pa.array([], type=pa.int64()),
+                    "head_ids": pa.array([], type=pa.list_(pa.int64())),
+                    "count": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "first_h": pa.array([batch["h"][0].as_py()], type=pa.uint64()),
+                "first_doc": pa.array([int(ids[0])], type=pa.int64()),
+                "head_ids": pa.array(
+                    [ids[:k].tolist()], type=pa.list_(pa.int64())
+                ),
+                "count": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    # batch_size=None => one batch per BLOCK of the materialized sorted
+    # dataset, so pass 1's meta keys and pass 2's lookups are guaranteed
+    # to see the same boundaries (default bundling may coalesce blocks
+    # differently between two executions).
+    metas = sorted(
+        sorted_ds.map_batches(
+            meta, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: (r["first_h"], r["first_doc"]),
+    )
+    # Each block's successor tail: the first k ids of the FOLLOWING
+    # blocks (spilling past short blocks), wrapping to the global head.
+    heads = [list(m["head_ids"]) for m in metas]
+    global_head: list[int] = []
+    for h in heads:
+        global_head.extend(h)
+        if len(global_head) >= k:
+            break
+    succ: dict[tuple[int, int], list[int]] = {}
+    for i, m in enumerate(metas):
+        tail: list[int] = []
+        for h in heads[i + 1:]:
+            tail.extend(h)
+            if len(tail) >= k:
+                break
+        tail.extend(global_head)
+        succ[(m["first_h"], m["first_doc"])] = tail[:k]
+    succ_ref = ray.put(succ)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lag": pa.array([], type=pa.int64()),
+                    "neg_doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        s = ray.get(succ_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ext = np.asarray(
+            s[(batch["h"][0].as_py(), int(ids[0]))], dtype=np.int64
+        )
+        out_doc, out_lag, out_neg = [], [], []
+        for lag in range(1, k + 1):
+            out_doc.append(ids)
+            out_lag.append(np.full(len(ids), lag, dtype=np.int64))
+            # row i pairs with global position i+lag: in-block while
+            # i+lag < c, else successor ext[i+lag-c] — for blocks shorter
+            # than lag the ext window starts at lag-c, not 0.
+            out_neg.append(
+                np.concatenate(
+                    [ids[lag:], ext[max(lag - len(ids), 0):lag]]
+                )
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+                "lag": pa.array(np.concatenate(out_lag), type=pa.int64()),
+                "neg_doc_id": pa.array(
+                    np.concatenate(out_neg), type=pa.int64()
+                ),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        emit, batch_format="pyarrow", batch_size=None
     )

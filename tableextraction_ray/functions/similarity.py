@@ -1627,3 +1627,276 @@ def embedding_norm_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def near_dup_triangles(
+    ds: ray.data.Dataset,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    row_count: int | None = None,
+) -> ray.data.Dataset:
+    """One row (n_nodes, n_edges, n_wedges, n_triangles, clustering_fp5)
+    — triangle census of the near-duplicate graph, the cluster-density
+    signal a dedup planner reads next to [[near_dup_degree_hist]]'s
+    degree census: a high global clustering coefficient (3T/W) means the
+    near-dup pairs close into cliques (true duplicate groups — safe to
+    collapse via connected components); a low one means chains/stars
+    (threshold too loose — components over-merge).
+
+    Distributed shape (the MapReduce node-iterator with DEGREE
+    ORIENTATION, Suri & Vassilvitskii 2011): degrees via one keyed sum
+    over pair endpoints; each edge is oriented toward the (degree, id)-
+    larger endpoint, so every node's OUT-degree is O(sqrt(m)) no matter
+    how skewed the raw degrees are — the hub that would otherwise emit
+    deg^2 wedges emits none. Wedges (v, w) generated per source from the
+    sorted out-adjacency close into triangles via ONE tagged-union keyed
+    groupby against the edge set; nothing quadratic in a hub's degree
+    ever materializes. Degree attach rides the shared guarded-broadcast /
+    tagged-union core (``keyed_attach_int``).
+
+    clustering_fp5 = floor(3T/W * 1e5 + 0.5) in pure integer arithmetic
+    ((600000*T + W) // (2W)) so the DuckDB oracle replays it exactly."""
+    from ray.data.aggregate import Sum
+
+    from .relational import keyed_attach_int
+
+    if row_count is None:
+        row_count = ds.count()
+    pairs = near_dup_pairs(
+        ds, threshold_fp5=threshold_fp5, row_count=row_count
+    ).materialize()  # reused three times: degrees, orientation, closing join
+    n_edges = pairs.count()  # metadata-only on a materialized dataset
+    zeros = pa.Table.from_pydict(
+        {
+            c: pa.array([0], type=pa.int64())
+            for c in (
+                "n_nodes", "n_edges", "n_wedges", "n_triangles",
+                "clustering_fp5",
+            )
+        }
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(zeros)
+
+    def endpoint_partials(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch["vec_a"].to_numpy(zero_copy_only=False),
+                batch["vec_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        keys, counts = np.unique(ids, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(keys, type=pa.int64()),
+                "deg": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    deg = (
+        pairs.map_batches(endpoint_partials, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+    n_nodes = deg.count()
+
+    def wedge_caps(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"w": pa.array([int((d * (d - 1) // 2).sum())], type=pa.int64())}
+        )
+
+    wrows = deg.map_batches(wedge_caps, batch_format="pyarrow").take_all()
+    n_wedges = sum(r["w"] for r in wrows)  # one scalar per block
+
+    def edge_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"a": batch["vec_a"], "b": batch["vec_b"]}
+        )
+
+    edges = pairs.map_batches(edge_cols, batch_format="pyarrow")
+    dim_a = deg.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"a": b["vec_id"], "deg_a": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dim_b = deg.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"b": b["vec_id"], "deg_b": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withdeg = keyed_attach_int(
+        keyed_attach_int(edges, dim_a, "a", "deg_a", ("b",),
+                         dim_count=n_nodes),
+        dim_b, "b", "deg_b", ("a", "deg_a"), dim_count=n_nodes,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = batch["deg_a"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+
+    def emit_wedges(group: pa.Table) -> pa.Table:
+        ns = np.sort(group["dst"].to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(len(ns), 1)
+        # wedge endpoints keyed (min, max) to meet the a<b edge key
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(ns[i], type=pa.int64()),
+                "b": pa.array(ns[j], type=pa.int64()),
+                "n_wedge": pa.array(np.ones(len(i), dtype=np.int64)),
+                "is_edge": pa.array(np.zeros(len(i), dtype=np.int64)),
+            }
+        )
+
+    wedges = oriented.groupby("src").map_groups(
+        emit_wedges, batch_format="pyarrow"
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "n_wedge": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_edge": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    closed = (
+        wedges.union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("n_wedge", alias_name="n_wedge"),
+            Sum("is_edge", alias_name="is_edge"),
+        )
+    )
+
+    def tri_partials(batch: pa.Table) -> pa.Table:
+        w = batch["n_wedge"].to_numpy(zero_copy_only=False)
+        e = batch["is_edge"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"t": pa.array([int(w[e > 0].sum())], type=pa.int64())}
+        )
+
+    trows = closed.map_batches(tri_partials, batch_format="pyarrow").take_all()
+    n_tri = sum(r["t"] for r in trows)
+    clustering_fp5 = (
+        0 if n_wedges == 0 else (600000 * n_tri + n_wedges) // (2 * n_wedges)
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_nodes": pa.array([n_nodes], type=pa.int64()),
+                "n_edges": pa.array([n_edges], type=pa.int64()),
+                "n_wedges": pa.array([n_wedges], type=pa.int64()),
+                "n_triangles": pa.array([n_tri], type=pa.int64()),
+                "clustering_fp5": pa.array(
+                    [clustering_fp5], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def pca_recon_error(
+    ds: ray.data.Dataset, n_components: int = 8
+) -> ray.data.Dataset:
+    """(label, n_vecs, sum_err_fp2, mean_err_fp2) — per-label PCA
+    reconstruction error: fit a global k-component PCA from the exact
+    integer sufficient statistics ([[embedding_covariance]]'s fold), then
+    score every vector's squared residual off the principal subspace.
+    The embedding-quality probe a curation pipeline reads per label/
+    source: a label whose residual is far above the corpus mean lives
+    OFF the dominant manifold (mislabeled cluster, modality drift, or
+    injected garbage) and gets routed to review — same role as
+    [[embedding_norm_outliers]] but sensitive to direction, not length.
+
+    Distributed shape: pass 1 is the d(d+1)/2-row exact-integer
+    covariance fold (no payload shuffle); eigh runs ONCE on the driver's
+    d x d matrix (d is model-bounded, never data-bounded) and the (mean,
+    basis) broadcast via ray.put; pass 2 is one matmul per batch with
+    per-label integer partials -> ONE tiny keyed groupby over labels.
+
+    No SQL oracle (eigendecomposition is not SQL-expressible) — the
+    driver records rows-only; exactness is pytest-pinned against a
+    numpy replay. Partition invariance holds because each ROW's error
+    is quantized to fp2 BEFORE the integer sum (float only inside the
+    deterministic per-row expression)."""
+    from ray.data.aggregate import Sum
+
+    cov_rows = embedding_covariance(ds).take_all()  # d(d+1)/2 rows
+    d = max(r["j"] for r in cov_rows) + 1
+    n = cov_rows[0]["n"]
+    s = np.zeros(d, dtype=np.float64)
+    m2 = np.zeros((d, d), dtype=np.float64)
+    for r in cov_rows:
+        i, j = r["i"], r["j"]
+        s[i] = r["sum_i"]
+        s[j] = r["sum_j"]
+        m2[i, j] = m2[j, i] = r["sum_ij"]
+    mean = s / n
+    cov = (m2 - np.outer(s, s) / n) / n
+    w, v = np.linalg.eigh(cov)
+    basis = v[:, np.argsort(w)[::-1][:n_components]]  # d x k, descending
+    state_ref = ray.put((mean, basis))
+
+    def score(batch: pa.Table) -> pa.Table:
+        mean, basis = ray.get(state_ref)
+        q = _quantize(_stack(batch)).astype(np.float64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        r = q - mean
+        proj = r @ basis
+        err = (r * r).sum(axis=1) - (proj * proj).sum(axis=1)
+        # per-row fp2 quantization BEFORE the sum: partition-invariant.
+        # errors are in (1e6-quantized unit)^2 — rescale to the raw
+        # embedding scale (1e-12) first, then 2 decimals.
+        err_fp2 = np.floor(err * 1e-12 * 100.0 + 0.5).astype(np.int64)
+        ls, ns, sums = [], [], []
+        for lb in np.unique(labels):
+            sel = err_fp2[labels == lb]
+            ls.append(int(lb))
+            ns.append(len(sel))
+            sums.append(int(sel.sum()))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(ls, type=pa.int64()),
+                "pn": pa.array(ns, type=pa.int64()),
+                "perr": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("pn"), Sum("perr"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nv = batch["sum(pn)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        se = batch["sum(perr)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "n_vecs": pa.array(nv, type=pa.int64()),
+                "sum_err_fp2": pa.array(se, type=pa.int64()),
+                "mean_err_fp2": pa.array(se // nv, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

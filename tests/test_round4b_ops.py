@@ -10,7 +10,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from tableextraction_ray.functions import interleaved, relational, textstats
+from tableextraction_ray.functions import interleaved, relational, similarity, textstats
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -902,3 +902,149 @@ class TestLongestDocsPerSource:
         assert canon(textstats.longest_docs_per_source(docs)) == canon(
             textstats.longest_docs_per_source(docs.repartition(9))
         )
+
+
+class TestNearDupTriangles:
+    def _clique_rows(self):
+        # 4-clique (ids 1-4, identical vectors) + a pendant chain node 5
+        # near 1 only, + isolated 6: K4 has 4 triangles, 15+... wedges.
+        import math
+
+        rows = [
+            {"vec_id": i, "embedding": [1.0, 0.0]} for i in (1, 2, 3, 4)
+        ]
+        # 5 at ~20 degrees from e1: cos ~0.94 to the clique — also joins.
+        # Use an orthogonal-ish vector instead so only weak ties break:
+        rows.append({"vec_id": 5, "embedding": [0.0, 1.0]})
+        rows.append(
+            {"vec_id": 6, "embedding": [math.sqrt(0.5), math.sqrt(0.5)]}
+        )
+        return rows
+
+    def test_known_graph(self, ray_session):
+        # K4 on {1,2,3,4}; 5 orthogonal (cos 0 to clique, cos ~0.707 to 6
+        # — below the 0.9 threshold); 6 ties to nobody at 0.9.
+        out = similarity.near_dup_triangles(
+            ray.data.from_items(self._clique_rows()),
+            threshold_fp5=90_000,
+            row_count=6,
+        ).take_all()
+        assert out == [
+            {
+                "n_nodes": 4,
+                "n_edges": 6,
+                "n_wedges": 12,  # 4 nodes x C(3,2)
+                "n_triangles": 4,
+                "clustering_fp5": 100000,  # 3*4/12 = 1.0
+            }
+        ]
+
+    def test_brute_force_equality_sf0001(self, ray_session):
+        """Triangle count must equal a brute-force close over the same
+        pair set (independent of the wedge-join machinery)."""
+        from itertools import combinations
+
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        pairs = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.near_dup_pairs(ds).take_all()
+        }
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        brute = sum(
+            1
+            for v, ns in adj.items()
+            for x, y in combinations(sorted(ns), 2)
+            if v < x and (x, y) in pairs
+        )
+        row = similarity.near_dup_triangles(ds).take_all()[0]
+        assert row["n_triangles"] == brute
+        assert row["n_edges"] == len(pairs)
+
+    def test_empty_graph(self, ray_session):
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, 0.0]},
+            {"vec_id": 2, "embedding": [0.0, 1.0]},
+        ]
+        out = similarity.near_dup_triangles(
+            ray.data.from_items(rows), threshold_fp5=90_000, row_count=2
+        ).take_all()
+        assert out[0]["n_triangles"] == 0
+        assert out[0]["n_edges"] == 0
+        assert out[0]["clustering_fp5"] == 0
+
+
+class TestPcaReconError:
+    def test_matches_numpy_replay(self, ray_session):
+        """Distributed per-label error sums must equal a single-machine
+        numpy PCA over the same quantized vectors."""
+        import pyarrow.parquet as pq
+
+        from tableextraction_ray.functions.similarity import (
+            _quantize, pca_recon_error,
+        )
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        x = _quantize(
+            np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ).astype(np.float64)
+        labels = np.asarray(tbl["label"].to_pylist(), dtype=np.int64)
+        n, d = x.shape
+        mean = x.sum(axis=0) / n
+        cov = (x.T @ x - np.outer(x.sum(axis=0), x.sum(axis=0)) / n) / n
+        w, v = np.linalg.eigh(cov)
+        basis = v[:, np.argsort(w)[::-1][:8]]
+        r = x - mean
+        proj = r @ basis
+        err = (r * r).sum(axis=1) - (proj * proj).sum(axis=1)
+        err_fp2 = np.floor(err * 1e-12 * 100.0 + 0.5).astype(np.int64)
+        want = {
+            int(lb): int(err_fp2[labels == lb].sum())
+            for lb in np.unique(labels)
+        }
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        got = {
+            r["label"]: r["sum_err_fp2"]
+            for r in pca_recon_error(ds).take_all()
+        }
+        assert got == want
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.similarity import pca_recon_error
+
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        a = sorted(tuple(r.values()) for r in pca_recon_error(ds).take_all())
+        b = sorted(
+            tuple(r.values())
+            for r in pca_recon_error(ds.repartition(11)).take_all()
+        )
+        assert a == b
+
+    def test_full_rank_basis_zero_error(self, ray_session):
+        """k = d reconstructs exactly: every residual must quantize to 0."""
+        from tableextraction_ray.functions.similarity import pca_recon_error
+
+        rows = [
+            {"vec_id": i, "embedding": [float(i), float(i % 3)], "label": 0}
+            for i in range(20)
+        ]
+        out = pca_recon_error(
+            ray.data.from_items(rows), n_components=2
+        ).take_all()
+        assert out == [
+            {"label": 0, "n_vecs": 20, "sum_err_fp2": 0, "mean_err_fp2": 0}
+        ]

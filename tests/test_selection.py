@@ -353,3 +353,62 @@ class TestLengthTokenCorr:
         )
         rows = selection.length_token_corr(ds).take_all()
         assert rows == [{"n_docs": 5, "corr_fp6": 1_000_000}]
+
+
+class TestNegativePairs:
+    def _docs(self, n=37):
+        return ray.data.from_items([{"doc_id": i} for i in range(n)])
+
+    def test_matches_pure_python_ring(self, ray_session):
+        """Exact replay: sort by md5-u64, pair with ring offsets 1..k."""
+        import hashlib
+
+        from tableextraction_ray.functions.selection import negative_pairs
+
+        n, k = 37, 2
+        order = sorted(
+            range(n),
+            key=lambda d: (
+                int.from_bytes(
+                    hashlib.md5(str(d).encode()).digest()[:8], "big"
+                ),
+                d,
+            ),
+        )
+        want = {
+            (order[i], lag, order[(i + lag) % n])
+            for i in range(n)
+            for lag in range(1, k + 1)
+        }
+        got = {
+            (r["doc_id"], r["lag"], r["neg_doc_id"])
+            for r in negative_pairs(self._docs(n), k=k).take_all()
+        }
+        assert got == want
+
+    def test_each_doc_gets_k_negatives_no_self(self, ray_session):
+        from collections import Counter
+
+        from tableextraction_ray.functions.selection import negative_pairs
+
+        rows = negative_pairs(self._docs(50), k=3).take_all()
+        cnt = Counter(r["doc_id"] for r in rows)
+        assert set(cnt.values()) == {3}
+        assert all(r["doc_id"] != r["neg_doc_id"] for r in rows)
+
+    def test_partition_invariance(self, ray_session):
+        """Block boundaries (and thus successor stitching) must not leak
+        into the pair set."""
+        from tableextraction_ray.functions.selection import negative_pairs
+
+        a = sorted(
+            tuple(r.values())
+            for r in negative_pairs(self._docs(64), k=2).take_all()
+        )
+        b = sorted(
+            tuple(r.values())
+            for r in negative_pairs(
+                self._docs(64).repartition(13), k=2
+            ).take_all()
+        )
+        assert a == b
