@@ -215,6 +215,8 @@ _R4_QUERIES: list[str] = [
     "near_dup_triangles",
     "negative_pairs",
     "pca_recon_error",
+    "source_token_entropy",
+    "value_trend_slope",
 ]
 
 
@@ -1238,8 +1240,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_gini": lambda sf: textstats.source_token_gini(
             docs(sf, ["source", "text"])
         ),
+        "source_token_entropy": lambda sf: textstats.source_token_entropy(
+            docs(sf, ["source", "text"])
+        ),
         "event_type_burstiness": lambda sf: relational.event_type_burstiness(
             _read(sf, "events", ["ts", "event_type"])
+        ),
+        "value_trend_slope": lambda sf: relational.value_trend_slope(
+            _read(sf, "events", ["ts", "event_type", "value"])
         ),
         "knn_recall_report": lambda sf: similarity.knn_recall_report(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -6188,6 +6196,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(((n*n - s2) * 2000000 + n*n) // (2 * n*n) AS BIGINT)
                  AS gini_fp6
         FROM u
+    """
+    # Shannon entropy per source: per-token floor(c*ln(c)*1e6) int64
+    # terms (order-independent sum), then ONE fixed double expression
+    # ln(N) - (S/1e6)/N floored to fp6 — the dsir/PMI libm contract.
+    d["source_token_entropy"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        xh AS (
+          SELECT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS th
+          FROM toks
+        ),
+        c AS (SELECT source, th, COUNT(*) AS c FROM xh GROUP BY 1, 2),
+        q AS (
+          SELECT source, c,
+                 CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS term
+          FROM c
+        ),
+        u AS (
+          SELECT source, SUM(c) AS n, SUM(term) AS s, COUNT(*) AS d
+          FROM q GROUP BY 1
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(d AS BIGINT) AS n_distinct,
+               CAST(FLOOR((ln(CAST(n AS DOUBLE))
+                           - (CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
+                          * 1e6) AS BIGINT) AS ent_fp6
+        FROM u
+    """
+    # Per-type OLS value-vs-day slope: exact integer moments (x centered
+    # on 2024-01-01), HUGEINT numerator/denominator, one double divide.
+    d["value_trend_slope"] = """
+        WITH p AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM p GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                    THEN 0
+                    ELSE CAST(FLOOR(
+                      CAST(CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      * 1e6 + 0.5) AS BIGINT)
+               END AS slope_fp6
+        FROM m
     """
     # Fano factor (variance/mean) of per-hour counts per event type —
     # pure rational on integer counts over OBSERVED hours.

@@ -241,6 +241,8 @@ QUERY_SUITE = [
     "near_dup_triangles",
     "negative_pairs",
     "pca_recon_error",
+    "source_token_entropy",
+    "value_trend_slope",
     "typo_token_pairs",
 ]
 

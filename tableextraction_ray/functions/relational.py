@@ -7647,3 +7647,97 @@ def linenumber_integrity(lineitem: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def value_trend_slope(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n, slope_fp6) — per-type OLS trend of event value
+    over calendar days: slope of y = value (fp2-quantized cents) against
+    x = days since 2024-01-01. The drift monitor a pipeline reads to
+    catch value-scale regressions per event family (a pricing feed whose
+    purchase values trend down 1e4 fp6/day is decaying, not seasonal).
+
+    Exact-replay contract: the five OLS moments (n, Σx, Σy, Σx², Σxy)
+    are exact int64 per-block partials folded by ONE tiny keyed groupby
+    — x is centered on a FIXED epoch (2024-01-01) so x ≈ 1e3 keeps
+    Σxy within int64 to ~4e11 rows per type; the final
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluates numerator and
+    denominator in EXACT Python ints, converts each once to double, and
+    applies one fixed divide → ×1e6 → floor(+0.5) sequence — identical
+    in DuckDB HUGEINT→DOUBLE. Zero-variance x (all events same day)
+    reports slope 0 on both sides."""
+    from ray.data.aggregate import Sum
+
+    EPOCH_DAYS = 19723  # days from 1970-01-01 to 2024-01-01
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            batch["ts"]
+            .cast(pa.timestamp("us"))  # unit-normalize: from_items gives [s]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+            - EPOCH_DAYS
+        )
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist())
+        ts_, ns, sxs, sys_, sxxs, sxys = [], [], [], [], [], []
+        for t in np.unique(et):
+            sel = et == t
+            xs, ys = x[sel], y[sel]
+            ts_.append(str(t))
+            ns.append(len(xs))
+            sxs.append(int(xs.sum()))
+            sys_.append(int(ys.sum()))
+            sxxs.append(int((xs * xs).sum()))
+            sxys.append(int((xs * ys).sum()))
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(ts_, type=pa.string()),
+                "pn": pa.array(ns, type=pa.int64()),
+                "psx": pa.array(sxs, type=pa.int64()),
+                "psy": pa.array(sys_, type=pa.int64()),
+                "psxx": pa.array(sxxs, type=pa.int64()),
+                "psxy": pa.array(sxys, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("psx", alias_name="sx"),
+            Sum("psy", alias_name="sy"),
+            Sum("psxx", alias_name="sxx"),
+            Sum("psxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ets = batch["event_type"].to_pylist()
+        out_n, out_s = [], []
+        for i in range(len(ets)):
+            n = int(batch["n"][i].as_py())
+            sx = int(batch["sx"][i].as_py())
+            sy = int(batch["sy"][i].as_py())
+            sxx = int(batch["sxx"][i].as_py())
+            sxy = int(batch["sxy"][i].as_py())
+            num = n * sxy - sx * sy  # exact Python ints
+            den = n * sxx - sx * sx
+            slope = 0 if den == 0 else int(
+                np.floor(float(num) / float(den) * 1e6 + 0.5)
+            )
+            out_n.append(n)
+            out_s.append(slope)
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(ets, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "slope_fp6": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

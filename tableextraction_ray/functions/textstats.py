@@ -3278,3 +3278,102 @@ def compression_ratio(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def source_token_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, n_tokens, n_distinct, ent_fp6) — Shannon entropy (nats)
+    of each source's token frequency distribution:
+    H = ln(N) − (Σ c·ln c)/N. The companion to [[source_token_gini]]'s
+    impurity: entropy separates "few tokens dominate" (low H) from
+    "flat vocabulary" (H near ln of distinct count) with the standard
+    information-theoretic scale, which makes cross-source comparisons
+    additive (mixture entropy bounds) where Gini is not.
+
+    Exact-replay contract (the dsir/PMI discipline): the per-token term
+    floor(c·ln(c)·1e6) quantizes to int64 BEFORE summation, so the fold
+    is order-independent; ln is platform libm in both engines; the final
+    expression ln(N) − (S/1e6)/N evaluates as ONE fixed IEEE-double
+    sequence then floors to fp6. int64 bound: c·ln(c)·1e6 ≈ 1.6e14 at
+    c = 1e7 — exact to ~6e4 such hot tokens per source; beyond, rescale
+    the quantum.
+
+    Scale shape: identical to [[source_token_gini]] — per-block
+    (source, token-hash) pre-combine (60-bit md5, strings never ride),
+    ONE keyed (source, hash) sum, in-block collapse to per-source
+    (n, S, distinct) partials, ONE tiny source groupby."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import shingle_base_hash
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_s: list[str] = []
+        out_h: list[int] = []
+        out_c: list[int] = []
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok, c in Counter(ascii_tokens(t)).items():
+                out_s.append(src)
+                out_h.append(shingle_base_hash(tok))
+                out_c.append(c)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(out_s, type=pa.string()),
+                "th": pa.array(out_h, type=pa.int64()),
+                "c": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    per_token = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "th"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.floor(
+            c.astype(np.float64) * np.log(c.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "pn": pa.array(c, type=pa.int64()),
+                "ps": pa.array(terms, type=pa.int64()),
+                "pd": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("pn", "sum"), ("ps", "sum"), ("pd", "sum")]
+        )
+
+    agg = (
+        per_token.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("pn_sum", alias_name="n"),
+            Sum("ps_sum", alias_name="s"),
+            Sum("pd_sum", alias_name="d"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dct = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = np.floor(
+            (np.log(n.astype(np.float64))
+             - (s.astype(np.float64) / 1e6) / n.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "n_distinct": pa.array(dct, type=pa.int64()),
+                "ent_fp6": pa.array(ent, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1048,3 +1048,79 @@ class TestPcaReconError:
         assert out == [
             {"label": 0, "n_vecs": 20, "sum_err_fp2": 0, "mean_err_fp2": 0}
         ]
+
+
+class TestSourceTokenEntropy:
+    def test_uniform_and_degenerate(self, ray_session):
+        """Uniform distribution hits ln(k); single-token source hits 0."""
+        import math
+
+        rows = [
+            # src 'u': 4 distinct tokens, once each -> H = ln 4
+            {"source": "u", "text": "alpha beta gamma delta"},
+            # src 'd': one token repeated -> H = 0
+            {"source": "d", "text": "same same same same"},
+        ]
+        out = {
+            r["source"]: r
+            for r in textstats.source_token_entropy(
+                ray.data.from_items(rows)
+            ).take_all()
+        }
+        assert out["u"]["n_tokens"] == 4
+        assert out["u"]["n_distinct"] == 4
+        assert out["u"]["ent_fp6"] == int(math.floor(math.log(4.0) * 1e6))
+        assert out["d"]["n_tokens"] == 4
+        assert out["d"]["n_distinct"] == 1
+        assert out["d"]["ent_fp6"] == 0
+
+    def test_partition_invariance(self, ray_session):
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["source", "text"],
+        )
+        a = sorted(
+            tuple(r.values())
+            for r in textstats.source_token_entropy(docs).take_all()
+        )
+        b = sorted(
+            tuple(r.values())
+            for r in textstats.source_token_entropy(
+                docs.repartition(9)
+            ).take_all()
+        )
+        assert a == b
+
+
+class TestValueTrendSlope:
+    def test_exact_line(self, ray_session):
+        """Events exactly on y = 200x + c must report slope_fp6 = 2e8
+        (fp2 cents per day x 1e6)."""
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            {
+                "event_type": "buy",
+                "ts": base + datetime.timedelta(days=d),
+                "value": 2.0 * d + 5.0,
+            }
+            for d in range(10)
+        ]
+        out = relational.value_trend_slope(
+            ray.data.from_items(rows)
+        ).take_all()
+        assert out == [{"event_type": "buy", "n": 10, "slope_fp6": 200000000}]
+
+    def test_zero_variance_day(self, ray_session):
+        import datetime
+
+        ts = datetime.datetime(2024, 3, 1, 12)
+        rows = [
+            {"event_type": "x", "ts": ts, "value": float(v)}
+            for v in (1, 2, 3)
+        ]
+        out = relational.value_trend_slope(
+            ray.data.from_items(rows)
+        ).take_all()
+        assert out == [{"event_type": "x", "n": 3, "slope_fp6": 0}]
