@@ -217,6 +217,8 @@ _R4_QUERIES: list[str] = [
     "pca_recon_error",
     "source_token_entropy",
     "value_trend_slope",
+    "readability_scores",
+    "part_skyline",
 ]
 
 
@@ -1242,6 +1244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "source_token_entropy": lambda sf: textstats.source_token_entropy(
             docs(sf, ["source", "text"])
+        ),
+        "readability_scores": lambda sf: textstats.readability_scores(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "part_skyline": lambda sf: relational.part_skyline(
+            _read(sf, "part", ["p_partkey", "p_size", "p_retailprice"])
         ),
         "event_type_burstiness": lambda sf: relational.event_type_burstiness(
             _read(sf, "events", ["ts", "event_type"])
@@ -6259,6 +6267,44 @@ def oracle_sql() -> dict[str, str]:
                       * 1e6 + 0.5) AS BIGINT)
                END AS slope_fp6
         FROM m
+    """
+    # Flesch reading ease from identical regex proxies; one fixed double
+    # expression over exact int counts, floored to fp3.
+    d["readability_scores"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                    AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(FLOOR((206.835
+                 - 1.015 * (CAST(len(regexp_extract_all(text,
+                     '[^ \t\n\r\v\f]+')) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 - 84.6 * (CAST(len(regexp_extract_all(text,
+                     '[aeiouyAEIOUY]+')) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text,
+                     '[^ \t\n\r\v\f]+')), 1))) * 1e3) AS BIGINT)
+                 AS flesch_fp3
+        FROM documents
+    """
+    # Skyline anti-EXISTS: a part survives iff no other part is <= on
+    # price and >= on size with at least one strict.
+    d["part_skyline"] = """
+        WITH t AS (
+          SELECT p_partkey,
+                 CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                   AS price_fp2,
+                 CAST(p_size AS BIGINT) AS p_size
+          FROM part
+        )
+        SELECT p_partkey, price_fp2, p_size FROM t p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t q
+          WHERE q.price_fp2 <= p.price_fp2 AND q.p_size >= p.p_size
+            AND (q.price_fp2 < p.price_fp2 OR q.p_size > p.p_size)
+        )
     """
     # Fano factor (variance/mean) of per-hour counts per event type —
     # pure rational on integer counts over OBSERVED hours.

@@ -243,6 +243,8 @@ QUERY_SUITE = [
     "pca_recon_error",
     "source_token_entropy",
     "value_trend_slope",
+    "readability_scores",
+    "part_skyline",
     "typo_token_pairs",
 ]
 

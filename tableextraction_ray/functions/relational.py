@@ -7741,3 +7741,78 @@ def value_trend_slope(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def part_skyline(part: ray.data.Dataset) -> ray.data.Dataset:
+    """(p_partkey, price_fp2, p_size) — the Pareto frontier (skyline) of
+    parts under (price MIN, size MAX): every part no other part beats on
+    both axes. The classic multi-criteria shortlist operator (BNL/SFS
+    skyline, Börzsönyi et al. 2001) — here as the two-level distributed
+    plan: each block computes its LOCAL skyline with one vectorized
+    sort-and-prefix-max sweep (a global skyline point survives every
+    local pass by definition), then the union of block skylines — tiny
+    by construction: skylines of random data are O(log^(d-1) n) — funnels
+    through one final sweep. Ties on both axes are mutually
+    non-dominating and both survive (SQL NOT EXISTS semantics).
+
+    Exactness: price quantizes to fp2 cents; domination tests are pure
+    int64 comparisons; the oracle replays with an anti-EXISTS."""
+
+    def _sweep(key: np.ndarray, price: np.ndarray, size: np.ndarray):
+        if len(key) == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.lexsort((key, -size, price))
+        p_s, s_s = price[order], size[order]
+        # B: inclusive prefix max of size over price <= current; within an
+        # equal-price run sizes descend, so incl > size exactly when an
+        # equal-or-lower-price row with STRICTLY larger size exists.
+        incl = np.maximum.accumulate(s_s)
+        # A: max size among STRICTLY lower prices = inclusive max at the
+        # end of the previous price group, carried across the group.
+        grp_start = np.empty(len(p_s), dtype=bool)
+        grp_start[0] = True
+        grp_start[1:] = p_s[1:] != p_s[:-1]
+        lowest = np.iinfo(np.int64).min
+        prev_grp_max = np.where(grp_start, np.roll(incl, 1), lowest)
+        prev_grp_max[0] = lowest
+        a = np.maximum.accumulate(prev_grp_max)
+        dominated = (a >= s_s) | (incl > s_s)
+        keep = np.zeros(len(key), dtype=bool)
+        keep[order] = ~dominated
+        return keep
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sweep(key, price, size)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": pa.array(key[keep], type=pa.int64()),
+                "price_fp2": pa.array(price[keep], type=pa.int64()),
+                "p_size": pa.array(size[keep], type=pa.int64()),
+            }
+        )
+
+    def final_skyline(batch: pa.Table) -> pa.Table:
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["price_fp2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sweep(key, price, size)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": pa.array(key[keep], type=pa.int64()),
+                "price_fp2": pa.array(price[keep], type=pa.int64()),
+                "p_size": pa.array(size[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        part.select_columns(["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)  # union of block skylines: O(polylog) rows
+        .map_batches(final_skyline, batch_format="pyarrow", batch_size=None)
+    )

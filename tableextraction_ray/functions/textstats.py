@@ -3377,3 +3377,52 @@ def source_token_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def readability_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_fp3) — Flesch
+    reading-ease per document with a regex syllable proxy (vowel-group
+    runs), the cheap fluency gate corpus filters run next to
+    [[quality_score]]: very low scores flag run-on machine-generated
+    prose, very high ones flag fragment/listicle noise.
+
+    Proxy definitions (identical regexes both engines): words =
+    whitespace tokens; sentences = runs of [.!?]; syllables = runs of
+    [aeiouyAEIOUY]. flesch = 206.835 − 1.015·(W/max(S,1)) −
+    84.6·(Y/max(W,1)) evaluated as ONE fixed IEEE-double sequence over
+    exact int counts, floored to fp3. Embarrassingly parallel — no
+    shuffle, text never leaves its block."""
+    import re
+
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouyAEIOUY]+")
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        w = np.empty(len(texts), dtype=np.int64)
+        s = np.empty(len(texts), dtype=np.int64)
+        y = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            w[i] = len(ascii_tokens(t))
+            s[i] = len(sent_re.findall(t))
+            y[i] = len(syl_re.findall(t))
+        flesch = np.floor(
+            (
+                206.835
+                - 1.015 * (w.astype(np.float64) / np.maximum(s, 1))
+                - 84.6 * (y.astype(np.float64) / np.maximum(w, 1))
+            )
+            * 1e3
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(w, type=pa.int64()),
+                "n_sentences": pa.array(s, type=pa.int64()),
+                "n_syllables": pa.array(y, type=pa.int64()),
+                "flesch_fp3": pa.array(flesch, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

@@ -1124,3 +1124,58 @@ class TestValueTrendSlope:
             ray.data.from_items(rows)
         ).take_all()
         assert out == [{"event_type": "x", "n": 3, "slope_fp6": 0}]
+
+
+class TestPartSkyline:
+    def _parts(self, rows):
+        return ray.data.from_items(
+            [
+                {
+                    "p_partkey": k,
+                    "p_size": s,
+                    "p_retailprice": float(pr),
+                }
+                for k, pr, s in rows
+            ]
+        )
+
+    def test_hand_graph_with_ties_and_duplicates(self, ray_session):
+        # (key, price, size): 1 dominates 2 (cheaper, bigger);
+        # 3 and 4 are identical (both survive); 5 ties 1 on price with
+        # smaller size (dominated); 6 is cheapest-smallest (survives).
+        rows = [
+            (1, 10.0, 50), (2, 12.0, 40), (3, 8.0, 30), (4, 8.0, 30),
+            (5, 10.0, 49), (6, 5.0, 10),
+        ]
+        got = sorted(
+            r["p_partkey"]
+            for r in relational.part_skyline(self._parts(rows)).take_all()
+        )
+        # 3,4 dominated by nothing cheaper-with->=size? 6 is cheaper but
+        # smaller; 1 is bigger but pricier -> 3,4 survive. 1 survives
+        # (nothing cheaper has >= 50). 2: 1 is cheaper AND bigger -> out.
+        assert got == [1, 3, 4, 6]
+
+    def test_matches_brute_force_and_partitioning(self, ray_session):
+        import itertools
+
+        rng = [
+            (k, 5.0 + (k * 37 % 200) / 4.0, (k * 53) % 40)
+            for k in range(300)
+        ]
+        def dominated(p, q):
+            return (
+                q[1] <= p[1] and q[2] >= p[2]
+                and (q[1] < p[1] or q[2] > p[2])
+            )
+        want = sorted(
+            p[0] for p in rng if not any(dominated(p, q) for q in rng)
+        )
+        for nparts in (1, 7):
+            got = sorted(
+                r["p_partkey"]
+                for r in relational.part_skyline(
+                    self._parts(rng).repartition(nparts)
+                ).take_all()
+            )
+            assert got == want, nparts
