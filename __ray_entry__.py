@@ -219,6 +219,7 @@ _R4_QUERIES: list[str] = [
     "value_trend_slope",
     "readability_scores",
     "part_skyline",
+    "quality_blend_rank",
 ]
 
 
@@ -1247,6 +1248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
+        ),
+        "quality_blend_rank": lambda sf: textstats.quality_blend_rank(
+            docs(sf, ["doc_id", "text", "source"])
         ),
         "part_skyline": lambda sf: relational.part_skyline(
             _read(sf, "part", ["p_partkey", "p_size", "p_retailprice"])
@@ -6327,6 +6331,33 @@ def oracle_sql() -> dict[str, str]:
     """
     # Recall@10 of the IVF index vs exact kNN — both replays composed as
     # subqueries (membership LEFT JOIN, integer // recall).
+    # Borda rank blend of two composed signal oracles: two ROW_NUMBER
+    # windows (0-based, doc_id tie-break), summed, top-20.
+    d["quality_blend_rank"] = f"""
+        WITH q AS (SELECT doc_id, alpha_fp6 FROM ({d['quality_score']})),
+             l AS (SELECT doc_id, mean_nll_fp9 FROM ({d['lm_perplexity']})),
+             rq AS (
+               SELECT doc_id, ROW_NUMBER() OVER (
+                 ORDER BY alpha_fp6 DESC, doc_id) - 1 AS r_quality
+               FROM q
+             ),
+             rl AS (
+               SELECT doc_id, ROW_NUMBER() OVER (
+                 ORDER BY mean_nll_fp9, doc_id) - 1 AS r_fluency
+               FROM l
+             ),
+             b AS (
+               SELECT rq.doc_id AS doc_id, r_quality, r_fluency,
+                      r_quality + r_fluency AS blend
+               FROM rq JOIN rl USING (doc_id)
+             )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY blend, doc_id) AS BIGINT)
+                 AS rk,
+               doc_id, CAST(r_quality AS BIGINT) AS r_quality,
+               CAST(r_fluency AS BIGINT) AS r_fluency,
+               CAST(blend AS BIGINT) AS blend
+        FROM b ORDER BY blend, doc_id LIMIT 20
+    """
     d["knn_recall_report"] = f"""
         SELECT e.query_id,
                CAST(10 AS BIGINT) AS k,

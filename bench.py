@@ -245,6 +245,7 @@ QUERY_SUITE = [
     "value_trend_slope",
     "readability_scores",
     "part_skyline",
+    "quality_blend_rank",
     "typo_token_pairs",
 ]
 

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["keyed_first", "keyed_fold", "keyed_sum"]
+__all__ = ["global_row_number", "keyed_first", "keyed_fold", "keyed_sum"]
 
 _UFUNC = {
     "sum": np.add,
@@ -262,3 +262,67 @@ def keyed_first(
         }
     )
     return interior_ds.union(ray.data.from_arrow(edge_tbl))
+
+
+def global_row_number(
+    ds: ray.data.Dataset, order_cols: list[str]
+) -> ray.data.Dataset:
+    """Append a 0-based global ``r`` = ROW_NUMBER() over ``order_cols``
+    (which must form a TOTAL order — include a unique id as the last
+    column). The distributed window-rank primitive shared by the
+    rank-blend selection ops: ONE global sort, then the block-offset
+    pattern — pass 1 reads one (block-first key, count) meta row per
+    block (batch_size=None so both passes see identical block
+    boundaries), the driver prefix-sums O(#blocks) counts, pass 2 adds
+    offset + within-block position vectorized. Rows never move after
+    the sort; driver state is O(#blocks)."""
+    import ray as _ray
+
+    sorted_ds = ds.sort(order_cols).materialize()
+    schema = sorted_ds.schema()
+    if schema is None:
+        return sorted_ds
+
+    def meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "k": pa.array([], type=pa.string()),
+                    "count": pa.array([], type=pa.int64()),
+                }
+            )
+        key = repr(tuple(batch[c][0].as_py() for c in order_cols))
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([key], type=pa.string()),
+                "count": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    metas = sorted_ds.map_batches(
+        meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    # driver-side prefix sums in SORT order of the block-first keys:
+    # the keys are tuples rendered by repr, so sort the metas by the
+    # underlying tuples instead.
+    import ast as _ast
+
+    metas.sort(key=lambda r: _ast.literal_eval(r["k"]))
+    offsets: dict[str, int] = {}
+    run = 0
+    for m in metas:
+        offsets[m["k"]] = run
+        run += m["count"]
+    off_ref = _ray.put(offsets)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("r", pa.array([], type=pa.int64()))
+        offs = _ray.get(off_ref)
+        key = repr(tuple(batch[c][0].as_py() for c in order_cols))
+        r = offs[key] + np.arange(batch.num_rows, dtype=np.int64)
+        return batch.append_column("r", pa.array(r, type=pa.int64()))
+
+    return sorted_ds.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=None
+    )

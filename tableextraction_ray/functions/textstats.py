@@ -3426,3 +3426,106 @@ def readability_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def quality_blend_rank(ds: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(rk, doc_id, r_quality, r_fluency, blend) — ensemble curation
+    shortlist: each document's GLOBAL rank under two independent quality
+    signals — [[quality_score]]'s alpha ratio (descending: more letters
+    = better) and [[lm_perplexity]]'s mean NLL (ascending: more fluent =
+    better) — summed into a Borda-count blend; the ``k`` best blends
+    win. Rank blending is the standard way to ensemble incommensurable
+    quality scores without calibrating either (Borda fusion), and is
+    exactly replayable where score averaging is not.
+
+    Shape: both signals are shuffle-free per-doc maps; each global rank
+    is ONE sort + the O(#blocks) block-offset pass
+    ([[global_row_number]]); ranks join on doc_id through the shared
+    guarded-attach core; the final top-k is a tiny sort-limit on int
+    rows (payloads never ride).
+
+    Oracle: two ROW_NUMBER() windows over the composed signal oracles,
+    joined and limited identically."""
+    import pyarrow.compute as _pc
+
+    from .exchange import global_row_number
+    from .relational import keyed_attach_int
+    from .selection import lm_perplexity
+
+    q = quality_score(ds)
+
+    def neg_alpha(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "neg_alpha": _pc.negate(batch["alpha_fp6"].cast(pa.int64())),
+            }
+        )
+
+    rq = global_row_number(
+        q.map_batches(neg_alpha, batch_format="pyarrow"),
+        ["neg_alpha", "doc_id"],
+    ).select_columns(["doc_id", "r"])
+
+    lm = lm_perplexity(ds)
+    rl = global_row_number(
+        lm.select_columns(["mean_nll_fp9", "doc_id"]),
+        ["mean_nll_fp9", "doc_id"],
+    ).select_columns(["doc_id", "r"])
+
+    def as_fact(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "r_quality": batch["r"].cast(pa.int64()),
+            }
+        )
+
+    def as_dim(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "r_fluency": batch["r"].cast(pa.int64()),
+            }
+        )
+
+    joined = keyed_attach_int(
+        rq.map_batches(as_fact, batch_format="pyarrow"),
+        rl.map_batches(as_dim, batch_format="pyarrow"),
+        "doc_id",
+        "r_fluency",
+        ("r_quality",),
+    )
+
+    def add_blend(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "blend",
+            _pc.add(
+                batch["r_quality"].cast(pa.int64()),
+                batch["r_fluency"].cast(pa.int64()),
+            ),
+        )
+
+    top = (
+        joined.map_batches(add_blend, batch_format="pyarrow")
+        .sort(["blend", "doc_id"])
+        .limit(k)
+        .take_all()
+    )  # bounded: k rows
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rk": pa.array(range(1, len(top) + 1), type=pa.int64()),
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in top], type=pa.int64()
+                ),
+                "r_quality": pa.array(
+                    [r["r_quality"] for r in top], type=pa.int64()
+                ),
+                "r_fluency": pa.array(
+                    [r["r_fluency"] for r in top], type=pa.int64()
+                ),
+                "blend": pa.array([r["blend"] for r in top], type=pa.int64()),
+            }
+        )
+    )

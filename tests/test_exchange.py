@@ -166,3 +166,51 @@ class TestKeyedSum:
         for kk, vv in zip(k.tolist(), v.tolist()):
             ref[kk] = ref.get(kk, 0) | vv
         assert got == ref
+
+
+class TestGlobalRowNumber:
+    def test_matches_enumerate_and_partitioning(self, ray_session):
+        from tableextraction_ray.functions.exchange import global_row_number
+
+        rows = [
+            {"doc_id": i, "v": (i * 31) % 7} for i in range(200)
+        ]
+        want = {
+            d: r
+            for r, (v, d) in enumerate(
+                sorted((row["v"], row["doc_id"]) for row in rows)
+            )
+        }
+        for nparts in (1, 9):
+            ds = ray.data.from_items(rows).repartition(nparts)
+            got = {
+                r["doc_id"]: r["r"]
+                for r in global_row_number(ds, ["v", "doc_id"]).take_all()
+            }
+            assert got == want, nparts
+
+    def test_string_keys(self, ray_session):
+        from tableextraction_ray.functions.exchange import global_row_number
+
+        rows = [{"doc_id": i, "s": f"k{i % 5}"} for i in range(40)]
+        want = {
+            d: r
+            for r, (s, d) in enumerate(
+                sorted((row["s"], row["doc_id"]) for row in rows)
+            )
+        }
+        got = {
+            r["doc_id"]: r["r"]
+            for r in global_row_number(
+                ray.data.from_items(rows).repartition(6), ["s", "doc_id"]
+            ).take_all()
+        }
+        assert got == want
+
+    def test_empty(self, ray_session):
+        from tableextraction_ray.functions.exchange import global_row_number
+
+        ds = ray.data.from_items([{"doc_id": 1, "v": 2}]).filter(
+            lambda r: False
+        )
+        assert global_row_number(ds, ["v", "doc_id"]).count() == 0

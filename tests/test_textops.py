@@ -1226,3 +1226,41 @@ class TestTypoTokenPairs:
             for r in typo_token_pairs(docs, vocab_k=2).take_all()
         ]
         assert rows == [("cat", "cut")]
+
+
+class TestQualityBlendRank:
+    def test_borda_blend_matches_local_replay(self, ray_session):
+        """Top-20 blend must equal a pandas replay composing the two
+        signal operators' own outputs."""
+        import pandas as pd
+
+        from tableextraction_ray.functions.selection import lm_perplexity
+        from tableextraction_ray.functions.textstats import (
+            quality_blend_rank, quality_score,
+        )
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+        q = quality_score(docs).to_pandas()[["doc_id", "alpha_fp6"]]
+        l = lm_perplexity(docs).to_pandas()[["doc_id", "mean_nll_fp9"]]
+        q = q.sort_values(
+            ["alpha_fp6", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        q["r_quality"] = range(len(q))
+        l = l.sort_values(["mean_nll_fp9", "doc_id"]).reset_index(drop=True)
+        l["r_fluency"] = range(len(l))
+        b = q.merge(l, on="doc_id")
+        b["blend"] = b["r_quality"] + b["r_fluency"]
+        want = (
+            b.sort_values(["blend", "doc_id"]).head(20)[
+                ["doc_id", "r_quality", "r_fluency", "blend"]
+            ].reset_index(drop=True)
+        )
+        got = quality_blend_rank(docs).to_pandas()[
+            ["doc_id", "r_quality", "r_fluency", "blend"]
+        ]
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64")
+        )
