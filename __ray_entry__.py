@@ -220,6 +220,7 @@ _R4_QUERIES: list[str] = [
     "readability_scores",
     "part_skyline",
     "quality_blend_rank",
+    "kmv_audience_overlap",
 ]
 
 
@@ -625,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         ),
         "kmv_users_by_type": lambda sf: sketch.kmv_users_by_type(
+            _read(sf, "events", ["event_type", "user_id"])
+        ),
+        "kmv_audience_overlap": lambda sf: sketch.kmv_audience_overlap(
             _read(sf, "events", ["event_type", "user_id"])
         ),
         "value_quantiles_selection": lambda sf: (
@@ -3909,6 +3913,57 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 4096 * ln(4096.0 / zeros)
                                    ELSE raw END + 0.5) AS BIGINT) AS n_users_est
             FROM estv
+        """,
+        # KMV set algebra: per-side and union k-th-smallest-hash
+        # estimates (k smallest of the merged k-min lists == k smallest
+        # of the full union — order statistics compose), then
+        # inclusion-exclusion clamped at 0. Same HUGEINT integer
+        # contract as kmv_users_by_type.
+        "kmv_audience_overlap": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS side,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS hv
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            r AS (
+              SELECT side, hv,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY side ORDER BY hv) AS rn,
+                     COUNT(*) OVER (PARTITION BY side) AS n
+              FROM h
+            ),
+            sest AS (
+              SELECT side,
+                     CASE WHEN MAX(n) < 256 THEN MAX(n)
+                          ELSE CAST(
+                            255::HUGEINT * 18446744073709551616::HUGEINT
+                            // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                    AS HUGEINT) AS BIGINT)
+                     END AS est
+              FROM r GROUP BY side
+            ),
+            ru AS (
+              SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM (SELECT DISTINCT hv FROM h)
+            ),
+            uest AS (
+              SELECT CASE WHEN MAX(n) < 256 THEN MAX(n)
+                          ELSE CAST(
+                            255::HUGEINT * 18446744073709551616::HUGEINT
+                            // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                    AS HUGEINT) AS BIGINT)
+                     END AS est
+              FROM ru
+            )
+            SELECT 'click' AS type_a, 'purchase' AS type_b,
+                   a.est AS n_a_est, b.est AS n_b_est,
+                   u.est AS n_union_est,
+                   GREATEST(0, a.est + b.est - u.est) AS n_inter_est
+            FROM (SELECT est FROM sest WHERE side = 'click') a,
+                 (SELECT est FROM sest WHERE side = 'purchase') b,
+                 uest u
         """,
         # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
         # smallest DISTINCT hash per type drives the pure-integer

@@ -246,6 +246,7 @@ QUERY_SUITE = [
     "readability_scores",
     "part_skyline",
     "quality_blend_rank",
+    "kmv_audience_overlap",
     "typo_token_pairs",
 ]
 

@@ -1106,3 +1106,113 @@ def kmv_users_by_type(
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def kmv_audience_overlap(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    k: int = KMV_K,
+) -> ray.data.Dataset:
+    """ONE row (type_a, type_b, n_a_est, n_b_est, n_union_est,
+    n_inter_est) — the KMV twin of [[hll_audience_overlap]]: because a
+    KMV sketch is a uniform SAMPLE of the hash space (not a register
+    fold), the union sketch is just the k smallest of the merged k-min
+    lists, and the intersection follows by inclusion–exclusion on three
+    pure-integer estimates. Sample semantics give KMV one property HLL
+    lacks: the same partials answer arbitrary further set algebra
+    (A∩B∩C, Jaccard) without re-scanning.
+
+    Scale shape: per-batch (side, user) dedup → per-side k-min lists
+    (≤ k u64 each) → ONE tiny 2-key merge; the final row folds on the
+    driver from two ≤ k-entry arrays. Estimates replay bit-for-bit in
+    HUGEINT SQL ([[kmv_users_by_type]]'s contract); n_inter_est clamps
+    at 0 like the HLL twin."""
+
+    def est(hs: np.ndarray) -> int:
+        if len(hs) < k:
+            return int(len(hs))
+        return (k - 1) * (1 << 64) // int(hs[k - 1])
+
+    filt = events.filter(
+        expr=f"event_type == '{type_a}' or event_type == '{type_b}'"
+    )
+
+    # raw k-min lists per side (the per-type plan keeps hashes, not
+    # estimates, so the union sketch can merge them)
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.Table.from_pydict(
+                {"side": batch["event_type"], "user_id": batch["user_id"]}
+            )
+            .group_by(["side", "user_id"])
+            .aggregate([])
+        )
+        sides = np.asarray(t["side"].to_pylist())
+        users = t["user_id"].to_pylist()
+        hcache: dict = {}
+        hs = np.empty(len(users), dtype=np.uint64)
+        for i, u in enumerate(users):
+            v = hcache.get(u)
+            if v is None:
+                v = hcache[u] = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big"
+                )
+            hs[i] = v
+        out_s, out_h = [], []
+        for sd in np.unique(sides):
+            out_s.append(str(sd))
+            out_h.append(np.unique(hs[sides == sd])[:k].tolist())
+        return pa.Table.from_pydict(
+            {
+                "side": pa.array(out_s, type=pa.string()),
+                "kmin": pa.array(out_h, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    rows = (
+        filt.map_batches(partial, batch_format="pyarrow")
+        .groupby("side")
+        .map_groups(
+            lambda g: pa.Table.from_pydict(
+                {
+                    "side": pa.array(
+                        [g["side"][0].as_py()], type=pa.string()
+                    ),
+                    "kmin": pa.array(
+                        [
+                            np.unique(
+                                np.concatenate(
+                                    [
+                                        np.asarray(x, dtype=np.uint64)
+                                        for x in g["kmin"].to_pylist()
+                                    ]
+                                )
+                            )[:k].tolist()
+                        ],
+                        type=pa.list_(pa.uint64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # bounded: 2 rows x k u64
+    kmins = {r["side"]: np.asarray(r["kmin"], dtype=np.uint64) for r in rows}
+    ha = kmins.get(type_a, np.empty(0, dtype=np.uint64))
+    hb = kmins.get(type_b, np.empty(0, dtype=np.uint64))
+    hu = np.unique(np.concatenate([ha, hb]))[:k]
+    n_a, n_b, n_u = est(ha), est(hb), est(hu)
+    n_i = max(0, n_a + n_b - n_u)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "type_a": pa.array([type_a], type=pa.string()),
+                "type_b": pa.array([type_b], type=pa.string()),
+                "n_a_est": pa.array([n_a], type=pa.int64()),
+                "n_b_est": pa.array([n_b], type=pa.int64()),
+                "n_union_est": pa.array([n_u], type=pa.int64()),
+                "n_inter_est": pa.array([n_i], type=pa.int64()),
+            }
+        )
+    )

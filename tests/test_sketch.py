@@ -478,3 +478,36 @@ class TestKmvUsersByType:
             )
             want = len(hs) if len(hs) < k else (k - 1) * (1 << 64) // hs[k - 1]
             assert got[et] == want, (et, want, got[et])
+
+
+class TestKmvAudienceOverlap:
+    def _ev(self):
+        return ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+        )
+
+    def test_inclusion_exclusion_vs_exact(self, ray_session):
+        """KMV union/intersection within 3 standard errors of exact."""
+        df = self._ev().to_pandas()
+        a = set(df[df.event_type == "click"]["user_id"])
+        b = set(df[df.event_type == "purchase"]["user_id"])
+        row = sketch.kmv_audience_overlap(self._ev()).take_all()[0]
+        se = 3.0 / (sketch.KMV_K - 2) ** 0.5
+        for got, true in (
+            (row["n_a_est"], len(a)),
+            (row["n_b_est"], len(b)),
+            (row["n_union_est"], len(a | b)),
+        ):
+            tol = se * true if true >= sketch.KMV_K else 0
+            assert abs(got - true) <= tol, (got, true)
+        # intersection inherits three estimators' error — bound loosely
+        assert abs(row["n_inter_est"] - len(a & b)) <= 3 * se * max(
+            len(a | b), 1
+        )
+
+    def test_partition_invariance(self, ray_session):
+        a = sketch.kmv_audience_overlap(self._ev()).take_all()
+        b = sketch.kmv_audience_overlap(
+            self._ev().repartition(19)
+        ).take_all()
+        assert a == b
