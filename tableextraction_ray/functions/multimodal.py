@@ -442,8 +442,12 @@ def media_payload_size_hist(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
-        sizes = np.asarray(
-            [len(m) for m in batch["payload"].to_pylist()], dtype=np.int64
+        # binary_length is a zero-copy Arrow kernel — the payloads are
+        # never materialized as Python bytes just to be measured.
+        sizes = (
+            pc.binary_length(batch["payload"])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
         t = pa.Table.from_pydict(
             {
