@@ -95,6 +95,12 @@ _CANARIES: tuple[str, ...] = (
 )
 
 _R4_QUERIES: list[str] = [
+    "order_priority_count",
+    "containment_pairs",
+    "weighted_jaccard_pairs",
+    "truncation_dups",
+    "mad_outliers",
+    "decayed_user_score",
     "events_profile_approx",
     "span_stats",
     "media_captions",
@@ -630,6 +636,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kmv_audience_overlap": lambda sf: sketch.kmv_audience_overlap(
             _read(sf, "events", ["event_type", "user_id"])
+        ),
+        "order_priority_count": lambda sf: relational.order_priority_count(
+            _read(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+        ),
+        "containment_pairs": lambda sf: dedup.containment_pairs(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "weighted_jaccard_pairs": lambda sf: dedup.weighted_jaccard_pairs(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "truncation_dups": lambda sf: dedup.truncation_dups(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "mad_outliers": lambda sf: sketch.mad_outliers(
+            _read(sf, "events", ["event_id", "value"])
+        ),
+        "decayed_user_score": lambda sf: relational.decayed_user_score(
+            _read(sf, "events", ["ts", "user_id", "value"])
         ),
         "value_quantiles_selection": lambda sf: (
             sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
@@ -3964,6 +3989,112 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT est FROM sest WHERE side = 'click') a,
                  (SELECT est FROM sest WHERE side = 'purchase') b,
                  uest u
+        """,
+        # TPC-H Q4 shape: EXISTS at-least-one-late-line per order in a
+        # date window; epoch-micros lateness identical to Q12's proxy.
+        "order_priority_count": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE epoch_us(o.o_orderdate) >= epoch_us(TIMESTAMP '1996-01-01')
+              AND epoch_us(o.o_orderdate) < epoch_us(TIMESTAMP '1996-04-01')
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND epoch_us(l.l_shipdate)
+                      > epoch_us(o.o_orderdate) + 2592000000000)
+            GROUP BY o_orderpriority
+        """,
+        # Asymmetric containment over the shared candidate CTE: LEAST of
+        # the two shingle-set sizes as the denominator.
+        "containment_pairs": _SHINGLES_CTE
+        + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(len(list_intersect(sa.shingles, sb.shingles))
+                              * 1000000.0
+                              / LEAST(len(sa.shingles), len(sb.shingles))
+                              + 0.5) AS BIGINT) AS containment_fp6
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        # Bag (multiset) Jaccard over the shared candidates: per-token
+        # count join gives sum(min); sum(max) = nA + nB - sum(min) by
+        # inclusion-exclusion. INNER join for the min side — DuckDB's
+        # LEAST ignores NULLs, so a LEFT JOIN would silently add
+        # unmatched tokens at full weight.
+        "weighted_jaccard_pairs": _SHINGLES_CTE
+        + """
+            , bag AS (
+              SELECT t.doc_id, u.tok, COUNT(*) AS c
+              FROM toks t, unnest(t.w) AS u(tok)
+              GROUP BY t.doc_id, u.tok
+            ),
+            tot AS (SELECT doc_id, SUM(c) AS n FROM bag GROUP BY doc_id),
+            mm AS (
+              SELECT c.doc_a, c.doc_b, SUM(LEAST(ba.c, bb.c)) AS m
+              FROM cand c
+              JOIN bag ba ON ba.doc_id = c.doc_a
+              JOIN bag bb ON bb.doc_id = c.doc_b AND bb.tok = ba.tok
+              GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(COALESCE(mm.m, 0) * 1000000.0
+                              / (ta.n + tb.n - COALESCE(mm.m, 0))
+                              + 0.5) AS BIGINT) AS wjaccard_fp6
+            FROM cand c
+            LEFT JOIN mm ON mm.doc_a = c.doc_a AND mm.doc_b = c.doc_b
+            JOIN tot ta ON ta.doc_id = c.doc_a
+            JOIN tot tb ON tb.doc_id = c.doc_b
+        """,
+        # Shared-prefix (truncation/expansion) duplicate groups: same
+        # 64-CHARACTER substr contract as the Python slice.
+        "truncation_dups": """
+            WITH p AS (
+              SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_md5,
+                     md5(text) AS text_md5
+              FROM documents
+            )
+            SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT text_md5) AS BIGINT) AS n_texts,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+            FROM p GROUP BY prefix_md5
+            HAVING COUNT(*) > 1 AND COUNT(DISTINCT text_md5) > 1
+        """,
+        # Hampel MAD rule: two ROW_NUMBER picks at the house ceil-rank,
+        # pure-integer 3.5x cut (dev*100 > 350*mad).
+        "mad_outliers": """
+            WITH c AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM c),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+            med AS (SELECT v AS m FROM r, n WHERE rn = (50 * cnt + 99) // 100),
+            d AS (SELECT event_id, v, ABS(v - m) AS dev FROM c, med),
+            r2 AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn FROM d),
+            mad AS (
+              SELECT dev AS md FROM r2, n WHERE rn = (50 * cnt + 99) // 100
+            )
+            SELECT event_id, v AS value_c, dev AS dev_c
+            FROM d, mad WHERE dev * 100 > 350 * md
+        """,
+        # Step-decay score: whole half-life buckets, weights as exact
+        # integer shifts (1e9 >> bucket) — bit-identical at any
+        # parallelism, no float summation order.
+        "decayed_user_score": """
+            WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+            c AS (
+              SELECT user_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                     LEAST((mx.tmax - epoch_us(ts)) // 86400000000 // 30,
+                           62) AS bucket
+              FROM events, mx
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(cents * (1000000000 >> bucket)) AS BIGINT)
+                     AS score_fp
+            FROM c GROUP BY user_id
         """,
         # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
         # smallest DISTINCT hash per type drives the pure-integer

@@ -31,6 +31,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Queries that are O(n^2)-ish sandbox-exact oracles; still cheap at sf0.1.
 QUERY_SUITE = [
+    "order_priority_count",
+    "containment_pairs",
+    "weighted_jaccard_pairs",
+    "truncation_dups",
+    "mad_outliers",
+    "decayed_user_score",
     "extract_verify_dualdpi",
     "dedup_exact",
     "dedup_incremental",

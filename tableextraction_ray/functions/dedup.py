@@ -2488,3 +2488,313 @@ def dup_cluster_source_mix(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def _scored_candidate_pairs(
+    ds: ray.data.Dataset,
+    payload_fn,
+    score_fn,
+    score_name: str,
+    semi_join: bool | None = None,
+    candidate_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Shared verification-join core for per-candidate-pair scorers: LSH
+    banding candidates (exact-distinct reps, [[minhash_candidates]]) ->
+    attach a per-doc payload (``payload_fn(text) -> list[str]``) to each
+    side through ONE doc-keyed exchange -> score each pair
+    (``score_fn(payload_a, payload_b) -> int``) in a pair-keyed groupby.
+    The same two-shuffle plan, broadcast/semi-join auto-route and
+    candidate materialization as ``ngram_jaccard`` (that function predates
+    this helper and keeps its own inline copy to preserve its green
+    bit-parity); payloads never pass through the driver.
+
+    The broadcast route holds only the candidate DOC-ID SET (ints) on the
+    driver under ``candidate_limit``; above it, texts ride the doc-key
+    shuffle and the payload is computed only for groups with side rows."""
+    import ray
+
+    cand = minhash_candidates(ds, distinct=False).materialize()
+    if semi_join is None:
+        semi_join = cand.count() > candidate_limit
+    needed_ref = None
+    if not semi_join:
+        needed_set = set()
+        for batch in cand.iter_batches(batch_format="pyarrow"):
+            needed_set.update(batch["doc_a"].to_pylist())
+            needed_set.update(batch["doc_b"].to_pylist())
+        needed_ref = ray.put(needed_set)
+
+    SIDE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pair_a", pa.int64()),
+            ("pair_b", pa.int64()),
+            ("payload", pa.list_(pa.string())),
+            ("text", pa.string()),
+        ]
+    )
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        ids, a_, b_ = [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            ids.extend((a, b))
+            a_.extend((a, a))
+            b_.extend((b, b))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pair_a": pa.array(a_, type=pa.int64()),
+                "pair_b": pa.array(b_, type=pa.int64()),
+                "payload": pa.array([None] * len(ids), type=pa.list_(pa.string())),
+                "text": pa.array([""] * len(ids), type=pa.string()),
+            },
+            schema=SIDE_SCHEMA,
+        )
+
+    def doc_payloads(batch: pa.Table) -> pa.Table:
+        needed = ray.get(needed_ref)
+        ids, pl = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if doc_id in needed:
+                ids.append(doc_id)
+                pl.append(payload_fn(text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pair_a": pa.array([-1] * len(ids), type=pa.int64()),
+                "pair_b": pa.array([-1] * len(ids), type=pa.int64()),
+                "payload": pa.array(pl, type=pa.list_(pa.string())),
+                "text": pa.array([""] * len(ids), type=pa.string()),
+            },
+            schema=SIDE_SCHEMA,
+        )
+
+    def doc_texts(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pair_a": pa.array([-1] * n, type=pa.int64()),
+                "pair_b": pa.array([-1] * n, type=pa.int64()),
+                "payload": pa.array([None] * n, type=pa.list_(pa.string())),
+                "text": batch["text"],
+            },
+            schema=SIDE_SCHEMA,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        sides = [r for r in rows if r["pair_a"] != -1]
+        if not sides:
+            return pa.Table.from_pylist([], schema=SIDE_SCHEMA)
+        doc = next((r for r in rows if r["pair_a"] == -1), None)
+        if doc is None:
+            pl = []
+        elif doc["payload"] is not None:
+            pl = doc["payload"]
+        else:
+            pl = payload_fn(doc["text"])  # semi-join: payload on demand
+        out = [{**r, "payload": pl, "text": ""} for r in sides]
+        return pa.Table.from_pylist(out, schema=SIDE_SCHEMA)
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            (score_name, pa.int64()),
+        ]
+    )
+
+    def score_pair(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        a = rows[0]["pair_a"]
+        b = rows[0]["pair_b"]
+        pl_a = next((r["payload"] for r in rows if r["doc_id"] == a), [])
+        pl_b = next((r["payload"] for r in rows if r["doc_id"] == b), [])
+        return pa.Table.from_pylist(
+            [{"doc_a": a, "doc_b": b, score_name: score_fn(pl_a, pl_b)}],
+            schema=OUT_SCHEMA,
+        )
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    doc_fn = doc_texts if semi_join else doc_payloads
+    docs_side = ds.map_batches(doc_fn, batch_format="pyarrow")
+    attached = (
+        docs_side.union(sides)
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby(["pair_a", "pair_b"]).map_groups(
+        score_pair, batch_format="pyarrow"
+    )
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    semi_join: bool | None = None,
+    candidate_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, containment_fp6) — exact max-side 3-gram
+    CONTAINMENT |A∩B| / min(|A|, |B|) for every LSH candidate pair,
+    fixed-point 1e6. Containment is the asymmetric near-dup signal
+    Jaccard misses: a short document quoted verbatim inside a long one
+    scores ~1.0 here but arbitrarily low Jaccard (Broder's resemblance
+    vs containment distinction) — the quote/subset duplicates a
+    training-data curator wants to catch before loss-weighting.
+
+    Same two-shuffle verification-join scale shape as
+    [[dedup_ngram_jaccard]] via ``_scored_candidate_pairs``.
+
+    Oracle: the shared shingles CTE + list_intersect over LEAST of the
+    two set sizes."""
+    from . import fp
+
+    def score(pl_a: list[str], pl_b: list[str]) -> int:
+        sa, sb = set(pl_a), set(pl_b)
+        m = min(len(sa), len(sb))
+        return fp(len(sa & sb) * 1000000.0 / m, 0) if m else 0
+
+    return _scored_candidate_pairs(
+        ds,
+        payload_fn=shingle_set,
+        score_fn=score,
+        score_name="containment_fp6",
+        semi_join=semi_join,
+        candidate_limit=candidate_limit,
+    )
+
+
+def weighted_jaccard_pairs(
+    ds: ray.data.Dataset,
+    semi_join: bool | None = None,
+    candidate_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, wjaccard_fp6) — exact MULTISET (bag-of-tokens)
+    Jaccard sum(min(cA,cB)) / sum(max(cA,cB)) for every LSH candidate
+    pair, fixed-point 1e6. The weighted variant separates true rewrites
+    from repetition-only edits that set-Jaccard conflates: duplicating
+    a paragraph in place leaves the shingle SET nearly unchanged but
+    shifts token multiplicities. sum(max) never materializes the token
+    union: it is totalA + totalB - sum(min) (inclusion–exclusion on
+    bags), so the score needs only the two payloads.
+
+    Payloads are raw token lists (multiplicity preserved) riding the
+    same two-shuffle verification join as [[dedup_ngram_jaccard]];
+    candidates are the standard set-minhash bands (a containment-biased
+    generator, reused so the oracle's candidate CTE is shared verbatim).
+
+    Oracle: shared shingles-CTE candidates + per-token count join,
+    m = SUM(LEAST) over common tokens, wj = m / (nA + nB - m)."""
+    from collections import Counter
+
+    from . import fp
+
+    from .textstats import ascii_tokens
+
+    def score(pl_a: list[str], pl_b: list[str]) -> int:
+        ca, cb = Counter(pl_a), Counter(pl_b)
+        m = sum(min(n, cb[t]) for t, n in ca.items() if t in cb)
+        denom = len(pl_a) + len(pl_b) - m
+        return fp(m * 1000000.0 / denom, 0) if denom else 0
+
+    return _scored_candidate_pairs(
+        ds,
+        payload_fn=ascii_tokens,
+        score_fn=score,
+        score_name="wjaccard_fp6",
+        semi_join=semi_join,
+        candidate_limit=candidate_limit,
+    )
+
+
+def truncation_dups(
+    ds: ray.data.Dataset, prefix_chars: int = 64
+) -> ray.data.Dataset:
+    """(prefix_md5, n_docs, n_texts, keep_doc_id) — groups of documents
+    that share their first ``prefix_chars`` CHARACTERS (code points, the
+    Python slice / SQL substr contract) while differing somewhere in the
+    full text: the truncation/expansion duplicates (same article cut at
+    different lengths, same boilerplate head with divergent tails) that
+    exact dedup misses and shingle LSH only catches when the overlap
+    ratio is high. ``n_texts`` counts DISTINCT full texts in the group;
+    groups that are pure exact copies (n_texts == 1) are excluded —
+    those are [[dedup_exact]]'s output.
+
+    Scale shape: per-block Arrow group_by collapses to one
+    (prefix_md5, text_md5) row per distinct pair per block, ONE
+    keyed_fold finishes the pair collapse, a second per-block partial +
+    keyed_fold folds pairs into per-prefix (n_docs, n_texts, min doc)
+    counters — two payload-free hash-key exchanges, no text ever
+    shuffles, driver state O(#blocks).
+
+    Oracle: GROUP BY md5(substr(text,1,k)) HAVING COUNT(*)>1 AND
+    COUNT(DISTINCT md5(text))>1."""
+    from .exchange import keyed_fold
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        t = pa.Table.from_pydict(
+            {
+                "prefix_md5": pa.array(
+                    [_md5(s[:prefix_chars]) for s in texts], type=pa.string()
+                ),
+                "text_md5": pa.array([_md5(s) for s in texts], type=pa.string()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["prefix_md5", "text_md5"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "prefix_md5": g["prefix_md5"],
+                "text_md5": g["text_md5"],
+                "n": g["doc_id_count"].cast(pa.int64()),
+                "min_doc": g["doc_id_min"].cast(pa.int64()),
+            }
+        )
+
+    per_pair = keyed_fold(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["prefix_md5", "text_md5"],
+        [("n", "sum"), ("min_doc", "min")],
+    )
+
+    def prefix_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["prefix_md5"]).aggregate(
+            [("n", "sum"), ("text_md5", "count"), ("min_doc", "min")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "prefix_md5": g["prefix_md5"],
+                "n_docs": g["n_sum"].cast(pa.int64()),
+                "n_texts": g["text_md5_count"].cast(pa.int64()),
+                "keep_doc_id": g["min_doc_min"].cast(pa.int64()),
+            }
+        )
+
+    per_prefix = keyed_fold(
+        per_pair.map_batches(prefix_partial, batch_format="pyarrow"),
+        ["prefix_md5"],
+        [("n_docs", "sum"), ("n_texts", "sum"), ("keep_doc_id", "min")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater(batch["n_docs"], 1), pc.greater(batch["n_texts"], 1)
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "prefix_md5": t["prefix_md5"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "n_texts": t["n_texts"].cast(pa.int64()),
+                "keep_doc_id": t["keep_doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return per_prefix.map_batches(finish, batch_format="pyarrow")

@@ -7816,3 +7816,193 @@ def part_skyline(part: ray.data.Dataset) -> ray.data.Dataset:
         .repartition(1)  # union of block skylines: O(polylog) rows
         .map_batches(final_skyline, batch_format="pyarrow", batch_size=None)
     )
+
+
+#: The five TPC-H order-priority literals, collapsed to int8 codes so the
+#: priority string never rides a shuffle (the late_shipment_orders
+#: dictionary-code discipline); decoded back at the final tiny groupby.
+_PRIORITIES: tuple[str, ...] = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def order_priority_count(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    late_days: int = 30,
+) -> ray.data.Dataset:
+    """(o_orderpriority, order_count) — the TPC-H Q4 shape (order
+    priority checking): among orders placed in the [date_lo, date_hi)
+    window, count per priority the orders with AT LEAST ONE late
+    lineitem. The schema has no commit/receipt dates, so "late" is the
+    corpus's standing lateness proxy: shipped more than ``late_days``
+    after the order date ([[priority_line_share]]'s inequality).
+
+    Shape: EXISTS collapses to max(ship_us) per order — each lineitem
+    block pre-combines to one (orderkey, max ship_us) int row per
+    distinct key; the orders block emits (orderkey, order_us, priority
+    code) only inside the window; ONE keyed_fold max over the sentinel
+    tagged union overlays the two sides (max over -1 sentinels keeps
+    whichever side is present), a vectorized filter applies the EXISTS
+    inequality, and a tiny 5-group sum finishes. No priority string and
+    no payload ever shuffles; all-to-all volume is 4 int64 columns.
+
+    Oracle: WHERE window AND EXISTS(late lineitem) GROUP BY priority,
+    epoch-micros arithmetic identical on both sides."""
+    from .exchange import keyed_fold
+
+    LATE_US = late_days * 86_400_000_000
+    LO_US = int(np.datetime64(date_lo, "us").astype(np.int64))
+    HI_US = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch["l_orderkey"].cast(pa.int64()),
+                "ship_us": batch["l_shipdate"]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["k"]).aggregate([("ship_us", "max")])
+        n = g.num_rows
+        return pa.Table.from_pydict(
+            {
+                "k": g["k"],
+                "ship_max": g["ship_us_max"].cast(pa.int64()),
+                "order_us": pa.array([-1] * n, type=pa.int64()),
+                "pri": pa.array([-1] * n, type=pa.int64()),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        order_us = batch["o_orderdate"].combine_chunks().cast(pa.int64())
+        in_win = pc.and_(
+            pc.greater_equal(order_us, LO_US), pc.less(order_us, HI_US)
+        )
+        t = batch.filter(in_win)
+        n = t.num_rows
+        pri = pc.index_in(
+            t["o_orderpriority"], value_set=pa.array(list(_PRIORITIES))
+        ).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "ship_max": pa.array([-1] * n, type=pa.int64()),
+                "order_us": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+                "pri": pri,
+            }
+        )
+
+    merged = keyed_fold(
+        orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .union(
+            lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+                li_partial, batch_format="pyarrow"
+            )
+        ),
+        "k",
+        [("ship_max", "max"), ("order_us", "max"), ("pri", "max")],
+    )
+
+    def exists_partial(batch: pa.Table) -> pa.Table:
+        pri = batch["pri"].to_numpy(zero_copy_only=False)
+        ship = batch["ship_max"].to_numpy(zero_copy_only=False)
+        order_us = batch["order_us"].to_numpy(zero_copy_only=False)
+        # pri >= 0: the order side was present AND in the window;
+        # ship_max > order + LATE: at least one late line exists.
+        hit = pri[(pri >= 0) & (ship > order_us + LATE_US)]
+        cnt = np.bincount(hit, minlength=len(_PRIORITIES))
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pydict(
+            {
+                "pri": pa.array(nz, type=pa.int64()),
+                "n": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        merged.map_batches(exists_partial, batch_format="pyarrow")
+        .groupby("pri")
+        .aggregate(Sum("n", alias_name="order_count"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        codes = batch["pri"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": pa.array(
+                    [_PRIORITIES[c] for c in codes], type=pa.string()
+                ),
+                "order_count": batch["order_count"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def decayed_user_score(
+    events: ray.data.Dataset, half_life_days: int = 30
+) -> ray.data.Dataset:
+    """(user_id, score_fp) — per-user recency-decayed engagement score:
+    sum of event value-cents, each weighted by 2^-(age // half_life)
+    where age is whole days before the corpus's max timestamp. The
+    step-decay (whole half-life buckets, weights = exact binary
+    fractions) keeps the whole computation in INTEGER arithmetic:
+    weight_fp9 = 10^9 >> bucket (floor), contribution = cents *
+    weight_fp9 — exact int64 sums, associative and commutative, so the
+    result is bit-identical at any parallelism (no float summation
+    order to document). score_fp units: cent·nano (1e9 = weight 1.0 on
+    one cent).
+
+    Shape: one Max(ts) pass pins the reference instant; each block
+    pre-combines to (user, contribution-sum) rows; ONE keyed_fold sum
+    finishes. Payload-free exchange, driver state O(#blocks).
+
+    Oracle: same shift arithmetic via 10^9 // 2^bucket (bucket capped
+    at 62 so the shift never overflows; weights are 0 past bucket 29
+    anyway)."""
+    from ray.data.aggregate import Max as _Max
+
+    from .exchange import keyed_fold
+
+    tmax = events.select_columns(["ts"]).aggregate(_Max("ts"))["max(ts)"]
+    tmax_us = int(pa.scalar(tmax).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = (
+            batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        )
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        bucket = (tmax_us - ts_us) // DAY_US // half_life_days
+        bucket = np.minimum(bucket, 62)
+        w = (10**9) >> bucket.astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "score_fp": pa.array(cents * w, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate([("score_fp", "sum")])
+        return pa.Table.from_pydict(
+            {
+                "user_id": g["user_id"],
+                "score_fp": g["score_fp_sum"].cast(pa.int64()),
+            }
+        )
+
+    return keyed_fold(
+        events.select_columns(["ts", "user_id", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "user_id",
+        [("score_fp", "sum")],
+    )

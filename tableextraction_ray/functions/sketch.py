@@ -1216,3 +1216,159 @@ def kmv_audience_overlap(
             }
         )
     )
+
+
+def _select_rank(
+    vals: ray.data.Dataset,
+    rank: int,
+    lo: int,
+    hi: int,
+    bins: int = 4096,
+    pull_limit: int = 200_000,
+    max_iters: int = 8,
+) -> int:
+    """Exact k-th order statistic (1-based ``rank``) of the int64 column
+    ``v`` in a MATERIALIZED dataset by iterative histogram refinement —
+    the single-target core of [[value_quantiles_selection]] (that
+    function predates this helper and keeps its multi-target loop):
+    each pass histograms the candidate range into ``bins`` equal
+    integer buckets with per-block np.bincount partials, walks the rank
+    into its bucket, and pulls the bucket exactly once it is under
+    ``pull_limit`` values. O(log_bins(hi - lo)) scan passes, no sort,
+    driver state O(bins · #blocks) ints per pass."""
+    for _ in range(max_iters):
+        if lo == hi:
+            return lo
+        w = (hi - lo) // bins + 1
+
+        def hist_partial(batch: pa.Table, _lo=lo, _hi=hi, _w=w) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            sel = v[(v >= _lo) & (v <= _hi)]
+            if len(sel) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "b": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            cnt = np.bincount((sel - _lo) // _w, minlength=bins)
+            nz = np.flatnonzero(cnt)
+            return pa.Table.from_pydict(
+                {
+                    "b": pa.array(nz, type=pa.int64()),
+                    "c": pa.array(cnt[nz], type=pa.int64()),
+                }
+            )
+
+        hist = np.zeros(bins, dtype=np.int64)
+        for r in vals.map_batches(
+            hist_partial, batch_format="pyarrow"
+        ).take_all():
+            hist[r["b"]] += r["c"]
+        cum = np.cumsum(hist)
+        b = int(np.searchsorted(cum, rank))
+        in_bucket = int(hist[b])
+        rank -= int(cum[b - 1]) if b else 0
+        lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+        if lo == hi:
+            return lo
+        if in_bucket <= pull_limit:
+            pulled = np.sort(
+                np.concatenate(
+                    [
+                        b2["v"].to_numpy(zero_copy_only=False)
+                        for b2 in vals.map_batches(
+                            lambda t2, _lo=lo, _hi=hi: t2.filter(
+                                pc.and_(
+                                    pc.greater_equal(t2["v"], _lo),
+                                    pc.less_equal(t2["v"], _hi),
+                                )
+                            ),
+                            batch_format="pyarrow",
+                        ).iter_batches(batch_format="pyarrow")
+                    ]
+                    or [np.empty(0, dtype=np.int64)]
+                )
+            )
+            return int(pulled[rank - 1])
+    raise RuntimeError(
+        f"selection did not converge within {max_iters} passes"
+    )
+
+
+def mad_outliers(
+    events: ray.data.Dataset, k_fp2: int = 350
+) -> ray.data.Dataset:
+    """(event_id, value_c, dev_c) — events whose absolute deviation from
+    the global median exceeds ``k_fp2``/100 times the MEDIAN ABSOLUTE
+    DEVIATION: the robust outlier rule (Hampel / Leys et al.) that a
+    heavy-tailed value column needs where the z-test's mean and stddev
+    are themselves dragged by the outliers being hunted. Default
+    k = 3.5 (the Hampel identifier's conventional cut).
+
+    Two EXACT distributed selections (no global sort — the
+    [[value_quantiles_selection]] histogram-refinement plan via
+    ``_select_rank``): median of value-cents, then median of integer
+    |v - median|, each O(log(domain)) scan passes; one final filtered
+    scan emits the outliers. The cut compares integers exactly:
+    dev_c * 100 > k_fp2 * mad_c. House ceil-rank convention
+    (50n + 99) // 100 for both medians.
+
+    Oracle: two ROW_NUMBER rank picks at the same ceil-rank + the same
+    integer inequality."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import _cents
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "v": _cents(batch["value"]),
+            }
+        )
+
+    vals = events.select_columns(["event_id", "value"]).map_batches(
+        to_cents, batch_format="pyarrow"
+    ).materialize()
+    stats = vals.aggregate(
+        Min("v", alias_name="lo"), Max("v", alias_name="hi"), Count()
+    )
+    n = int(stats["count()"])
+    empty = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "value_c": pa.array([], type=pa.int64()),
+            "dev_c": pa.array([], type=pa.int64()),
+        }
+    )
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    rank = (50 * n + 99) // 100
+    med = _select_rank(vals, rank, int(stats["lo"]), int(stats["hi"]))
+
+    def to_dev(batch: pa.Table, _med=med) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"v": pa.array(np.abs(v - _med), type=pa.int64())}
+        )
+
+    devs = vals.map_batches(to_dev, batch_format="pyarrow").materialize()
+    dstats = devs.aggregate(Min("v", alias_name="lo"), Max("v", alias_name="hi"))
+    mad = _select_rank(devs, rank, int(dstats["lo"]), int(dstats["hi"]))
+
+    def finish(batch: pa.Table, _med=med, _mad=mad) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        dev = np.abs(v - _med)
+        keep = dev * 100 > k_fp2 * _mad
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"]
+                .combine_chunks()
+                .take(pa.array(np.flatnonzero(keep))),
+                "value_c": pa.array(v[keep], type=pa.int64()),
+                "dev_c": pa.array(dev[keep], type=pa.int64()),
+            }
+        )
+
+    return vals.map_batches(finish, batch_format="pyarrow")

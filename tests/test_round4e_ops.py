@@ -1,0 +1,242 @@
+"""Round-4 batch-8 ops: Q4 EXISTS shape, containment / weighted-Jaccard
+candidate scorers, truncation dups, MAD outliers, decayed scores. Oracle
+parity runs in test_entry_parity; these pin the invariants and edge cases
+the oracle hash alone wouldn't localize."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tableextraction_ray.functions import dedup, relational, sketch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rd(t, cols):
+    return ray.data.read_parquet(f"{SF_DIR}/{t}.parquet", columns=cols)
+
+
+def _docs():
+    return _rd("documents", ["doc_id", "text"])
+
+
+class TestOrderPriorityCount:
+    def test_counts_bounded_by_window(self, ray_session):
+        orders = _rd("orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        li = _rd("lineitem", ["l_orderkey", "l_shipdate"])
+        rows = relational.order_priority_count(orders, li).take_all()
+        assert len(rows) > 0
+        pris = {r["o_orderpriority"] for r in rows}
+        assert pris <= set(relational._PRIORITIES)
+        assert all(r["order_count"] > 0 for r in rows)
+
+    def test_empty_window_is_empty(self, ray_session):
+        orders = _rd("orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        li = _rd("lineitem", ["l_orderkey", "l_shipdate"])
+        rows = relational.order_priority_count(
+            orders, li, date_lo="1990-01-01", date_hi="1990-01-02"
+        ).take_all()
+        assert rows == []
+
+    def test_zero_late_days_counts_every_shipped_order(self, ray_session):
+        # with late_days=0 every order with any lineitem qualifies
+        # (shipdate > orderdate always holds in the corpus), so the
+        # result equals the window's order count per priority minus
+        # lineitem-less orders.
+        import duckdb
+
+        orders = _rd("orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        li = _rd("lineitem", ["l_orderkey", "l_shipdate"])
+        got = {
+            r["o_orderpriority"]: r["order_count"]
+            for r in relational.order_priority_count(
+                orders, li, late_days=0
+            ).take_all()
+        }
+        con = duckdb.connect()
+        want = dict(
+            con.execute(
+                f"""
+                SELECT o_orderpriority, COUNT(*) FROM
+                  read_parquet('{SF_DIR}/orders.parquet') o
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+                  AND EXISTS (SELECT 1 FROM
+                        read_parquet('{SF_DIR}/lineitem.parquet') l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate)
+                GROUP BY 1
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestPairScorers:
+    def test_containment_dominates_jaccard(self, ray_session):
+        # |A∩B|/min >= |A∩B|/|A∪B| always, same candidate set.
+        jac = {
+            (r["doc_a"], r["doc_b"]): r["jaccard_fp6"]
+            for r in dedup.ngram_jaccard(_docs()).take_all()
+        }
+        cont = {
+            (r["doc_a"], r["doc_b"]): r["containment_fp6"]
+            for r in dedup.containment_pairs(_docs()).take_all()
+        }
+        assert set(jac) == set(cont) and len(jac) > 0
+        for k in jac:
+            assert cont[k] >= jac[k]
+            assert 0 <= cont[k] <= 1_000_000
+
+    def test_weighted_jaccard_bounds_and_candidates(self, ray_session):
+        jac = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard(_docs()).take_all()
+        }
+        wj = {
+            (r["doc_a"], r["doc_b"]): r["wjaccard_fp6"]
+            for r in dedup.weighted_jaccard_pairs(_docs()).take_all()
+        }
+        assert set(wj) == jac and len(wj) > 0
+        assert all(0 <= v <= 1_000_000 for v in wj.values())
+
+    def test_semi_join_path_matches_broadcast(self, ray_session):
+        b = sorted(
+            (r["doc_a"], r["doc_b"], r["containment_fp6"])
+            for r in dedup.containment_pairs(_docs(), semi_join=False).take_all()
+        )
+        s = sorted(
+            (r["doc_a"], r["doc_b"], r["containment_fp6"])
+            for r in dedup.containment_pairs(_docs(), semi_join=True).take_all()
+        )
+        assert b == s and len(b) > 0
+
+
+class TestTruncationDups:
+    def test_groups_have_multiple_distinct_texts(self, ray_session):
+        rows = dedup.truncation_dups(_docs()).take_all()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["n_docs"] > 1 and r["n_texts"] > 1
+            assert r["n_texts"] <= r["n_docs"]
+
+    def test_longer_prefix_never_adds_groups(self, ray_session):
+        short = dedup.truncation_dups(_docs(), prefix_chars=32).count()
+        long_ = dedup.truncation_dups(_docs(), prefix_chars=512).count()
+        # a 512-char shared prefix implies a 32-char one (docs shorter
+        # than the prefix hash their whole text in both).
+        assert long_ <= short
+
+    def test_synthetic_truncation_found(self, ray_session):
+        texts = [
+            "alpha beta gamma " * 10 + "tail one",
+            "alpha beta gamma " * 10 + "a divergent continuation",
+            "totally different document body",
+        ]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                 "text": pa.array(texts)}
+            )
+        )
+        rows = dedup.truncation_dups(ds, prefix_chars=64).take_all()
+        assert len(rows) == 1
+        assert rows[0]["n_docs"] == 2
+        assert rows[0]["n_texts"] == 2
+        assert rows[0]["keep_doc_id"] == 1
+
+
+class TestMadOutliers:
+    def test_matches_numpy_truth(self, ray_session):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "value"])
+        v = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(v)
+        rank = (50 * n + 99) // 100
+        med = int(np.sort(v)[rank - 1])
+        dev = np.abs(v - med)
+        mad = int(np.sort(dev)[rank - 1])
+        want_ids = sorted(
+            int(e)
+            for e, d in zip(t["event_id"].to_numpy(), dev)
+            if d * 100 > 350 * mad
+        )
+        got = sorted(
+            r["event_id"]
+            for r in sketch.mad_outliers(
+                _rd("events", ["event_id", "value"])
+            ).take_all()
+        )
+        assert got == want_ids and len(got) > 0
+
+    def test_empty_input(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+        assert sketch.mad_outliers(ds).take_all() == []
+
+    def test_tight_pull_limit_still_exact(self, ray_session):
+        # force multi-pass refinement (pull_limit path exercised via
+        # _select_rank's loop) by shrinking bins.
+        ids_default = sorted(
+            r["event_id"]
+            for r in sketch.mad_outliers(
+                _rd("events", ["event_id", "value"])
+            ).take_all()
+        )
+        # same result computed through a 2-bin selection (max passes)
+        from tableextraction_ray.functions.sketch import _select_rank
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"])
+        v = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        vals = ray.data.from_arrow(
+            pa.Table.from_pydict({"v": pa.array(v, type=pa.int64())})
+        ).materialize()
+        n = len(v)
+        rank = (50 * n + 99) // 100
+        got = _select_rank(
+            vals, rank, int(v.min()), int(v.max()), bins=2, pull_limit=1,
+            max_iters=64,
+        )
+        assert got == int(np.sort(v)[rank - 1])
+        assert len(ids_default) > 0
+
+
+class TestDecayedUserScore:
+    def test_weights_are_exact_shifts(self, ray_session):
+        # two events for one user: one at tmax (weight 1e9), one 45 days
+        # earlier (bucket 1, weight 5e8).
+        ts = pa.array(
+            np.array(
+                ["2024-03-01T00:00:00", "2024-01-16T00:00:00"],
+                dtype="datetime64[us]",
+            )
+        )
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "ts": ts,
+                    "user_id": pa.array([7, 7], type=pa.int64()),
+                    "value": pa.array([2.0, 4.0], type=pa.float64()),
+                }
+            )
+        )
+        rows = relational.decayed_user_score(ds, half_life_days=30).take_all()
+        assert rows == [
+            {"user_id": 7, "score_fp": 200 * 10**9 + 400 * (10**9 >> 1)}
+        ]
+
+    def test_every_user_present(self, ray_session):
+        ev = _rd("events", ["ts", "user_id", "value"])
+        n_users = ev.select_columns(["user_id"]).unique("user_id")
+        rows = relational.decayed_user_score(ev).take_all()
+        assert len(rows) == len(n_users)
+        assert all(r["score_fp"] >= 0 for r in rows)
