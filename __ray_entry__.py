@@ -95,6 +95,11 @@ _CANARIES: tuple[str, ...] = (
 )
 
 _R4_QUERIES: list[str] = [
+    "span_kind_transitions",
+    "session_path_topk",
+    "robust_scale_events",
+    "value_psi",
+    "mg_heavy_tokens",
     "order_priority_count",
     "containment_pairs",
     "weighted_jaccard_pairs",
@@ -655,6 +660,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "decayed_user_score": lambda sf: relational.decayed_user_score(
             _read(sf, "events", ["ts", "user_id", "value"])
+        ),
+        "span_kind_transitions": lambda sf: (
+            interleaved.span_kind_transitions(_spans(sf))
+        ),
+        "session_path_topk": lambda sf: relational.session_path_topk(
+            _read(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+        ),
+        "robust_scale_events": lambda sf: relational.robust_scale_events(
+            _read(sf, "events", ["event_id", "value"])
+        ),
+        "value_psi": lambda sf: relational.value_psi(
+            _read(sf, "events", ["ts", "value"])
+        ),
+        "mg_heavy_tokens": lambda sf: sketch.mg_heavy_tokens(
+            docs(sf, ["text"])
         ),
         "value_quantiles_selection": lambda sf: (
             sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
@@ -4096,6 +4116,116 @@ def oracle_sql() -> dict[str, str]:
                      AS score_fp
             FROM c GROUP BY user_id
         """,
+        # Session-path top-k: LAG gap-break + windowed session ids +
+        # ordered string_agg, deterministic (n DESC, path) rank.
+        "session_path_topk": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l
+            ),
+            p AS (
+              SELECT user_id, sess,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM s GROUP BY user_id, sess
+            ),
+            c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path),
+            r AS (
+              SELECT path, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn
+              FROM c
+            )
+            SELECT path, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 20
+        """,
+        # Robust (median/IQR) scaler: ceil-rank ROW_NUMBER picks; floor
+        # division spelled out because SQL's // truncates toward zero.
+        "robust_scale_events": """
+            WITH c AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM c),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+            qs AS (
+              SELECT
+                (SELECT v FROM r, n WHERE rn = (25 * cnt + 99) // 100) AS q1,
+                (SELECT v FROM r, n WHERE rn = (50 * cnt + 99) // 100) AS med,
+                (SELECT v FROM r, n WHERE rn = (75 * cnt + 99) // 100) AS q3
+            ),
+            b AS (SELECT med, GREATEST(q3 - q1, 1) AS iqr FROM qs)
+            SELECT event_id,
+                   CAST(((c.v - b.med) * 1000000
+                         - ((((c.v - b.med) * 1000000) % b.iqr + b.iqr)
+                            % b.iqr)) / b.iqr AS BIGINT) AS scaled_fp6
+            FROM c, b
+        """,
+        # PSI drift terms: integer bucket arithmetic, +1 Laplace
+        # smoothing, libm ln parity (source_token_entropy contract).
+        "value_psi": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            ext AS (
+              SELECT MIN(t) AS ts_lo, MAX(t) AS ts_hi,
+                     MIN(c) AS c_lo, MAX(c) AS c_hi
+              FROM e
+            ),
+            par AS (
+              SELECT (ts_lo + ts_hi) // 2 AS mid,
+                     c_lo, (c_hi - c_lo) // 10 + 1 AS w
+              FROM ext
+            ),
+            bk AS (
+              SELECT (e.c - par.c_lo) // par.w AS bucket,
+                     CASE WHEN e.t < par.mid THEN 1 ELSE 0 END AS is_ref
+              FROM e, par
+            ),
+            grid AS (SELECT unnest(range(10)) AS bucket),
+            h AS (
+              SELECT g.bucket,
+                     CAST(COALESCE(SUM(bk.is_ref), 0) AS BIGINT) AS n_ref,
+                     CAST(COALESCE(SUM(1 - bk.is_ref), 0) AS BIGINT) AS n_cur
+              FROM grid g LEFT JOIN bk ON bk.bucket = g.bucket
+              GROUP BY g.bucket
+            ),
+            tot AS (
+              SELECT SUM(n_ref) + 10 AS tr, SUM(n_cur) + 10 AS tc FROM h
+            )
+            SELECT h.bucket, h.n_ref, h.n_cur,
+                   CAST(FLOOR(
+                     ((h.n_ref + 1.0) / tot.tr - (h.n_cur + 1.0) / tot.tc)
+                     * ln(((h.n_ref + 1.0) / tot.tr)
+                          / ((h.n_cur + 1.0) / tot.tc))
+                     * 1e9 + 0.5) AS BIGINT) AS term_fp9
+            FROM h, tot
+        """,
+        # Exact heavy hitters (the Misra-Gries pass only PRUNES): plain
+        # explode + HAVING n*k > total.
+        "mg_heavy_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                AS token
+              FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM toks)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING COUNT(*) * 512 > tot.n
+        """,
         # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
         # smallest DISTINCT hash per type drives the pure-integer
         # estimator (k-1) * 2^64 // h_k in HUGEINT — bit-identical to
@@ -5275,6 +5405,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_text, n_media, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM per_doc GROUP BY 1, 2
+    """
+    # Span-kind transition counts: LAG over offset-ordered spans per doc.
+    d["span_kind_transitions"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        l AS (
+          SELECT doc_id, kind,
+                 lag(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                   AS prev_kind
+          FROM s
+        )
+        SELECT prev_kind, kind AS next_kind, CAST(COUNT(*) AS BIGINT) AS n
+        FROM l WHERE prev_kind IS NOT NULL
+        GROUP BY 1, 2
     """
 
 

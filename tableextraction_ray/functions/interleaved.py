@@ -1214,3 +1214,67 @@ def canonicalize_media_refs(
     return interior.union(
         ray.data.from_arrow(pa.Table.from_pylist(b_rows, schema=OUT))
     )
+
+
+def span_kind_transitions(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(prev_kind, next_kind, n) — corpus-level first-order transition
+    counts over each document's OFFSET-ORDERED span kinds: the layout
+    grammar of the interleaved corpus ("what follows a table? how often
+    does media open a document's tail?") that a rendering/packing
+    planner reads before choosing chunk boundaries. Within-document
+    bigrams only — documents are independent sequences.
+
+    Shape: entirely block-local until the final tiny exchange — spans
+    live inside their document row, so the (parent, offset) lexsort and
+    the vectorized bigram collapse ([[event_transitions]]'s packed-code
+    trick, with a parent-equality mask dropping cross-document pairs)
+    never shuffle; ONE keyed sum over the <= kinds² pair domain
+    finishes. Zero payload moves.
+
+    Oracle: LAG(kind) OVER (PARTITION BY doc_id ORDER BY offset) on the
+    UNNESTed spans table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _ids, parent, order, _n_docs, fields = _flat_spans(batch, sort=True)
+        empty = pa.Table.from_pydict(
+            {
+                "prev_kind": pa.array([], type=pa.string()),
+                "next_kind": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(parent) < 2:
+            return empty
+        kinds = np.asarray(fields["kind"].to_pylist(), dtype=object)[order]
+        par_s = parent[order]
+        uniq, codes = np.unique(kinds, return_inverse=True)
+        same_doc = par_s[1:] == par_s[:-1]
+        if not same_doc.any():
+            return empty
+        pair = (codes[:-1] * len(uniq) + codes[1:])[same_doc]
+        keys, cnts = np.unique(pair, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "prev_kind": pa.array(uniq[keys // len(uniq)], type=pa.string()),
+                "next_kind": pa.array(uniq[keys % len(uniq)], type=pa.string()),
+                "n": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["prev_kind", "next_kind"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "prev_kind": batch["prev_kind"],
+                "next_kind": batch["next_kind"],
+                "n": batch["n"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

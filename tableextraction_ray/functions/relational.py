@@ -8006,3 +8006,236 @@ def decayed_user_score(
         "user_id",
         [("score_fp", "sum")],
     )
+
+
+def session_path_topk(
+    events: ray.data.Dataset, gap_minutes: int = 30, k: int = 20
+) -> ray.data.Dataset:
+    """(path, n) — the k most common SESSION PATHS: each user's event
+    stream ordered by (ts, event_id), split at inactivity gaps >
+    ``gap_minutes`` ([[sessionize]]'s rule), each session collapsed to
+    its '>'-joined event-type sequence, counted globally, determinstic
+    top-k by (n DESC, path ASC). The behavioral-funnel catalog view —
+    "what do whole sessions look like" where [[event_transitions]] only
+    sees adjacent pairs.
+
+    Shape: ONE user-keyed groupby (narrow (user, ts, id, type)
+    projection); the per-user sweep is a vectorized lexsort + gap-diff
+    cumsum that emits per-group (path, n) partial counts; a path-keyed
+    sum and a sort over the aggregated path domain finish — the final
+    sort ranks DISTINCT paths (already collapsed), not events.
+
+    Oracle: LAG gap-break + windowed SUM session ids + ordered
+    string_agg + ROW_NUMBER top-k."""
+    from ray.data.aggregate import Sum
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sweep(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s, et_s = ts[order], et[order]
+        brk = np.empty(len(ts_s), dtype=bool)
+        brk[0] = True
+        np.greater(np.diff(ts_s), gap_us, out=brk[1:])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts_s))
+        cnt: dict[str, int] = {}
+        for s, e in zip(starts, ends):
+            p = ">".join(et_s[s:e])
+            cnt[p] = cnt.get(p, 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "path": pa.array(list(cnt), type=pa.string()),
+                "n": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        events.select_columns(["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"path": batch["path"], "n": batch["n"].cast(pa.int64())}
+        )
+
+    return (
+        counts.map_batches(clean, batch_format="pyarrow")
+        .sort(["n", "path"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def robust_scale_events(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_id, scaled_fp6) — robust (median/IQR) feature scaling of
+    the value column in exact fixed-point: scaled = (c − median)·10⁶
+    floordiv IQR over integer cents — the outlier-immune sibling of
+    [[minmax_scale_events]] (whose extremes ARE the outliers on heavy
+    tails). Median/Q1/Q3 are EXACT distributed selections (the
+    [[value_quantiles_selection]] histogram-refinement plan via
+    _select_rank — three O(log domain) scan passes, no sort), house
+    ceil-rank convention; then one streaming map with a 2-int
+    broadcast. FLOOR division on a possibly-negative numerator — the
+    oracle spells floor out as (a − ((a % b) + b) % b) / b because
+    SQL's integer division truncates toward zero.
+
+    Oracle: two ROW_NUMBER rank picks + the explicit floor-div."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .sketch import _select_rank
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"v": _cents(batch["value"])})
+
+    vals = (
+        events.select_columns(["value"])
+        .map_batches(to_cents, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = vals.aggregate(
+        Min("v", alias_name="lo"), Max("v", alias_name="hi"), Count()
+    )
+    n = int(stats["count()"])
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "scaled_fp6": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    q1 = _select_rank(vals, (25 * n + 99) // 100, lo, hi)
+    med = _select_rank(vals, (50 * n + 99) // 100, lo, hi)
+    q3 = _select_rank(vals, (75 * n + 99) // 100, lo, hi)
+    iqr = max(q3 - q1, 1)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "scaled_fp6": pa.array(
+                    (c - med) * 1_000_000 // iqr, type=pa.int64()
+                ),
+            }
+        )
+
+    return events.select_columns(["event_id", "value"]).map_batches(
+        scale, batch_format="pyarrow"
+    )
+
+
+def value_psi(events: ray.data.Dataset, n_buckets: int = 10) -> ray.data.Dataset:
+    """(bucket, n_ref, n_cur, term_fp9) — Population Stability Index
+    terms between the FIRST and SECOND half of the corpus's time span:
+    the standard drift monitor (PSI = Σ (p−q)·ln(p/q); < 0.1 stable,
+    > 0.25 shifted) a recurring ingest pipeline runs before trusting a
+    new batch. Buckets are ``n_buckets`` equal integer-cent widths over
+    the global [min, max]; +1 Laplace smoothing on every bucket makes
+    the log finite deterministically (no epsilon convention to
+    mismatch). Each term is ≥ 0 (p−q and ln(p/q) share sign); the
+    corpus PSI is SUM(term_fp9)/1e9.
+
+    Shape: one extremes fold (O(#blocks) 4-int rows — min/max of ts and
+    cents together), then per-block np.bincount histogram partials per
+    half and ONE tiny keyed sum over <= n_buckets rows; the log math
+    runs on the driver-sized final table inside a map_batches. libm
+    parity with the oracle's ln (the [[source_token_entropy]] fp
+    contract).
+
+    Oracle: integer bucket arithmetic + the same smoothed expression."""
+    from ray.data.aggregate import Sum
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "ts_lo": pa.array([int(ts.min())], type=pa.int64()),
+                "ts_hi": pa.array([int(ts.max())], type=pa.int64()),
+                "c_lo": pa.array([int(c.min())], type=pa.int64()),
+                "c_hi": pa.array([int(c.max())], type=pa.int64()),
+            }
+        )
+
+    src = events.select_columns(["ts", "value"])
+    rows = src.map_batches(extremes, batch_format="pyarrow").take_all()
+    if not rows:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n_ref": pa.array([], type=pa.int64()),
+                    "n_cur": pa.array([], type=pa.int64()),
+                    "term_fp9": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ts_lo = min(r["ts_lo"] for r in rows)
+    ts_hi = max(r["ts_hi"] for r in rows)
+    c_lo = min(r["c_lo"] for r in rows)
+    c_hi = max(r["c_hi"] for r in rows)
+    ts_mid = (ts_lo + ts_hi) // 2
+    width = (c_hi - c_lo) // n_buckets + 1
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        b = (c - c_lo) // width
+        is_ref = ts < ts_mid
+        h_ref = np.bincount(b[is_ref], minlength=n_buckets)
+        h_cur = np.bincount(b[~is_ref], minlength=n_buckets)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(np.arange(n_buckets), type=pa.int64()),
+                "n_ref": pa.array(h_ref, type=pa.int64()),
+                "n_cur": pa.array(h_cur, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        src.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_ref", alias_name="n_ref"), Sum("n_cur", alias_name="n_cur"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_ref = batch["n_ref"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_cur = batch["n_cur"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot_ref = int(n_ref.sum()) + n_buckets
+        tot_cur = int(n_cur.sum()) + n_buckets
+        p = (n_ref + 1) / tot_ref
+        q = (n_cur + 1) / tot_cur
+        term = (p - q) * np.log(p / q)
+        return pa.Table.from_pydict(
+            {
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "n_ref": pa.array(n_ref, type=pa.int64()),
+                "n_cur": pa.array(n_cur, type=pa.int64()),
+                "term_fp9": pa.array(
+                    np.floor(term * 1e9 + 0.5).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    # the aggregated table is <= n_buckets rows; finish needs the GLOBAL
+    # totals, so collapse to one block first.
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

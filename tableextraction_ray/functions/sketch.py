@@ -1372,3 +1372,109 @@ def mad_outliers(
         )
 
     return vals.map_batches(finish, batch_format="pyarrow")
+
+
+def mg_heavy_tokens(
+    docs: ray.data.Dataset, k: int = 512
+) -> ray.data.Dataset:
+    """(token, n) — EXACT global heavy-hitter tokens (count · k > total
+    tokens) found with per-block MISRA–GRIES summaries: the
+    deterministic-guarantee counter sketch ([[cms_heavy_hitters]]'s CMS
+    twin trades that determinism for fixed memory under adversarial
+    skew). Correctness does not depend on the sketch: any token with
+    global frequency > N/k exceeds n_b/k in at least one block (an
+    averaging argument), and per-block MG with k counters provably
+    keeps every token with block frequency > n_b/k — so the union of
+    block survivors is a SUPERSET of the true heavy hitters, and the
+    second EXACT counting pass over that bounded candidate set prunes
+    it to precisely the HAVING n·k > N answer. Two streaming passes, no
+    token-domain shuffle ever: driver state O(k · #blocks) candidate
+    strings, the count exchange is over the pruned candidate domain.
+
+    Oracle: plain explode + GROUP BY + HAVING n * k > total."""
+    import ray
+
+    from .textstats import ascii_tokens
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        total = 0
+        for text in batch["text"].to_pylist():
+            for t in ascii_tokens(text):
+                total += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        toks = list(counters)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks + [None], type=pa.string()),
+                "n": pa.array(
+                    [counters[t] for t in toks] + [total], type=pa.int64()
+                ),
+            }
+        )
+
+    summaries = docs.select_columns(["text"]).map_batches(
+        mg_partial, batch_format="pyarrow"
+    )
+    candidates: set[str] = set()
+    total = 0
+    for b in summaries.iter_batches(batch_format="pyarrow"):
+        for t, n in zip(b["token"].to_pylist(), b["n"].to_pylist()):
+            if t is None:
+                total += n
+            else:
+                candidates.add(t)
+    empty = pa.Table.from_pydict(
+        {
+            "token": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+    if not candidates or total == 0:
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(candidates)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        cnt: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in ascii_tokens(text):
+                if t in cand:
+                    cnt[t] = cnt.get(t, 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(cnt), type=pa.string()),
+                "n": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n * k > total
+        t = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"token": t["token"], "n": t["n"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -86,6 +86,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "media_orphan_audit",
             "media_payload_size_hist",
             "canonicalize_media_refs",
+            "span_kind_transitions",
         )
         else SF_DIR
     )

@@ -240,3 +240,123 @@ class TestDecayedUserScore:
         rows = relational.decayed_user_score(ev).take_all()
         assert len(rows) == len(n_users)
         assert all(r["score_fp"] >= 0 for r in rows)
+
+
+class TestSpanKindTransitions:
+    def test_bigram_total_is_spans_minus_docs(self, ray_session, t1_corpus):
+        import pyarrow.parquet as pq
+        import glob
+
+        ds = ray.data.read_parquet(f"{t1_corpus}/documents.parquet")
+        from tableextraction_ray.functions import interleaved
+
+        rows = interleaved.span_kind_transitions(ds).take_all()
+        total_bigrams = sum(r["n"] for r in rows)
+        t = pq.read_table(f"{t1_corpus}/documents.parquet", columns=["spans"])
+        lens = [len(s) for s in t["spans"].to_pylist()]
+        want = sum(max(0, n - 1) for n in lens)
+        assert total_bigrams == want and total_bigrams > 0
+
+
+class TestSessionPathTopk:
+    def test_topk_order_and_bound(self, ray_session):
+        rows = relational.session_path_topk(
+            _rd("events", ["user_id", "ts", "event_id", "event_type"]), k=5
+        ).take_all()
+        assert 0 < len(rows) <= 5
+        seq = [(r["n"], r["path"]) for r in rows]
+        # descending n, ascending path on ties
+        assert seq == sorted(seq, key=lambda x: (-x[0], x[1]))
+
+
+class TestRobustScaleEvents:
+    def test_matches_numpy_truth(self, ray_session):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "value"])
+        v = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(v)
+        sv = np.sort(v)
+        q1 = int(sv[(25 * n + 99) // 100 - 1])
+        med = int(sv[(50 * n + 99) // 100 - 1])
+        q3 = int(sv[(75 * n + 99) // 100 - 1])
+        iqr = max(q3 - q1, 1)
+        want = dict(
+            zip(
+                t["event_id"].to_numpy().astype(np.int64).tolist(),
+                ((v - med) * 1_000_000 // iqr).tolist(),
+            )
+        )
+        got = {
+            r["event_id"]: r["scaled_fp6"]
+            for r in relational.robust_scale_events(
+                _rd("events", ["event_id", "value"])
+            ).take_all()
+        }
+        assert got == want
+        assert any(x < 0 for x in got.values())  # floor-div path exercised
+
+
+class TestValuePsi:
+    def test_identical_halves_give_zero(self, ray_session):
+        # same values in both halves -> every term 0
+        ts = pa.array(
+            np.array(
+                ["2024-01-01T00:00:00"] * 4 + ["2024-12-31T00:00:00"] * 4,
+                dtype="datetime64[us]",
+            )
+        )
+        vals = pa.array([1.0, 2.0, 3.0, 4.0] * 2, type=pa.float64())
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"ts": ts, "value": vals}))
+        rows = relational.value_psi(ds).take_all()
+        assert len(rows) == 10
+        assert all(r["term_fp9"] == 0 for r in rows)
+        assert sum(r["n_ref"] for r in rows) == 4
+        assert sum(r["n_cur"] for r in rows) == 4
+
+    def test_terms_nonnegative(self, ray_session):
+        rows = relational.value_psi(_rd("events", ["ts", "value"])).take_all()
+        assert len(rows) == 10
+        assert all(r["term_fp9"] >= 0 for r in rows)
+
+
+class TestMgHeavyTokens:
+    def test_matches_exact_counts(self, ray_session):
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        from tableextraction_ray.functions.textstats import ascii_tokens
+
+        t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+        cnt = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(ascii_tokens(s))
+        total = sum(cnt.values())
+        want = {t_: n for t_, n in cnt.items() if n * 512 > total}
+        got = {
+            r["token"]: r["n"]
+            for r in sketch.mg_heavy_tokens(_rd("documents", ["text"])).take_all()
+        }
+        assert got == want and len(got) > 0
+
+    def test_small_k_still_exact(self, ray_session):
+        # k=8: heavy eviction pressure inside every block MG; output must
+        # still be the exact HAVING n*8 > total set.
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        from tableextraction_ray.functions.textstats import ascii_tokens
+
+        t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+        cnt = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(ascii_tokens(s))
+        total = sum(cnt.values())
+        want = {t_: n for t_, n in cnt.items() if n * 8 > total}
+        got = {
+            r["token"]: r["n"]
+            for r in sketch.mg_heavy_tokens(
+                _rd("documents", ["text"]), k=8
+            ).take_all()
+        }
+        assert got == want
