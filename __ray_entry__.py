@@ -95,6 +95,7 @@ _CANARIES: tuple[str, ...] = (
 )
 
 _R4_QUERIES: list[str] = [
+    "setjoin_jaccard",
     "span_kind_transitions",
     "session_path_topk",
     "robust_scale_events",
@@ -675,6 +676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "mg_heavy_tokens": lambda sf: sketch.mg_heavy_tokens(
             docs(sf, ["text"])
+        ),
+        "setjoin_jaccard": lambda sf: dedup.setjoin_jaccard(
+            docs(sf, ["doc_id", "text"])
         ),
         "value_quantiles_selection": lambda sf: (
             sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
@@ -4225,6 +4229,48 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING COUNT(*) * 512 > tot.n
+        """,
+        # Exact set-similarity join: distinct hashed shingles per doc,
+        # co-hash pair counts, fp6 Jaccard filter (same rounding both
+        # sides). The Ray side prunes with PPJoin prefixes; the oracle
+        # pays the full co-occurrence join (same answer, small sf).
+        "setjoin_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM toks WHERE len(w) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     list_distinct([list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1))
+                               - 1 AS BIGINT) << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles]) AS hs
+              FROM sh
+            ),
+            x AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+            sz AS (SELECT doc_id, len(hs) AS n FROM hx),
+            p AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM x a JOIN x b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT p.da AS doc_a, p.db AS doc_b,
+                     CAST(FLOOR(p.i * 1000000.0 / (sa.n + sb.n - p.i) + 0.5)
+                          AS BIGINT) AS jaccard_fp6
+              FROM p
+              JOIN sz sa ON sa.doc_id = p.da
+              JOIN sz sb ON sb.doc_id = p.db
+            )
+            SELECT doc_a, doc_b, jaccard_fp6 FROM j
+            WHERE jaccard_fp6 >= 500000
         """,
         # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
         # smallest DISTINCT hash per type drives the pure-integer

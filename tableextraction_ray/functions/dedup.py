@@ -2497,6 +2497,7 @@ def _scored_candidate_pairs(
     score_name: str,
     semi_join: bool | None = None,
     candidate_limit: int = 2_000_000,
+    cand: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Shared verification-join core for per-candidate-pair scorers: LSH
     banding candidates (exact-distinct reps, [[minhash_candidates]]) ->
@@ -2508,12 +2509,18 @@ def _scored_candidate_pairs(
     this helper and keeps its own inline copy to preserve its green
     bit-parity); payloads never pass through the driver.
 
-    The broadcast route holds only the candidate DOC-ID SET (ints) on the
-    driver under ``candidate_limit``; above it, texts ride the doc-key
-    shuffle and the payload is computed only for groups with side rows."""
+    ``cand`` overrides the candidate generator with a caller-supplied
+    (doc_a, doc_b) dataset (duplicate pairs fine — the pair-keyed
+    groupby emits one row per pair either way); the default is minhash
+    banding. The broadcast route holds only the candidate DOC-ID SET
+    (ints) on the driver under ``candidate_limit``; above it, texts ride
+    the doc-key shuffle and the payload is computed only for groups with
+    side rows."""
     import ray
 
-    cand = minhash_candidates(ds, distinct=False).materialize()
+    if cand is None:
+        cand = minhash_candidates(ds, distinct=False)
+    cand = cand.materialize()
     if semi_join is None:
         semi_join = cand.count() > candidate_limit
     needed_ref = None
@@ -2798,3 +2805,213 @@ def truncation_dups(
         )
 
     return per_prefix.map_batches(finish, batch_format="pyarrow")
+
+
+def setjoin_jaccard(
+    ds: ray.data.Dataset,
+    tau_fp6: int = 500_000,
+    semi_join: bool | None = None,
+    candidate_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard_fp6) — EXACT set-similarity self-join:
+    every document pair whose 3-gram-HASH Jaccard is >= tau, with NO
+    recall loss — the AllPairs/PPJoin prefix-filtering plan (Bayardo et
+    al. 2007; Xiao et al. 2008) that [[minhash_candidates]] trades
+    recall for and [[dedup_candidates_recall]] audits against. Shingle
+    identity is the shared 60-bit base hash (the candidates-recall
+    convention; the per-corpus collision odds are ~|shingles|²/2^61).
+
+    Prefix theorem (the correctness core): order the token universe by
+    (global DF, hash) — any consistent TOTAL order works; rare-first
+    minimizes bucket sizes — and index only each document's first
+    |d| − ceil(tau·|d|) + 1 tokens. If J(A,B) >= tau, their SMALLEST
+    common token t satisfies: were t outside A's prefix, every common
+    token would sit in A's last ceil(tau|A|)−1 positions, capping the
+    overlap below ceil(tau|A|) <= |A∩B| — contradiction; symmetrically
+    for B. So t lands in BOTH prefixes and the pair collides in t's
+    bucket. Every candidate is then verified EXACTLY, so false
+    positives cost time, never correctness.
+
+    Scale shape: one keyed_fold DF pass (payload-free ints), one
+    guarded keyed_attach_int of DF onto the (hash, doc) rows, a
+    doc-keyed prefix selection, ONE sort by (hash, doc) with vectorized
+    in-block triangular expansion (interior runs) + a driver fold of
+    the <= 2 boundary runs per block edge, then the shared
+    [[_scored_candidate_pairs]] verification join. Prefix buckets carry
+    a 1−tau fraction of the rarest tokens, so candidate volume is the
+    PPJoin-pruned set, not the full co-occurrence volume. Heavy-dup
+    caveat: exact copies all join (a k-copy text yields a k-clique of
+    J=1.0 pairs) — compose with [[exact_dedup]] upstream at scale, the
+    same reason minhash_candidates rep-collapses.
+
+    Oracle: distinct hashed shingles per doc, co-hash pair counts,
+    fp6 Jaccard filter — identical rounding convention both sides."""
+    from .exchange import keyed_fold
+    from .relational import keyed_attach_int
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h: list[int] = []
+        out_d: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for h in {shingle_base_hash(s) for s in shingle_set(text)}:
+                out_h.append(h)
+                out_d.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n": pa.array([1] * len(out_h), type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    df = keyed_fold(rows, "bh", [("n", "sum")])
+    with_df = keyed_attach_int(
+        rows, df, key="bh", val="n", payload=("doc_id",)
+    )
+
+    def prefix(group: pa.Table) -> pa.Table:
+        bh = group["bh"].to_numpy(zero_copy_only=False)
+        dfv = group["n"].to_numpy(zero_copy_only=False)
+        doc = int(group["doc_id"][0].as_py())
+        g = len(bh)
+        k = g - (tau_fp6 * g + 999_999) // 1_000_000 + 1
+        order = np.lexsort((bh, dfv))[: max(k, 0)]
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(bh[order], type=pa.int64()),
+                "doc_id": pa.array([doc] * len(order), type=pa.int64()),
+            }
+        )
+
+    pref = (
+        with_df.groupby("doc_id")
+        .map_groups(prefix, batch_format="pyarrow")
+        .sort(["bh", "doc_id"])
+        .materialize()
+    )
+
+    PAIR = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _tri_expand(bh: np.ndarray, d: np.ndarray) -> pa.Table:
+        n = len(bh)
+        if n < 2:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                },
+                schema=PAIR,
+            )
+        new_grp = np.r_[True, bh[1:] != bh[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        sizes = np.bincount(gid)
+        ends = np.cumsum(sizes) - 1
+        r_e = ends[gid] - np.arange(n)  # partners after each row
+        total = int(r_e.sum())
+        if total == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                },
+                schema=PAIR,
+            )
+        left = np.repeat(np.arange(n), r_e)
+        # offsets 1..r_e[i] within each row's partner span
+        starts = np.r_[0, np.cumsum(r_e)[:-1]]
+        off = np.arange(total) - np.repeat(starts, r_e) + 1
+        right = left + off
+        da, db = d[left], d[right]
+        lo = np.minimum(da, db)
+        hi = np.maximum(da, db)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(lo, type=pa.int64()),
+                "doc_b": pa.array(hi, type=pa.int64()),
+            },
+            schema=PAIR,
+        )
+
+    def interior(batch: pa.Table) -> pa.Table:
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        if len(bh) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                },
+                schema=PAIR,
+            )
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        inner = (bh != bh[0]) & (bh != bh[-1])
+        return _tri_expand(bh[inner], d[inner])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        if len(bh) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bh": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        edge = (bh == bh[0]) | (bh == bh[-1])
+        return pa.Table.from_pydict(
+            {
+                "bh": pa.array(bh[edge], type=pa.int64()),
+                "doc_id": pa.array(d[edge], type=pa.int64()),
+            }
+        )
+
+    interior_pairs = pref.map_batches(
+        interior, batch_format="pyarrow"
+    )
+    # boundary runs (<= 2 per block edge): fold once on the driver —
+    # the keyed_fold edge discipline, O(#blocks · max boundary run).
+    eb = [
+        b
+        for b in pref.map_batches(edges, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if eb:
+        et = pa.concat_tables(eb)
+        ebh = et["bh"].to_numpy(zero_copy_only=False)
+        ed = et["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ed, ebh))
+        edge_pairs = ray.data.from_arrow(_tri_expand(ebh[order], ed[order]))
+        cand = interior_pairs.union(edge_pairs)
+    else:
+        cand = interior_pairs
+
+    def payload(text: str) -> list[str]:
+        return [str(h) for h in {shingle_base_hash(s) for s in shingle_set(text)}]
+
+    from . import fp
+
+    def score(pl_a: list[str], pl_b: list[str]) -> int:
+        sa, sb = set(pl_a), set(pl_b)
+        uni = len(sa | sb)
+        return fp(len(sa & sb) * 1000000.0 / uni, 0) if uni else 0
+
+    scored = _scored_candidate_pairs(
+        ds,
+        payload_fn=payload,
+        score_fn=score,
+        score_name="jaccard_fp6",
+        semi_join=semi_join,
+        candidate_limit=candidate_limit,
+        cand=cand,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["jaccard_fp6"], tau_fp6))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

@@ -360,3 +360,60 @@ class TestMgHeavyTokens:
             ).take_all()
         }
         assert got == want
+
+
+class TestSetjoinJaccard:
+    def _truth(self, tau_fp6):
+        import itertools
+        import pyarrow.parquet as pq
+
+        from tableextraction_ray.functions import fp
+        from tableextraction_ray.functions.dedup import (
+            shingle_base_hash,
+            shingle_set,
+        )
+
+        t = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        hs = {}
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = {shingle_base_hash(x) for x in shingle_set(s)}
+            if h:
+                hs[d] = h
+        out = []
+        for a, b in itertools.combinations(sorted(hs), 2):
+            i = len(hs[a] & hs[b])
+            u = len(hs[a] | hs[b])
+            j = fp(i * 1000000.0 / u, 0) if u else 0
+            if j >= tau_fp6:
+                out.append((a, b, j))
+        return sorted(out)
+
+    def test_no_recall_loss_at_default_tau(self, ray_session):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(_docs()).take_all()
+        )
+        assert got == self._truth(500_000) and len(got) > 0
+
+    def test_low_tau_widens_prefixes_exactly(self, ray_session):
+        # tau=0.2: prefixes cover 80% of each doc, candidate volume up,
+        # result still exact.
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(_docs(), tau_fp6=200_000).take_all()
+        )
+        assert got == self._truth(200_000)
+        assert len(got) >= len(self._truth(500_000))
+
+    def test_semi_join_path_matches(self, ray_session):
+        b = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(_docs(), semi_join=False).take_all()
+        )
+        s = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(_docs(), semi_join=True).take_all()
+        )
+        assert b == s and len(b) > 0
