@@ -95,6 +95,8 @@ _CANARIES: tuple[str, ...] = (
 )
 
 _R4_QUERIES: list[str] = [
+    "tokenizer_fertility",
+    "quality_ntile_by_source",
     "setjoin_jaccard",
     "span_kind_transitions",
     "session_path_topk",
@@ -679,6 +681,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "setjoin_jaccard": lambda sf: dedup.setjoin_jaccard(
             docs(sf, ["doc_id", "text"])
+        ),
+        "tokenizer_fertility": lambda sf: textstats.tokenizer_fertility(
+            docs(sf, ["lang", "text"])
+        ),
+        "quality_ntile_by_source": lambda sf: (
+            textstats.quality_ntile_by_source(
+                docs(sf, ["doc_id", "text", "source"])
+            )
         ),
         "value_quantiles_selection": lambda sf: (
             sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
@@ -4271,6 +4281,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, jaccard_fp6 FROM j
             WHERE jaccard_fp6 >= 500000
+        """,
+        # Subword fertility per language: shared word/BPE regex contracts.
+        "tokenizer_fertility": r"""
+            WITH c AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                       AS words,
+                     len(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+'))
+                       AS bpe
+              FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS n_words,
+                   CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+                   CAST(CASE WHEN SUM(words) > 0
+                        THEN SUM(bpe) * 1000000 // SUM(words)
+                        ELSE 0 END AS BIGINT) AS fertility_fp6
+            FROM c GROUP BY lang
+        """,
+        # Per-source quality quartiles: NTILE over (alpha ratio, doc_id).
+        "quality_ntile_by_source": r"""
+            WITH q AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     CASE WHEN len(text) > 0 THEN
+                       CAST(FLOOR(len(regexp_extract_all(text, '[A-Za-zЀ-ӿ]'))
+                                  * 1000000.0 / len(text) + 0.5) AS BIGINT)
+                     ELSE 0 END AS alpha_fp6
+              FROM documents
+            )
+            SELECT doc_id, source, alpha_fp6,
+                   CAST(NTILE(4) OVER (PARTITION BY source
+                                       ORDER BY alpha_fp6, doc_id)
+                        AS BIGINT) AS tile
+            FROM q
         """,
         # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
         # smallest DISTINCT hash per type drives the pure-integer

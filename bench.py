@@ -31,6 +31,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Queries that are O(n^2)-ish sandbox-exact oracles; still cheap at sf0.1.
 QUERY_SUITE = [
+    "tokenizer_fertility",
+    "quality_ntile_by_source",
     "setjoin_jaccard",
     "span_kind_transitions",
     "session_path_topk",

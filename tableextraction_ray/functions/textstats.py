@@ -3529,3 +3529,150 @@ def quality_blend_rank(ds: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
             }
         )
     )
+
+
+def tokenizer_fertility(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, n_words, n_bpe, fertility_fp6) — per-language
+    tokenizer FERTILITY: BPE-ish regex tokens per whitespace word
+    (the multilingual-data budgeting metric — a language whose
+    fertility is 2× pays 2× the context window per word; Ács/Rust et
+    al.'s subword-fertility diagnostic). Word contract = ascii_tokens,
+    subtoken contract = TOKEN_REGEX — both shared with their stats
+    siblings so the oracle regexes are already parity-proven.
+
+    Shape: per-block (lang, counts) partials, ONE tiny lang-keyed sum,
+    integer fp6 ratio at the end. Nothing but 4-int rows shuffle.
+
+    Oracle: the two regexp_extract_all counts grouped by lang."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(TOKEN_REGEX)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs: dict[str, list[int]] = {}
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            acc = langs.setdefault(lang, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += len(ascii_tokens(t))
+            acc[2] += len(tok_re.findall(t))
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(list(langs), type=pa.string()),
+                "n_docs": pa.array([v[0] for v in langs.values()], type=pa.int64()),
+                "n_words": pa.array([v[1] for v in langs.values()], type=pa.int64()),
+                "n_bpe": pa.array([v[2] for v in langs.values()], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe", alias_name="n_bpe"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["n_bpe"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "lang": batch["lang"],
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+                "n_words": pa.array(w, type=pa.int64()),
+                "n_bpe": pa.array(b, type=pa.int64()),
+                "fertility_fp6": pa.array(
+                    np.where(w > 0, b * 1_000_000 // np.maximum(w, 1), 0),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_ntile_by_source(
+    ds: ray.data.Dataset, n_tiles: int = 4
+) -> ray.data.Dataset:
+    """(doc_id, source, alpha_fp6, tile) — each document's quality
+    QUARTILE (n_tiles-tile) WITHIN its source, SQL NTILE semantics
+    (first cnt % n tiles take the extra row), ordered by
+    (alpha_fp6, doc_id) ascending — the per-source curriculum/balance
+    bucketing a mixture planner consumes ("drop every source's bottom
+    quartile" without letting a high-quality source starve).
+
+    Shape: alpha ratio per block, ONE global sort by (source,
+    alpha_fp6, doc_id) + the [[global_row_number]] block-offset rank
+    (rows never move after the sort), per-source (first-rank, count)
+    from a tiny aggregate — sources are a LOW-cardinality dimension
+    (the corpus catalog axis), so the per-source table broadcasts in
+    one ray.put; the tile is then pure vectorized arithmetic. The
+    NTILE formula is spelled out instead of a per-source map_groups.
+
+    Oracle: NTILE(n) OVER (PARTITION BY source ORDER BY alpha_fp6,
+    doc_id)."""
+    import re
+
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    from . import fp
+    from .exchange import global_row_number
+
+    alpha_re = re.compile(f"[{ALPHA_CLASS}]")
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            total = len(t)
+            out.append(fp(len(alpha_re.findall(t)) / total, 6) if total else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "alpha_fp6": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    ranked = global_row_number(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["source", "alpha_fp6", "doc_id"],
+    ).materialize()
+    per_source = ranked.groupby("source").aggregate(
+        Min("r", alias_name="r0"), Count()
+    )
+    srcs = {
+        row["source"]: (int(row["r0"]), int(row["count()"]))
+        for row in per_source.take_all()
+    }  # low-cardinality dim (catalog axis)
+    ref = _ray.put(srcs)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        src = batch["source"].to_pylist()
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r0 = np.fromiter((m[s][0] for s in src), dtype=np.int64, count=len(src))
+        cnt = np.fromiter((m[s][1] for s in src), dtype=np.int64, count=len(src))
+        rank = r - r0  # 0-based within source
+        base = cnt // n_tiles
+        rem = cnt % n_tiles
+        big = rem * (base + 1)
+        t = np.where(
+            rank < big,
+            rank // np.maximum(base + 1, 1),
+            rem + (rank - big) // np.maximum(base, 1),
+        ) + 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "alpha_fp6": batch["alpha_fp6"].cast(pa.int64()),
+                "tile": pa.array(t, type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow")

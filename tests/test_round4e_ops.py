@@ -417,3 +417,54 @@ class TestSetjoinJaccard:
             for r in dedup.setjoin_jaccard(_docs(), semi_join=True).take_all()
         )
         assert b == s and len(b) > 0
+
+
+class TestTokenizerFertility:
+    def test_fertility_at_least_one(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        rows = textstats.tokenizer_fertility(
+            _rd("documents", ["lang", "text"])
+        ).take_all()
+        assert len(rows) > 0
+        for r in rows:
+            # a whitespace word is >= 1 regex token
+            assert r["n_bpe"] >= r["n_words"] > 0
+            assert r["fertility_fp6"] >= 1_000_000
+
+
+class TestQualityNtileBySource:
+    def test_tile_sizes_follow_ntile_semantics(self, ray_session):
+        from collections import Counter
+
+        from tableextraction_ray.functions import textstats
+
+        rows = textstats.quality_ntile_by_source(
+            _rd("documents", ["doc_id", "text", "source"])
+        ).take_all()
+        assert len(rows) == 500
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["source"], Counter())[r["tile"]] += 1
+        for src, tiles in per_src.items():
+            cnt = sum(tiles.values())
+            base, rem = divmod(cnt, 4)
+            for t in range(1, 5):
+                want = base + 1 if t <= rem else base
+                assert tiles.get(t, 0) == want, (src, t)
+
+    def test_higher_tile_means_higher_quality(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        rows = textstats.quality_ntile_by_source(
+            _rd("documents", ["doc_id", "text", "source"])
+        ).take_all()
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append(
+                (r["tile"], r["alpha_fp6"], r["doc_id"])
+            )
+        for src, lst in per_src.items():
+            lst.sort(key=lambda x: (x[1], x[2]))
+            tiles = [t for t, _, _ in lst]
+            assert tiles == sorted(tiles), src
