@@ -407,14 +407,33 @@ class TestSetjoinJaccard:
         assert got == self._truth(200_000)
         assert len(got) >= len(self._truth(500_000))
 
-    def test_semi_join_path_matches(self, ray_session):
+    def test_prefix_mode_matches_cooccur(self, ray_session):
+        # the PPJoin prefix path (for boilerplate-shingle skew) must be
+        # pair-for-pair equal to the vectorized co-occurrence default.
         b = sorted(
             (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
-            for r in dedup.setjoin_jaccard(_docs(), semi_join=False).take_all()
+            for r in dedup.setjoin_jaccard(_docs()).take_all()
         )
         s = sorted(
             (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
-            for r in dedup.setjoin_jaccard(_docs(), semi_join=True).take_all()
+            for r in dedup.setjoin_jaccard(
+                _docs(), mode="prefix", semi_join=True
+            ).take_all()
+        )
+        assert b == s and len(b) > 0
+
+    def test_forced_shuffle_size_attach_matches_broadcast(self, ray_session):
+        # size_broadcast_limit=0 forces keyed_attach_int's tagged-union
+        # fallback for BOTH size probes — the 10^12-doc path.
+        b = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(_docs()).take_all()
+        )
+        s = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_fp6"])
+            for r in dedup.setjoin_jaccard(
+                _docs(), size_broadcast_limit=0
+            ).take_all()
         )
         assert b == s and len(b) > 0
 
