@@ -95,6 +95,10 @@ _CANARIES: tuple[str, ...] = (
 )
 
 _R4_QUERIES: list[str] = [
+    "cdc_merge",
+    "median_value_by_type",
+    "order_cube",
+    "partition_checksums",
     "tokenizer_fertility",
     "quality_ntile_by_source",
     "setjoin_jaccard",
@@ -974,6 +978,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["event_id", "ts", "user_id", "event_type", "value"],
                 )
             )
+        ),
+        "cdc_merge": lambda sf: relational.cdc_merge(
+            _read(
+                sf,
+                "events",
+                ["event_id", "ts", "user_id", "event_type", "value"],
+            )
+        ),
+        "median_value_by_type": lambda sf: relational.median_value_by_type(
+            _read(sf, "events", ["event_type", "value"])
+        ),
+        "order_cube": lambda sf: relational.order_cube(
+            _read(
+                sf,
+                "orders",
+                ["o_orderdate", "o_orderpriority", "o_totalprice"],
+            )
+        ),
+        "partition_checksums": lambda sf: curate.partition_checksums(
+            docs(sf, ["doc_id", "text"])
         ),
         "fk_integrity": lambda sf: relational.fk_integrity_report(
             [
@@ -6853,6 +6877,86 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN orders ON li.l_orderkey = o_orderkey
         GROUP BY 1, 2
+    """
+    # Per-type EXACT median order statistics (two central ranks).
+    d["median_value_by_type"] = """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+          FROM events
+        ), r AS (
+          SELECT event_type, vc,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY vc) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (n+1)//2 THEN vc END)
+                    AS BIGINT) AS med_lo_c,
+               CAST(MAX(CASE WHEN rn = n//2 + 1 THEN vc END)
+                    AS BIGINT) AS med_hi_c,
+               CAST(MAX(CASE WHEN rn = (n+1)//2 THEN vc END)
+                    + MAX(CASE WHEN rn = n//2 + 1 THEN vc END)
+                    AS BIGINT) AS med_x2_c
+        FROM r GROUP BY 1
+    """
+    # CDC MERGE with tombstones: last op per user wins; 'error' deletes.
+    d["cdc_merge"] = """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               MAX(CASE WHEN rn = 1 THEN
+                     CASE WHEN event_type = 'error' THEN 'deleted'
+                          ELSE 'live' END END) AS state,
+               CAST(MAX(CASE WHEN rn = 1 THEN
+                     CASE WHEN event_type = 'error' THEN -1
+                          ELSE vc END END) AS BIGINT) AS value_c,
+               CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_upserts,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes
+        FROM e GROUP BY 1
+    """
+    # GROUP BY CUBE shape: all four grouping sets with NULL-free
+    # sentinels and the GROUPING-bit level.
+    d["order_cube"] = """
+        SELECT COALESCE(o_year, -1) AS o_year,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(GROUPING(o_year)*2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS lvl
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 o_orderpriority,
+                 CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS rev_c
+          FROM orders
+        )
+        GROUP BY CUBE(o_year, o_orderpriority)
+    """
+    # Anti-entropy partition checksums: grouped XOR/min/max of keyed
+    # 60-bit content fingerprints (the corpus_diff hex-parse).
+    d["partition_checksums"] = """
+        SELECT CAST(doc_id % 16 AS BIGINT) AS part,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_h,
+               CAST(min(h) AS BIGINT) AS min_h,
+               CAST(max(h) AS BIGINT) AS max_h
+        FROM (
+          SELECT doc_id,
+                 list_sum([CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                            i, 1)) - 1 AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)]) AS h
+          FROM documents
+        )
+        GROUP BY 1
     """
 
     return d

@@ -495,3 +495,97 @@ def corpus_diff(
         )
 
     return agg.map_batches(status, batch_format="pyarrow")
+
+
+def partition_checksums(
+    ds: ray.data.Dataset, n_parts: int = 16
+) -> ray.data.Dataset:
+    """(part, n_rows, xor_h, min_h, max_h) — per-partition anti-entropy
+    checksums over the corpus: docs hash-partitioned by doc_id mod
+    ``n_parts``; each partition reports its row count, the XOR-fold of a
+    60-bit content fingerprint (md5 of "doc_id:text" — keyed by id so
+    identical texts under different ids still distinguish), and the
+    fingerprint min/max. Two replicas (or a snapshot before/after a
+    lossless rewrite) agree iff every partition row agrees — the Merkle
+    level-0 audit that detects silent divergence WITHOUT shipping any
+    text, and localizes it to 1/n_parts of the keyspace for a targeted
+    [[corpus_diff]]. XOR is associative/commutative/self-inverse, so the
+    fold is retry-idempotent per row-set and order-free.
+
+    Shape: per-block (part, n, xor, min, max) partials — one row per
+    partition per block — then ONE tiny keyed fold over <= n_parts keys.
+    Oracle: grouped bit_xor/min/max over the same md5-prefix ints."""
+    import hashlib
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array(
+            [
+                int(
+                    hashlib.md5(
+                        f"{d}:{t}".encode("utf-8")
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for d, t in zip(ids, batch["text"].to_pylist())
+            ],
+            dtype=np.int64,
+        )
+        part = ids % n_parts
+        order = np.argsort(part, kind="stable")
+        p_s, h_s = part[order], h[order]
+        starts = np.r_[True, p_s[1:] != p_s[:-1]]
+        keys = p_s[starts]
+        gid = np.cumsum(starts) - 1
+        n = np.bincount(gid)
+        xor = np.zeros(len(keys), dtype=np.int64)
+        np.bitwise_xor.at(xor, gid, h_s)
+        mins = np.minimum.reduceat(h_s, np.flatnonzero(starts))
+        maxs = np.maximum.reduceat(h_s, np.flatnonzero(starts))
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(keys, type=pa.int64()),
+                "n_rows": pa.array(n, type=pa.int64()),
+                "xor_p": pa.array(xor, type=pa.int64()),
+                "min_h": pa.array(mins, type=pa.int64()),
+                "max_h": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array([int(g["part"][0].as_py())], type=pa.int64()),
+                "n_rows": pa.array(
+                    [int(g["n_rows"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "xor_h": pa.array(
+                    [
+                        int(
+                            np.bitwise_xor.reduce(
+                                g["xor_p"].to_numpy(zero_copy_only=False)
+                            )
+                        )
+                    ],
+                    type=pa.int64(),
+                ),
+                "min_h": pa.array(
+                    [int(g["min_h"].to_numpy(zero_copy_only=False).min())],
+                    type=pa.int64(),
+                ),
+                "max_h": pa.array(
+                    [int(g["max_h"].to_numpy(zero_copy_only=False).max())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -8239,3 +8239,242 @@ def value_psi(events: ray.data.Dataset, n_buckets: int = 10) -> ray.data.Dataset
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def median_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n, med_lo_c, med_hi_c, med_x2_c) — EXACT per-group
+    median of the event value in cents: the two central order statistics
+    (lo = rank (n+1)//2, hi = rank n//2 + 1; equal when n is odd) and
+    their sum (2× the interpolated median, kept integer so no float ever
+    enters the compare). The per-GROUP sibling of the global
+    [[value_quantiles_selection]]/[[mad_outliers]] selections.
+
+    Shape: the group domain (event types) is bounded, so per-type
+    (count, min, max) come from ONE keyed groupby; then
+    [[select_rank_grouped]] resolves EVERY type's rank in SHARED
+    histogram-refinement passes — O(log(value range)) scans total
+    regardless of the number of types, no sort, no per-type pass. At
+    100 TB only (type, bucket, count) int rows reach the driver.
+
+    Oracle: two ROW_NUMBER picks per type at the same ranks."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .sketch import select_rank_grouped
+
+    types = sorted(
+        events.select_columns(["event_type"]).unique("event_type")
+    )
+    code = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(code)
+
+    def to_gv(batch: pa.Table) -> pa.Table:
+        lut = ray.get(code_ref)
+        g = np.fromiter(
+            (lut[t] for t in batch["event_type"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.Table.from_pydict(
+            {"g": pa.array(g, type=pa.int64()), "v": _cents(batch["value"])}
+        )
+
+    vals = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(to_gv, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = {
+        int(r["g"]): (int(r["min(v)"]), int(r["max(v)"]), int(r["count()"]))
+        for r in vals.groupby("g")
+        .aggregate(Min("v"), Max("v"), Count())
+        .iter_rows()
+    }
+    lo_b = {g: s[0] for g, s in stats.items()}
+    hi_b = {g: s[1] for g, s in stats.items()}
+    n_g = {g: s[2] for g, s in stats.items()}
+    lo_rank = {g: (n + 1) // 2 for g, n in n_g.items()}
+    hi_rank = {g: n // 2 + 1 for g, n in n_g.items()}
+    med_lo = select_rank_grouped(vals, lo_rank, lo_b, hi_b)
+    med_hi = select_rank_grouped(vals, hi_rank, lo_b, hi_b)
+    gs = sorted(stats)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(
+                    [types[g] for g in gs], type=pa.string()
+                ),
+                "n": pa.array([n_g[g] for g in gs], type=pa.int64()),
+                "med_lo_c": pa.array([med_lo[g] for g in gs], type=pa.int64()),
+                "med_hi_c": pa.array([med_hi[g] for g in gs], type=pa.int64()),
+                "med_x2_c": pa.array(
+                    [med_lo[g] + med_hi[g] for g in gs], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def cdc_merge(
+    events: ray.data.Dataset, delete_type: str = "error"
+) -> ray.data.Dataset:
+    """(user_id, state, value_c, n_upserts, n_deletes) — CDC MERGE with
+    tombstones: apply the event stream as an ordered changelog keyed by
+    user_id — any event of ``delete_type`` is a DELETE tombstone, every
+    other event UPSERTs its value — and emit each key's final state
+    ('live' with the last upserted value-cents, or 'deleted' with -1)
+    plus op counts. The delete-aware sibling of
+    [[latest_event_compaction]] (last-wins upsert only): this is the
+    Delta/Iceberg MERGE INTO semantics every incremental snapshot
+    maintainer runs.
+
+    Op order is (ts, event_id) — the changelog's total order; ties
+    can't collide because event_id is unique. Shape: each block first
+    collapses to ONE partial row per key (vectorized lexsort +
+    run-boundary pick: last op's (ts, eid, is_del, value_c) + local op
+    counts), then ONE user-keyed groupby merges partials (max (ts, eid)
+    wins; counts sum). The value payload rides once per surviving
+    partial — never per event.
+
+    Oracle: ROW_NUMBER() = 1 over (ts DESC, event_id DESC) + grouped
+    CASE counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_del = np.array(
+            [t == delete_type for t in batch["event_type"].to_pylist()],
+            dtype=bool,
+        )
+        val_c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s = uid[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = u_s[1:] != u_s[:-1]
+        sel = order[last]
+        n_del = np.bincount(
+            np.searchsorted(u_s[last], uid), weights=is_del.astype(np.int64)
+        ).astype(np.int64)
+        n_ops = np.bincount(np.searchsorted(u_s[last], uid)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[sel], type=pa.int64()),
+                "ts_us": pa.array(ts[sel], type=pa.int64()),
+                "event_id": pa.array(eid[sel], type=pa.int64()),
+                "is_del": pa.array(is_del[sel].astype(np.int64), type=pa.int64()),
+                "value_c": pa.array(val_c[sel], type=pa.int64()),
+                "n_del": pa.array(n_del, type=pa.int64()),
+                "n_ops": pa.array(n_ops, type=pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        w = int(np.lexsort((eid, ts))[-1])
+        n_ops = int(
+            group["n_ops"].to_numpy(zero_copy_only=False).sum()
+        )
+        n_del = int(group["n_del"].to_numpy(zero_copy_only=False).sum())
+        deleted = bool(group["is_del"][w].as_py())
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [int(group["user_id"][0].as_py())], type=pa.int64()
+                ),
+                "state": pa.array(
+                    ["deleted" if deleted else "live"], type=pa.string()
+                ),
+                "value_c": pa.array(
+                    [-1 if deleted else int(group["value_c"][w].as_py())],
+                    type=pa.int64(),
+                ),
+                "n_upserts": pa.array([n_ops - n_del], type=pa.int64()),
+                "n_deletes": pa.array([n_del], type=pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(
+            ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def order_cube(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(o_year, o_orderpriority, rev_c, n_orders, lvl) — GROUP BY
+    CUBE(year, priority) over order revenue: all FOUR grouping sets —
+    finest (year, priority), per-year subtotals, per-PRIORITY marginals
+    (the set ROLLUP can't produce; [[revenue_rollup]] covers that
+    shape), and the grand total. NULL-free sentinels (-1 / 'ALL');
+    lvl = GROUPING(year)·2 + GROUPING(priority).
+
+    Shape: ONE keyed groupby over the bounded (years × 5 priorities)
+    finest domain after per-block partial sums; the three coarser sets
+    are exact driver re-sums of that bounded result (SUM reassociates —
+    no second data pass). Oracle: GROUP BY CUBE + GROUPING bits."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "o_year": pc.year(batch["o_orderdate"]).cast(pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "rev_c": _cents(batch["o_totalprice"]),
+                "n_orders": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["o_year", "o_orderpriority"]).aggregate(
+            [("rev_c", "sum"), ("n_orders", "sum")]
+        )
+        return g.rename_columns(
+            ["o_year", "o_orderpriority", "rev_c", "n_orders"]
+        )
+
+    finest = (
+        orders.select_columns(
+            ["o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(
+            Sum("rev_c", alias_name="rev_c"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    rows = finest.take_all()  # bounded: years × priorities
+    out: dict[tuple[int, str], list[int]] = {}
+    for r in rows:
+        for yr, pr, lvl in (
+            (int(r["o_year"]), r["o_orderpriority"], 0),
+            (int(r["o_year"]), "ALL", 1),
+            (-1, r["o_orderpriority"], 2),
+            (-1, "ALL", 3),
+        ):
+            cur = out.setdefault((yr, pr, lvl), [0, 0])
+            cur[0] += int(r["rev_c"])
+            cur[1] += int(r["n_orders"])
+    keys = sorted(out)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "o_year": pa.array([k[0] for k in keys], type=pa.int64()),
+                "o_orderpriority": pa.array(
+                    [k[1] for k in keys], type=pa.string()
+                ),
+                "rev_c": pa.array([out[k][0] for k in keys], type=pa.int64()),
+                "n_orders": pa.array(
+                    [out[k][1] for k in keys], type=pa.int64()
+                ),
+                "lvl": pa.array([k[2] for k in keys], type=pa.int64()),
+            }
+        )
+    )

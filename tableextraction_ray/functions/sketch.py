@@ -1296,6 +1296,146 @@ def _select_rank(
     )
 
 
+def select_rank_grouped(
+    vals: ray.data.Dataset,
+    ranks: dict[int, int],
+    lo: dict[int, int],
+    hi: dict[int, int],
+    bins: int = 4096,
+    pull_limit: int = 200_000,
+    max_iters: int = 8,
+) -> dict[int, int]:
+    """Exact per-GROUP k-th order statistics in SHARED scan passes: for
+    each group code g (int64 column ``g``), the 1-based ``ranks[g]``-th
+    smallest of the int64 column ``v`` among g's rows — the grouped
+    generalization of [[_select_rank]] that [[median_value_by_type]]
+    builds on. One histogram-refinement pass narrows EVERY unresolved
+    group at once (per-block (g, bucket) np.bincount partials against a
+    broadcast {g: (lo, hi, w)} dict, folded on the driver), so the pass
+    count is O(log_bins(max range)) TOTAL, not per group; groups whose
+    candidate range shrinks under ``pull_limit`` values resolve exactly
+    in one shared filtered pull. Driver state O(#groups · bins) ints
+    per pass — the same bounded-domain contract as every keyed fold
+    here (group domain = event types / labels / sources, never ids)."""
+    state = {
+        int(g): (int(lo[g]), int(hi[g]), int(ranks[g])) for g in ranks
+    }
+    out: dict[int, int] = {}
+    for g, (l, h, r) in list(state.items()):
+        if l == h:
+            out[g] = l
+            del state[g]
+    for _ in range(max_iters):
+        if not state:
+            return out
+        widths = {
+            g: (h - l) // bins + 1 for g, (l, h, r) in state.items()
+        }
+        spec_ref = ray.put(
+            {g: (l, h, widths[g]) for g, (l, h, r) in state.items()}
+        )
+
+        def hist_partial(batch: pa.Table, _bins=bins) -> pa.Table:
+            spec = ray.get(spec_ref)
+            gv = batch["g"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            gs, bs, cs = [], [], []
+            for g, (l, h, w) in spec.items():
+                sel = v[(gv == g) & (v >= l) & (v <= h)]
+                if len(sel) == 0:
+                    continue
+                cnt = np.bincount((sel - l) // w, minlength=_bins)
+                nz = np.flatnonzero(cnt)
+                gs.append(np.full(len(nz), g, dtype=np.int64))
+                bs.append(nz)
+                cs.append(cnt[nz])
+            if not gs:
+                return pa.Table.from_pydict(
+                    {
+                        "g": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.Table.from_pydict(
+                {
+                    "g": pa.array(np.concatenate(gs), type=pa.int64()),
+                    "b": pa.array(np.concatenate(bs), type=pa.int64()),
+                    "c": pa.array(np.concatenate(cs), type=pa.int64()),
+                }
+            )
+
+        hists = {g: np.zeros(bins, dtype=np.int64) for g in state}
+        for row in vals.map_batches(
+            hist_partial, batch_format="pyarrow"
+        ).take_all():
+            hists[int(row["g"])][int(row["b"])] += int(row["c"])
+
+        pulls: dict[int, tuple[int, int, int]] = {}
+        for g in list(state):
+            l, h, r = state[g]
+            w = widths[g]
+            cum = np.cumsum(hists[g])
+            b = int(np.searchsorted(cum, r))
+            in_bucket = int(hists[g][b])
+            r -= int(cum[b - 1]) if b else 0
+            l, h = l + b * w, min(h, l + (b + 1) * w - 1)
+            if l == h:
+                out[g] = l
+                del state[g]
+            elif in_bucket <= pull_limit:
+                pulls[g] = (l, h, r)
+                del state[g]
+            else:
+                state[g] = (l, h, r)
+
+        if pulls:
+            pull_ref = ray.put({g: (l, h) for g, (l, h, r) in pulls.items()})
+
+            def pull_rows(batch: pa.Table) -> pa.Table:
+                spec = ray.get(pull_ref)
+                gv = batch["g"].to_numpy(zero_copy_only=False)
+                v = batch["v"].to_numpy(zero_copy_only=False)
+                keep = np.zeros(len(gv), dtype=bool)
+                for g, (l, h) in spec.items():
+                    keep |= (gv == g) & (v >= l) & (v <= h)
+                return pa.Table.from_pydict(
+                    {
+                        "g": pa.array(gv[keep], type=pa.int64()),
+                        "v": pa.array(v[keep], type=pa.int64()),
+                    }
+                )
+
+            parts = [
+                b2
+                for b2 in vals.map_batches(
+                    pull_rows, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+                if b2.num_rows
+            ]
+            pg = (
+                pa.concat_tables(parts)
+                if parts
+                else pa.Table.from_pydict(
+                    {
+                        "g": pa.array([], type=pa.int64()),
+                        "v": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+            pgv = pg["g"].to_numpy(zero_copy_only=False)
+            pvv = pg["v"].to_numpy(zero_copy_only=False)
+            for g, (l, h, r) in pulls.items():
+                sel = np.sort(pvv[pgv == g])
+                out[g] = int(sel[r - 1])
+    if state:
+        raise RuntimeError(
+            f"grouped selection did not converge within {max_iters} passes"
+            f" for groups {sorted(state)}"
+        )
+    return out
+
+
 def mad_outliers(
     events: ray.data.Dataset, k_fp2: int = 350
 ) -> ray.data.Dataset:
