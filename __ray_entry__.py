@@ -239,6 +239,7 @@ _R4_QUERIES: list[str] = [
     "part_skyline",
     "quality_blend_rank",
     "kmv_audience_overlap",
+    "range_partition_plan",
 ]
 
 
@@ -696,6 +697,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "value_quantiles_selection": lambda sf: (
             sketch.value_quantiles_selection(_read(sf, "events", ["value"]))
+        ),
+        "range_partition_plan": lambda sf: (
+            sketch.range_partition_plan(_read(sf, "events", ["value"]))
         ),
         "events_hourly_percentiles": lambda sf: sketch.hourly_value_percentiles(
             _read(sf, "events", ["ts", "value"])
@@ -4382,6 +4386,34 @@ def oracle_sql() -> dict[str, str]:
                    r.v AS value_c
             FROM p, n
             JOIN r ON r.rk = (p.pct * n.c + 99) // 100
+        """,
+        "range_partition_plan": """
+            WITH v AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+            n AS (SELECT COUNT(*) AS c FROM v),
+            b AS (
+              SELECT i.part, r.v AS hi_c
+              FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS part) i, n
+              JOIN r ON r.rk = (i.part * n.c + 7) // 8
+            ),
+            parts AS (
+              SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS part
+            ),
+            lohi AS (
+              SELECT p.part,
+                     (SELECT hi_c FROM b WHERE b.part = p.part - 1) AS lo_c,
+                     (SELECT hi_c FROM b WHERE b.part = p.part) AS hi_c
+              FROM parts p
+            )
+            SELECT l.part AS part, l.hi_c AS hi_c,
+                   (SELECT COUNT(*) FROM v
+                    WHERE (l.lo_c IS NULL OR v.v > l.lo_c)
+                      AND (l.hi_c IS NULL OR v.v <= l.hi_c)) AS n_rows
+            FROM lohi l
+            ORDER BY part
         """,
         "audience_overlap_exact": """
             WITH types AS (SELECT DISTINCT event_type AS t FROM events),

@@ -262,6 +262,14 @@ QUERY_SUITE = [
     "quality_blend_rank",
     "kmv_audience_overlap",
     "typo_token_pairs",
+    "cdc_merge",
+    "median_value_by_type",
+    "order_cube",
+    "partition_checksums",
+    "value_quantiles_selection",
+    "range_partition_plan",
+    "interleave_pack",
+    "media_dims",
 ]
 
 

@@ -596,6 +596,109 @@ def cms_heavy_hitters(
 HIST_BIN_CENTS = 100  # $1 bins over integer cents
 
 
+def select_ranks(
+    vals: ray.data.Dataset,
+    ranks: dict,
+    lo: int,
+    hi: int,
+    bins: int = 4096,
+    pull_limit: int = 200_000,
+    max_iters: int = 8,
+) -> dict:
+    """Exact order statistics for MULTIPLE 1-based ranks of one int64
+    column ``v`` in SHARED histogram-refinement passes — the multi-target
+    core of [[value_quantiles_selection]] (factored out so
+    [[range_partition_plan]] can select all its boundary ranks at once)
+    and the same-rows sibling of [[select_rank_grouped]]. Each pass
+    histograms every pending target's candidate range (deduplicated —
+    targets usually share ranges early) with per-block np.bincount
+    partials, walks each rank into its bucket, and pulls a bucket
+    exactly once it is under ``pull_limit`` values. Returns
+    {key: value} for every key in ``ranks``; O(log_bins(hi - lo))
+    scan passes TOTAL, driver state O(#targets · bins) ints."""
+    targets = {
+        k: {"lo": int(lo), "hi": int(hi), "rank": int(r)}
+        for k, r in ranks.items()
+    }
+    resolved: dict = {}
+    for _ in range(max_iters):
+        pending = {p: t for p, t in targets.items() if p not in resolved}
+        if not pending:
+            break
+        # distinct candidate ranges this pass (targets often share)
+        ranges = sorted({(t["lo"], t["hi"]) for t in pending.values()})
+
+        def hist_partial(
+            batch: pa.Table, _ranges=ranges, _bins=bins
+        ) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            out_r, out_b, out_c = [], [], []
+            for ri, (rlo, rhi) in enumerate(_ranges):
+                w = (rhi - rlo) // _bins + 1
+                sel = v[(v >= rlo) & (v <= rhi)]
+                if len(sel) == 0:
+                    continue
+                cnt = np.bincount((sel - rlo) // w, minlength=_bins)
+                nz = np.flatnonzero(cnt)
+                out_r.extend([ri] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(cnt[nz].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "ri": pa.array(out_r, type=pa.int64()),
+                    "b": pa.array(out_b, type=pa.int64()),
+                    "c": pa.array(out_c, type=pa.int64()),
+                }
+            )
+
+        hists: dict[int, np.ndarray] = {
+            ri: np.zeros(bins, dtype=np.int64) for ri in range(len(ranges))
+        }
+        for r in vals.map_batches(
+            hist_partial, batch_format="pyarrow"
+        ).take_all():
+            hists[r["ri"]][r["b"]] += r["c"]
+        for key, t in pending.items():
+            rlo, rhi = t["lo"], t["hi"]
+            ri = ranges.index((rlo, rhi))
+            w = (rhi - rlo) // bins + 1
+            cum = np.cumsum(hists[ri])
+            b = int(np.searchsorted(cum, t["rank"]))
+            in_bucket = int(hists[ri][b])
+            t["rank"] -= int(cum[b - 1]) if b else 0
+            t["lo"] = rlo + b * w
+            t["hi"] = min(rhi, rlo + (b + 1) * w - 1)
+            if t["lo"] == t["hi"]:
+                resolved[key] = t["lo"]
+            elif in_bucket <= pull_limit:
+                # exact pull of one bucket's values (bounded)
+                pulled = np.sort(
+                    np.concatenate(
+                        [
+                            b2["v"].to_numpy(zero_copy_only=False)
+                            for b2 in vals.map_batches(
+                                lambda t2, _lo=t["lo"], _hi=t["hi"]: t2.filter(
+                                    pc.and_(
+                                        pc.greater_equal(t2["v"], _lo),
+                                        pc.less_equal(t2["v"], _hi),
+                                    )
+                                ),
+                                batch_format="pyarrow",
+                            ).iter_batches(batch_format="pyarrow")
+                        ]
+                        or [np.empty(0, dtype=np.int64)]
+                    )
+                )
+                resolved[key] = int(pulled[t["rank"] - 1])
+    unresolved = [p for p in targets if p not in resolved]
+    if unresolved:
+        raise RuntimeError(
+            f"selection did not converge for targets {unresolved} "
+            f"within {max_iters} passes"
+        )
+    return resolved
+
+
 def value_quantiles_selection(
     events: ray.data.Dataset,
     qs: tuple[int, ...] = (25, 50, 75, 99),
@@ -646,87 +749,15 @@ def value_quantiles_selection(
             )
         )
     glo, ghi = int(stats["lo"]), int(stats["hi"])
-    # per-target state: candidate range [lo, hi] and the rank WITHIN it
-    targets = {
-        pct: {"lo": glo, "hi": ghi, "rank": (pct * n + 99) // 100}
-        for pct in qs
-    }
-    resolved: dict[int, int] = {}
-    for _ in range(max_iters):
-        pending = {p: t for p, t in targets.items() if p not in resolved}
-        if not pending:
-            break
-        # distinct candidate ranges this pass (targets often share)
-        ranges = sorted({(t["lo"], t["hi"]) for t in pending.values()})
-
-        def hist_partial(
-            batch: pa.Table, _ranges=ranges, _bins=bins
-        ) -> pa.Table:
-            v = batch["v"].to_numpy(zero_copy_only=False)
-            out_r, out_b, out_c = [], [], []
-            for ri, (lo, hi) in enumerate(_ranges):
-                w = (hi - lo) // _bins + 1
-                sel = v[(v >= lo) & (v <= hi)]
-                if len(sel) == 0:
-                    continue
-                cnt = np.bincount((sel - lo) // w, minlength=_bins)
-                nz = np.flatnonzero(cnt)
-                out_r.extend([ri] * len(nz))
-                out_b.extend(nz.tolist())
-                out_c.extend(cnt[nz].tolist())
-            return pa.Table.from_pydict(
-                {
-                    "ri": pa.array(out_r, type=pa.int64()),
-                    "b": pa.array(out_b, type=pa.int64()),
-                    "c": pa.array(out_c, type=pa.int64()),
-                }
-            )
-
-        hists: dict[int, np.ndarray] = {
-            ri: np.zeros(bins, dtype=np.int64) for ri in range(len(ranges))
-        }
-        for r in vals.map_batches(
-            hist_partial, batch_format="pyarrow"
-        ).take_all():
-            hists[r["ri"]][r["b"]] += r["c"]
-        for pct, t in pending.items():
-            lo, hi = t["lo"], t["hi"]
-            ri = ranges.index((lo, hi))
-            w = (hi - lo) // bins + 1
-            cum = np.cumsum(hists[ri])
-            b = int(np.searchsorted(cum, t["rank"]))
-            in_bucket = int(hists[ri][b])
-            t["rank"] -= int(cum[b - 1]) if b else 0
-            t["lo"] = lo + b * w
-            t["hi"] = min(hi, lo + (b + 1) * w - 1)
-            if t["lo"] == t["hi"]:
-                resolved[pct] = t["lo"]
-            elif in_bucket <= pull_limit:
-                # exact pull of one bucket's values (bounded)
-                pulled = np.sort(
-                    np.concatenate(
-                        [
-                            b2["v"].to_numpy(zero_copy_only=False)
-                            for b2 in vals.map_batches(
-                                lambda t2, _lo=t["lo"], _hi=t["hi"]: t2.filter(
-                                    pc.and_(
-                                        pc.greater_equal(t2["v"], _lo),
-                                        pc.less_equal(t2["v"], _hi),
-                                    )
-                                ),
-                                batch_format="pyarrow",
-                            ).iter_batches(batch_format="pyarrow")
-                        ]
-                        or [np.empty(0, dtype=np.int64)]
-                    )
-                )
-                resolved[pct] = int(pulled[t["rank"] - 1])
-    unresolved = [p for p in targets if p not in resolved]
-    if unresolved:
-        raise RuntimeError(
-            f"selection did not converge for percentiles {unresolved} "
-            f"within {max_iters} passes"
-        )
+    resolved = select_ranks(
+        vals,
+        {pct: (pct * n + 99) // 100 for pct in qs},
+        glo,
+        ghi,
+        bins=bins,
+        pull_limit=pull_limit,
+        max_iters=max_iters,
+    )
     return ray.data.from_arrow(
         pa.Table.from_pydict(
             {
@@ -738,6 +769,92 @@ def value_quantiles_selection(
                 "value_c": pa.array(
                     [resolved[p] for p in sorted(qs)], type=pa.int64()
                 ),
+            }
+        )
+    )
+
+
+def range_partition_plan(
+    events: ray.data.Dataset,
+    n_parts: int = 8,
+    bins: int = 4096,
+    pull_limit: int = 200_000,
+    max_iters: int = 8,
+) -> ray.data.Dataset:
+    """(part, hi_c, n_rows) — a BALANCED range-partitioning plan over the
+    integer cent values: the P-1 boundary cut points a range shuffle /
+    sorted write would use, picked as EXACT order statistics at ranks
+    ceil(i·n/P), plus the realized per-partition row counts under the
+    value rule ``b_{i-1} < v <= b_i`` (part 1 open below, part P open
+    above; ``hi_c`` NULL for the last part). This is how a 10^12-row
+    engine plans `sort`/`repartition` boundaries WITHOUT sorting: all
+    P-1 boundaries resolve together through [[select_ranks]]'s shared
+    histogram-refinement passes (O(log_bins(domain)) scans total,
+    driver state O(P·bins) ints), then ONE more scan bincounts each
+    block's rows into the P ranges via np.searchsorted. Ties sitting on
+    a cut all land in the lower part (both sides use the value rule, so
+    realized counts can deviate from n/P under heavy ties — that skew
+    is exactly what the plan output lets a caller see before
+    shuffling).
+
+    Oracle: ROW_NUMBER rank picks for the boundaries + per-part
+    range-predicate COUNTs."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import _cents
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"v": _cents(batch["value"])})
+
+    empty = pa.Table.from_pydict(
+        {
+            "part": pa.array([], type=pa.int64()),
+            "hi_c": pa.array([], type=pa.int64()),
+            "n_rows": pa.array([], type=pa.int64()),
+        }
+    )
+    vals = events.map_batches(to_cents, batch_format="pyarrow").materialize()
+    stats = vals.aggregate(
+        Min("v", alias_name="lo"), Max("v", alias_name="hi"), Count()
+    )
+    n = int(stats["count()"])
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    resolved = select_ranks(
+        vals,
+        {i: (i * n + n_parts - 1) // n_parts for i in range(1, n_parts)},
+        int(stats["lo"]),
+        int(stats["hi"]),
+        bins=bins,
+        pull_limit=pull_limit,
+        max_iters=max_iters,
+    )
+    bounds = np.asarray(
+        [resolved[i] for i in range(1, n_parts)], dtype=np.int64
+    )
+
+    def part_counts(batch: pa.Table, _b=bounds, _p=n_parts) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        # v <= b_i -> part i (1-based); above every boundary -> part P
+        cnt = np.bincount(np.searchsorted(_b, v, side="left"), minlength=_p)
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(np.arange(1, _p + 1), type=pa.int64()),
+                "c": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    totals = np.zeros(n_parts, dtype=np.int64)
+    for r in vals.map_batches(part_counts, batch_format="pyarrow").take_all():
+        totals[r["part"] - 1] += r["c"]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "part": pa.array(range(1, n_parts + 1), type=pa.int64()),
+                "hi_c": pa.array(
+                    [int(b) for b in bounds] + [None], type=pa.int64()
+                ),
+                "n_rows": pa.array(totals, type=pa.int64()),
             }
         )
     )
