@@ -240,6 +240,8 @@ _R4_QUERIES: list[str] = [
     "quality_blend_rank",
     "kmv_audience_overlap",
     "range_partition_plan",
+    "zipf_fit",
+    "window_dedup",
 ]
 
 
@@ -1336,6 +1338,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "source_token_entropy": lambda sf: textstats.source_token_entropy(
             docs(sf, ["source", "text"])
+        ),
+        "zipf_fit": lambda sf: textstats.zipf_fit(
+            docs(sf, ["source", "text"])
+        ),
+        "window_dedup": lambda sf: dedup.window_dedup(
+            docs(sf, ["doc_id", "text"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -6726,6 +6734,73 @@ def oracle_sql() -> dict[str, str]:
                            - (CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
                           * 1e6) AS BIGINT) AS ent_fp6
         FROM u
+    """
+    # Per-source Zipf exponent: top-64 token counts (n desc, token asc
+    # rank), per-rank xq/yq = floor(ln(·)*1e6) int64 quantization BEFORE
+    # summation, one explicit double/double divide, fp6 floor of the
+    # negated slope (zipf_fit contract).
+    d["zipf_fit"] = r"""
+        WITH occ AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM occ GROUP BY source, token
+        ),
+        ranked AS (
+          SELECT source, n,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token) AS rk
+          FROM counts
+        ),
+        q AS (
+          SELECT source,
+                 CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+                 CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+          FROM ranked WHERE rk <= 64
+        ),
+        s AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(xq) AS BIGINT) AS sx,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+                 CAST(SUM(xq * xq) AS BIGINT) AS sxx
+          FROM q GROUP BY source
+        )
+        SELECT source, m AS n_top,
+               CAST(FLOOR(-(CAST(m * sxy - sx * sy AS DOUBLE)
+                            / CAST(m * sxx - sx * sx AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS zipf_fp6
+        FROM s WHERE m >= 2 AND m * sxx - sx * sx <> 0
+    """
+    # Sliding-window prefix dedup: ingest rank by doc_id, key = md5 of
+    # the first-16-token prefix (truncation_dups family); each
+    # re-occurrence pairs with its immediate previous occurrence (LAG
+    # over the prefix hash), kept when the rank gap <= 100.
+    d["window_dedup"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+')[1:16],
+                     ' ')) AS th
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, th,
+                 ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+          FROM h
+        ),
+        d AS (
+          SELECT doc_id, rn,
+                 LAG(doc_id) OVER (PARTITION BY th
+                                   ORDER BY rn) AS prev_doc_id,
+                 LAG(rn) OVER (PARTITION BY th ORDER BY rn) AS prn
+          FROM r
+        )
+        SELECT doc_id, prev_doc_id, CAST(rn - prn AS BIGINT) AS gap
+        FROM d WHERE prn IS NOT NULL AND rn - prn <= 100
     """
     # Per-type OLS value-vs-day slope: exact integer moments (x centered
     # on 2024-01-01), HUGEINT numerator/denominator, one double divide.

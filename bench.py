@@ -270,6 +270,8 @@ QUERY_SUITE = [
     "range_partition_plan",
     "interleave_pack",
     "media_dims",
+    "zipf_fit",
+    "window_dedup",
 ]
 
 

@@ -3118,3 +3118,79 @@ def setjoin_jaccard(
         return batch.filter(pc.greater_equal(batch["jaccard_fp6"], tau_fp6))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def window_dedup(
+    ds: ray.data.Dataset, window: int = 100, prefix_tokens: int = 16
+) -> ray.data.Dataset:
+    """(doc_id, prev_doc_id, gap) — prefix-duplicate re-occurrences
+    within a sliding window of the previous ``window`` documents of the
+    ingest stream (position = rank by doc_id; key = md5 of the first
+    ``prefix_tokens`` whitespace tokens, the [[truncation_dups]] prefix
+    family): the streaming dedup gate an ingest pipeline applies before
+    anything global — crawler republish bursts and feed hiccups produce
+    near-adjacent copies/truncations that a bounded window catches with
+    O(window) state, long before the global [[dedup_exact]] pass runs.
+    Each re-occurrence pairs with its IMMEDIATE previous occurrence
+    (consecutive-occurrence semantics, LAG in the oracle).
+
+    Scale shape: the prefix is md5-collapsed per block BEFORE anything
+    moves, so only (doc_id, hash) rows ride; ONE global doc_id sort +
+    block-offset ranks ([[global_row_number]] — driver state
+    O(#blocks)); then ONE keyed prefix-hash groupby where consecutive
+    gaps are a vectorized np.diff per group. At 10^12 docs the window
+    semantics shard cleanly by rank-range with ``window``-row boundary
+    overlap."""
+    from .exchange import global_row_number
+    from .textstats import ascii_tokens
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text_md5": pa.array(
+                    [
+                        _md5(" ".join(ascii_tokens(t)[:prefix_tokens]))
+                        for t in batch["text"].to_pylist()
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    ranked = global_row_number(
+        ds.map_batches(hash_batch, batch_format="pyarrow"),
+        ["doc_id"],
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("prev_doc_id", pa.int64()),
+            ("gap", pa.int64()),
+        ]
+    )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.Table.from_pydict(
+                {"doc_id": [], "prev_doc_id": [], "gap": []},
+                schema=OUT_SCHEMA,
+            )
+        order = np.argsort(group["r"].to_numpy(zero_copy_only=False))
+        r = group["r"].to_numpy(zero_copy_only=False)[order]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        g = np.diff(r)
+        keep = g <= window
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[1:][keep], type=pa.int64()),
+                "prev_doc_id": pa.array(ids[:-1][keep], type=pa.int64()),
+                "gap": pa.array(g[keep], type=pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return ranked.groupby("text_md5").map_groups(
+        gaps, batch_format="pyarrow"
+    )

@@ -3676,3 +3676,101 @@ def quality_ntile_by_source(
         )
 
     return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def zipf_fit(ds: ray.data.Dataset, k: int = 64) -> ray.data.Dataset:
+    """(source, n_top, zipf_fp6) — per-source Zipf exponent: OLS slope of
+    ln(count) on ln(rank) over the source's top-``k`` tokens
+    (rank tie-break = [[source_top_tokens]]'s (n desc, token asc)),
+    reported as the NEGATED slope s (ideal natural text has s ≈ 1).
+    The power-law health check corpus curators run next to
+    [[source_token_entropy]]: machine-generated / templated sources
+    show a visibly flatter (s « 1) or steeper (s » 1) head than
+    organic prose, which entropy alone can't localize to the head.
+
+    Exact-replay contract (the dsir/PMI discipline): per-rank terms are
+    quantized to int64 BEFORE any summation — xq = floor(ln(r)·1e6),
+    yq = floor(ln(n)·1e6) — so Sx, Sy, Sxy, Sxx are exact integers and
+    order-independent; slope = double(m·Sxy − Sx·Sy) / double(m·Sxx −
+    Sx²) is ONE fixed IEEE division (explicit double casts both
+    engines), then zipf_fp6 = floor(−slope·1e6). int64 bounds: at
+    k = 64 and counts ≤ 1e12, m·Sxy ≤ 4.7e17 < 2⁶³.
+
+    Scale shape: identical to [[source_top_tokens]] — per-block
+    (source, token) Counter partials collapse each block to per-source
+    vocab rows, ONE keyed (source, token) groupby sums them, and the
+    top-k + OLS runs per source over the already count-collapsed table;
+    documents never ride the exchange. Sources with fewer than 2
+    distinct tokens (degenerate den = 0) are dropped by contract."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in ascii_tokens(t):
+                c[(src, tok)] += 1
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([p[0] for p in c], type=pa.string()),
+                "token": pa.array([p[1] for p in c], type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n"))
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_top", pa.int64()),
+            ("zipf_fp6", pa.int64()),
+        ]
+    )
+
+    def fit(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["token"].to_pylist(), group["sum(n)"].to_pylist()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        m = len(rows)
+        if m < 2:
+            return pa.Table.from_pydict(
+                {"source": [], "n_top": [], "zipf_fp6": []}, schema=OUT_SCHEMA
+            )
+        r = np.arange(1, m + 1, dtype=np.float64)
+        n = np.array([p[1] for p in rows], dtype=np.float64)
+        xq = np.floor(np.log(r) * 1e6).astype(np.int64)
+        yq = np.floor(np.log(n) * 1e6).astype(np.int64)
+        sx = int(xq.sum())
+        sy = int(yq.sum())
+        sxy = int((xq * yq).sum())
+        sxx = int((xq * xq).sum())
+        num = m * sxy - sx * sy
+        den = m * sxx - sx * sx
+        if den == 0:
+            return pa.Table.from_pydict(
+                {"source": [], "n_top": [], "zipf_fp6": []}, schema=OUT_SCHEMA
+            )
+        slope = float(num) / float(den)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [group["source"][0].as_py()], type=pa.string()
+                ),
+                "n_top": pa.array([m], type=pa.int64()),
+                "zipf_fp6": pa.array(
+                    [int(np.floor(-slope * 1e6))], type=pa.int64()
+                ),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return counts.groupby("source").map_groups(fit, batch_format="pyarrow")
