@@ -242,6 +242,8 @@ _R4_QUERIES: list[str] = [
     "range_partition_plan",
     "zipf_fit",
     "window_dedup",
+    "peak_concurrency",
+    "sq8_quantize_error",
 ]
 
 
@@ -1344,6 +1346,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "window_dedup": lambda sf: dedup.window_dedup(
             docs(sf, ["doc_id", "text"])
+        ),
+        "peak_concurrency": lambda sf: relational.peak_concurrency(
+            _read(sf, "events", ["event_type", "ts"])
+        ),
+        "sq8_quantize_error": lambda sf: similarity.sq8_quantize_error(
+            _read(sf, "embeddings", ["embedding"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -6801,6 +6809,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, prev_doc_id, CAST(rn - prn AS BIGINT) AS gap
         FROM d WHERE prn IS NOT NULL AND rn - prn <= 100
+    """
+    # Sweep-line peak concurrency: endpoint rows (+1 at t, -1 at
+    # t+hold; half-open => -1 sorts first at equal t), running SUM over
+    # (t, d) order per type, MAX of the running count. The max is
+    # tie-order invariant, so window tie arbitrariness is harmless.
+    d["peak_concurrency"] = """
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS d
+          FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 1800000000,
+                 CAST(-1 AS BIGINT)
+          FROM events
+        ),
+        c AS (
+          SELECT event_type,
+                 SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS cur
+          FROM pts
+        )
+        SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak_concurrent
+        FROM c GROUP BY event_type
+    """
+    # SQ8 per-dim error report: shared 1e6 component grid, then a pure
+    # integer codec — code = (2*255*(v-mn)+r) // (2r), recon = mn +
+    # (2*code*r+255) // 510 — so codes/recon/err^2 are exact BIGINTs.
+    d["sq8_quantize_error"] = """
+        WITH qe AS (
+          SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT unnest(range((SELECT MAX(len(q)) FROM qe))) AS i
+        ),
+        vals AS (SELECT i, q[i + 1] AS v FROM qe, dims),
+        mm AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY i),
+        coded AS (
+          SELECT v.i, v.v, m.mn, m.mx, m.mx - m.mn AS r,
+                 CASE WHEN m.mx - m.mn = 0 THEN 0
+                      ELSE (2 * 255 * (v.v - m.mn) + (m.mx - m.mn))
+                           // (2 * (m.mx - m.mn)) END AS code
+          FROM vals v JOIN mm m ON v.i = m.i
+        ),
+        rec AS (
+          SELECT i, v, mn, mx, code,
+                 CASE WHEN r = 0 THEN mn
+                      ELSE mn + (2 * code * r + 255) // (2 * 255)
+                 END AS recon
+          FROM coded
+        )
+        SELECT CAST(i AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(mn) AS BIGINT) AS mn_q,
+               CAST(MIN(mx) AS BIGINT) AS mx_q,
+               CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sat,
+               CAST(SUM((v - recon) * (v - recon)) AS BIGINT) AS sse_q
+        FROM rec GROUP BY i
     """
     # Per-type OLS value-vs-day slope: exact integer moments (x centered
     # on 2024-01-01), HUGEINT numerator/denominator, one double divide.

@@ -272,6 +272,8 @@ QUERY_SUITE = [
     "media_dims",
     "zipf_fit",
     "window_dedup",
+    "peak_concurrency",
+    "sq8_quantize_error",
 ]
 
 

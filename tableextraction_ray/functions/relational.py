@@ -8478,3 +8478,127 @@ def order_cube(orders: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def peak_concurrency(
+    ds: ray.data.Dataset, hold_s: int = 1800
+) -> ray.data.Dataset:
+    """(event_type, peak_concurrent) — the maximum number of
+    simultaneously-open intervals per event type, where each event opens
+    the half-open interval [ts, ts + ``hold_s``): the capacity-planning
+    number behind "how many concurrent sessions must the serving tier
+    hold?" — [[sessionize]] tells you how many sessions exist,
+    [[rolling_active_users]] how many users per bucket; this is the
+    exact instantaneous high-water mark.
+
+    Classic sweep-line, distributed as a SEGMENTED SCAN (the
+    [[char_budget_prefix]] block-prefix pattern generalized to per-key
+    running state): each event emits two integer endpoint rows
+    (+1 at t, −1 at t + hold; half-open ⇒ −1 sorts before +1 at equal
+    t since −1 < +1); ONE global (event_type, t, d) sort; pass 2 reads
+    one partial per (block, type-segment) — segment sum and segment
+    max-prefix, vectorized cumsum + maximum.reduceat — and the driver
+    folds partials in block order keeping O(#types) running counters:
+    peak = max over segments of (running-before + segment max-prefix).
+    Endpoint rows never leave their block after the sort; driver state
+    O(#blocks × types-per-block) tiny int rows."""
+    import ast as _ast
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = batch["event_type"].to_pylist()
+        hold = hold_s * 1_000_000
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(et + et, type=pa.string()),
+                "t": pa.array(
+                    np.concatenate([t, t + hold]), type=pa.int64()
+                ),
+                "d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(t), dtype=np.int64),
+                            -np.ones(len(t), dtype=np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    spts = (
+        ds.map_batches(endpoints, batch_format="pyarrow")
+        .sort(["event_type", "t", "d"])
+        .materialize()
+    )
+
+    EMPTY = pa.Table.from_pydict(
+        {
+            "bk": pa.array([], type=pa.string()),
+            "seg": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "s": pa.array([], type=pa.int64()),
+            "m": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def seg_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return EMPTY
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        c = np.cumsum(d)
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        ends = np.r_[starts[1:], len(idx)]
+        base = np.where(starts > 0, c[starts - 1], 0)
+        segmax = np.maximum.reduceat(c, starts) - base
+        segsum = c[ends - 1] - base
+        bk = repr(
+            (
+                batch["event_type"][0].as_py(),
+                int(batch["t"][0].as_py()),
+                int(batch["d"][0].as_py()),
+            )
+        )
+        types = enc.dictionary.take(pa.array(idx[starts])).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "bk": pa.array([bk] * len(starts), type=pa.string()),
+                "seg": pa.array(
+                    np.arange(len(starts), dtype=np.int64)
+                ),
+                "event_type": pa.array(types, type=pa.string()),
+                "s": pa.array(segsum, type=pa.int64()),
+                "m": pa.array(segmax, type=pa.int64()),
+            }
+        )
+
+    metas = spts.map_batches(
+        seg_partials, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    metas.sort(key=lambda r: (_ast.literal_eval(r["bk"]), r["seg"]))
+    running: dict[str, int] = {}
+    peak: dict[str, int] = {}
+    for r in metas:
+        et = r["event_type"]
+        base = running.get(et, 0)
+        cand = base + r["m"]
+        if et not in peak or cand > peak[et]:
+            peak[et] = cand
+        running[et] = base + r["s"]
+    out = sorted(peak)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out, type=pa.string()),
+                "peak_concurrent": pa.array(
+                    [peak[t] for t in out], type=pa.int64()
+                ),
+            }
+        )
+    )

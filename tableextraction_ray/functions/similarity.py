@@ -1900,3 +1900,116 @@ def pca_recon_error(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sq8_quantize_error(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(dim, n, mn_q, mx_q, n_sat, sse_q) — per-dimension error report for
+    8-bit SCALAR quantization (SQ8, the FAISS/IVF-SQ storage format and
+    the cheap sibling of [[knn_pq]]'s product quantizer): each dimension
+    is affine-coded into 0..255 against its OWN [min, max], and the
+    report gives the reconstruction SSE plus the saturation count (rows
+    AT either endpoint — the outlier-clipping signal a curator checks
+    before committing an index to SQ8). Pairs with [[embedding_norm_
+    outliers]]: a heavy-tailed dimension shows up here as a huge range
+    with concentrated codes (big SSE) rather than as a norm outlier.
+
+    Exact-integer contract: components land on the shared 1e6 grid
+    ([[embedding_covariance]]'s `_quantize`), and the ENTIRE codec is
+    integer arithmetic on that grid — code = (2·255·(q−mn) + r) // (2r)
+    (round-half-up of 255·(q−mn)/r), recon = mn + (2·code·r + 255) //
+    (2·255) — so codes, recon, and per-term squared errors are exact
+    int64 and the fold is order-free. Per-term err² ≤ (r/510·1e6)²; at
+    unit-norm embeddings that is ~1.5e7, exact to ~6e11 rows/dim.
+
+    Scale shape: TWO streaming passes. Pass 1: per-block per-dim
+    min/max partials → ONE ≤d-row keyed fold → driver closure
+    (O(d) ints). Pass 2: per-block integer codec + per-dim (n, sat,
+    sse) partials → ONE ≤d-row keyed sum. No payload ever shuffles;
+    driver state O(d)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    EMPTY_MM = pa.Table.from_pydict(
+        {
+            "dim": pa.array([], type=pa.int64()),
+            "mn": pa.array([], type=pa.int64()),
+            "mx": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return EMPTY_MM
+        q = _quantize(_stack(batch)).astype(np.int64)
+        d = q.shape[1]
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(q.min(axis=0), type=pa.int64()),
+                "mx": pa.array(q.max(axis=0), type=pa.int64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()
+    )
+    mn = np.array(
+        [r["mn"] for r in sorted(mm, key=lambda r: r["dim"])], dtype=np.int64
+    )
+    mx = np.array(
+        [r["mx"] for r in sorted(mm, key=lambda r: r["dim"])], dtype=np.int64
+    )
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "dim": pa.array([], type=pa.int64()),
+                    "pn": pa.array([], type=pa.int64()),
+                    "psat": pa.array([], type=pa.int64()),
+                    "psse": pa.array([], type=pa.int64()),
+                }
+            )
+        q = _quantize(_stack(batch)).astype(np.int64)
+        n, d = q.shape
+        r = mx - mn
+        rs = np.maximum(r, 1)  # constant dims: code 0, recon = mn, err 0
+        code = (2 * 255 * (q - mn[None, :]) + rs[None, :]) // (
+            2 * rs[None, :]
+        )
+        code = np.where(r[None, :] == 0, 0, code)
+        recon = mn[None, :] + (2 * code * rs[None, :] + 255) // (2 * 255)
+        recon = np.where(r[None, :] == 0, mn[None, :], recon)
+        err = q - recon
+        sat = (code == 0) | (code == 255)
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "pn": pa.array(np.full(d, n, dtype=np.int64)),
+                "psat": pa.array(sat.sum(axis=0).astype(np.int64)),
+                "psse": pa.array((err * err).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(err_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("pn"), Sum("psat"), Sum("psse"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(d, type=pa.int64()),
+                "n": batch["sum(pn)"].cast(pa.int64()),
+                "mn_q": pa.array(mn[d], type=pa.int64()),
+                "mx_q": pa.array(mx[d], type=pa.int64()),
+                "n_sat": batch["sum(psat)"].cast(pa.int64()),
+                "sse_q": batch["sum(psse)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

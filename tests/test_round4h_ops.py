@@ -128,3 +128,153 @@ class TestWindowDedup:
         # classes -> 35 pairs, all gaps == 5
         assert len(a) == 35
         assert set(a["gap"]) == {5}
+
+
+class TestPeakConcurrency:
+    def _events(self, rows, parts=4):
+        import pandas as pd
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_type": pa.array(
+                        [r[0] for r in rows], type=pa.string()
+                    ),
+                    "ts": pa.array(
+                        [pd.Timestamp(r[1], unit="s") for r in rows],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+        ).repartition(parts)
+
+    def test_matches_plain_python_sweep(self, ray_session):
+        from tableextraction_ray.functions import relational
+
+        rng = np.random.RandomState(3)
+        rows = [
+            ("t%d" % rng.randint(3), int(rng.randint(0, 10_000)))
+            for _ in range(300)
+        ]
+        got = (
+            relational.peak_concurrency(self._events(rows), hold_s=600)
+            .to_pandas()
+            .set_index("event_type")["peak_concurrent"]
+            .to_dict()
+        )
+        want = {}
+        for t in {r[0] for r in rows}:
+            pts = []
+            for _, s in [r for r in rows if r[0] == t]:
+                pts.append((s * 1_000_000, 1))
+                pts.append((s * 1_000_000 + 600_000_000, -1))
+            pts.sort()
+            cur = peak = 0
+            for _, d in pts:
+                cur += d
+                peak = max(peak, cur)
+            want[t] = peak
+        assert got == want
+
+    def test_half_open_back_to_back_intervals_dont_overlap(
+        self, ray_session
+    ):
+        from tableextraction_ray.functions import relational
+
+        # second event starts exactly when the first expires
+        rows = [("a", 0), ("a", 600)]
+        got = relational.peak_concurrency(
+            self._events(rows, parts=2), hold_s=600
+        ).to_pandas()
+        assert got.iloc[0]["peak_concurrent"] == 1
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions import relational
+
+        rng = np.random.RandomState(9)
+        rows = [
+            ("t%d" % rng.randint(2), int(rng.randint(0, 5_000)))
+            for _ in range(200)
+        ]
+        a = relational.peak_concurrency(
+            self._events(rows, parts=1), hold_s=300
+        ).to_pandas()
+        b = relational.peak_concurrency(
+            self._events(rows, parts=13), hold_s=300
+        ).to_pandas()
+        assert a.equals(b)
+
+
+class TestSq8QuantizeError:
+    def _emb(self, mat, parts=3):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "embedding": pa.array(
+                        [list(map(float, row)) for row in mat],
+                        type=pa.list_(pa.float32()),
+                    )
+                }
+            )
+        ).repartition(parts)
+
+    def test_matches_numpy_codec_replay(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        rng = np.random.RandomState(4)
+        mat = rng.randn(120, 6).astype(np.float32)
+        got = (
+            similarity.sq8_quantize_error(self._emb(mat))
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        mn, mx = q.min(axis=0), q.max(axis=0)
+        r = mx - mn
+        code = (2 * 255 * (q - mn) + r) // (2 * r)
+        recon = mn + (2 * code * r + 255) // 510
+        err = q - recon
+        assert got["mn_q"].tolist() == mn.tolist()
+        assert got["mx_q"].tolist() == mx.tolist()
+        assert got["sse_q"].tolist() == (err * err).sum(axis=0).tolist()
+        assert (
+            got["n_sat"].tolist()
+            == ((code == 0) | (code == 255)).sum(axis=0).tolist()
+        )
+
+    def test_constant_dimension_zero_error(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        mat = np.ones((50, 3))
+        mat[:, 1] = np.linspace(-1, 1, 50)
+        got = (
+            similarity.sq8_quantize_error(self._emb(mat))
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        assert got.iloc[0]["sse_q"] == 0
+        assert got.iloc[2]["sse_q"] == 0
+        # max reconstruction error of a 255-step codec is <= half a step
+        step = (got.iloc[1]["mx_q"] - got.iloc[1]["mn_q"]) / 255
+        assert got.iloc[1]["sse_q"] <= 50 * (step / 2 + 1) ** 2
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        rng = np.random.RandomState(6)
+        mat = rng.randn(90, 4).astype(np.float32)
+        a = (
+            similarity.sq8_quantize_error(self._emb(mat, parts=1))
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        b = (
+            similarity.sq8_quantize_error(self._emb(mat, parts=9))
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
