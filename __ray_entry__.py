@@ -62,6 +62,33 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     )
 
 
+def _events_half(sf_dir: str, before: bool):
+    """(user_id, ts) events strictly before / at-or-after the fixed
+    mid-corpus cutoff 2024-01-16 — the deterministic old/new split the
+    incremental-session query replays (events span 2024-01-01..30 at
+    every sf). Vectorized per-block Arrow filter; no shuffle."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(
+        datetime.datetime(2024, 1, 16), type=pa.timestamp("us")
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = (
+            pc.less(batch["ts"], cut)
+            if before
+            else pc.greater_equal(batch["ts"], cut)
+        )
+        return batch.filter(mask)
+
+    return _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def _parquet_count(sf_dir: str, table: str) -> int:
     """Row count from parquet footer metadata — zero data bytes read."""
     import pyarrow.dataset as pads
@@ -244,6 +271,7 @@ _R4_QUERIES: list[str] = [
     "window_dedup",
     "peak_concurrency",
     "sq8_quantize_error",
+    "sessionize_incremental",
 ]
 
 
@@ -1349,6 +1377,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "peak_concurrency": lambda sf: relational.peak_concurrency(
             _read(sf, "events", ["event_type", "ts"])
+        ),
+        # incremental == batch invariant: prior sessions come from the
+        # pre-cutoff half, the post-cutoff half is the "new" batch, and
+        # the oracle is plain sessionize SQL over the WHOLE table.
+        "sessionize_incremental": lambda sf: relational.sessionize_incremental(
+            relational.sessionize(_events_half(sf, before=True)),
+            _events_half(sf, before=False),
         ),
         "sq8_quantize_error": lambda sf: similarity.sq8_quantize_error(
             _read(sf, "embeddings", ["embedding"])
@@ -6810,6 +6845,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, prev_doc_id, CAST(rn - prn AS BIGINT) AS gap
         FROM d WHERE prn IS NOT NULL AND rn - prn <= 100
     """
+    # Incremental sessionization's defining invariant IS the oracle:
+    # applying the post-cutoff batch to sessionize(pre-cutoff) must
+    # equal plain sessionize over the whole table.
+    d["sessionize_incremental"] = d["sessionize"]
     # Sweep-line peak concurrency: endpoint rows (+1 at t, -1 at
     # t+hold; half-open => -1 sorts first at equal t), running SUM over
     # (t, d) order per type, MAX of the running count. The max is

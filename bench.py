@@ -274,6 +274,7 @@ QUERY_SUITE = [
     "window_dedup",
     "peak_concurrency",
     "sq8_quantize_error",
+    "sessionize_incremental",
 ]
 
 

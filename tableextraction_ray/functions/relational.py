@@ -8602,3 +8602,202 @@ def peak_concurrency(
             }
         )
     )
+
+
+def sessionize_incremental(
+    prior: ray.data.Dataset,
+    new_events: ray.data.Dataset,
+    gap_minutes: int = 30,
+) -> ray.data.Dataset:
+    """(user_id, session_no, n_events, start_ts, end_ts) — apply a NEW
+    batch of events to an EXISTING [[sessionize]] table and return the
+    updated session table, with the defining incremental invariant
+    ``sessionize_incremental(sessionize(old), new) == sessionize(old ∪
+    new)`` (the oracle): the nightly ingest shape — yesterday's sessions
+    are already materialized, only the tail can change. Requires every
+    new event to be at or after every prior event (an append-only
+    stream); only each user's LAST session can extend or chain, so all
+    earlier sessions pass through byte-identical.
+
+    Scale shape: ONE tagged-union user-keyed shuffle of narrow rows
+    (prior session rows + (user, ts) event rows — no payload), then a
+    vectorized per-user merge: the prior last session seeds the sweep's
+    virtual previous timestamp, diff>gap cumsum numbers the new
+    sessions from last_no. Same skew tolerance as [[sessionize]] (one
+    numpy sweep per hot user). A pre-pruned variant would ship only
+    each user's argmax-session_no row ([[keyed_first]]) and stream the
+    rest — noted for the 10^12-row regime; session rows are already
+    ~user-count-bounded so the simple union is shuffle-light."""
+    import datetime
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _parse_us(s: str) -> int:
+        dt = datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+        delta = dt - datetime.datetime(1970, 1, 1)
+        return (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+
+    def _fmt(us: int) -> str:
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    UNION_SCHEMA = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("tag", pa.int64()),
+            ("session_no", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("ts_us", pa.int64()),
+        ]
+    )
+
+    def tag_prior(batch: pa.Table) -> pa.Table:
+        starts = [
+            _parse_us(s) for s in batch["start_ts"].to_pylist()
+        ]
+        ends = [_parse_us(s) for s in batch["end_ts"].to_pylist()]
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int64)),
+                "session_no": batch["session_no"].cast(pa.int64()),
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "start_us": pa.array(starts, type=pa.int64()),
+                "end_us": pa.array(ends, type=pa.int64()),
+                "ts_us": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=UNION_SCHEMA,
+        )
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = np.zeros(n, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "tag": pa.array(np.ones(n, dtype=np.int64)),
+                "session_no": pa.array(z),
+                "n_events": pa.array(z),
+                "start_us": pa.array(z),
+                "end_us": pa.array(z),
+                "ts_us": batch["ts"].combine_chunks().cast(pa.int64()),
+            },
+            schema=UNION_SCHEMA,
+        )
+
+    unioned = prior.map_batches(tag_prior, batch_format="pyarrow").union(
+        new_events.map_batches(tag_new, batch_format="pyarrow")
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_no", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_ts", pa.string()),
+            ("end_ts", pa.string()),
+        ]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        user = group["user_id"][0].as_py()
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        pm = tag == 0
+        out_no: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        p_no = group["session_no"].to_numpy(zero_copy_only=False)[pm]
+        p_n = group["n_events"].to_numpy(zero_copy_only=False)[pm]
+        p_s = group["start_us"].to_numpy(zero_copy_only=False)[pm]
+        p_e = group["end_us"].to_numpy(zero_copy_only=False)[pm]
+        ts = np.sort(
+            group["ts_us"].to_numpy(zero_copy_only=False)[~pm]
+        )
+        if len(p_no):
+            order = np.argsort(p_no)
+            p_no, p_n, p_s, p_e = (
+                p_no[order], p_n[order], p_s[order], p_e[order]
+            )
+            # earlier sessions pass through untouched
+            out_no += p_no[:-1].tolist()
+            out_n += p_n[:-1].tolist()
+            out_s += p_s[:-1].tolist()
+            out_e += p_e[:-1].tolist()
+            last_no = int(p_no[-1])
+            last_n = int(p_n[-1])
+            last_s = int(p_s[-1])
+            last_e = int(p_e[-1])
+        if len(ts) == 0:
+            if len(p_no):
+                out_no.append(last_no)
+                out_n.append(last_n)
+                out_s.append(last_s)
+                out_e.append(last_e)
+        else:
+            brk = np.empty(len(ts), dtype=bool)
+            if len(p_no):
+                brk[0] = (ts[0] - last_e) > gap_us
+            else:
+                brk[0] = True
+            np.greater(np.diff(ts), gap_us, out=brk[1:])
+            starts_idx = np.flatnonzero(brk)
+            seg_starts = (
+                starts_idx if brk[0] else np.r_[0, starts_idx]
+            )
+            seg_ends = np.r_[seg_starts[1:], len(ts)]
+            base_no = last_no if len(p_no) else 0
+            for k, (i0, i1) in enumerate(zip(seg_starts, seg_ends)):
+                if k == 0 and not brk[0] and len(p_no):
+                    # chain onto the prior last session
+                    out_no.append(last_no)
+                    out_n.append(last_n + int(i1 - i0))
+                    out_s.append(last_s)
+                    out_e.append(int(ts[i1 - 1]))
+                else:
+                    if len(p_no):
+                        # chained: k=0 handled above, so k >= 1 here and
+                        # the k-th new segment is session base_no + k;
+                        # broken: segments start at base_no + 1.
+                        no = base_no + (1 + k if brk[0] else k)
+                    else:
+                        no = k
+                    out_no.append(no)
+                    out_n.append(int(i1 - i0))
+                    out_s.append(int(ts[i0]))
+                    out_e.append(int(ts[i1 - 1]))
+            if len(p_no) and brk[0]:
+                # prior last session closes unchanged
+                out_no.insert(len(p_no) - 1, last_no)
+                out_n.insert(len(p_no) - 1, last_n)
+                out_s.insert(len(p_no) - 1, last_s)
+                out_e.insert(len(p_no) - 1, last_e)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [user] * len(out_no), type=pa.int64()
+                ),
+                "session_no": pa.array(out_no, type=pa.int64()),
+                "n_events": pa.array(out_n, type=pa.int64()),
+                "start_ts": pa.array(
+                    [_fmt(s) for s in out_s], type=pa.string()
+                ),
+                "end_ts": pa.array(
+                    [_fmt(e) for e in out_e], type=pa.string()
+                ),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return unioned.groupby("user_id").map_groups(
+        merge, batch_format="pyarrow"
+    )
