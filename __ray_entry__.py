@@ -272,6 +272,11 @@ _R4_QUERIES: list[str] = [
     "peak_concurrency",
     "sq8_quantize_error",
     "sessionize_incremental",
+    "ks_value_drift",
+    "chi2_type_hour",
+    "cumulative_users",
+    "time_to_conversion",
+    "mutual_nn_pairs",
 ]
 
 
@@ -1387,6 +1392,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "sq8_quantize_error": lambda sf: similarity.sq8_quantize_error(
             _read(sf, "embeddings", ["embedding"])
+        ),
+        "ks_value_drift": lambda sf: relational.ks_statistic(
+            _read(sf, "events", ["event_type", "value"])
+        ),
+        "chi2_type_hour": lambda sf: relational.chi2_independence(
+            _read(sf, "events", ["event_type", "ts"])
+        ),
+        "cumulative_users": lambda sf: relational.cumulative_distinct_users(
+            _read(sf, "events", ["user_id", "ts"])
+        ),
+        "time_to_conversion": lambda sf: relational.time_to_conversion(
+            _read(sf, "events", ["user_id", "event_type", "ts"])
+        ),
+        "mutual_nn_pairs": lambda sf: similarity.mutual_nn_pairs(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            row_count=_parquet_count(sf, "embeddings"),
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -6849,6 +6870,91 @@ def oracle_sql() -> dict[str, str]:
     # applying the post-cutoff batch to sessionize(pre-cutoff) must
     # equal plain sessionize over the whole table.
     d["sessionize_incremental"] = d["sessionize"]
+    # Exact two-sample KS over integer cents: running per-type counts
+    # at every distinct cent value, max |cca*nb - ccb*na| — pure
+    # integer arithmetic mirrors the segmented-scan exactly.
+    d["ks_value_drift"] = """
+        WITH e AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        g AS (SELECT c, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM e GROUP BY c),
+        t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+        r AS (SELECT SUM(ca) OVER (ORDER BY c) AS cca,
+                     SUM(cb) OVER (ORDER BY c) AS ccb FROM g)
+        SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cca * t.nb - ccb * t.na)) AS BIGINT) AS ks_num,
+               CAST(t.na * t.nb AS BIGINT) AS ks_den
+        FROM r, t GROUP BY t.na, t.nb
+    """
+    # Chi-square independence cells in pure integer micro units:
+    # cell_fp6 = floor((o*N - r*c)^2 * 1e6 / (r*c*N)) via HUGEINT —
+    # sum-of-floors is the defined statistic on both sides.
+    d["chi2_type_hour"] = """
+        WITH o AS (
+          SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+        cc AS (SELECT hour, SUM(o) AS c FROM o GROUP BY 1),
+        t AS (SELECT SUM(o) AS n FROM o)
+        SELECT o.event_type, o.hour, o.o AS observed,
+               CAST(m.r * cc.c AS BIGINT) AS expected_num,
+               CAST(
+                 (CAST(o.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * cc.c)
+                 * (CAST(o.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * cc.c)
+                 * 1000000 // (CAST(m.r AS HUGEINT) * cc.c * t.n)
+               AS BIGINT) AS cell_fp6
+        FROM o, m, cc, t
+        WHERE o.event_type = m.event_type AND o.hour = cc.hour
+    """
+    d["cumulative_users"] = """
+        WITH f AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+          FROM events GROUP BY 1
+        ),
+        g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nu FROM f GROUP BY 1)
+        SELECT STRFTIME(d, '%Y-%m-%d') AS day, nu AS new_users,
+               CAST(SUM(nu) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        FROM g
+    """
+    d["time_to_conversion"] = """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS fa,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fb
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(epoch_us(fb) - epoch_us(fa) AS BIGINT) AS delta_us
+        FROM f WHERE fa IS NOT NULL AND fb IS NOT NULL AND fb >= fa
+    """
+    # Reciprocal top-1 cosine neighbors under the shared fixed-point
+    # contract; row_number's (cos DESC, j) tie-break mirrors numpy
+    # argmax's first-max rule over ascending-sorted ids.
+    d["mutual_nn_pairs"] = _QUANT_CTE + """,
+        scored AS (
+          SELECT a.vec_id AS i, b.vec_id AS j,
+                 CAST(FLOOR(
+                   list_sum([a.q[k+1] * b.q[k+1] for k in range(len(a.q))])
+                   / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                 ) AS cos_fp5
+          FROM qe a, qe b WHERE a.vec_id != b.vec_id
+        ),
+        nn AS (
+          SELECT i, j, cos_fp5 FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY i ORDER BY cos_fp5 DESC, j
+            ) AS rn FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT a.i AS vec_a, a.j AS vec_b, a.cos_fp5
+        FROM nn a JOIN nn b ON a.j = b.i AND b.j = a.i
+        WHERE a.i < a.j
+    """
     # Sweep-line peak concurrency: endpoint rows (+1 at t, -1 at
     # t+hold; half-open => -1 sorts first at equal t), running SUM over
     # (t, d) order per type, MAX of the running count. The max is

@@ -275,6 +275,11 @@ QUERY_SUITE = [
     "peak_concurrency",
     "sq8_quantize_error",
     "sessionize_incremental",
+    "ks_value_drift",
+    "chi2_type_hour",
+    "cumulative_users",
+    "time_to_conversion",
+    "mutual_nn_pairs",
 ]
 
 

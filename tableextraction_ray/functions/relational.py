@@ -8801,3 +8801,354 @@ def sessionize_incremental(
     return unioned.groupby("user_id").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def ks_statistic(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> ray.data.Dataset:
+    """(n_a, n_b, ks_num, ks_den) — EXACT two-sample Kolmogorov–Smirnov
+    statistic between the value distributions of two event types:
+    KS = ks_num / ks_den with ks_den = n_a·n_b and
+    ks_num = max over distinct cents v of |F_a(v)·n_a·n_b − F_b(v)·n_a·n_b|
+    = max |cumcount_a(v)·n_b − cumcount_b(v)·n_a| — pure integer
+    arithmetic over exact cent values, so the distribution-drift gate
+    ("did purchases shift vs clicks?") hashes bit-identically against
+    the SQL window-function oracle.
+
+    Shape: per-block filter+project to (cents, is_a, is_b) →
+    [[keyed_fold]] sum per distinct cent (ONE range shuffle, distinct
+    values only) → the [[char_budget_prefix]] block-prefix pattern on
+    the cents-sorted fold: pass 1 collects per-block (first-key, Σa,
+    Σb) partials (O(#blocks) driver rows), the driver turns them into
+    per-block incoming offsets, pass 2 re-reads each block with its
+    offset broadcast and emits the block-local max of the |·|
+    expression — a segmented scan; no block ever sees another block's
+    rows. Driver state O(#blocks)."""
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        t = batch.filter(
+            pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        )
+        ia = (
+            pc.equal(t["event_type"], type_a)
+            .combine_chunks()
+            .cast(pa.int64())
+        )
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.Table.from_pydict(
+            {
+                "c": _cents(t["value"]),
+                "ca": ia,
+                "cb": pc.subtract(ones, ia),
+            }
+        )
+
+    from .exchange import keyed_fold
+
+    folded = (
+        keyed_fold(
+            events.map_batches(project, batch_format="pyarrow"),
+            "c",
+            [("ca", "sum"), ("cb", "sum")],
+        )
+        .sort("c")
+        .materialize()
+    )
+
+    def block_sums(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bk": pa.array([], type=pa.int64()),
+                    "sa": pa.array([], type=pa.int64()),
+                    "sb": pa.array([], type=pa.int64()),
+                }
+            )
+        ca = batch["ca"].to_numpy(zero_copy_only=False)
+        cb = batch["cb"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bk": pa.array([batch["c"][0].as_py()], type=pa.int64()),
+                "sa": pa.array([int(ca.sum())], type=pa.int64()),
+                "sb": pa.array([int(cb.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = sorted(
+        (r["bk"], r["sa"], r["sb"])
+        for r in folded.map_batches(
+            block_sums, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    n_a = sum(p[1] for p in parts)
+    n_b = sum(p[2] for p in parts)
+    if n_a == 0 or n_b == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n_a": pa.array([n_a], type=pa.int64()),
+                    "n_b": pa.array([n_b], type=pa.int64()),
+                    "ks_num": pa.array([0], type=pa.int64()),
+                    "ks_den": pa.array([0], type=pa.int64()),
+                }
+            )
+        )
+    offsets: dict[int, tuple[int, int]] = {}
+    run_a = run_b = 0
+    for bk, sa, sb in parts:
+        offsets[bk] = (run_a, run_b)
+        run_a += sa
+        run_b += sb
+    off_ref = ray.put((offsets, n_a, n_b))
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"m": pa.array([], type=pa.int64())}
+            )
+        offsets, na, nb = ray.get(off_ref)
+        # sort-key order within the materialized block is already by c
+        off_a, off_b = offsets[batch["c"][0].as_py()]
+        cca = off_a + np.cumsum(batch["ca"].to_numpy(zero_copy_only=False))
+        ccb = off_b + np.cumsum(batch["cb"].to_numpy(zero_copy_only=False))
+        m = int(np.abs(cca * nb - ccb * na).max())
+        return pa.Table.from_pydict({"m": pa.array([m], type=pa.int64())})
+
+    ks_num = max(
+        r["m"]
+        for r in folded.map_batches(
+            block_max, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_a": pa.array([n_a], type=pa.int64()),
+                "n_b": pa.array([n_b], type=pa.int64()),
+                "ks_num": pa.array([ks_num], type=pa.int64()),
+                "ks_den": pa.array([n_a * n_b], type=pa.int64()),
+            }
+        )
+    )
+
+
+def chi2_independence(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, hour, observed, expected_num, cell_fp6) — the
+    chi-square independence audit of event_type × hour-of-day: is the
+    type mix time-invariant? ``expected`` for a cell is
+    expected_num / N (expected_num = row_total·col_total kept as an
+    exact integer numerator) and each cell's chi-square term is floored
+    to micro units with PURE integer arithmetic —
+    cell_fp6 = ⌊(o·N − r·c)²·10⁶ / (r·c·N)⌋ — so the statistic
+    Σ cell_fp6 / 1e6 replays bit-identically in HUGEINT SQL (the
+    [[value_psi]] fixed-point contract; sum-of-floors is the defined
+    metric, not floor-of-sum).
+
+    Shape: per-block pa.TableGroupBy count partials → ONE tiny keyed
+    sum over ≤ |types|×24 rows → margins + the integer quotient on the
+    driver-sized final table inside a repartition(1) map (Python ints:
+    (o·N)² overflows int64 at 10¹⁰ rows; arbitrary precision here,
+    HUGEINT in the oracle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        hour = (ts // 3_600_000_000) % 24
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour, type=pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "hour"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "hour", "o"])
+
+    counts = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("o", alias_name="o"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        hr = batch["hour"].to_pylist()
+        o = [int(x) for x in batch["o"].to_pylist()]
+        n = sum(o)
+        row_tot: dict[str, int] = {}
+        col_tot: dict[int, int] = {}
+        for e, h, c in zip(et, hr, o):
+            row_tot[e] = row_tot.get(e, 0) + c
+            col_tot[h] = col_tot.get(h, 0) + c
+        exp_num = [row_tot[e] * col_tot[h] for e, h in zip(et, hr)]
+        cell = [
+            ((oo * n - en) ** 2 * 10**6) // (en * n)
+            for oo, en in zip(o, exp_num)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "hour": pa.array(hr, type=pa.int64()),
+                "observed": pa.array(o, type=pa.int64()),
+                "expected_num": pa.array(exp_num, type=pa.int64()),
+                "cell_fp6": pa.array(cell, type=pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def cumulative_distinct_users(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(day, new_users, cum_users) — the daily growth curve: each user
+    counts once, on the day of their FIRST event, and cum_users is the
+    running total of distinct users ever seen — the audience-growth
+    series a launch dashboard plots (the streaming complement of
+    [[rolling_active_users]]'s windowed activity).
+
+    Shape: per-block (user_id, day) projection → [[keyed_fold]] min
+    (ONE narrow shuffle, the only wide step — first-seen day per user)
+    → per-block day-count partials → tiny keyed sum over ≤ #days rows
+    → cumulative sum on the driver-sized final table inside a
+    repartition(1) map."""
+    import datetime
+
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "day": pa.array(ts // 86_400_000_000, type=pa.int64()),
+            }
+        )
+
+    from .exchange import keyed_fold
+
+    first = keyed_fold(
+        events.map_batches(project, batch_format="pyarrow"),
+        "user_id",
+        [("day", "min")],
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select(["day"]), ["day"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "nu"])
+
+    per_day = (
+        first.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("nu", alias_name="nu"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["day"].to_pylist(), dtype=np.int64)
+        nu = np.asarray(batch["nu"].to_pylist(), dtype=np.int64)
+        order = np.argsort(days)
+        days, nu = days[order], nu[order]
+        cum = np.cumsum(nu)
+        labels = [
+            (
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
+            ).strftime("%Y-%m-%d")
+            for d in days
+        ]
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(labels, type=pa.string()),
+                "new_users": pa.array(nu, type=pa.int64()),
+                "cum_users": pa.array(cum, type=pa.int64()),
+            }
+        )
+
+    return per_day.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def time_to_conversion(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> ray.data.Dataset:
+    """(user_id, delta_us) — per-user exact microseconds from the FIRST
+    ``type_a`` event to the FIRST ``type_b`` event, for users who have
+    both with the conversion at or after the first touch: the
+    time-to-convert distribution behind funnel latency SLOs
+    (complements [[conversion_funnel]]'s step counts and
+    [[purchase_asof_join]]'s per-purchase attribution).
+
+    Shape: per-block filter to the two types, project each row to
+    (user_id, a_ts-or-sentinel, b_ts-or-sentinel) → [[keyed_fold]] min
+    of both columns (ONE narrow shuffle) → vectorized final filter.
+    The int64-max sentinel keeps the fold a pure min (no nulls in the
+    exchange)."""
+    import pyarrow.compute as pc
+
+    SENT = (1 << 62)
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        t = batch.filter(
+            pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        )
+        ts = (
+            t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        is_a = pc.equal(t["event_type"], type_a).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "a_ts": pa.array(
+                    np.where(is_a, ts, SENT), type=pa.int64()
+                ),
+                "b_ts": pa.array(
+                    np.where(is_a, SENT, ts), type=pa.int64()
+                ),
+            }
+        )
+
+    from .exchange import keyed_fold
+
+    folded = keyed_fold(
+        events.map_batches(project, batch_format="pyarrow"),
+        "user_id",
+        [("a_ts", "min"), ("b_ts", "min")],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        a = batch["a_ts"].to_numpy(zero_copy_only=False)
+        b = batch["b_ts"].to_numpy(zero_copy_only=False)
+        keep = (a < SENT) & (b < SENT) & (b >= a)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "delta_us": pa.array(
+                    b[keep] - a[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

@@ -2013,3 +2013,147 @@ def sq8_quantize_error(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def mutual_nn_pairs(
+    ds: ray.data.Dataset,
+    broadcast_row_limit: int = 100_000,
+    row_count: int | None = None,
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """(vec_a, vec_b, cos_fp5) — RECIPROCAL nearest-neighbor pairs
+    (a < b): a's top-1 cosine neighbor is b AND b's is a, ties broken
+    by smallest vec_id. The classic mutual-NN matcher behind
+    entity-alignment / translation-pair mining — far higher precision
+    than one-directional top-1 because both sides must agree.
+
+    Exact variant (the oracle twin): full quantized matrix broadcast
+    once via ray.put, each batch argmaxes its rows against all columns
+    (ids are sorted ascending so np.argmax's first-max rule IS the
+    smallest-id tie-break), then ONE [[keyed_fold]] over canonical
+    (a, b) keys keeps the pairs seen from BOTH directions (count==2).
+    Above ``broadcast_row_limit`` rows this AUTO-ROUTES (logged) to the
+    [[lsh_near_dup]] candidate set: per-vector best partner among
+    candidates via a packed (cos << 41 | ~partner) max fold — partner
+    ids must fit 41 bits (2.2e12, enough for the 10^12-doc regime) —
+    then the same mutuality fold; recall follows the LSH bucket recall.
+    Pass ``row_count`` (parquet footer metadata) for transformed inputs
+    (the [[near_dup_pairs]] probe contract)."""
+    if row_count is None:
+        row_count = ds.count()
+
+    def mutual_filter(pairs: ray.data.Dataset) -> ray.data.Dataset:
+        from .exchange import keyed_fold
+
+        folded = keyed_fold(
+            pairs, ["vec_a", "vec_b"], [("cos_fp5", "max"), ("one", "sum")]
+        )
+
+        def keep2(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["one"], 2)).select(
+                ["vec_a", "vec_b", "cos_fp5"]
+            )
+
+        return folded.map_batches(keep2, batch_format="pyarrow")
+
+    if row_count > broadcast_row_limit:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mutual_nn_pairs: %d rows > broadcast_row_limit=%d — routing "
+            "through lsh_near_dup candidates (approximate recall), same "
+            "output schema",
+            row_count,
+            broadcast_row_limit,
+        )
+        cand = lsh_near_dup(ds, dim=dim)
+
+        def directed(batch: pa.Table) -> pa.Table:
+            a = batch["vec_a"].to_numpy(zero_copy_only=False)
+            b = batch["vec_b"].to_numpy(zero_copy_only=False)
+            c = batch["cos_fp5"].to_numpy(zero_copy_only=False)
+            hi = (1 << 41) - 1
+            if len(b) and (int(a.max()) > hi or int(b.max()) > hi):
+                raise ValueError("mutual_nn_pairs: vec_id exceeds 41 bits")
+            packed = np.concatenate(
+                [c * (1 << 41) + (hi - b), c * (1 << 41) + (hi - a)]
+            )
+            return pa.Table.from_pydict(
+                {
+                    "i": pa.array(
+                        np.concatenate([a, b]), type=pa.int64()
+                    ),
+                    "packed": pa.array(packed, type=pa.int64()),
+                }
+            )
+
+        from .exchange import keyed_fold
+
+        best = keyed_fold(
+            cand.map_batches(directed, batch_format="pyarrow"),
+            "i",
+            [("packed", "max")],
+        )
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            i = batch["i"].to_numpy(zero_copy_only=False)
+            p = batch["packed"].to_numpy(zero_copy_only=False)
+            cos = p >> 41  # candidates all have cos >= threshold > 0
+            nb = (1 << 41) - 1 - (p & ((1 << 41) - 1))
+            return pa.Table.from_pydict(
+                {
+                    "vec_a": pa.array(np.minimum(i, nb), type=pa.int64()),
+                    "vec_b": pa.array(np.maximum(i, nb), type=pa.int64()),
+                    "cos_fp5": pa.array(cos, type=pa.int64()),
+                    "one": pa.array(
+                        np.ones(len(i), dtype=np.int64)
+                    ),
+                }
+            )
+
+        return mutual_filter(
+            best.map_batches(unpack, batch_format="pyarrow")
+        )
+
+    all_rows = ds.take_all()
+    ids = np.asarray([r["vec_id"] for r in all_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _quantize(
+        np.asarray(
+            [r["embedding"] for r in all_rows], dtype=np.float64
+        )[order]
+    )
+    mat_ref = ray.put((ids, mat))
+
+    def batch_nn(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(mat_ref)
+        mat_b = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cos = _fp5(_cos_matrix(mat_b, mat_all))  # int (batch, n)
+        self_pos = np.searchsorted(ids_all, vec_ids)
+        cos[np.arange(len(vec_ids)), self_pos] = np.iinfo(np.int64).min
+        # ids_all ascending => argmax's first-max = smallest-id tiebreak
+        nb_pos = np.argmax(cos, axis=1)
+        nb = ids_all[nb_pos]
+        best = cos[np.arange(len(vec_ids)), nb_pos]
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(
+                    np.minimum(vec_ids, nb), type=pa.int64()
+                ),
+                "vec_b": pa.array(
+                    np.maximum(vec_ids, nb), type=pa.int64()
+                ),
+                "cos_fp5": pa.array(best, type=pa.int64()),
+                "one": pa.array(
+                    np.ones(len(vec_ids), dtype=np.int64)
+                ),
+            }
+        )
+
+    return mutual_filter(
+        ds.map_batches(batch_nn, batch_format="pyarrow")
+    )

@@ -128,3 +128,225 @@ class TestSessionizeIncremental:
         assert a == b == _sessions(
             relational.sessionize(_events(rows_old + rows_new))
         )
+
+
+def _ev(rows, parts=4):
+    """rows: (user_id, event_type, minutes, value)."""
+    ts = [
+        EPOCH + datetime.timedelta(minutes=int(m)) for _, _, m, _ in rows
+    ]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "user_id": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "event_type": pa.array(
+                    [r[1] for r in rows], type=pa.string()
+                ),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "value": pa.array(
+                    [float(r[3]) for r in rows], type=pa.float64()
+                ),
+            }
+        )
+    ).repartition(parts)
+
+
+class TestKsStatistic:
+    def _replay(self, va, vb):
+        ca = sorted(int(np.floor(v * 100 + 0.5)) for v in va)
+        cb = sorted(int(np.floor(v * 100 + 0.5)) for v in vb)
+        na, nb = len(ca), len(cb)
+        best = 0
+        for v in sorted(set(ca) | set(cb)):
+            fa = sum(1 for x in ca if x <= v)
+            fb = sum(1 for x in cb if x <= v)
+            best = max(best, abs(fa * nb - fb * na))
+        return na, nb, best, na * nb
+
+    def test_matches_plain_python_replay(self, ray_session):
+        rng = np.random.RandomState(3)
+        va = np.round(rng.exponential(50, 300), 2) + 0.01
+        vb = np.round(rng.exponential(80, 200), 2) + 0.01
+        rows = [(0, "click", i % 999, v) for i, v in enumerate(va)]
+        rows += [(1, "purchase", i % 999, v) for i, v in enumerate(vb)]
+        rows += [(2, "view", 5, 9.99)] * 40  # other types ignored
+        got = relational.ks_statistic(_ev(rows)).take_all()[0]
+        na, nb, num, den = self._replay(va, vb)
+        assert (
+            got["n_a"], got["n_b"], got["ks_num"], got["ks_den"]
+        ) == (na, nb, num, den)
+
+    def test_identical_samples_zero(self, ray_session):
+        vals = [1.23, 4.56, 7.89, 1.23]
+        rows = [(0, "click", i, v) for i, v in enumerate(vals)]
+        rows += [(1, "purchase", i, v) for i, v in enumerate(vals)]
+        got = relational.ks_statistic(_ev(rows)).take_all()[0]
+        assert got["ks_num"] == 0
+
+    def test_disjoint_supports_max(self, ray_session):
+        rows = [(0, "click", i, 1.0 + i * 0.01) for i in range(10)]
+        rows += [(1, "purchase", i, 100.0 + i * 0.01) for i in range(7)]
+        got = relational.ks_statistic(_ev(rows)).take_all()[0]
+        assert got["ks_num"] == got["ks_den"] == 70
+
+
+class TestChi2Independence:
+    def test_matches_plain_python_replay(self, ray_session):
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(800):
+            et = ["click", "view", "error"][rng.randint(3)]
+            rows.append((i, et, int(rng.randint(0, 60 * 24)), 1.0))
+        got = {
+            (r["event_type"], r["hour"]): r
+            for r in relational.chi2_independence(_ev(rows)).take_all()
+        }
+        obs = {}
+        for _, et, mins, _ in rows:
+            h = (mins // 60) % 24
+            obs[(et, h)] = obs.get((et, h), 0) + 1
+        n = sum(obs.values())
+        rt, ct = {}, {}
+        for (et, h), o in obs.items():
+            rt[et] = rt.get(et, 0) + o
+            ct[h] = ct.get(h, 0) + o
+        assert set(got) == set(obs)
+        for (et, h), o in obs.items():
+            en = rt[et] * ct[h]
+            cell = ((o * n - en) ** 2 * 10**6) // (en * n)
+            g = got[(et, h)]
+            assert (g["observed"], g["expected_num"], g["cell_fp6"]) == (
+                o, en, cell
+            )
+
+    def test_perfectly_independent_zero(self, ray_session):
+        # every (type, hour) cell has the same count -> chi2 == 0
+        rows = []
+        for et in ("click", "view"):
+            for h in range(24):
+                for k in range(3):
+                    rows.append((0, et, h * 60 + k, 1.0))
+        got = relational.chi2_independence(_ev(rows)).take_all()
+        assert len(got) == 48
+        assert all(r["cell_fp6"] == 0 for r in got)
+
+
+class TestCumulativeDistinctUsers:
+    def test_first_seen_only_and_running_total(self, ray_session):
+        rows = [
+            (1, "view", 0, 1.0),        # day 0: users 1,2
+            (2, "view", 10, 1.0),
+            (1, "view", 60 * 24, 1.0),  # day 1: user 1 again (not new), 3 new
+            (3, "view", 60 * 24 + 5, 1.0),
+            (4, "view", 60 * 72, 1.0),  # day 3: user 4
+        ]
+        got = relational.cumulative_distinct_users(_ev(rows)).take_all()
+        assert [
+            (r["day"], r["new_users"], r["cum_users"]) for r in got
+        ] == [
+            ("2024-01-01", 2, 2),
+            ("2024-01-02", 1, 3),
+            ("2024-01-04", 1, 4),
+        ]
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(7)
+        rows = [
+            (int(rng.randint(40)), "view", int(rng.randint(60 * 24 * 9)), 1.0)
+            for _ in range(400)
+        ]
+        a = relational.cumulative_distinct_users(_ev(rows, parts=1)).take_all()
+        b = relational.cumulative_distinct_users(_ev(rows, parts=9)).take_all()
+        assert a == b
+        assert a[-1]["cum_users"] == len({r[0] for r in rows})
+
+
+class TestTimeToConversion:
+    def test_edge_cases(self, ray_session):
+        rows = [
+            (1, "click", 0, 1.0), (1, "purchase", 30, 1.0),   # converts
+            (2, "purchase", 0, 1.0), (2, "click", 30, 1.0),   # wrong order
+            (3, "click", 0, 1.0),                             # never buys
+            (4, "purchase", 0, 1.0),                          # no click
+            (5, "click", 10, 1.0), (5, "click", 5, 1.0),      # first click @5
+            (5, "purchase", 65, 1.0), (5, "purchase", 99, 1.0),
+        ]
+        got = {
+            r["user_id"]: r["delta_us"]
+            for r in relational.time_to_conversion(_ev(rows)).take_all()
+        }
+        assert got == {1: 30 * 60_000_000, 5: 60 * 60_000_000}
+
+
+class TestMutualNnPairs:
+    def _emb(self, mat, parts=4):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(parts)
+
+    def _exact(self, mat):
+        from tableextraction_ray.functions.similarity import (
+            _cos_matrix, _fp5, _quantize,
+        )
+
+        q = _quantize(mat.astype(np.float64))
+        cos = _fp5(_cos_matrix(q, q))
+        np.fill_diagonal(cos, np.iinfo(np.int64).min)
+        nn = np.argmax(cos, axis=1)
+        out = set()
+        for i, j in enumerate(nn):
+            if nn[j] == i and i < j:
+                out.add((i, int(j), int(cos[i, j])))
+        return out
+
+    def test_matches_bruteforce_replay(self, ray_session):
+        from tableextraction_ray.functions import similarity
+
+        rng = np.random.RandomState(9)
+        mat = rng.randn(80, 8).astype(np.float32)
+        got = {
+            (r["vec_a"], r["vec_b"], r["cos_fp5"])
+            for r in similarity.mutual_nn_pairs(self._emb(mat)).take_all()
+        }
+        assert got == self._exact(mat)
+        assert len(got) > 0
+
+    def test_lsh_route_on_tight_pairs(self, ray_session):
+        """Forced fallback: vectors in tight near-identical pairs, far
+        apart across pairs — the candidate graph has every true pair,
+        so the approximate route equals the exact one."""
+        from tableextraction_ray.functions import similarity
+
+        rng = np.random.RandomState(13)
+        base = rng.randn(30, 16)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        mat = np.repeat(base, 2, axis=0)
+        mat += rng.randn(*mat.shape) * 1e-3  # twins stay ~identical
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.mutual_nn_pairs(
+                self._emb(mat.astype(np.float32)), dim=16
+            ).take_all()
+        }
+        approx = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.mutual_nn_pairs(
+                self._emb(mat.astype(np.float32)),
+                broadcast_row_limit=0, dim=16,
+            ).take_all()
+        }
+        # every twin pair is mutual and must survive both routes
+        twins = {(2 * i, 2 * i + 1) for i in range(30)}
+        assert twins <= exact
+        assert approx == exact
