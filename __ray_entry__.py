@@ -277,6 +277,10 @@ _R4_QUERIES: list[str] = [
     "cumulative_users",
     "time_to_conversion",
     "mutual_nn_pairs",
+    "bpe_merge_step",
+    "zorder_keys",
+    "span_media_locality",
+    "late_event_lateness",
 ]
 
 
@@ -1408,6 +1412,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn_pairs": lambda sf: similarity.mutual_nn_pairs(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             row_count=_parquet_count(sf, "embeddings"),
+        ),
+        "bpe_merge_step": lambda sf: textstats.bpe_merge_step(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "zorder_keys": lambda sf: relational.zorder_keys(
+            _read(sf, "events", ["value", "ts"])
+        ),
+        "span_media_locality": lambda sf: interleaved.span_media_locality(
+            _spans(sf)
+        ),
+        "late_event_lateness": lambda sf: relational.late_event_lateness(
+            _read(sf, "events", ["event_id", "ts"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -6931,6 +6947,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                CAST(epoch_us(fb) - epoch_us(fa) AS BIGINT) AS delta_us
         FROM f WHERE fa IS NOT NULL AND fb IS NOT NULL AND fb >= fa
+    """
+    # One BPE training step: adjacent char pairs inside whitespace
+    # tokens weighted by token frequency; substring is code-point
+    # indexed on both sides, UTF-8 byte order == code-point order for
+    # the tie-break.
+    d["bpe_merge_step"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS w
+          FROM documents
+        ),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        pairs AS (
+          SELECT substring(w, CAST(i AS INT), 1) AS l,
+                 substring(w, CAST(i AS INT) + 1, 1) AS r, c
+          FROM wc, UNNEST(range(1, length(w))) AS t(i)
+        )
+        SELECT l AS left_sym, r AS right_sym, CAST(SUM(c) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n DESC, left_sym ASC, right_sym ASC
+        LIMIT 20
+    """
+    # Morton/Z-order occupancy: exact integer min-max quantization to
+    # 8 bits per dim, explicit bit interleave on both sides.
+    _zx = " + ".join(
+        f"(((qc >> {i}) & 1) << {2 * i}) + (((qt >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    d["zorder_keys"] = f"""
+        WITH e AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                 epoch_us(ts) AS t
+          FROM events
+        ),
+        x AS (SELECT MIN(c) AS c_lo, MAX(c) AS c_hi,
+                     MIN(t) AS t_lo, MAX(t) AS t_hi FROM e),
+        q AS (
+          SELECT (e.c - x.c_lo) * 255 // GREATEST(x.c_hi - x.c_lo, 1) AS qc,
+                 (e.t - x.t_lo) * 255 // GREATEST(x.t_hi - x.t_lo, 1) AS qt
+          FROM e, x
+        )
+        SELECT CAST({_zx} AS BIGINT) AS z, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1
+    """
+    # Media-to-nearest-text span distance histogram; row_number
+    # differences equal 0-based position differences.
+    d["span_media_locality"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY u.s."offset"
+                 ) AS rn
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (SELECT doc_id, rn FROM s WHERE kind = 'media'),
+        tx AS (SELECT doc_id, rn FROM s WHERE kind = 'text'),
+        dd AS (
+          SELECT m.doc_id, m.rn,
+                 COALESCE(MIN(ABS(m.rn - tx.rn)), -1) AS dist
+          FROM m LEFT JOIN tx ON tx.doc_id = m.doc_id
+          GROUP BY m.doc_id, m.rn
+        )
+        SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dd GROUP BY 1
+    """
+    # Watermark lateness: running max event time over the DETERMINISTIC
+    # md5-shuffled arrival order (event_id order is already time order
+    # in the synthetic corpus — non-vacuity injection mirrored here),
+    # strictly-late rows only.
+    d["late_event_lateness"] = """
+        WITH a AS (
+          SELECT event_id, ts,
+                 ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                 )::BIGINT AS arr
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, ts,
+                 MAX(ts) OVER (ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM a
+        )
+        SELECT event_id,
+               CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS lateness_us
+        FROM w WHERE wm > ts
     """
     # Reciprocal top-1 cosine neighbors under the shared fixed-point
     # contract; row_number's (cos DESC, j) tie-break mirrors numpy

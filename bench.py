@@ -280,6 +280,10 @@ QUERY_SUITE = [
     "cumulative_users",
     "time_to_conversion",
     "mutual_nn_pairs",
+    "bpe_merge_step",
+    "zorder_keys",
+    "span_media_locality",
+    "late_event_lateness",
 ]
 
 

@@ -1278,3 +1278,60 @@ def span_kind_transitions(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def span_media_locality(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(dist, n) — corpus-wide histogram of each MEDIA span's distance
+    (in span positions, offset order) to the nearest TEXT span of the
+    same document; media in all-media documents report dist = -1. The
+    caption-availability audit behind [[media_captions]]/
+    [[curate_captions]]: how much of the media actually sits next to
+    prose worth pairing, before a captioning stage is sized.
+
+    Per-batch vectorized: one (parent, offset) lexsort, per-doc media
+    and text position arrays, nearest via np.searchsorted; partial
+    (dist, n) counts collapse each block to ≤ max-span-count rows and
+    ONE tiny keyed sum finishes — document payloads never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, fields = _flat_spans(batch)
+        kind = fields["kind"].to_numpy(zero_copy_only=False)[order]
+        par = parent[order]
+        counts: dict[int, int] = {}
+        # per-doc segment boundaries over the sorted flat rows
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        ends = np.r_[starts[1:], len(par)]
+        for s, e in zip(starts, ends):
+            k = kind[s:e]
+            media_pos = np.flatnonzero(k == "media")
+            if len(media_pos) == 0:
+                continue
+            text_pos = np.flatnonzero(k == "text")
+            if len(text_pos) == 0:
+                counts[-1] = counts.get(-1, 0) + len(media_pos)
+                continue
+            ins = np.searchsorted(text_pos, media_pos)
+            left = np.where(
+                ins > 0, media_pos - text_pos[np.maximum(ins - 1, 0)],
+                np.iinfo(np.int64).max,
+            )
+            right = np.where(
+                ins < len(text_pos),
+                text_pos[np.minimum(ins, len(text_pos) - 1)] - media_pos,
+                np.iinfo(np.int64).max,
+            )
+            for d in np.minimum(left, right):
+                counts[int(d)] = counts.get(int(d), 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "dist": pa.array(list(counts.keys()), type=pa.int64()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dist")
+        .aggregate(Sum("n", alias_name="n"))
+    )

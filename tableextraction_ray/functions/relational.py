@@ -9152,3 +9152,189 @@ def time_to_conversion(
         )
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def zorder_keys(events: ray.data.Dataset, bits: int = 8) -> ray.data.Dataset:
+    """(z, n) — occupancy of the Z-ORDER (Morton) key space over the
+    two query dimensions (value cents, event time): each row's dims are
+    min-max scaled to ``bits``-bit integers with exact integer
+    arithmetic (q = (x−lo)·(2^bits−1) // span) and bit-interleaved
+    (value bit i → z bit 2i, time bit i → z bit 2i+1). This is the
+    clustering key a lakehouse compaction (Delta/Iceberg OPTIMIZE
+    ZORDER BY) would sort by so range predicates on EITHER dimension
+    prune contiguous z-ranges; the occupancy histogram is the planning
+    artifact — skewed z-buckets mean skewed file sizes after the
+    rewrite (the 2-D sibling of [[range_partition_plan]]).
+
+    Shape: ONE extremes fold (4 ints per block) → broadcast → pure
+    per-block vectorized quantize+interleave with per-block (z, n)
+    partials → ONE ≤4^bits-row keyed sum. No row-level shuffle at any
+    scale; the actual z-sorted rewrite would be one range shuffle by z."""
+    from ray.data.aggregate import Sum
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        t = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_lo": pa.array([int(c.min())], type=pa.int64()),
+                "c_hi": pa.array([int(c.max())], type=pa.int64()),
+                "t_lo": pa.array([int(t.min())], type=pa.int64()),
+                "t_hi": pa.array([int(t.max())], type=pa.int64()),
+            }
+        )
+
+    ext = events.map_batches(
+        extremes, batch_format="pyarrow"
+    ).take_all()
+    c_lo = min(r["c_lo"] for r in ext)
+    c_hi = max(r["c_hi"] for r in ext)
+    t_lo = min(r["t_lo"] for r in ext)
+    t_hi = max(r["t_hi"] for r in ext)
+    top = (1 << bits) - 1
+    c_span = max(c_hi - c_lo, 1)
+    t_span = max(t_hi - t_lo, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        t = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qc = (c - c_lo) * top // c_span
+        qt = (t - t_lo) * top // t_span
+        z = np.zeros(len(qc), dtype=np.int64)
+        for i in range(bits):
+            z |= ((qc >> i) & 1) << (2 * i)
+            z |= ((qt >> i) & 1) << (2 * i + 1)
+        zu, cnt = np.unique(z, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "z": pa.array(zu, type=pa.int64()),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def late_event_lateness(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_id, lateness_us) — for every event that arrives LATE
+    (its event time is behind the running maximum event time of all
+    earlier ARRIVALS), the exact lateness against that high watermark.
+    THE allowed-lateness tuning input for a streaming window: the
+    lateness distribution's tail is the buffer a watermark-delayed
+    trigger must hold ([[stream_inversions]] says HOW out-of-order per
+    user; this says BY HOW MUCH, globally).
+
+    The synthetic corpus's event_id order IS its time order (zero
+    disorder), so — the [[typo_token_pairs]] non-vacuity pattern — the
+    arrival order is a DETERMINISTIC md5 shuffle of event_id (first 15
+    md5 hex chars as int, event_id tie-break), mirrored in the oracle:
+    a reproducible model of an ingest that interleaves shards with no
+    time affinity. Distributed as the [[ks_statistic]] block-prefix
+    pattern on the arrival axis: ONE arrival-key range sort, pass 1
+    per-block max-ts partials (O(#blocks) driver rows) → running-max
+    offsets, pass 2 per-block shifted np.maximum.accumulate seeded
+    with the incoming watermark; rows never leave their block after
+    the sort."""
+    import hashlib as _hl
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_pylist()
+        arr = [
+            int(_hl.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"],
+                "arr": pa.array(arr, type=pa.int64()),
+                "t": batch["ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        events.map_batches(project, batch_format="pyarrow")
+        .sort(["arr", "event_id"])
+        .materialize()
+    )
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bk": pa.array([], type=pa.string()),
+                    "mx": pa.array([], type=pa.int64()),
+                }
+            )
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        bk = repr(
+            (batch["arr"][0].as_py(), batch["event_id"][0].as_py())
+        )
+        return pa.Table.from_pydict(
+            {
+                "bk": pa.array([bk], type=pa.string()),
+                "mx": pa.array([int(t.max())], type=pa.int64()),
+            }
+        )
+
+    import ast as _ast
+
+    parts = sorted(
+        (_ast.literal_eval(r["bk"]), r["mx"])
+        for r in sorted_ds.map_batches(
+            block_max, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    NEG = -(1 << 62)
+    offsets: dict[tuple, int] = {}
+    run = NEG
+    for bk, mx in parts:
+        offsets[repr(bk)] = run
+        run = max(run, mx)
+    off_ref = ray.put(offsets)
+
+    def block_late(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "lateness_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        offsets = ray.get(off_ref)
+        incoming = offsets[
+            repr((batch["arr"][0].as_py(), batch["event_id"][0].as_py()))
+        ]
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        # watermark BEFORE each row: incoming, then the block's own
+        # running max shifted one right
+        wm = np.empty(len(t), dtype=np.int64)
+        wm[0] = incoming
+        np.maximum.accumulate(t[:-1], out=wm[1:])
+        np.maximum(wm[1:], incoming, out=wm[1:])
+        late = wm > t
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[
+                        late
+                    ],
+                    type=pa.int64(),
+                ),
+                "lateness_us": pa.array(
+                    (wm - t)[late], type=pa.int64()
+                ),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        block_late, batch_format="pyarrow", batch_size=None
+    )

@@ -3774,3 +3774,64 @@ def zipf_fit(ds: ray.data.Dataset, k: int = 64) -> ray.data.Dataset:
         )
 
     return counts.groupby("source").map_groups(fit, batch_format="pyarrow")
+
+
+def bpe_merge_step(ds: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(left_sym, right_sym, n) — the top-k merge candidates of ONE BPE
+    training step: corpus-wide counts of adjacent character pairs inside
+    whitespace tokens, weighted by token frequency ("aaa" contributes
+    (a,a) twice). The inner loop of byte-pair-encoding tokenizer
+    training (Sennrich et al. 2016), whose scale discipline is that the
+    pair statistics come from the VOCABULARY, not the corpus: per-batch
+    token Counter partials collapse each block to ~vocab-size rows
+    ([[token_freq]]'s plan), ONE bounded keyed sum builds the word-freq
+    table, and the pair expansion + second tiny groupby run over those
+    ≤|V| rows — documents never ride a shuffle, and iterating the merge
+    loop re-uses the same exchange. Total order (n desc, pair asc)
+    pins the k-boundary for the oracle."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(ascii_tokens(t))
+        return pa.Table.from_pydict(
+            {
+                "w": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    words = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pc_: Counter = Counter()
+        for w, c in zip(batch["w"].to_pylist(), batch["c"].to_pylist()):
+            for i in range(len(w) - 1):
+                pc_[(w[i], w[i + 1])] += int(c)
+        return pa.Table.from_pydict(
+            {
+                "left_sym": pa.array(
+                    [p[0] for p in pc_], type=pa.string()
+                ),
+                "right_sym": pa.array(
+                    [p[1] for p in pc_], type=pa.string()
+                ),
+                "n": pa.array(list(pc_.values()), type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        words.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["left_sym", "right_sym"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return pairs.sort(
+        ["n", "left_sym", "right_sym"], descending=[True, False, False]
+    ).limit(k)

@@ -350,3 +350,200 @@ class TestMutualNnPairs:
         twins = {(2 * i, 2 * i + 1) for i in range(30)}
         assert twins <= exact
         assert approx == exact
+
+
+class TestBpeMergeStep:
+    def _docs(self, texts, parts=3):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        range(len(texts)), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+        ).repartition(parts)
+
+    def test_matches_counter_replay(self, ray_session):
+        from collections import Counter
+
+        from tableextraction_ray.functions import textstats
+
+        texts = [
+            "low lower lowest low",
+            "newer newest new low",
+            "wider wide widest",
+        ] * 5
+        got = [
+            (r["left_sym"], r["right_sym"], r["n"])
+            for r in textstats.bpe_merge_step(
+                self._docs(texts), k=10
+            ).take_all()
+        ]
+        wc: Counter = Counter()
+        for t in texts:
+            wc.update(t.split())
+        pc_: Counter = Counter()
+        for w, c in wc.items():
+            for i in range(len(w) - 1):
+                pc_[(w[i], w[i + 1])] += c
+        want = sorted(
+            ((l, r, n) for (l, r), n in pc_.items()),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[:10]
+        assert got == want
+
+    def test_multiplicity_within_token(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        got = textstats.bpe_merge_step(
+            self._docs(["aaa aaa"]), k=5
+        ).take_all()
+        assert [(r["left_sym"], r["right_sym"], r["n"]) for r in got] == [
+            ("a", "a", 4)
+        ]
+
+
+class TestZorderKeys:
+    def test_matches_replay_and_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(17)
+        rows = [
+            (0, "view", int(rng.randint(0, 60 * 24 * 20)),
+             float(np.round(rng.uniform(0.01, 400), 2)))
+            for _ in range(500)
+        ]
+        a = sorted(
+            (r["z"], r["n"])
+            for r in relational.zorder_keys(_ev(rows, parts=1)).take_all()
+        )
+        b = sorted(
+            (r["z"], r["n"])
+            for r in relational.zorder_keys(_ev(rows, parts=9)).take_all()
+        )
+        assert a == b
+        # replay
+        c = np.floor(np.array([r[3] for r in rows]) * 100 + 0.5).astype(
+            np.int64
+        )
+        t = np.array(
+            [
+                int(
+                    (
+                        EPOCH + datetime.timedelta(minutes=r[2])
+                        - datetime.datetime(1970, 1, 1)
+                    ).total_seconds()
+                )
+                * 1_000_000
+                for r in rows
+            ],
+            dtype=np.int64,
+        )
+        qc = (c - c.min()) * 255 // max(int(c.max() - c.min()), 1)
+        qt = (t - t.min()) * 255 // max(int(t.max() - t.min()), 1)
+        z = np.zeros(len(qc), dtype=np.int64)
+        for i in range(8):
+            z |= ((qc >> i) & 1) << (2 * i)
+            z |= ((qt >> i) & 1) << (2 * i + 1)
+        zu, cnt = np.unique(z, return_counts=True)
+        assert a == sorted(zip(zu.tolist(), cnt.tolist()))
+        assert sum(n for _, n in a) == 500
+
+    def test_constant_dim(self, ray_session):
+        rows = [(0, "view", m, 5.0) for m in range(20)]
+        got = relational.zorder_keys(_ev(rows)).take_all()
+        # value dim constant -> qc == 0 -> z uses only odd bits
+        assert all((r["z"] & 0x5555555555555555) == 0 for r in got)
+        assert sum(r["n"] for r in got) == 20
+
+
+class TestLateEventLateness:
+    def test_matches_plain_python_replay(self, ray_session):
+        import hashlib
+
+        rng = np.random.RandomState(19)
+        mins = rng.permutation(300)
+        rows = [(0, "view", int(m), 1.0) for m in mins]
+        got = sorted(
+            (r["event_id"], r["lateness_us"])
+            for r in relational.late_event_lateness(
+                _ev(rows, parts=7)
+            ).take_all()
+        )
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+                i,
+            ),
+        )
+        ts = [
+            int(
+                (
+                    EPOCH + datetime.timedelta(minutes=rows[i][2])
+                    - datetime.datetime(1970, 1, 1)
+                ).total_seconds()
+            )
+            * 1_000_000
+            for i in range(len(rows))
+        ]
+        want, wm = [], None
+        for i in order:
+            if wm is not None and wm > ts[i]:
+                want.append((i, wm - ts[i]))
+            wm = ts[i] if wm is None else max(wm, ts[i])
+        assert got == sorted(want)
+        assert len(got) > 50  # shuffled order makes it non-vacuous
+
+
+class TestSpanMediaLocality:
+    def _corpus(self, docs, parts=2):
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        rows = []
+        for did, kinds in docs:
+            rows.append(
+                {
+                    "doc_id": did,
+                    "spans": [
+                        {
+                            "kind": k,
+                            "text": f"t{j}" if k == "text" else "",
+                            "media_ref": f"m{j}" if k == "media" else "",
+                            "offset": j,
+                        }
+                        for j, k in enumerate(kinds)
+                    ],
+                }
+            )
+        t = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("doc_id", pa.string()), ("spans", pa.list_(span_t))]
+            ),
+        )
+        return ray.data.from_arrow(t).repartition(parts)
+
+    def test_nearest_distance_histogram(self, ray_session):
+        from tableextraction_ray.functions import interleaved
+
+        docs = [
+            ("a", ["text", "media", "text"]),        # dist 1
+            ("b", ["media", "text", "text", "media"]),  # 1 and 1
+            ("c", ["media", "media"]),               # no text: -1, -1
+            ("d", ["text", "text", "text", "media"]),   # dist 1
+            ("e", ["media", "text", "media", "media"]),  # 1, 1, 2
+        ]
+        got = sorted(
+            (r["dist"], r["n"])
+            for r in interleaved.span_media_locality(
+                self._corpus(docs)
+            ).take_all()
+        )
+        assert got == [(-1, 2), (1, 6), (2, 1)]
