@@ -281,6 +281,8 @@ _R4_QUERIES: list[str] = [
     "zorder_keys",
     "span_media_locality",
     "late_event_lateness",
+    "f2_selfjoin_size",
+    "benford_audit",
 ]
 
 
@@ -1424,6 +1426,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "late_event_lateness": lambda sf: relational.late_event_lateness(
             _read(sf, "events", ["event_id", "ts"])
+        ),
+        "f2_selfjoin_size": lambda sf: sketch.f2_selfjoin_size(
+            _read(sf, "lineitem", ["l_partkey"])
+        ),
+        "benford_audit": lambda sf: relational.benford_audit(
+            _read(sf, "events", ["value"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7033,6 +7041,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS lateness_us
         FROM w WHERE wm > ts
+    """
+    # AMS self-join size: exact F2 plus the count-sketch median-of-row
+    # estimates under the shared md5 hex-parse hash/sign contract.
+    d["f2_selfjoin_size"] = r"""
+        WITH tc AS (
+          SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1
+        ),
+        ex AS (SELECT SUM(c * c) AS f2 FROM tc),
+        hx AS (
+          SELECT tc.k, r.j, tc.c,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                            CAST(tc.k AS VARCHAR)),
+                                        i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) % 256 AS w,
+                 CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5('s' || CAST(r.j AS VARCHAR) ||
+                                              ':' || CAST(tc.k AS VARCHAR)),
+                                          1, 1)) - 1) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tc CROSS JOIN (SELECT unnest(range(5)) AS j) r
+        ),
+        cells AS (
+          SELECT j, w, CAST(SUM(s * c) AS BIGINT) AS cell
+          FROM hx GROUP BY j, w
+        ),
+        rowest AS (SELECT j, SUM(cell * cell) AS est FROM cells GROUP BY j)
+        SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+               CAST(MEDIAN(rowest.est) AS BIGINT) AS est_f2,
+               CAST(ABS(CAST(MEDIAN(rowest.est) AS BIGINT) - ex.f2)
+                    * 1000000 // ex.f2 AS BIGINT) AS err_fp6
+        FROM rowest, ex GROUP BY ex.f2
+    """
+    # Benford first-digit audit: leading digit of positive cents,
+    # expected share replayed with the identical libm expression.
+    d["benford_audit"] = """
+        WITH c AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(
+                 ln(1 + 1.0 / CAST(substring(CAST(c AS VARCHAR), 1, 1)
+                                   AS BIGINT)) / ln(10) * 1e6 + 0.5
+               ) AS BIGINT) AS expected_fp6
+        FROM c WHERE c > 0 GROUP BY 1, 3
     """
     # Reciprocal top-1 cosine neighbors under the shared fixed-point
     # contract; row_number's (cos DESC, j) tie-break mirrors numpy

@@ -284,6 +284,8 @@ QUERY_SUITE = [
     "zorder_keys",
     "span_media_locality",
     "late_event_lateness",
+    "f2_selfjoin_size",
+    "benford_audit",
 ]
 
 

@@ -9338,3 +9338,62 @@ def late_event_lateness(events: ray.data.Dataset) -> ray.data.Dataset:
     return sorted_ds.map_batches(
         block_late, batch_format="pyarrow", batch_size=None
     )
+
+
+def benford_audit(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(digit, n, expected_fp6) — first-significant-digit counts of the
+    positive integer-cent values against Benford's law (expected share
+    of digit d is log10(1 + 1/d)): the classic books-cooking /
+    synthetic-data smell test a data-quality gate runs over monetary
+    columns. expected_fp6 = ⌊ln(1+1/d)/ln(10)·10⁶ + 0.5⌋ with the SAME
+    libm expression order on both sides (the [[source_token_entropy]]
+    fp contract); digits with zero occurrences are omitted (matching
+    the oracle's GROUP BY over observed rows).
+
+    Shape: per-block vectorized leading-digit extraction (≤10 halving
+    rounds of //10 on the whole array) + np.bincount partials → ONE
+    ≤9-row keyed sum; no row ever shuffles."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        d = c[c > 0].copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)
+        dig = np.flatnonzero(counts[1:10]) + 1
+        return pa.Table.from_pydict(
+            {
+                "digit": pa.array(dig, type=pa.int64()),
+                "n": pa.array(counts[dig], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        dig = batch["digit"].to_pylist()
+        exp = [
+            int(
+                math.floor(
+                    math.log(1 + 1.0 / d) / math.log(10) * 1e6 + 0.5
+                )
+            )
+            for d in dig
+        ]
+        return pa.Table.from_pydict(
+            {
+                "digit": batch["digit"].combine_chunks().cast(pa.int64()),
+                "n": batch["n"].combine_chunks().cast(pa.int64()),
+                "expected_fp6": pa.array(exp, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

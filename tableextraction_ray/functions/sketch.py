@@ -1735,3 +1735,109 @@ def mg_heavy_tokens(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _cs_sign(j: int, key: str) -> int:
+    """±1 sign of ``key`` in count-sketch row ``j``: parity of the first
+    md5 hex digit of "s<j>:<key>" (same hex-parse contract as _cms_col, so
+    the oracle reproduces it)."""
+    return 1 if int(hashlib.md5(f"s{j}:{key}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def f2_selfjoin_size(
+    lineitem: ray.data.Dataset,
+    depth: int = 5,
+    width: int = 256,
+) -> ray.data.Dataset:
+    """(exact_f2, est_f2, err_fp6) — the SELF-JOIN SIZE of lineitem on
+    l_partkey (F2 = Σ_k c(k)², the second frequency moment) computed two
+    ways: exactly, and by the AMS/count-sketch estimator (Alon-Matias-
+    Szegedy: signed counters cell[j, h_j(k)] += s_j(k)·c; each row's
+    Σ_w cell² is an unbiased F2 estimate, the MEDIAN over ``depth``
+    rows tames the variance). THE join-planning primitive: self-join
+    size bounds the output of any equi-join on that key and prices the
+    skew before a shuffle is committed ([[key_skew_report]] names the
+    hot keys; this prices the whole join in one number).
+
+    Scale shape: the sketch path folds per-block depth×width signed
+    partials on the driver (KBs regardless of input — ZERO shuffle);
+    the exact path is ONE [[keyed_fold]] count exchange of (key, 1)
+    rows + per-block Σc² partials. Odd ``depth`` keeps the median an
+    exact integer; the driver squares in Python ints (cell² overflows
+    int64 once cells reach ~3e9 — at that regime raise ``width``)."""
+    from .exchange import keyed_sum
+
+    def cs_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["l_partkey"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        counters = np.zeros((depth, width), dtype=np.int64)
+        for k, c in zip(keys.tolist(), counts.tolist()):
+            sk = str(k)
+            for j in range(depth):
+                counters[j, _cms_col(j, sk, width)] += _cs_sign(j, sk) * c
+        j_idx, w_idx = np.nonzero(counters)
+        return pa.Table.from_pydict(
+            {
+                "j": pa.array(j_idx, type=pa.int64()),
+                "w": pa.array(w_idx, type=pa.int64()),
+                "c": pa.array(counters[j_idx, w_idx], type=pa.int64()),
+            }
+        )
+
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for b in lineitem.map_batches(
+        cs_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        np.add.at(
+            counters,
+            (
+                np.asarray(b["j"].to_pylist(), dtype=np.int64),
+                np.asarray(b["w"].to_pylist(), dtype=np.int64),
+            ),
+            np.asarray(b["c"].to_pylist(), dtype=np.int64),
+        )
+    row_ests = sorted(
+        sum(int(x) ** 2 for x in counters[j]) for j in range(depth)
+    )
+    est = row_ests[depth // 2]
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": batch["l_partkey"].cast(pa.int64()),
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    counts = keyed_sum(
+        lineitem.map_batches(project, batch_format="pyarrow"), "k", "one"
+    )
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        c = batch["one"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"s": pa.array([int((c * c).sum())], type=pa.int64())}
+        )
+
+    exact = sum(
+        r["s"]
+        for r in counts.map_batches(
+            sq_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "exact_f2": pa.array([exact], type=pa.int64()),
+                "est_f2": pa.array([est], type=pa.int64()),
+                "err_fp6": pa.array(
+                    [abs(est - exact) * 1_000_000 // exact if exact else 0],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

@@ -547,3 +547,91 @@ class TestSpanMediaLocality:
             ).take_all()
         )
         assert got == [(-1, 2), (1, 6), (2, 1)]
+
+
+class TestF2SelfjoinSize:
+    def _li(self, keys, parts=5):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"l_partkey": pa.array(keys, type=pa.int64())}
+            )
+        ).repartition(parts)
+
+    def test_exact_and_estimator_replay(self, ray_session):
+        import hashlib
+
+        from tableextraction_ray.functions import sketch
+
+        rng = np.random.RandomState(23)
+        keys = rng.zipf(1.5, 2000).astype(np.int64) % 300
+        got = sketch.f2_selfjoin_size(self._li(keys.tolist())).take_all()[0]
+        from collections import Counter
+
+        cnt = Counter(keys.tolist())
+        exact = sum(c * c for c in cnt.values())
+        assert got["exact_f2"] == exact
+        # replay the count-sketch
+        depth, width = 5, 256
+        cells = {}
+        for k, c in cnt.items():
+            sk = str(k)
+            for j in range(depth):
+                col = int(
+                    hashlib.md5(f"{j}:{sk}".encode()).hexdigest()[:15], 16
+                ) % width
+                s = 1 if int(
+                    hashlib.md5(f"s{j}:{sk}".encode()).hexdigest()[0], 16
+                ) % 2 == 0 else -1
+                cells[(j, col)] = cells.get((j, col), 0) + s * c
+        ests = sorted(
+            sum(v * v for (j2, _), v in cells.items() if j2 == j)
+            for j in range(depth)
+        )
+        assert got["est_f2"] == ests[2]
+        assert got["err_fp6"] == abs(ests[2] - exact) * 1_000_000 // exact
+        # AMS median-of-5 at width 256 on 300 keys: sane estimate
+        assert got["err_fp6"] < 500_000
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        keys = list(range(50)) * 4
+        a = sketch.f2_selfjoin_size(self._li(keys, parts=1)).take_all()
+        b = sketch.f2_selfjoin_size(self._li(keys, parts=11)).take_all()
+        assert a == b
+        assert a[0]["exact_f2"] == 50 * 16
+
+
+class TestBenfordAudit:
+    def test_counts_and_expected(self, ray_session):
+        import math
+
+        # cents: 123 -> 1, 45 -> 4, 9 -> 9, 900 -> 9, 0 -> dropped
+        rows = [
+            (0, "view", 0, 1.23),
+            (0, "view", 1, 0.45),
+            (0, "view", 2, 0.09),
+            (0, "view", 3, 9.00),
+            (0, "view", 4, 0.0),
+        ]
+        got = sorted(
+            (r["digit"], r["n"], r["expected_fp6"])
+            for r in relational.benford_audit(_ev(rows)).take_all()
+        )
+        e = lambda d: int(
+            math.floor(math.log(1 + 1.0 / d) / math.log(10) * 1e6 + 0.5)
+        )
+        assert got == [(1, 1, e(1)), (4, 1, e(4)), (9, 2, e(9))]
+
+    def test_benford_shaped_input(self, ray_session):
+        # log-uniform values follow Benford closely
+        rng = np.random.RandomState(29)
+        vals = np.round(10 ** rng.uniform(-1, 3, 5000), 2)
+        rows = [(0, "view", i % 999, float(v)) for i, v in enumerate(vals)]
+        got = {
+            r["digit"]: r for r in relational.benford_audit(_ev(rows)).take_all()
+        }
+        n_tot = sum(r["n"] for r in got.values())
+        for d in range(1, 10):
+            share = got[d]["n"] / n_tot * 1e6
+            assert abs(share - got[d]["expected_fp6"]) < 40_000  # ±4 pp
