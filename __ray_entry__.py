@@ -283,6 +283,8 @@ _R4_QUERIES: list[str] = [
     "late_event_lateness",
     "f2_selfjoin_size",
     "benford_audit",
+    "trimmed_mean_by_type",
+    "dup_graph_assortativity",
 ]
 
 
@@ -1432,6 +1434,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "benford_audit": lambda sf: relational.benford_audit(
             _read(sf, "events", ["value"])
+        ),
+        "trimmed_mean_by_type": lambda sf: relational.trimmed_mean_by_type(
+            _read(sf, "events", ["event_type", "value"])
+        ),
+        "dup_graph_assortativity": lambda sf: similarity.dup_graph_assortativity(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            row_count=_parquet_count(sf, "embeddings"),
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7092,6 +7101,49 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Per-type 5%-trimmed sum: sum of order statistics between ranks
+    # k+1 and n-k — tie-exact on both sides by construction.
+    d["trimmed_mean_by_type"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, c,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY c
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(c) AS BIGINT) AS trimmed_sum_c
+        FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY event_type
+    """
+    # Degree-assortativity sufficient statistics over the exact
+    # near-dup pair set (direction-doubled edges; x/y moments equal by
+    # symmetry).
+    d["dup_graph_assortativity"] = _QUANT_CTE + """,
+        p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM qe a, qe b WHERE a.vec_id < b.vec_id
+            AND CAST(FLOOR(
+              list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+              / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+            ) >= 35000
+        ),
+        e AS (SELECT a AS i, b AS j FROM p
+              UNION ALL SELECT b AS i, a AS j FROM p),
+        deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY i)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dir,
+               CAST(SUM(da.d) AS BIGINT) AS sum_d,
+               CAST(SUM(da.d * da.d) AS BIGINT) AS sum_d2,
+               CAST(SUM(da.d * db.d) AS BIGINT) AS sum_dxdy
+        FROM e JOIN deg da ON da.i = e.i JOIN deg db ON db.i = e.j
     """
     # Reciprocal top-1 cosine neighbors under the shared fixed-point
     # contract; row_number's (cos DESC, j) tie-break mirrors numpy

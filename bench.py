@@ -286,6 +286,8 @@ QUERY_SUITE = [
     "late_event_lateness",
     "f2_selfjoin_size",
     "benford_audit",
+    "trimmed_mean_by_type",
+    "dup_graph_assortativity",
 ]
 
 

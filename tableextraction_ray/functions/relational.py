@@ -9397,3 +9397,137 @@ def benford_audit(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def trimmed_mean_by_type(
+    events: ray.data.Dataset, trim_denom: int = 20
+) -> ray.data.Dataset:
+    """(event_type, n, n_kept, trimmed_sum_c) — per-type 5%-TRIMMED sum
+    of the cent values (drop the ⌊n/``trim_denom``⌋ smallest and largest
+    order statistics, sum the middle): the robust KPI that survives the
+    fat tails [[mad_outliers]] flags — reported as exact integers
+    (n_kept + trimmed_sum_c carry the mean without a float divide).
+
+    Shape: the [[median_value_by_type]] scaffolding — bounded type
+    domain, ONE keyed groupby for per-type (min, max, count, sum), the
+    k-th and (n−k+1)-th order statistics for EVERY type resolved in
+    SHARED [[select_rank_grouped]] histogram-refinement passes (no
+    sort), then ONE conditional-moment scan against the broadcast
+    thresholds: trimmed_sum = total − (Σ v<lo + (k−#<lo)·lo)
+    − (Σ v>hi + (k−#>hi)·hi), which is tie-exact because it sums order
+    statistics, not values-below-a-cut."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .sketch import select_rank_grouped
+
+    types = sorted(
+        events.select_columns(["event_type"]).unique("event_type")
+    )
+    code = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(code)
+
+    def to_gv(batch: pa.Table) -> pa.Table:
+        lut = ray.get(code_ref)
+        g = np.fromiter(
+            (lut[t] for t in batch["event_type"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.Table.from_pydict(
+            {"g": pa.array(g, type=pa.int64()), "v": _cents(batch["value"])}
+        )
+
+    vals = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(to_gv, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = {
+        int(r["g"]): (
+            int(r["min(v)"]),
+            int(r["max(v)"]),
+            int(r["count()"]),
+            int(r["sum(v)"]),
+        )
+        for r in vals.groupby("g")
+        .aggregate(Min("v"), Max("v"), Count(), Sum("v"))
+        .iter_rows()
+    }
+    k_g = {g: s[2] // trim_denom for g, s in stats.items()}
+    trim = {g for g, k in k_g.items() if k > 0}
+    lo_b = {g: stats[g][0] for g in trim}
+    hi_b = {g: stats[g][1] for g in trim}
+    lo_val = select_rank_grouped(
+        vals, {g: k_g[g] for g in trim}, lo_b, hi_b
+    )
+    hi_val = select_rank_grouped(
+        vals, {g: stats[g][2] - k_g[g] + 1 for g in trim}, lo_b, hi_b
+    )
+    thr_ref = ray.put((lo_val, hi_val))
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        lo_val, hi_val = ray.get(thr_ref)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        rows: dict[int, list[int]] = {}
+        for gg in np.unique(g).tolist():
+            if gg not in lo_val:
+                continue
+            m = g == gg
+            vv = v[m]
+            below = vv < lo_val[gg]
+            above = vv > hi_val[gg]
+            rows[gg] = [
+                int(below.sum()),
+                int(vv[below].sum()),
+                int(above.sum()),
+                int(vv[above].sum()),
+            ]
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(list(rows.keys()), type=pa.int64()),
+                "cb": pa.array([r[0] for r in rows.values()], type=pa.int64()),
+                "sb": pa.array([r[1] for r in rows.values()], type=pa.int64()),
+                "ca": pa.array([r[2] for r in rows.values()], type=pa.int64()),
+                "sa": pa.array([r[3] for r in rows.values()], type=pa.int64()),
+            }
+        )
+
+    folds: dict[int, list[int]] = {g: [0, 0, 0, 0] for g in trim}
+    for r in vals.map_batches(
+        moment_partial, batch_format="pyarrow"
+    ).take_all():
+        f = folds[r["g"]]
+        f[0] += r["cb"]
+        f[1] += r["sb"]
+        f[2] += r["ca"]
+        f[3] += r["sa"]
+    out_t, out_n, out_k, out_s = [], [], [], []
+    for t in types:
+        g = code[t]
+        _, _, n, total = stats[g]
+        k = k_g[g]
+        if k == 0:
+            trimmed, kept = total, n
+        else:
+            cb, sb, ca, sa = folds[g]
+            trimmed = (
+                total
+                - (sb + (k - cb) * lo_val[g])
+                - (sa + (k - ca) * hi_val[g])
+            )
+            kept = n - 2 * k
+        out_t.append(t)
+        out_n.append(n)
+        out_k.append(kept)
+        out_s.append(trimmed)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "n_kept": pa.array(out_k, type=pa.int64()),
+                "trimmed_sum_c": pa.array(out_s, type=pa.int64()),
+            }
+        )
+    )

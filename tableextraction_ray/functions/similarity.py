@@ -2157,3 +2157,116 @@ def mutual_nn_pairs(
     return mutual_filter(
         ds.map_batches(batch_nn, batch_format="pyarrow")
     )
+
+
+def dup_graph_assortativity(
+    ds: ray.data.Dataset,
+    threshold_fp5: int = NEAR_DUP_FP5,
+    row_count: int | None = None,
+) -> ray.data.Dataset:
+    """(n_dir, sum_d, sum_d2, sum_dxdy) — EXACT integer sufficient
+    statistics of degree assortativity over the near-duplicate graph:
+    Pearson correlation of the endpoint degrees over directed edges is
+    (n·Σdxdy − (Σd)²) / (n·Σd² − (Σd)²) from these four numbers
+    (symmetry of the direction-doubled edge list makes the x and y
+    moments identical). Positive assortativity = big dup clusters link
+    to big ones (template farms / mirror networks); negative = hubs
+    with leaf satellites (canonical page + scattered quotes) —
+    [[near_dup_degree_hist]] gives the degree census, this says how
+    degrees MIX across edges, which picks the dedup strategy
+    (components collapse vs hub-canonicalization).
+
+    Shape: pairs from [[near_dup_pairs]] (auto-routing twin), ONE
+    keyed endpoint-count exchange for degrees, then TWO
+    [[keyed_attach_int]] passes (guarded broadcast / tagged-union
+    shuffle) to put (deg_i, deg_j) on every directed edge, and
+    per-block moment partials → one driver-folded row. The
+    embedding_covariance contract: exact int sums out, the float
+    correlation stays a caller-side one-liner."""
+    from ..functions.relational import keyed_attach_int
+    from .exchange import keyed_sum
+
+    if row_count is None:
+        row_count = ds.count()
+    pairs = near_dup_pairs(
+        ds, threshold_fp5=threshold_fp5, row_count=row_count
+    ).materialize()
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch["vec_a"].to_numpy(zero_copy_only=False)
+        b = batch["vec_b"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "j": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "one": pa.array(
+                    np.ones(2 * len(a), dtype=np.int64)
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(directed, batch_format="pyarrow")
+    degrees = keyed_sum(
+        edges.map_batches(
+            lambda b: b.select(["i", "one"]), batch_format="pyarrow"
+        ),
+        "i",
+        "one",
+    ).map_batches(
+        lambda b: b.rename_columns(["i", "deg"]), batch_format="pyarrow"
+    )
+    with_di = keyed_attach_int(
+        edges.map_batches(
+            lambda b: b.select(["i", "j"]), batch_format="pyarrow"
+        ),
+        degrees,
+        key="i",
+        val="deg",
+        payload=("j",),
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"j": b["j"], "di": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_dj = keyed_attach_int(
+        with_di,
+        degrees.map_batches(
+            lambda b: b.rename_columns(["j", "deg"]),
+            batch_format="pyarrow",
+        ),
+        key="j",
+        val="deg",
+        payload=("di",),
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        dj = batch["deg"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(di)], type=pa.int64()),
+                "s": pa.array([int(di.sum())], type=pa.int64()),
+                "s2": pa.array([int((di * di).sum())], type=pa.int64()),
+                "sxy": pa.array([int((di * dj).sum())], type=pa.int64()),
+            }
+        )
+
+    n = s = s2 = sxy = 0
+    for r in with_dj.map_batches(
+        moments, batch_format="pyarrow"
+    ).take_all():
+        n += r["n"]
+        s += r["s"]
+        s2 += r["s2"]
+        sxy += r["sxy"]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_dir": pa.array([n], type=pa.int64()),
+                "sum_d": pa.array([s], type=pa.int64()),
+                "sum_d2": pa.array([s2], type=pa.int64()),
+                "sum_dxdy": pa.array([sxy], type=pa.int64()),
+            }
+        )
+    )

@@ -635,3 +635,102 @@ class TestBenfordAudit:
         for d in range(1, 10):
             share = got[d]["n"] / n_tot * 1e6
             assert abs(share - got[d]["expected_fp6"]) < 40_000  # ±4 pp
+
+
+class TestTrimmedMeanByType:
+    def test_matches_sorted_replay(self, ray_session):
+        rng = np.random.RandomState(31)
+        rows = []
+        for et in ("click", "view"):
+            for i in range(137):
+                rows.append(
+                    (0, et, i, float(np.round(rng.exponential(40), 2)))
+                )
+        got = {
+            r["event_type"]: r
+            for r in relational.trimmed_mean_by_type(
+                _ev(rows, parts=6)
+            ).take_all()
+        }
+        for et in ("click", "view"):
+            cents = sorted(
+                int(np.floor(v * 100 + 0.5))
+                for _, e, _, v in rows
+                if e == et
+            )
+            n = len(cents)
+            k = n // 20
+            g = got[et]
+            assert (g["n"], g["n_kept"], g["trimmed_sum_c"]) == (
+                n, n - 2 * k, sum(cents[k : n - k])
+            )
+
+    def test_small_group_untouched(self, ray_session):
+        rows = [(0, "click", i, 1.0 + i) for i in range(5)]  # k = 0
+        got = relational.trimmed_mean_by_type(_ev(rows)).take_all()[0]
+        assert (got["n"], got["n_kept"]) == (5, 5)
+        assert got["trimmed_sum_c"] == sum(
+            int(np.floor((1.0 + i) * 100 + 0.5)) for i in range(5)
+        )
+
+    def test_ties_at_cut_exact(self, ray_session):
+        # 40 identical values + extremes: trimming must count order
+        # statistics, not drop all ties
+        rows = [(0, "click", i, 5.0) for i in range(40)]
+        rows += [(0, "click", 100 + i, 0.01) for i in range(2)]
+        rows += [(0, "click", 200 + i, 99.0) for i in range(2)]
+        got = relational.trimmed_mean_by_type(_ev(rows)).take_all()[0]
+        n = 44
+        k = n // 20  # 2 -> drops exactly the two 1-cent and two 9900 rows
+        assert got["n_kept"] == 40
+        assert got["trimmed_sum_c"] == 40 * 500
+
+
+class TestDupGraphAssortativity:
+    def _emb(self, mat, parts=4):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(parts)
+
+    def test_matches_networkless_replay(self, ray_session):
+        from collections import Counter
+
+        from tableextraction_ray.functions import similarity
+        from tableextraction_ray.functions.similarity import (
+            _cos_matrix, _fp5, _quantize,
+        )
+
+        rng = np.random.RandomState(37)
+        base = rng.randn(12, 8)
+        mat = np.vstack([base + rng.randn(12, 8) * 0.05 for _ in range(4)])
+        got = similarity.dup_graph_assortativity(
+            self._emb(mat.astype(np.float32))
+        ).take_all()[0]
+        q = _quantize(mat.astype(np.float64))
+        cos = _fp5(_cos_matrix(q, q))
+        edges = [
+            (i, j)
+            for i in range(len(mat))
+            for j in range(len(mat))
+            if i < j and cos[i, j] >= 35000
+        ]
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        dir_edges = edges + [(b, a) for a, b in edges]
+        assert got["n_dir"] == len(dir_edges)
+        assert got["sum_d"] == sum(deg[a] for a, _ in dir_edges)
+        assert got["sum_d2"] == sum(deg[a] ** 2 for a, _ in dir_edges)
+        assert got["sum_dxdy"] == sum(
+            deg[a] * deg[b] for a, b in dir_edges
+        )
+        assert got["n_dir"] > 0
