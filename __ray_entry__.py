@@ -285,6 +285,8 @@ _R4_QUERIES: list[str] = [
     "benford_audit",
     "trimmed_mean_by_type",
     "dup_graph_assortativity",
+    "lang_id_confusion",
+    "wsample_noreplace",
 ]
 
 
@@ -1441,6 +1443,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_assortativity": lambda sf: similarity.dup_graph_assortativity(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             row_count=_parquet_count(sf, "embeddings"),
+        ),
+        "lang_id_confusion": lambda sf: textstats.lang_id_confusion(
+            docs(sf, ["doc_id", "lang", "text"])
+        ),
+        "wsample_noreplace": lambda sf: selection.wsample_noreplace(
+            docs(sf, ["doc_id", "n_chars"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7101,6 +7109,37 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Confusion matrix of the lang_id heuristic vs the labeled column —
+    # same Cyrillic-share predicate as the lang_id oracle, grouped.
+    d["lang_id_confusion"] = r"""
+        WITH p AS (
+          SELECT lang,
+                 CASE WHEN length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g')) > 0
+                           AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
+                               > 3 * length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g'))
+                      THEN 'cyr' ELSE 'lat' END AS pred_lang
+          FROM documents
+        )
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+    """
+    # Efraimidis-Spirakis A-ES weighted sample without replacement:
+    # key = ln((h+1)/2^60)/w over the shared 60-bit md5, top-k keys.
+    d["wsample_noreplace"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT AS hv
+          FROM documents WHERE n_chars > 0
+        ),
+        s AS (
+          SELECT doc_id, n_chars,
+                 ln((hv + 1) / 1152921504606846976.0) / n_chars AS key
+          FROM h
+        )
+        SELECT doc_id, n_chars FROM s
+        ORDER BY key DESC, doc_id LIMIT 50
     """
     # Per-type 5%-trimmed sum: sum of order statistics between ranks
     # k+1 and n-k — tie-exact on both sides by construction.

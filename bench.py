@@ -288,6 +288,8 @@ QUERY_SUITE = [
     "benford_audit",
     "trimmed_mean_by_type",
     "dup_graph_assortativity",
+    "lang_id_confusion",
+    "wsample_noreplace",
 ]
 
 

@@ -634,3 +634,59 @@ def negative_pairs(documents: ray.data.Dataset, k: int = 2) -> ray.data.Dataset:
     return sorted_ds.map_batches(
         emit, batch_format="pyarrow", batch_size=None
     )
+
+
+def wsample_noreplace(
+    documents: ray.data.Dataset, k: int = 50
+) -> ray.data.Dataset:
+    """(doc_id, n_chars) — deterministic WEIGHTED sample without
+    replacement, inclusion probability ∝ n_chars: the Efraimidis-
+    Spirakis A-ES scheme with the md5 hash standing in for the uniform
+    draw — key = ln((h+1)/2⁶⁰)/w for h the 60-bit md5 of
+    "ws:<doc_id>", top-k keys win (u^(1/w) in log space). The
+    char-budget-proportional pick a corpus-mixing stage uses when long
+    documents should be sampled more often but never twice —
+    [[hash_sample_k]]'s weighted sibling, same reproducible-mergeable
+    contract (two clusters agree with zero coordination).
+
+    Shape: per-block key computation + top-k prune (≤ k rows leave any
+    block), ONE tiny sort over ≤ k×#blocks survivors. The float key is
+    one fixed IEEE expression over an exact integer, so the oracle's
+    doubles are bit-identical (the [[source_token_entropy]] libm
+    contract); zero-weight docs are excluded on both sides."""
+    import hashlib
+    import math
+
+    def score_prune(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        w = batch["n_chars"].to_numpy(zero_copy_only=False)
+        keys = np.empty(len(ids), dtype=np.float64)
+        for i, d in enumerate(ids):
+            h = int(
+                hashlib.md5(f"ws:{d}".encode()).hexdigest()[:15], 16
+            )
+            keys[i] = (
+                math.log((h + 1) / 1152921504606846976.0) / w[i]
+                if w[i] > 0
+                else -math.inf
+            )
+        ids_np = np.asarray(ids, dtype=np.int64)
+        keep = w > 0
+        ids_np, keys, w = ids_np[keep], keys[keep], w[keep]
+        order = np.lexsort((ids_np, -keys))[:k]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids_np[order], type=pa.int64()),
+                "n_chars": pa.array(
+                    w[order].astype(np.int64), type=pa.int64()
+                ),
+                "key": pa.array(keys[order], type=pa.float64()),
+            }
+        )
+
+    pruned = documents.map_batches(score_prune, batch_format="pyarrow")
+    return (
+        pruned.sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["doc_id", "n_chars"])
+    )

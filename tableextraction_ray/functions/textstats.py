@@ -3835,3 +3835,45 @@ def bpe_merge_step(ds: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
     return pairs.sort(
         ["n", "left_sym", "right_sym"], descending=[True, False, False]
     ).limit(k)
+
+
+def lang_id_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, pred_lang, n) — confusion matrix of the [[lang_id]]
+    heuristic against the corpus's labeled ``lang`` column: the
+    eval-the-filter step a pipeline runs BEFORE trusting a cheap
+    language gate to route 10¹² documents (precision/recall per label
+    fall out of the matrix). Same Cyrillic-share predictor as lang_id
+    (>30% non-space chars in [Ѐ-ӿ] → 'cyr'), counted per (true,
+    predicted) cell: per-block prediction + Counter partials → ONE
+    ≤|langs|²-row keyed sum; text never shuffles."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        space_re = _space_re()
+        c: Counter = Counter()
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            chars = space_re.sub("", t)
+            n_cyr = sum(1 for ch in chars if "Ѐ" <= ch <= "ӿ")
+            pred = (
+                "cyr" if chars and n_cyr * 10 > 3 * len(chars) else "lat"
+            )
+            c[(lang, pred)] += 1
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([k[0] for k in c], type=pa.string()),
+                "pred_lang": pa.array(
+                    [k[1] for k in c], type=pa.string()
+                ),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -734,3 +734,95 @@ class TestDupGraphAssortativity:
             deg[a] * deg[b] for a, b in dir_edges
         )
         assert got["n_dir"] > 0
+
+
+class TestLangIdConfusion:
+    def test_confusion_counts(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        rows = [
+            ("ru", "привет мир снова"),       # cyr predicted
+            ("ru", "hello world plain"),       # mislabeled -> lat
+            ("en", "hello world again"),       # lat
+            ("en", "опечатка всюду тут"),      # mislabeled -> cyr
+            ("en", "plain text here"),
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                "lang": pa.array([r[0] for r in rows], type=pa.string()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+        got = sorted(
+            (r["lang"], r["pred_lang"], r["n"])
+            for r in textstats.lang_id_confusion(
+                ray.data.from_arrow(t).repartition(3)
+            ).take_all()
+        )
+        assert got == [
+            ("en", "cyr", 1),
+            ("en", "lat", 2),
+            ("ru", "cyr", 1),
+            ("ru", "lat", 1),
+        ]
+
+
+class TestWsampleNoreplace:
+    def _docs(self, weights, parts=5):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        range(len(weights)), type=pa.int64()
+                    ),
+                    "n_chars": pa.array(weights, type=pa.int64()),
+                }
+            )
+        ).repartition(parts)
+
+    def _replay(self, weights, k):
+        import hashlib
+        import math
+
+        keys = []
+        for d, w in enumerate(weights):
+            if w <= 0:
+                continue
+            h = int(
+                hashlib.md5(f"ws:{d}".encode()).hexdigest()[:15], 16
+            )
+            keys.append(
+                (-(math.log((h + 1) / 1152921504606846976.0) / w), d, w)
+            )
+        keys.sort()
+        return [(d, w) for _, d, w in keys[:k]]
+
+    def test_matches_replay_and_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions import selection
+
+        rng = np.random.RandomState(41)
+        weights = rng.randint(1, 5000, 400).tolist() + [0, 0]
+        want = self._replay(weights, 50)
+        for parts in (1, 9):
+            got = [
+                (r["doc_id"], r["n_chars"])
+                for r in selection.wsample_noreplace(
+                    self._docs(weights, parts=parts), k=50
+                ).take_all()
+            ]
+            assert got == want
+        assert len(want) == 50
+
+    def test_weight_bias(self, ray_session):
+        """Heavy docs must be overrepresented: with half the docs at
+        weight 1000 and half at weight 1, the top-50 is dominated by
+        heavy docs."""
+        from tableextraction_ray.functions import selection
+
+        weights = [1000] * 200 + [1] * 200
+        got = selection.wsample_noreplace(
+            self._docs(weights), k=50
+        ).take_all()
+        heavy = sum(1 for r in got if r["n_chars"] == 1000)
+        assert heavy >= 45
