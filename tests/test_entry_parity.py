@@ -87,6 +87,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "media_payload_size_hist",
             "canonicalize_media_refs",
             "span_kind_transitions",
+            "span_media_locality",
         )
         else SF_DIR
     )
