@@ -287,6 +287,7 @@ _R4_QUERIES: list[str] = [
     "dup_graph_assortativity",
     "lang_id_confusion",
     "wsample_noreplace",
+    "corpus_datasheet",
 ]
 
 
@@ -1449,6 +1450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "wsample_noreplace": lambda sf: selection.wsample_noreplace(
             docs(sf, ["doc_id", "n_chars"])
+        ),
+        "corpus_datasheet": lambda sf: textstats.corpus_datasheet(
+            docs(sf, ["doc_id", "text", "source", "lang"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7109,6 +7113,29 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Datasheet header block: all-integer corpus rollup; unique texts
+    # counted on the shared 60-bit md5 grid.
+    d["corpus_datasheet"] = r"""
+        WITH t AS (
+          SELECT text, source, lang,
+                 regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT
+                 ('0x' || substring(md5(text), 1, 15))::BIGINT
+               ) AS BIGINT) AS n_unique_texts,
+               CAST((COUNT(*) - COUNT(DISTINCT
+                 ('0x' || substring(md5(text), 1, 15))::BIGINT
+               )) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+               (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+                FROM (SELECT unnest(w) AS tok FROM t)) AS vocab_size
+        FROM t
     """
     # Confusion matrix of the lang_id heuristic vs the labeled column —
     # same Cyrillic-share predicate as the lang_id oracle, grouped.

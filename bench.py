@@ -290,6 +290,7 @@ QUERY_SUITE = [
     "dup_graph_assortativity",
     "lang_id_confusion",
     "wsample_noreplace",
+    "corpus_datasheet",
 ]
 
 

@@ -3877,3 +3877,110 @@ def lang_id_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby(["lang", "pred_lang"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE datasheet row — (n_docs, total_chars, total_tokens,
+    n_sources, n_langs, n_unique_texts, dup_ppm, vocab_size) — the
+    "datasheet for datasets" header block every corpus release carries:
+    scale, composition breadth, exact-duplicate load (dup_ppm =
+    (n_docs − n_unique)·10⁶ // n_docs) and vocabulary size, all exact
+    integers from one pass + two bounded folds.
+
+    Shape: per-block partials carry (counts, chars, tokens, distinct
+    sources/langs/tokens as bounded sets, 60-bit md5 text hashes);
+    the ONLY row-proportional exchange is the text-hash distinct
+    count ([[keyed_fold]] over 8-byte hashes — text itself never
+    ships); sources/langs/vocab ride as ≤domain-size set partials.
+    60-bit hash collisions undercount uniques at ~n²/2⁶¹ — the same
+    documented contract as [[dedup_exact]]'s md5 keys."""
+    import hashlib
+
+    from .exchange import keyed_fold
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hs, type=pa.int64()),
+                "one": pa.array(np.ones(len(hs), dtype=np.int64)),
+            }
+        )
+
+    uniq = keyed_fold(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        "h",
+        [("one", "min")],
+    )
+    n_unique = sum(
+        r["c"]
+        for r in uniq.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"c": pa.array([b.num_rows], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = 0
+        vocab: set = set()
+        for t in texts:
+            tt = ascii_tokens(t)
+            toks += len(tt)
+            vocab.update(tt)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "chars": pa.array(
+                    [sum(len(t) for t in texts)], type=pa.int64()
+                ),
+                "toks": pa.array([toks], type=pa.int64()),
+                "sources": pa.array(
+                    [sorted(set(batch["source"].to_pylist()))],
+                    type=pa.list_(pa.string()),
+                ),
+                "langs": pa.array(
+                    [sorted(set(batch["lang"].to_pylist()))],
+                    type=pa.list_(pa.string()),
+                ),
+                "vocab": pa.array(
+                    [sorted(vocab)], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    n_docs = total_chars = total_toks = 0
+    sources: set = set()
+    langs: set = set()
+    vocab: set = set()
+    for r in ds.map_batches(
+        stat_partial, batch_format="pyarrow"
+    ).take_all():
+        n_docs += r["n"]
+        total_chars += r["chars"]
+        total_toks += r["toks"]
+        sources.update(r["sources"])
+        langs.update(r["langs"])
+        vocab.update(r["vocab"])
+    dup_ppm = (
+        (n_docs - n_unique) * 1_000_000 // n_docs if n_docs else 0
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "total_chars": pa.array([total_chars], type=pa.int64()),
+                "total_tokens": pa.array([total_toks], type=pa.int64()),
+                "n_sources": pa.array([len(sources)], type=pa.int64()),
+                "n_langs": pa.array([len(langs)], type=pa.int64()),
+                "n_unique_texts": pa.array([n_unique], type=pa.int64()),
+                "dup_ppm": pa.array([dup_ppm], type=pa.int64()),
+                "vocab_size": pa.array([len(vocab)], type=pa.int64()),
+            }
+        )
+    )

@@ -826,3 +826,59 @@ class TestWsampleNoreplace:
         ).take_all()
         heavy = sum(1 for r in got if r["n_chars"] == 1000)
         assert heavy >= 45
+
+
+class TestCorpusDatasheet:
+    def test_counts_with_duplicates(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        texts = ["aa bb cc", "aa bb cc", "dd ee", "ff", "dd ee"]
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(5), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "source": pa.array(
+                    ["s1", "s1", "s2", "s3", "s2"], type=pa.string()
+                ),
+                "lang": pa.array(
+                    ["en", "en", "ru", "en", "ru"], type=pa.string()
+                ),
+            }
+        )
+        got = textstats.corpus_datasheet(
+            ray.data.from_arrow(t).repartition(3)
+        ).take_all()[0]
+        assert got["n_docs"] == 5
+        assert got["total_chars"] == sum(len(x) for x in texts)
+        assert got["total_tokens"] == 11
+        assert got["n_sources"] == 3
+        assert got["n_langs"] == 2
+        assert got["n_unique_texts"] == 3
+        assert got["dup_ppm"] == 2 * 1_000_000 // 5
+        assert got["vocab_size"] == 6
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        rng = np.random.RandomState(43)
+        texts = [
+            " ".join(
+                rng.choice(["tok%d" % i for i in range(12)], 6)
+            )
+            for _ in range(120)
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(120), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "source": pa.array(["s"] * 120, type=pa.string()),
+                "lang": pa.array(["en"] * 120, type=pa.string()),
+            }
+        )
+        a = textstats.corpus_datasheet(
+            ray.data.from_arrow(t).repartition(1)
+        ).take_all()
+        b = textstats.corpus_datasheet(
+            ray.data.from_arrow(t).repartition(9)
+        ).take_all()
+        assert a == b
