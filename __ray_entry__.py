@@ -288,6 +288,7 @@ _R4_QUERIES: list[str] = [
     "lang_id_confusion",
     "wsample_noreplace",
     "corpus_datasheet",
+    "daily_revenue_autocorr",
 ]
 
 
@@ -1453,6 +1454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "corpus_datasheet": lambda sf: textstats.corpus_datasheet(
             docs(sf, ["doc_id", "text", "source", "lang"])
+        ),
+        "daily_revenue_autocorr": lambda sf: relational.daily_revenue_autocorr(
+            _read(sf, "orders", ["o_orderdate", "o_totalprice"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7113,6 +7117,27 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Lag-1 autocorrelation sufficient statistics of the daily revenue
+    # series — consecutive-calendar-day pairs only, exact integer sums.
+    d["daily_revenue_autocorr"] = """
+        WITH dd AS (
+          SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      // 100 AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ),
+        p AS (
+          SELECT a.c AS x, b.c AS y
+          FROM dd a JOIN dd b ON b.day = a.day + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+               CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        FROM p
     """
     # Datasheet header block: all-integer corpus rollup; unique texts
     # counted on the shared 60-bit md5 grid.

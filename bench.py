@@ -291,6 +291,7 @@ QUERY_SUITE = [
     "lang_id_confusion",
     "wsample_noreplace",
     "corpus_datasheet",
+    "daily_revenue_autocorr",
 ]
 
 

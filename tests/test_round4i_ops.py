@@ -882,3 +882,56 @@ class TestCorpusDatasheet:
             ray.data.from_arrow(t).repartition(9)
         ).take_all()
         assert a == b
+
+
+class TestDailyRevenueAutocorr:
+    def _orders(self, day_vals, parts=4):
+        ts = [
+            datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(days=int(d))
+            for d, _ in day_vals
+        ]
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "o_orderdate": pa.array(ts, type=pa.timestamp("us")),
+                    "o_totalprice": pa.array(
+                        [float(v) for _, v in day_vals],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+        ).repartition(parts)
+
+    def test_matches_series_replay_with_gap(self, ray_session):
+        # days 0,1,2 then a gap, then 5,6: pairs (0,1),(1,2),(5,6)
+        rows = [
+            (0, 10.0), (0, 5.0), (1, 20.0), (2, 7.5),
+            (5, 100.0), (6, 40.0),
+        ]
+        got = relational.daily_revenue_autocorr(
+            self._orders(rows)
+        ).take_all()[0]
+        series = {0: 15, 1: 20, 2: 7, 5: 100, 6: 40}  # dollars (floor)
+        pairs = [(15, 20), (20, 7), (100, 40)]
+        assert got["n_pairs"] == 3
+        assert got["sum_x"] == sum(x for x, _ in pairs)
+        assert got["sum_y"] == sum(y for _, y in pairs)
+        assert got["sum_xy"] == sum(x * y for x, y in pairs)
+        assert got["sum_x2"] == sum(x * x for x, _ in pairs)
+        assert got["sum_y2"] == sum(y * y for _, y in pairs)
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(47)
+        rows = [
+            (int(rng.randint(0, 40)), float(np.round(rng.uniform(1, 500), 2)))
+            for _ in range(600)
+        ]
+        a = relational.daily_revenue_autocorr(
+            self._orders(rows, parts=1)
+        ).take_all()
+        b = relational.daily_revenue_autocorr(
+            self._orders(rows, parts=9)
+        ).take_all()
+        assert a == b
+        assert a[0]["n_pairs"] > 10
