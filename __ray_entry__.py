@@ -289,6 +289,8 @@ _R4_QUERIES: list[str] = [
     "wsample_noreplace",
     "corpus_datasheet",
     "daily_revenue_autocorr",
+    "span_run_lengths",
+    "orders_backlog_series",
 ]
 
 
@@ -1457,6 +1459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "daily_revenue_autocorr": lambda sf: relational.daily_revenue_autocorr(
             _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+        ),
+        "span_run_lengths": lambda sf: interleaved.span_run_lengths(
+            _spans(sf)
+        ),
+        "orders_backlog_series": lambda sf: relational.orders_backlog_series(
+            _read(sf, "orders", ["o_orderkey", "o_orderdate"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7117,6 +7126,54 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Gaps-and-islands run-length histogram over span kinds (offset
+    # order per doc) — the classic row_number-difference islands query.
+    d["span_run_lengths"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY u.s."offset"
+                 ) AS rn
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        isl AS (
+          SELECT doc_id, kind,
+                 rn - row_number() OVER (
+                   PARTITION BY doc_id, kind ORDER BY rn
+                 ) AS grp
+          FROM s
+        ),
+        runs AS (
+          SELECT kind, CAST(COUNT(*) AS BIGINT) AS run_len
+          FROM isl GROUP BY doc_id, kind, grp
+        )
+        SELECT kind, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2
+    """
+    # Open-order backlog step function: +1 at order day, -1 the day
+    # after the last ship day, running sum over event days.
+    d["orders_backlog_series"] = """
+        WITH ls AS (
+          SELECT l_orderkey,
+                 MAX(epoch_us(l_shipdate) // 86400000000) AS eday
+          FROM lineitem GROUP BY 1
+        ),
+        o AS (
+          SELECT epoch_us(od.o_orderdate) // 86400000000 AS sday,
+                 ls.eday
+          FROM orders od JOIN ls ON ls.l_orderkey = od.o_orderkey
+        ),
+        ev AS (
+          SELECT sday AS day, 1 AS d FROM o
+          UNION ALL SELECT eday + 1 AS day, -1 AS d FROM o
+        ),
+        g AS (SELECT day, SUM(d) AS dd FROM ev GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS backlog
+        FROM g
     """
     # Lag-1 autocorrelation sufficient statistics of the daily revenue
     # series — consecutive-calendar-day pairs only, exact integer sums.

@@ -292,6 +292,8 @@ QUERY_SUITE = [
     "wsample_noreplace",
     "corpus_datasheet",
     "daily_revenue_autocorr",
+    "span_run_lengths",
+    "orders_backlog_series",
 ]
 
 

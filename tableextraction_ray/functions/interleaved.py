@@ -1335,3 +1335,53 @@ def span_media_locality(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("dist")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def span_run_lengths(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(kind, run_len, n_runs) — histogram of MAXIMAL same-kind span
+    runs across the corpus (offset order within each doc): long media
+    runs are image galleries, long text runs are prose walls — the
+    layout-grammar census that sizes [[interleave_pack]]'s
+    text/media interleaving budget and flags gallery-only pages before
+    a captioning stage wastes compute on them
+    ([[span_kind_transitions]] counts pair boundaries; this measures
+    the full run-length distribution).
+
+    Per-batch vectorized gaps-and-islands: one (parent, offset)
+    lexsort, run starts are kind-change ∨ doc-change positions, run
+    lengths fall out of np.diff on the start indices; (kind, len)
+    Counter partials → ONE tiny keyed sum. The oracle is the classic
+    row_number-difference islands query."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, parent, order, n_docs, fields = _flat_spans(batch)
+        kind = fields["kind"].to_numpy(zero_copy_only=False)[order]
+        par = parent[order]
+        n = len(par)
+        c: Counter = Counter()
+        if n:
+            brk = np.r_[
+                True, (par[1:] != par[:-1]) | (kind[1:] != kind[:-1])
+            ]
+            starts = np.flatnonzero(brk)
+            lens = np.diff(np.r_[starts, n])
+            for s, ln in zip(starts.tolist(), lens.tolist()):
+                c[(kind[s], int(ln))] += 1
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array([k for k, _ in c], type=pa.string()),
+                "run_len": pa.array(
+                    [ln for _, ln in c], type=pa.int64()
+                ),
+                "n_runs": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "run_len"])
+        .aggregate(Sum("n_runs", alias_name="n_runs"))
+    )

@@ -9598,3 +9598,112 @@ def daily_revenue_autocorr(orders: ray.data.Dataset) -> ray.data.Dataset:
     return per_day.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def orders_backlog_series(
+    orders: ray.data.Dataset, lineitem: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(day, backlog) — the open-order backlog series: on each event
+    day, how many orders have been PLACED but not yet FULLY shipped
+    (open over [order day, last ship day] inclusive; rows are emitted
+    at the days where the count changes — the sparse step function).
+    THE operations dashboard line next to [[peak_concurrency]] (same
+    sweep idea on the calendar axis) and [[late_shipment_orders]].
+
+    Shape: per-order last ship day via ONE [[keyed_fold]] max over
+    lineitem's (orderkey, shipday) projection; order date attaches
+    through the guarded [[keyed_attach_int]] (broadcast under the
+    limit, tagged-union shuffle above); each open interval emits ±1
+    endpoint-day rows, per-block np.bincount partials fold to ONE
+    ≤#days keyed sum, and the running total resolves on the
+    calendar-bounded tail (repartition(1) cumsum). Orders with no
+    lineitem rows drop out (inner-join semantics, mirrored in the
+    oracle)."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import keyed_fold
+
+    DAY = 86_400_000_000
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": batch["l_orderkey"].cast(pa.int64()),
+                "eday": pa.array(
+                    batch["l_shipdate"].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    // DAY,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    last_ship = keyed_fold(
+        lineitem.map_batches(li_proj, batch_format="pyarrow"),
+        "k",
+        [("eday", "max")],
+    )
+
+    def ord_proj(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": batch["o_orderkey"].cast(pa.int64()),
+                "sday": pa.array(
+                    batch["o_orderdate"].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    // DAY,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    spans = keyed_attach_int(
+        last_ship,
+        orders.map_batches(ord_proj, batch_format="pyarrow"),
+        key="k",
+        val="sday",
+        payload=("eday",),
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch["sday"].to_numpy(zero_copy_only=False)
+        e = batch["eday"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(
+                    np.concatenate([s, e + 1]), type=pa.int64()
+                ),
+                "d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(n, dtype=np.int64),
+                            -np.ones(n, dtype=np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    per_day = (
+        spans.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("d", alias_name="dd"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["day"].to_pylist(), dtype=np.int64)
+        dd = np.asarray(batch["dd"].to_pylist(), dtype=np.int64)
+        order = np.argsort(days)
+        days, dd = days[order], dd[order]
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(days, type=pa.int64()),
+                "backlog": pa.array(np.cumsum(dd), type=pa.int64()),
+            }
+        )
+
+    return per_day.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -88,6 +88,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "canonicalize_media_refs",
             "span_kind_transitions",
             "span_media_locality",
+            "span_run_lengths",
         )
         else SF_DIR
     )

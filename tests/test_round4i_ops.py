@@ -935,3 +935,92 @@ class TestDailyRevenueAutocorr:
         ).take_all()
         assert a == b
         assert a[0]["n_pairs"] > 10
+
+
+class TestSpanRunLengths:
+    def test_rle_histogram(self, ray_session):
+        from tableextraction_ray.functions import interleaved
+
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        docs = [
+            ("a", ["text", "text", "media", "media", "media", "text"]),
+            ("b", ["media", "text", "text"]),
+            ("c", ["text"]),
+        ]
+        rows = [
+            {
+                "doc_id": did,
+                "spans": [
+                    {"kind": k, "text": "", "media_ref": "", "offset": j}
+                    for j, k in enumerate(kinds)
+                ],
+            }
+            for did, kinds in docs
+        ]
+        t = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("doc_id", pa.string()), ("spans", pa.list_(span_t))]
+            ),
+        )
+        got = sorted(
+            (r["kind"], r["run_len"], r["n_runs"])
+            for r in interleaved.span_run_lengths(
+                ray.data.from_arrow(t).repartition(2)
+            ).take_all()
+        )
+        # runs: a: text2, media3, text1; b: media1, text2; c: text1
+        assert got == [
+            ("media", 1, 1),
+            ("media", 3, 1),
+            ("text", 1, 2),
+            ("text", 2, 2),
+        ]
+
+
+class TestOrdersBacklogSeries:
+    def test_step_function_replay(self, ray_session):
+        base = datetime.datetime(1995, 1, 1)
+        o = pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    [base, base + datetime.timedelta(days=1), base],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        # order 1 ships over days 2,4; order 2 ships day 2; order 3 no lines
+        li = pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+                "l_shipdate": pa.array(
+                    [
+                        base + datetime.timedelta(days=2),
+                        base + datetime.timedelta(days=4),
+                        base + datetime.timedelta(days=2),
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        got = [
+            (r["day"], r["backlog"])
+            for r in relational.orders_backlog_series(
+                ray.data.from_arrow(o).repartition(2),
+                ray.data.from_arrow(li).repartition(2),
+            ).take_all()
+        ]
+        d0 = (base - datetime.datetime(1970, 1, 1)).days
+        # day d0: order1 opens (1); d0+1: order2 opens (2); d0+3:
+        # order2 closed after day 2 (1); d0+5: order1 closed (0).
+        assert got == [
+            (d0, 1), (d0 + 1, 2), (d0 + 3, 1), (d0 + 5, 0)
+        ]
