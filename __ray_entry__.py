@@ -291,6 +291,7 @@ _R4_QUERIES: list[str] = [
     "daily_revenue_autocorr",
     "span_run_lengths",
     "orders_backlog_series",
+    "transition_entropy",
 ]
 
 
@@ -1466,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backlog_series": lambda sf: relational.orders_backlog_series(
             _read(sf, "orders", ["o_orderkey", "o_orderdate"]),
             _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+        ),
+        "transition_entropy": lambda sf: relational.transition_entropy(
+            _read(sf, "events", ["user_id", "event_id", "event_type", "ts"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7126,6 +7130,33 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Conditional next-type entropy per current type: per-cell
+    # floor(n*ln(n)*1e6) quantized before summation, shared libm ln.
+    d["transition_entropy"] = """
+        WITH w AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ),
+        c AS (
+          SELECT prev AS prev_type, event_type AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT prev_type, SUM(n) AS nt, COUNT(*) AS k,
+                 SUM(CAST(FLOOR(n * ln(n) * 1e6) AS BIGINT)) AS s
+          FROM c GROUP BY 1
+        )
+        SELECT prev_type, CAST(nt AS BIGINT) AS n_trans,
+               CAST(k AS BIGINT) AS n_next_types,
+               CAST(FLOOR(
+                 (ln(nt) - (s / 1e6) / nt) * 1e6 + 0.5
+               ) AS BIGINT) AS ent_fp6
+        FROM t
     """
     # Gaps-and-islands run-length histogram over span kinds (offset
     # order per doc) — the classic row_number-difference islands query.

@@ -294,6 +294,7 @@ QUERY_SUITE = [
     "daily_revenue_autocorr",
     "span_run_lengths",
     "orders_backlog_series",
+    "transition_entropy",
 ]
 
 

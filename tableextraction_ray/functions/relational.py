@@ -9707,3 +9707,62 @@ def orders_backlog_series(
     return per_day.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def transition_entropy(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(prev_type, n_trans, n_next_types, ent_fp6) — conditional
+    Shannon entropy (nats) of the next event type given the current
+    one, per current type: the predictability profile of the behavior
+    Markov chain ([[event_transitions]] gives the counts; this is the
+    one-number-per-state summary — ent≈0 means the next step is
+    deterministic, ent≈ln(k) means anything goes, and the
+    traffic-weighted mean is the chain's entropy rate).
+
+    Exact-replay contract (the [[source_token_entropy]] discipline):
+    per-cell floor(n·ln(n)·1e6) quantizes BEFORE summation, ln is
+    platform libm on both sides, and the final
+    ln(N_t) − (S/1e6)/N_t evaluates as ONE fixed IEEE-double sequence
+    then floors to fp6. Shape: the [[event_transitions]] exchange
+    (ONE user-keyed groupby collapsing straight to pair counts), then
+    the ≤|types|² count table resolves on the driver-sized tail."""
+    import math
+
+    counts = event_transitions(events)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        prev = batch["prev_type"].to_pylist()
+        n = batch["n"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for p, c in zip(prev, n):
+            a = agg.setdefault(p, [0, 0, 0])
+            a[0] += int(c)
+            a[1] += 1
+            a[2] += math.floor(c * math.log(c) * 1e6)
+        keys = sorted(agg)
+        ent = [
+            math.floor(
+                (
+                    math.log(agg[p][0])
+                    - (agg[p][2] / 1e6) / agg[p][0]
+                )
+                * 1e6
+                + 0.5
+            )
+            for p in keys
+        ]
+        return pa.Table.from_pydict(
+            {
+                "prev_type": pa.array(keys, type=pa.string()),
+                "n_trans": pa.array(
+                    [agg[p][0] for p in keys], type=pa.int64()
+                ),
+                "n_next_types": pa.array(
+                    [agg[p][1] for p in keys], type=pa.int64()
+                ),
+                "ent_fp6": pa.array(ent, type=pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

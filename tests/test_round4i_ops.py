@@ -1024,3 +1024,51 @@ class TestOrdersBacklogSeries:
         assert got == [
             (d0, 1), (d0 + 1, 2), (d0 + 3, 1), (d0 + 5, 0)
         ]
+
+
+class TestTransitionEntropy:
+    def test_deterministic_vs_uniform(self, ray_session):
+        import math
+
+        # user streams: after 'a' always 'b' (H=0); after 'b', a/c
+        # evenly (H=ln 2)
+        rows = []
+        m = 0
+        for u in range(8):
+            seq = ["a", "b", "a", "b", "c"] if u % 2 else ["a", "b", "c"]
+            for s in seq:
+                rows.append((u, s, m, 1.0))
+                m += 1
+        got = {
+            r["prev_type"]: r
+            for r in relational.transition_entropy(
+                _ev(rows, parts=5)
+            ).take_all()
+        }
+        # replay
+        from collections import Counter
+
+        trans: Counter = Counter()
+        byu: dict = {}
+        for u, s, mm, _ in rows:
+            byu.setdefault(u, []).append((mm, s))
+        for u, seq in byu.items():
+            seq = [s for _, s in sorted(seq)]
+            for p, nx in zip(seq, seq[1:]):
+                trans[(p, nx)] += 1
+        agg: dict = {}
+        for (p, _), c in trans.items():
+            a = agg.setdefault(p, [0, 0, 0])
+            a[0] += c
+            a[1] += 1
+            a[2] += math.floor(c * math.log(c) * 1e6)
+        for p, (nt, k, s) in agg.items():
+            want = math.floor(
+                (math.log(nt) - (s / 1e6) / nt) * 1e6 + 0.5
+            )
+            g = got[p]
+            assert (g["n_trans"], g["n_next_types"], g["ent_fp6"]) == (
+                nt, k, want
+            )
+        # 'a' is always followed by 'b': zero entropy
+        assert got["a"]["ent_fp6"] == 0
