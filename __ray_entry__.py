@@ -292,6 +292,7 @@ _R4_QUERIES: list[str] = [
     "span_run_lengths",
     "orders_backlog_series",
     "transition_entropy",
+    "bloom_fpr_report",
 ]
 
 
@@ -1470,6 +1471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "transition_entropy": lambda sf: relational.transition_entropy(
             _read(sf, "events", ["user_id", "event_id", "event_type", "ts"])
+        ),
+        "bloom_fpr_report": lambda sf: relational.bloom_fpr_report(
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7130,6 +7134,49 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Measured Bloom false-positive rate: same md5 hex-parse positions
+    # replayed per out-of-segment key; fp = all k positions set.
+    d["bloom_fpr_report"] = """
+        WITH ink AS (
+          SELECT DISTINCT c_custkey AS key FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ),
+        outk AS (
+          SELECT DISTINCT c_custkey AS key FROM customer
+          WHERE c_mktsegment <> 'BUILDING'
+        ),
+        bitpos AS (
+          SELECT DISTINCT
+            ('0x' || substring(md5('bloom:' || CAST(r.j AS VARCHAR) ||
+                                   ':' || CAST(ink.key AS VARCHAR)),
+                               1, 15))::BIGINT % 8192 AS pos
+          FROM ink CROSS JOIN (SELECT unnest(range(4)) AS j) r
+        ),
+        pr AS (
+          SELECT o.key,
+                 SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nset
+          FROM (
+            SELECT outk.key,
+              ('0x' || substring(md5('bloom:' || CAST(r.j AS VARCHAR) ||
+                                     ':' || CAST(outk.key AS VARCHAR)),
+                                 1, 15))::BIGINT % 8192 AS pos
+            FROM outk CROSS JOIN (SELECT unnest(range(4)) AS j) r
+          ) o LEFT JOIN bitpos b ON b.pos = o.pos
+          GROUP BY o.key
+        ),
+        s AS (
+          SELECT (SELECT COUNT(*) FROM ink) AS n_in,
+                 (SELECT COUNT(*) FROM outk) AS n_out,
+                 (SELECT COUNT(*) FROM pr WHERE nset = 4) AS n_fp
+        )
+        SELECT CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(n_fp AS BIGINT) AS n_fp,
+               CAST(n_fp * 1000000 // n_out AS BIGINT) AS fpr_ppm,
+               CAST(8192 AS BIGINT) AS m_bits,
+               CAST(4 AS BIGINT) AS k_hashes
+        FROM s
     """
     # Conditional next-type entropy per current type: per-cell
     # floor(n*ln(n)*1e6) quantized before summation, shared libm ln.

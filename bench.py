@@ -295,6 +295,7 @@ QUERY_SUITE = [
     "span_run_lengths",
     "orders_backlog_series",
     "transition_entropy",
+    "bloom_fpr_report",
 ]
 
 

@@ -9766,3 +9766,79 @@ def transition_entropy(events: ray.data.Dataset) -> ray.data.Dataset:
     return counts.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def bloom_fpr_report(
+    customer: ray.data.Dataset,
+    segment: str = "BUILDING",
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> ray.data.Dataset:
+    """(n_in, n_out, n_fp, fpr_ppm, m_bits, k_hashes) — MEASURED
+    false-positive rate of the [[orders_for_segment]] Bloom filter:
+    build the filter over the segment's custkeys, probe every
+    out-of-segment custkey, count the keys the filter wrongly admits.
+    The commit-gate audit for Bloom-pruned semi-joins (the
+    [[hll_error_report]]/[[cms_error_report]] pattern applied to the
+    third sketch in the house): measured fpr_ppm against the
+    (1−e^{−kn/m})^k design point decides whether m/k need resizing
+    before the 10¹²-row fact scan trusts the filter.
+
+    Shape: ONE [[bloom_build]] pass (driver-folded m/8 KB bits), then
+    ONE customer scan probing distinct out-of-segment keys per block
+    against the broadcast bits — (in, out, fp) int partials fold on
+    the driver; no shuffle anywhere."""
+
+    seg_keys = customer.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], pa.scalar(segment))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    bits_ref = ray.put(bloom_build(seg_keys, "c_custkey", m, k))
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        seg = pc.equal(
+            batch["c_mktsegment"], pa.scalar(segment)
+        ).to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            batch["c_custkey"].to_pylist(), dtype=np.int64
+        )
+        n_in = int(seg.sum())
+        out_keys = set(keys[~seg].tolist())
+        n_fp = sum(
+            1
+            for key in out_keys
+            if bits[_bloom_positions(int(key), m, k)].all()
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_in": pa.array([n_in], type=pa.int64()),
+                "n_out": pa.array([len(out_keys)], type=pa.int64()),
+                "n_fp": pa.array([n_fp], type=pa.int64()),
+            }
+        )
+
+    n_in = n_out = n_fp = 0
+    for r in customer.map_batches(
+        probe_partial, batch_format="pyarrow"
+    ).take_all():
+        n_in += r["n_in"]
+        n_out += r["n_out"]
+        n_fp += r["n_fp"]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_in": pa.array([n_in], type=pa.int64()),
+                "n_out": pa.array([n_out], type=pa.int64()),
+                "n_fp": pa.array([n_fp], type=pa.int64()),
+                "fpr_ppm": pa.array(
+                    [n_fp * 1_000_000 // n_out if n_out else 0],
+                    type=pa.int64(),
+                ),
+                "m_bits": pa.array([m], type=pa.int64()),
+                "k_hashes": pa.array([k], type=pa.int64()),
+            }
+        )
+    )

@@ -1072,3 +1072,51 @@ class TestTransitionEntropy:
             )
         # 'a' is always followed by 'b': zero entropy
         assert got["a"]["ent_fp6"] == 0
+
+
+class TestBloomFprReport:
+    def test_forced_fp_matches_replay(self, ray_session):
+        import hashlib
+
+        m, k = 128, 2  # deliberately tiny -> real false positives
+        t = pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(range(400), type=pa.int64()),
+                "c_mktsegment": pa.array(
+                    [
+                        "BUILDING" if i % 4 == 0 else "OTHER"
+                        for i in range(400)
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+        got = relational.bloom_fpr_report(
+            ray.data.from_arrow(t).repartition(5), m=m, k=k
+        ).take_all()[0]
+
+        def positions(key):
+            return [
+                int(
+                    hashlib.md5(f"bloom:{j}:{key}".encode()).hexdigest()[
+                        :15
+                    ],
+                    16,
+                )
+                % m
+                for j in range(k)
+            ]
+
+        bits = set()
+        for key in range(0, 400, 4):
+            bits.update(positions(key))
+        fp = sum(
+            1
+            for key in range(400)
+            if key % 4 != 0 and all(p in bits for p in positions(key))
+        )
+        assert got["n_in"] == 100
+        assert got["n_out"] == 300
+        assert got["n_fp"] == fp
+        assert got["fpr_ppm"] == fp * 1_000_000 // 300
+        assert fp > 10  # the tiny filter must actually saturate
