@@ -293,6 +293,7 @@ _R4_QUERIES: list[str] = [
     "orders_backlog_series",
     "transition_entropy",
     "bloom_fpr_report",
+    "packing_efficiency",
 ]
 
 
@@ -1474,6 +1475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "bloom_fpr_report": lambda sf: relational.bloom_fpr_report(
             _read(sf, "customer", ["c_custkey", "c_mktsegment"])
+        ),
+        "packing_efficiency": lambda sf: textstats.packing_efficiency_report(
+            docs(sf, ["doc_id", "n_chars"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7134,6 +7138,22 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Bin-fill audit of pack_sequences: sequence counts from the same
+    # recursive-CTE pack replay, used chars from the documents table.
+    d["packing_efficiency"] = f"""
+        WITH p AS ({d['pack_sequences']}),
+        s AS (SELECT shard, MAX(seq_no) + 1 AS ns FROM p GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_seqs FROM s),
+        dd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS used FROM documents
+        )
+        SELECT dd.n_docs, tot.n_seqs, dd.used AS used_chars,
+               CAST(tot.n_seqs * 1000 AS BIGINT) AS cap_chars,
+               CAST(dd.used * 1000000 // (tot.n_seqs * 1000)
+                    AS BIGINT) AS util_ppm
+        FROM dd, tot
     """
     # Measured Bloom false-positive rate: same md5 hex-parse positions
     # replayed per out-of-segment key; fp = all k positions set.

@@ -296,6 +296,7 @@ QUERY_SUITE = [
     "orders_backlog_series",
     "transition_entropy",
     "bloom_fpr_report",
+    "packing_efficiency",
 ]
 
 

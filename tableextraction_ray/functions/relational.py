@@ -9189,6 +9189,15 @@ def zorder_keys(events: ray.data.Dataset, bits: int = 8) -> ray.data.Dataset:
     ext = events.map_batches(
         extremes, batch_format="pyarrow"
     ).take_all()
+    if not ext:  # empty input: empty (z, n) table, schema intact
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "z": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     c_lo = min(r["c_lo"] for r in ext)
     c_hi = max(r["c_hi"] for r in ext)
     t_lo = min(r["t_lo"] for r in ext)

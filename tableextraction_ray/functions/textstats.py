@@ -3984,3 +3984,66 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def packing_efficiency_report(
+    ds: ray.data.Dataset, capacity: int = 1000, shard_size: int = 64
+) -> ray.data.Dataset:
+    """(n_docs, n_seqs, used_chars, cap_chars, util_ppm) — the bin-fill
+    audit of [[pack_sequences]] under the same (capacity, shard_size):
+    how much of the allocated sequence budget the greedy next-fit pack
+    actually fills (util_ppm = used·10⁶ // cap). The
+    pick-the-capacity dial a pretraining data team turns before
+    committing a pack — utilization collapses when capacity ≈ doc
+    length (every doc strands half a bin) and recovers as
+    capacity ≫ median length.
+
+    Shape: sequence counts come from the pack output's per-shard max
+    seq_no (ONE bounded [[keyed_fold]] max over ≤ #shards rows — the
+    pack's own keyed exchange already ran); used chars fold straight
+    from the input ([[corpus_datasheet]] partials). Single audit row."""
+    from .exchange import keyed_fold
+
+    packed = pack_sequences(ds, capacity=capacity, shard_size=shard_size)
+    per_shard = keyed_fold(
+        packed.map_batches(
+            lambda b: b.select(["shard", "seq_no"]),
+            batch_format="pyarrow",
+        ),
+        "shard",
+        [("seq_no", "max")],
+    )
+    n_seqs = sum(
+        r["seq_no"] + 1 for r in per_shard.take_all()
+    )  # O(#shards) driver rows
+
+    def char_partial(batch: pa.Table) -> pa.Table:
+        c = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "chars": pa.array([int(c.sum())], type=pa.int64()),
+            }
+        )
+
+    n_docs = used = 0
+    for r in ds.map_batches(
+        char_partial, batch_format="pyarrow"
+    ).take_all():
+        n_docs += r["n"]
+        used += r["chars"]
+    cap = n_seqs * capacity
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "n_seqs": pa.array([n_seqs], type=pa.int64()),
+                "used_chars": pa.array([used], type=pa.int64()),
+                "cap_chars": pa.array([cap], type=pa.int64()),
+                "util_ppm": pa.array(
+                    [used * 1_000_000 // cap if cap else 0],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

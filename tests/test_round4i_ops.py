@@ -1120,3 +1120,45 @@ class TestBloomFprReport:
         assert got["n_fp"] == fp
         assert got["fpr_ppm"] == fp * 1_000_000 // 300
         assert fp > 10  # the tiny filter must actually saturate
+
+
+class TestPackingEfficiency:
+    def test_matches_greedy_replay(self, ray_session):
+        from tableextraction_ray.functions import textstats
+
+        rng = np.random.RandomState(53)
+        n_chars = rng.randint(50, 900, 200).tolist()
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(200), type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        )
+        got = textstats.packing_efficiency_report(
+            ray.data.from_arrow(t).repartition(6),
+            capacity=1000,
+            shard_size=64,
+        ).take_all()[0]
+        # greedy next-fit replay per shard
+        n_seqs = 0
+        for shard in range(4):
+            docs = [
+                c
+                for d, c in zip(range(200), n_chars)
+                if d // 64 == shard
+            ]
+            if not docs:
+                continue
+            seqs, fill = 1, 0
+            for c in docs:
+                if fill + c <= 1000:
+                    fill += c
+                else:
+                    seqs += 1
+                    fill = c
+            n_seqs += seqs
+        assert got["n_docs"] == 200
+        assert got["n_seqs"] == n_seqs
+        assert got["used_chars"] == sum(n_chars)
+        assert got["cap_chars"] == n_seqs * 1000
+        assert got["util_ppm"] == sum(n_chars) * 1_000_000 // (n_seqs * 1000)
