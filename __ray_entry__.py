@@ -7313,7 +7313,9 @@ def oracle_sql() -> dict[str, str]:
                CAST((COUNT(*) - COUNT(DISTINCT
                  ('0x' || substring(md5(text), 1, 15))::BIGINT
                )) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
-               (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+               (SELECT CAST(COUNT(DISTINCT
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT
+                ) AS BIGINT)
                 FROM (SELECT unnest(w) AS tok FROM t)) AS vocab_size
         FROM t
     """

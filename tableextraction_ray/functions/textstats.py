@@ -3888,12 +3888,14 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
     integers from one pass + two bounded folds.
 
     Shape: per-block partials carry (counts, chars, tokens, distinct
-    sources/langs/tokens as bounded sets, 60-bit md5 text hashes);
-    the ONLY row-proportional exchange is the text-hash distinct
-    count ([[keyed_fold]] over 8-byte hashes — text itself never
-    ships); sources/langs/vocab ride as ≤domain-size set partials.
-    60-bit hash collisions undercount uniques at ~n²/2⁶¹ — the same
-    documented contract as [[dedup_exact]]'s md5 keys."""
+    sources/langs as bounded sets); BOTH distinct counts that are NOT
+    domain-bounded — unique texts and vocabulary — ride as 60-bit md5
+    hashes through [[keyed_fold]] exchanges (8-byte rows, text/tokens
+    themselves never ship, per-block pre-distinct); sources/langs fold
+    as ≤domain-size set partials. 60-bit hash collisions undercount
+    uniques at ~n²/2⁶¹ — the same documented contract as
+    [[dedup_exact]]'s md5 keys (vocab_size counts distinct token
+    HASHES, mirrored in the oracle)."""
     import hashlib
 
     from .exchange import keyed_fold
@@ -3925,14 +3927,41 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
         ).take_all()
     )
 
+    def tok_hash_partial(batch: pa.Table) -> pa.Table:
+        vocab: set = set()
+        for t in batch["text"].to_pylist():
+            vocab.update(ascii_tokens(t))
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for w in vocab
+        ]
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hs, type=pa.int64()),
+                "one": pa.array(np.ones(len(hs), dtype=np.int64)),
+            }
+        )
+
+    vocab_fold = keyed_fold(
+        ds.map_batches(tok_hash_partial, batch_format="pyarrow"),
+        "h",
+        [("one", "min")],
+    )
+    vocab_size = sum(
+        r["c"]
+        for r in vocab_fold.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"c": pa.array([b.num_rows], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
     def stat_partial(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         toks = 0
-        vocab: set = set()
         for t in texts:
-            tt = ascii_tokens(t)
-            toks += len(tt)
-            vocab.update(tt)
+            toks += len(ascii_tokens(t))
         return pa.Table.from_pydict(
             {
                 "n": pa.array([batch.num_rows], type=pa.int64()),
@@ -3948,16 +3977,12 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
                     [sorted(set(batch["lang"].to_pylist()))],
                     type=pa.list_(pa.string()),
                 ),
-                "vocab": pa.array(
-                    [sorted(vocab)], type=pa.list_(pa.string())
-                ),
             }
         )
 
     n_docs = total_chars = total_toks = 0
     sources: set = set()
     langs: set = set()
-    vocab: set = set()
     for r in ds.map_batches(
         stat_partial, batch_format="pyarrow"
     ).take_all():
@@ -3966,7 +3991,6 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
         total_toks += r["toks"]
         sources.update(r["sources"])
         langs.update(r["langs"])
-        vocab.update(r["vocab"])
     dup_ppm = (
         (n_docs - n_unique) * 1_000_000 // n_docs if n_docs else 0
     )
@@ -3980,7 +4004,7 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
                 "n_langs": pa.array([len(langs)], type=pa.int64()),
                 "n_unique_texts": pa.array([n_unique], type=pa.int64()),
                 "dup_ppm": pa.array([dup_ppm], type=pa.int64()),
-                "vocab_size": pa.array([len(vocab)], type=pa.int64()),
+                "vocab_size": pa.array([vocab_size], type=pa.int64()),
             }
         )
     )
