@@ -4038,8 +4038,26 @@ def packing_efficiency_report(
         [("seq_no", "max")],
     )
     n_seqs = sum(
-        r["seq_no"] + 1 for r in per_shard.take_all()
-    )  # O(#shards) driver rows
+        r["s"]
+        for r in per_shard.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "s": pa.array(
+                        [
+                            int(
+                                b["seq_no"]
+                                .to_numpy(zero_copy_only=False)
+                                .sum()
+                            )
+                            + b.num_rows
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )  # Σ(max_seq_no + 1) folded per block — O(#blocks) driver rows
 
     def char_partial(batch: pa.Table) -> pa.Table:
         c = batch["n_chars"].to_numpy(zero_copy_only=False)
