@@ -294,6 +294,7 @@ _R4_QUERIES: list[str] = [
     "transition_entropy",
     "bloom_fpr_report",
     "packing_efficiency",
+    "weighted_median_price",
 ]
 
 
@@ -1478,6 +1479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "packing_efficiency": lambda sf: textstats.packing_efficiency_report(
             docs(sf, ["doc_id", "n_chars"])
+        ),
+        "weighted_median_price": lambda sf: sketch.weighted_median_price(
+            _read(sf, "lineitem", ["l_extendedprice", "l_quantity"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7138,6 +7142,21 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Weighted median: smallest cents value whose cumulative quantity
+    # weight reaches ceil(W/2).
+    d["weighted_median_price"] = """
+        WITH e AS (
+          SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+        ),
+        t AS (SELECT SUM(w) AS tw FROM e),
+        r AS (SELECT c, SUM(w) OVER (ORDER BY c) AS cw FROM e)
+        SELECT CAST(t.tw AS BIGINT) AS total_weight,
+               CAST((t.tw + 1) // 2 AS BIGINT) AS target_rank,
+               CAST(MIN(r.c) AS BIGINT) AS med_c
+        FROM r, t WHERE r.cw >= (t.tw + 1) // 2 GROUP BY t.tw
     """
     # Bin-fill audit of pack_sequences: sequence counts from the same
     # recursive-CTE pack replay, used chars from the documents table.

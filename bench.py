@@ -297,6 +297,7 @@ QUERY_SUITE = [
     "transition_entropy",
     "bloom_fpr_report",
     "packing_efficiency",
+    "weighted_median_price",
 ]
 
 

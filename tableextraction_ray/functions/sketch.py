@@ -1841,3 +1841,106 @@ def f2_selfjoin_size(
             }
         )
     )
+
+
+def weighted_median_price(
+    lineitem: ray.data.Dataset,
+    bins: int = 4096,
+    max_iters: int = 8,
+) -> ray.data.Dataset:
+    """(total_weight, target_rank, med_c) — the EXACT quantity-WEIGHTED
+    median of the extended price in cents: the smallest price c whose
+    cumulative shipped-unit weight reaches ⌈W/2⌉ — "half the UNITS
+    shipped cost at most this much", the inventory-pricing number the
+    unweighted [[value_quantiles_selection]] median cannot give when
+    line sizes vary. Extends the iterative-histogram selection family
+    to WEIGHTED order statistics: the same O(log_bins(range)) scan
+    loop, but each per-block np.bincount partial accumulates WEIGHT
+    per bucket instead of row counts, and the refinement chases the
+    bucket containing the target weight rank until the bucket width is
+    one cent — no sort, no per-value pull, driver state O(bins) ints
+    per pass.
+
+    Oracle: window cumulative-weight rank pick at ⌈W/2⌉."""
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        w = batch["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "lo": pa.array([int(c.min())], type=pa.int64()),
+                "hi": pa.array([int(c.max())], type=pa.int64()),
+                "w": pa.array([int(w.sum())], type=pa.int64()),
+            }
+        )
+
+    ext = lineitem.map_batches(
+        extremes, batch_format="pyarrow"
+    ).take_all()
+    if not ext:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "total_weight": pa.array([0], type=pa.int64()),
+                    "target_rank": pa.array([0], type=pa.int64()),
+                    "med_c": pa.array([0], type=pa.int64()),
+                }
+            )
+        )
+    lo = min(r["lo"] for r in ext)
+    hi = max(r["hi"] for r in ext)
+    total_w = sum(r["w"] for r in ext)
+    target = (total_w + 1) // 2
+    remaining = target
+
+    for _ in range(max_iters):
+        if lo == hi:
+            break
+        width = (hi - lo) // bins + 1
+        spec_ref = ray.put((lo, hi, width))
+
+        def hist_partial(batch: pa.Table, _bins=bins) -> pa.Table:
+            lo, hi, width = ray.get(spec_ref)
+            c = np.floor(
+                batch["l_extendedprice"].combine_chunks()
+                .to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            w = batch["l_quantity"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            m = (c >= lo) & (c <= hi)
+            b = (c[m] - lo) // width
+            counts = np.bincount(b, weights=w[m], minlength=_bins)
+            nz = np.flatnonzero(counts)
+            return pa.Table.from_pydict(
+                {
+                    "b": pa.array(nz, type=pa.int64()),
+                    "n": pa.array(
+                        counts[nz].astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        hist = np.zeros(bins, dtype=np.int64)
+        for r in lineitem.map_batches(
+            hist_partial, batch_format="pyarrow"
+        ).take_all():
+            hist[r["b"]] += r["n"]
+        cum = np.cumsum(hist)
+        idx = int(np.searchsorted(cum, remaining))
+        remaining -= int(cum[idx - 1]) if idx > 0 else 0
+        lo, hi = lo + idx * width, min(lo + (idx + 1) * width - 1, hi)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "total_weight": pa.array([total_w], type=pa.int64()),
+                "target_rank": pa.array([target], type=pa.int64()),
+                "med_c": pa.array([lo], type=pa.int64()),
+            }
+        )
+    )

@@ -1162,3 +1162,69 @@ class TestPackingEfficiency:
         assert got["used_chars"] == sum(n_chars)
         assert got["cap_chars"] == n_seqs * 1000
         assert got["util_ppm"] == sum(n_chars) * 1_000_000 // (n_seqs * 1000)
+
+
+class TestWeightedMedianPrice:
+    def _li(self, rows, parts=5):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "l_extendedprice": pa.array(
+                        [float(p) for p, _ in rows], type=pa.float64()
+                    ),
+                    "l_quantity": pa.array(
+                        [float(w) for _, w in rows], type=pa.float64()
+                    ),
+                }
+            )
+        ).repartition(parts)
+
+    def _replay(self, rows):
+        pairs = sorted(
+            (int(np.floor(p * 100 + 0.5)), int(w)) for p, w in rows
+        )
+        tw = sum(w for _, w in pairs)
+        target = (tw + 1) // 2
+        cum = 0
+        for c, w in pairs:
+            cum += w
+            if cum >= target:
+                return tw, target, c
+        raise AssertionError
+
+    def test_matches_replay(self, ray_session):
+        rng = np.random.RandomState(59)
+        rows = [
+            (float(np.round(rng.uniform(1, 900), 2)), int(rng.randint(1, 50)))
+            for _ in range(3000)
+        ]
+        got = relational_or = None
+        from tableextraction_ray.functions import sketch
+
+        got = sketch.weighted_median_price(self._li(rows)).take_all()[0]
+        tw, target, med = self._replay(rows)
+        assert (
+            got["total_weight"], got["target_rank"], got["med_c"]
+        ) == (tw, target, med)
+
+    def test_heavy_single_value_dominates(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        # one cheap line carries 90% of the units -> it IS the median
+        rows = [(500.0, 1)] * 10 + [(3.33, 200)]
+        got = sketch.weighted_median_price(self._li(rows)).take_all()[0]
+        assert got["med_c"] == 333
+
+    def test_forced_multi_iteration(self, ray_session):
+        from tableextraction_ray.functions import sketch
+
+        # bins=2 forces the refinement loop to iterate many times
+        rng = np.random.RandomState(61)
+        rows = [
+            (float(np.round(rng.uniform(1, 5000), 2)), int(rng.randint(1, 9)))
+            for _ in range(800)
+        ]
+        got = sketch.weighted_median_price(
+            self._li(rows), bins=2, max_iters=40
+        ).take_all()[0]
+        assert got["med_c"] == self._replay(rows)[2]
