@@ -1198,7 +1198,6 @@ class TestWeightedMedianPrice:
             (float(np.round(rng.uniform(1, 900), 2)), int(rng.randint(1, 50)))
             for _ in range(3000)
         ]
-        got = relational_or = None
         from tableextraction_ray.functions import sketch
 
         got = sketch.weighted_median_price(self._li(rows)).take_all()[0]
