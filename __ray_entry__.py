@@ -1625,6 +1625,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # window, so the remainder (R4 indices ~26+) rotate to the FRONT in
     # round 5 — every query is parity-checked in-repo regardless
     # (tests/test_entry_parity.py + scripts/parity_sweep.py).
+    # ROUND-5 TODO (mechanical): after CORRECTNESS_r04 lands, move every
+    # _R4_QUERIES entry that got a green r04 row OUT of the front (append
+    # them after the extraction gates) so the next ~50-entry window is
+    # exactly the still-unchecked tail — _R4_QUERIES[26:] as of round-4
+    # close (events_profile_approx onward), preserving list order.
     front = [
         "bm25_topk", "revenue_by_nation", "semantic_dedup", "knn_pq",
         "knn_pq_rerank", "events_profile", "orders_for_segment",
