@@ -1227,3 +1227,22 @@ class TestWeightedMedianPrice:
             self._li(rows), bins=2, max_iters=40
         ).take_all()[0]
         assert got["med_c"] == self._replay(rows)[2]
+
+
+class TestBenchSuiteConsistency:
+    def test_every_suite_name_resolves_and_is_unique(self):
+        """bench.py's QUERY_SUITE must stay a duplicate-free subset of
+        queries() — a stale name would crash the driver's bench run."""
+        import importlib.util
+
+        import __ray_entry__ as entry_mod
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_mod", "/root/repo/bench.py"
+        )
+        bench_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench_mod)
+        q = set(entry_mod.queries())
+        missing = [n for n in bench_mod.QUERY_SUITE if n not in q]
+        assert missing == []
+        assert len(set(bench_mod.QUERY_SUITE)) == len(bench_mod.QUERY_SUITE)
