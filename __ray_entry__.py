@@ -295,6 +295,7 @@ _R4_QUERIES: list[str] = [
     "bloom_fpr_report",
     "packing_efficiency",
     "weighted_median_price",
+    "user_value_mobility",
 ]
 
 
@@ -1482,6 +1483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "weighted_median_price": lambda sf: sketch.weighted_median_price(
             _read(sf, "lineitem", ["l_extendedprice", "l_quantity"])
+        ),
+        "user_value_mobility": lambda sf: relational.user_value_mobility(
+            _read(sf, "events", ["user_id", "ts", "value"])
         ),
         "readability_scores": lambda sf: textstats.readability_scores(
             docs(sf, ["doc_id", "text"])
@@ -7147,6 +7151,40 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / ln(10) * 1e6 + 0.5
                ) AS BIGINT) AS expected_fp6
         FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Week-over-week NTILE quartile mobility: exact fp6 weekly average,
+    # SQL NTILE within week, LAG over consecutive weeks.
+    d["user_value_mobility"] = """
+        WITH uw AS (
+          SELECT user_id,
+                 epoch_us(ts) // (7 * 86400000000) AS week,
+                 SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sc,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT user_id, week, sc * 1000000 // n AS avg_fp6 FROM uw
+        ),
+        t AS (
+          SELECT user_id, week,
+                 CAST(NTILE(4) OVER (
+                   PARTITION BY week ORDER BY avg_fp6, user_id
+                 ) AS BIGINT) AS tile
+          FROM a
+        ),
+        p AS (
+          SELECT user_id, week, tile,
+                 lag(tile) OVER (
+                   PARTITION BY user_id ORDER BY week
+                 ) AS pt,
+                 lag(week) OVER (
+                   PARTITION BY user_id ORDER BY week
+                 ) AS pw
+          FROM t
+        )
+        SELECT CAST(pt AS BIGINT) AS q_from, tile AS q_to,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE pw = week - 1 GROUP BY 1, 2
     """
     # Weighted median: smallest cents value whose cumulative quantity
     # weight reaches ceil(W/2).

@@ -298,6 +298,7 @@ QUERY_SUITE = [
     "bloom_fpr_report",
     "packing_efficiency",
     "weighted_median_price",
+    "user_value_mobility",
 ]
 
 

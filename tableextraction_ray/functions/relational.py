@@ -9851,3 +9851,131 @@ def bloom_fpr_report(
             }
         )
     )
+
+
+def user_value_mobility(
+    events: ray.data.Dataset, n_tiles: int = 4
+) -> ray.data.Dataset:
+    """(q_from, q_to, n) — the week-over-week VALUE-QUARTILE mobility
+    matrix: each user's weekly average spend is bucketed into SQL-NTILE
+    quartiles WITHIN its week, and consecutive-week (quartile →
+    quartile) moves are counted. The customer-mobility diagnostic
+    behind "do low spenders climb?" — a diagonal-heavy matrix means
+    sticky tiers, a flat one means the tiers are noise
+    ([[customer_rfm]] scores a snapshot; this measures movement).
+
+    Shape: ONE (user, week) [[keyed_fold]] collapses events to weekly
+    (Σcents, n) rows; exact fp6 average (integer floor); the
+    [[quality_ntile_by_source]] NTILE machinery — ONE global
+    (week, avg, user) sort + [[global_row_number]] block-offset ranks,
+    per-week (first-rank, count) broadcast (weeks are the
+    calendar-bounded axis), vectorized tile formula; then ONE
+    user-keyed groupby pairs each user's consecutive weeks (≤ #weeks
+    rows per user) and a ≤ n_tiles² keyed sum finishes.
+
+    Oracle: NTILE(n) OVER (PARTITION BY week ORDER BY avg, user) +
+    LAG over weeks."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .exchange import global_row_number, keyed_fold
+
+    WEEK = 7 * 86_400_000_000
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "week": pa.array(ts // WEEK, type=pa.int64()),
+                "c": _cents(batch["value"]),
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    weekly = keyed_fold(
+        events.map_batches(proj, batch_format="pyarrow"),
+        ["user_id", "week"],
+        [("c", "sum"), ("one", "sum")],
+    )
+
+    def avg(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        n = batch["one"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "week": batch["week"],
+                "avg_fp6": pa.array(
+                    c * 1_000_000 // n, type=pa.int64()
+                ),
+            }
+        )
+
+    ranked = global_row_number(
+        weekly.map_batches(avg, batch_format="pyarrow"),
+        ["week", "avg_fp6", "user_id"],
+    ).materialize()
+    per_week = ranked.groupby("week").aggregate(
+        Min("r", alias_name="r0"), Count()
+    )
+    weeks = {
+        int(r["week"]): (int(r["r0"]), int(r["count()"]))
+        for r in per_week.take_all()
+    }  # calendar-bounded axis
+    ref = ray.put(weeks)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        wk = batch["week"].to_numpy(zero_copy_only=False)
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r0 = np.fromiter(
+            (m[int(w)][0] for w in wk), dtype=np.int64, count=len(wk)
+        )
+        cnt = np.fromiter(
+            (m[int(w)][1] for w in wk), dtype=np.int64, count=len(wk)
+        )
+        rank = r - r0
+        base = cnt // n_tiles
+        rem = cnt % n_tiles
+        big = rem * (base + 1)
+        t = np.where(
+            rank < big,
+            rank // np.maximum(base + 1, 1),
+            rem + (rank - big) // np.maximum(base, 1),
+        ) + 1
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "week": batch["week"],
+                "tile": pa.array(t, type=pa.int64()),
+            }
+        )
+
+    tiled = ranked.map_batches(tile, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        wk = group["week"].to_numpy(zero_copy_only=False)
+        t = group["tile"].to_numpy(zero_copy_only=False)
+        order = np.argsort(wk)
+        wk, t = wk[order], t[order]
+        consec = wk[1:] == wk[:-1] + 1
+        return pa.Table.from_pydict(
+            {
+                "q_from": pa.array(t[:-1][consec], type=pa.int64()),
+                "q_to": pa.array(t[1:][consec], type=pa.int64()),
+                "n": pa.array(
+                    np.ones(int(consec.sum()), dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        tiled.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["q_from", "q_to"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

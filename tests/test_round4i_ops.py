@@ -1246,3 +1246,68 @@ class TestBenchSuiteConsistency:
         missing = [n for n in bench_mod.QUERY_SUITE if n not in q]
         assert missing == []
         assert len(set(bench_mod.QUERY_SUITE)) == len(bench_mod.QUERY_SUITE)
+
+
+class TestUserValueMobility:
+    def test_matches_plain_python_replay(self, ray_session):
+        rng = np.random.RandomState(67)
+        rows = []
+        for u in range(60):
+            for w in range(4):
+                for _ in range(rng.randint(1, 5)):
+                    rows.append(
+                        (
+                            u,
+                            "view",
+                            w * 7 * 24 * 60 + int(rng.randint(0, 7 * 24 * 60)),
+                            float(np.round(rng.uniform(1, 300), 2)),
+                        )
+                    )
+        got = sorted(
+            (r["q_from"], r["q_to"], r["n"])
+            for r in relational.user_value_mobility(
+                _ev(rows, parts=7)
+            ).take_all()
+        )
+        # replay
+        from collections import Counter, defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for u, _, mins, v in rows:
+            epoch_us = int(
+                (
+                    EPOCH + datetime.timedelta(minutes=mins)
+                    - datetime.datetime(1970, 1, 1)
+                ).total_seconds()
+            ) * 1_000_000
+            wk = epoch_us // (7 * 86_400_000_000)
+            a = agg[(u, wk)]
+            a[0] += int(np.floor(v * 100 + 0.5))
+            a[1] += 1
+        avgs = {
+            k: (sc * 1_000_000 // n) for k, (sc, n) in agg.items()
+        }
+        # NTILE(4) per week
+        tiles = {}
+        for wk in {k[1] for k in agg}:
+            rowsw = sorted(
+                ((avgs[(u, w)], u) for (u, w) in agg if w == wk)
+            )
+            n = len(rowsw)
+            base, rem = n // 4, n % 4
+            big = rem * (base + 1)
+            for i, (_, u) in enumerate(rowsw):
+                t = (
+                    i // (base + 1)
+                    if i < big
+                    else rem + (i - big) // max(base, 1)
+                ) + 1
+                tiles[(u, wk)] = t
+        c: Counter = Counter()
+        for (u, wk), t in tiles.items():
+            nxt = tiles.get((u, wk + 1))
+            if nxt is not None:
+                c[(t, nxt)] += 1
+        want = sorted((f, to, n) for (f, to), n in c.items())
+        assert got == want
+        assert sum(n for _, _, n in got) == sum(c.values()) > 100
