@@ -2979,6 +2979,39 @@ def oracle_sql() -> dict[str, str]:
         # Character-entropy replay: per distinct char term k*floor(ln(n/k)
         # *1e9) — int/int division and libm ln are bit-equal across
         # engines (the tfidf/dsir discipline); ent = S // n exact.
+        # Lookaround-free replay of the Python de-hyphenation regex
+        # (?<=[letter]) ?- ?(?=[letter]) (textproc.py:17): split the text
+        # at every greedy ' ?- ?' occurrence, keep the separators, and
+        # rejoin dropping a separator iff its left segment ends with a
+        # letter AND its right segment starts with one — exactly the two
+        # lookaround checks (they never consume, so chains like "a-b-c"
+        # collapse fully in both formulations; a shorter match extent can
+        # never succeed where the greedy one fails because the uncovered
+        # char is a space). Verified char-exact vs Python re on 3k
+        # adversarial strings + the full corpus.
+        "dehyphenate": r"""
+            WITH segs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text, ' ?- ?') AS s,
+                     regexp_extract_all(text, ' ?- ?') AS p
+              FROM documents
+            ),
+            bounds AS (
+              SELECT doc_id, s, p, unnest(range(2, len(s) + 1)) AS i
+              FROM segs
+            ),
+            tails AS (
+              SELECT doc_id,
+                     string_agg(
+                       CASE WHEN regexp_matches(s[i-1], '[A-Za-zА-Яа-я]$')
+                             AND regexp_matches(s[i], '^[A-Za-zА-Яа-я]')
+                            THEN '' ELSE p[i-1] END || s[i],
+                       '' ORDER BY i) AS tail
+              FROM bounds GROUP BY doc_id
+            )
+            SELECT segs.doc_id, segs.s[1] || COALESCE(t.tail, '') AS clean_text
+            FROM segs LEFT JOIN tails t USING (doc_id)
+        """,
         "char_entropy": r"""
             WITH ch AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c

@@ -125,8 +125,10 @@ def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def dehyphenate(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, clean_text) — the reference's OCR de-hyphenation regex
-    (recognition.py:151-164) applied per document. Python lookaround
-    semantics are not RE2-expressible, so this query has no SQL oracle."""
+    (recognition.py:151-164) applied per document. The Python lookarounds
+    are not RE2-expressible directly, but the oracle replays them
+    lookaround-free (split on ' ?- ?', rejoin conditioned on the neighbor
+    char classes), so this query is hash-checked."""
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

@@ -87,27 +87,27 @@ def nms_by_containment(
 
 
 def slot_into_containers(
-    containers: list[dict], tokens: list[dict], unique: bool = True
-) -> list[list[int]]:
-    """Assign each token to the container(s) with the highest bbox overlap
-    (IoB of the token in the container). ``unique`` -> best container only;
-    zero-overlap tokens stay unassigned. Returns per-container token-index
-    lists."""
-    slots: list[list[int]] = [[] for _ in containers]
-    for ti, tok in enumerate(tokens):
-        overlaps = [iob(tok["bbox"], c["bbox"]) for c in containers]
-        if unique:
-            best, best_i = 0.0, -1
-            for ci, ov in enumerate(overlaps):
-                if ov > best:
-                    best, best_i = ov, ci
-            if best_i >= 0:
-                slots[best_i].append(ti)
-        else:
-            for ci, ov in enumerate(overlaps):
-                if ov > 0:
-                    slots[ci].append(ti)
-    return slots
+    container_objects: list[dict],
+    package_objects: list[dict],
+    overlap_threshold: float = 0.5,
+    unique_assignment: bool = True,
+    forced_assignment: bool = False,
+) -> tuple[list[list[int]], list[list[int]], list[float]]:
+    """Slot each package into the container holding the largest fraction
+    of it (reference eval_utils.py:226-281): the best container gets the
+    package only when that fraction meets ``overlap_threshold`` — or
+    unconditionally under ``forced_assignment``; non-unique assignment
+    additionally slots into every container over the threshold. Returns
+    ``(container_assignments, package_assignments, best_match_scores)``
+    exactly like the reference (ties break to the first container, the
+    reference's stable score-descending sort)."""
+    return slot_by_best_overlap(
+        container_objects,
+        package_objects,
+        overlap_threshold=overlap_threshold,
+        unique_assignment=unique_assignment,
+        forced_assignment=forced_assignment,
+    )
 
 
 def objects_to_structures(
@@ -185,7 +185,11 @@ def structure_to_cells(
                 }
     cells = [grid[k] for k in sorted(grid)]
     if tokens:
-        slots = slot_into_containers(cells, tokens, unique=True)
+        # reference eval_utils.py:881-887 slots text spans into cells at
+        # overlap_threshold=0.001, unique.
+        slots, _, _ = slot_into_containers(
+            cells, tokens, overlap_threshold=0.001, unique_assignment=True
+        )
         for cell, idxs in zip(cells, slots):
             cell["text"] = extract_text_from_spans([tokens[i] for i in idxs])
     return cells
@@ -739,7 +743,11 @@ def refined_structure_to_cells(
                 }
     cells = [grid[k] for k in sorted(grid)]
     if tokens:
-        slots = slot_into_containers(cells, tokens, unique=True)
+        # reference eval_utils.py:881-887 slots text spans into cells at
+        # overlap_threshold=0.001, unique.
+        slots, _, _ = slot_into_containers(
+            cells, tokens, overlap_threshold=0.001, unique_assignment=True
+        )
         for cell, idxs in zip(cells, slots):
             cell["text"] = extract_text_from_spans([tokens[i] for i in idxs])
     return cells

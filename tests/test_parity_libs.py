@@ -88,10 +88,38 @@ class TestTatr:
             {"bbox": (9, 1, 12, 3), "text": "b"},  # straddles, mostly right? 1/3 left
             {"bbox": (50, 50, 60, 60), "text": "orphan"},
         ]
-        slots = tatr.slot_into_containers(containers, tokens)
+        slots, pkg, scores = tatr.slot_into_containers(containers, tokens)
         # token b straddles: iob vs left = 1/3, vs right = 2/3 -> right wins
         assert slots[0] == [0]
         assert slots[1] == [1]  # orphan token stays unassigned
+        assert pkg[2] == []
+        assert scores[0] == 1.0 and abs(scores[1] - 2 / 3) < 1e-9
+
+    def test_slotting_threshold_and_forced(self):
+        # Reference fidelity (eval_utils.py:226-281): a barely-overlapping
+        # package (IoB 0.3 < overlap_threshold 0.5) stays UNSLOTTED at the
+        # default threshold, and slots under forced_assignment.
+        containers = [{"bbox": (0.0, 0.0, 10.0, 10.0)}]
+        tokens = [{"bbox": (7.0, 0.0, 17.0, 10.0), "text": "edge"}]  # IoB 0.3
+        slots, pkg, scores = tatr.slot_into_containers(containers, tokens)
+        assert slots == [[]] and pkg == [[]]
+        assert abs(scores[0] - 0.3) < 1e-9
+        slots_f, pkg_f, _ = tatr.slot_into_containers(
+            containers, tokens, forced_assignment=True
+        )
+        assert slots_f == [[0]] and pkg_f == [[0]]
+        # the text-extraction call sites use overlap_threshold=0.001
+        slots_t, _, _ = tatr.slot_into_containers(
+            containers, tokens, overlap_threshold=0.001
+        )
+        assert slots_t == [[0]]
+        # non-unique: every container over the threshold gets the package
+        two = [{"bbox": (0.0, 0.0, 10.0, 10.0)}, {"bbox": (2.0, 0.0, 12.0, 10.0)}]
+        tok = [{"bbox": (2.0, 0.0, 10.0, 10.0), "text": "t"}]  # IoB 1.0 both
+        slots_n, pkg_n, _ = tatr.slot_into_containers(
+            two, tok, unique_assignment=False
+        )
+        assert slots_n == [[0], [0]] and pkg_n == [[0, 1]]
 
     def test_structures_to_cells_grid(self):
         rows = [
