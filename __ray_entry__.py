@@ -121,6 +121,64 @@ _CANARIES: tuple[str, ...] = (
     "customer filter",
 )
 
+# The five extraction gates are PINNED at the head of the driver's
+# ~50-query correctness window every round (round-4 verdict #1): the
+# flagship pipeline must always appear in the independent record.
+_EXTRACT_GATES: tuple[str, ...] = (
+    "extract_spans", "extract_serialized", "extract_filtered",
+    "extract_verify", "extract_verify_dualdpi",
+)
+
+# Queries with a green driver-side CORRECTNESS row (r01-r04 union:
+# hash-match, or rows-recorded for the no_oracle contracts). queries()
+# rotates everything NOT in this set to the front of the window so the
+# independent record catches up ~45 names per round; append each round's
+# newly green names here after the driver publishes CORRECTNESS_r{N}.json.
+# (dehyphenate's r04 row was rows-only; it now has an oracle and is left
+# out so its first hash-green row lands this round.)
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "audio_features", "bm25_topk", "boilerplate_lines",
+    "canonical_docs", "cdc_merge", "char_budget_prefix", "char_entropy",
+    "chunk_documents", "classify_docs", "cms_heavy_hitters",
+    "containment_pairs", "conversion_funnel", "curate_corpus",
+    "curate_semantic", "decayed_user_score", "decontaminate",
+    "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_incremental_fuzzy", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_savings", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_spans", "digitize_plots",
+    "distinct_sources", "dsir_weights", "embedding_covariance",
+    "embedding_near_dup", "embedding_near_dup_lsh", "epoch_shuffle",
+    "events_hourly", "events_hourly_percentiles",
+    "events_hourly_quantiles_sketch", "events_hourly_users",
+    "events_hourly_users_hll", "events_profile",
+    "events_profile_approx", "events_sliding_window",
+    "extract_main_content", "fingerprint", "gopher_filter",
+    "hybrid_rrf", "interleave_render", "knn_cosine", "knn_ivf",
+    "knn_pq", "knn_pq_rerank", "label_centroid_stats",
+    "label_exemplars", "lang_id", "lang_stats", "lm_perplexity",
+    "mad_outliers", "media_captions", "media_content_dedup",
+    "media_dims", "media_stats", "media_thumb_dims", "media_thumbnails",
+    "median_value_by_type", "mg_heavy_tokens", "minhash_jaccard_est",
+    "mixture_sample", "normalize_text", "order_cube",
+    "order_priority_count", "orders_by_segment", "orders_for_segment",
+    "outlier_events", "pack_sequences", "pack_token_blocks",
+    "partition_checksums", "pmi_collocations", "pricing_summary",
+    "props_key_stats", "purchase_asof_join",
+    "purchase_click_attribution", "quality_histogram",
+    "quality_ntile_by_source", "quality_percentile", "quality_score",
+    "rare_bigram_rate", "redact_text", "repetition_stats",
+    "retention_cohorts", "revenue_by_nation", "robust_scale_events",
+    "semantic_dedup", "session_path_topk", "sessionize",
+    "setjoin_jaccard", "source_cap", "source_quality_report",
+    "source_top_tokens", "source_vocab_overlap",
+    "span_kind_transitions", "span_stats", "split_assign",
+    "stratified_sample", "strip_html", "tfidf_top_terms", "token_freq",
+    "token_regex_stats", "token_stats", "tokenize_ids",
+    "tokenizer_fertility", "top_docs_by_chars", "truncation_dups",
+    "value_psi", "video_frames", "weighted_jaccard_pairs",
+    "weighted_sample", "winnow_fingerprints", "winnow_overlap",
+})
+
 _R4_QUERIES: list[str] = [
     "cdc_merge",
     "median_value_by_type",
@@ -1621,33 +1679,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     # Driver correctness sampling takes the FIRST ~50 entries in iteration
-    # order (round-3 verdict #1): put queries that have never received a
-    # driver-side CORRECTNESS row first so the independent oracle sees
-    # them this round. Newly added queries belong in this front list too.
-    # Round-4 note: more than 50 entries are now never-driver-checked (24
-    # round-3 + the whole _R4_QUERIES list); only the first ~50 fit the
-    # window, so the remainder (R4 indices ~26+) rotate to the FRONT in
-    # round 5 — every query is parity-checked in-repo regardless
-    # (tests/test_entry_parity.py + scripts/parity_sweep.py).
-    # ROUND-5 TODO (mechanical): after CORRECTNESS_r04 lands, move every
-    # _R4_QUERIES entry that got a green r04 row OUT of the front (append
-    # them after the extraction gates) so the next ~50-entry window is
-    # exactly the still-unchecked tail — _R4_QUERIES[26:] as of round-4
-    # close (events_profile_approx onward), preserving list order.
-    front = [
-        "bm25_topk", "revenue_by_nation", "semantic_dedup", "knn_pq",
-        "knn_pq_rerank", "events_profile", "orders_for_segment",
-        "conversion_funnel", "pack_sequences", "epoch_shuffle",
-        "quality_percentile", "source_cap", "tfidf_top_terms",
-        "outlier_events", "purchase_click_attribution", "char_entropy",
-        "char_budget_prefix", "gopher_filter", "repetition_stats",
-        "label_centroid_stats", "media_thumb_dims", "source_quality_report",
-        "chunk_documents", "dehyphenate",
-        # round-4 additions (never driver-checked by definition):
-    ] + _R4_QUERIES + [
-        # keep the extraction gate inside the window (rows-only contract)
-        "extract_spans", "extract_serialized", "extract_filtered",
-        "extract_verify", "extract_verify_dualdpi",
+    # order. Round-5 rotation (round-4 verdict #1/#2), data-driven: the
+    # five extraction gates are pinned at positions 1-5 permanently, then
+    # dehyphenate (first round with an oracle), then every query WITHOUT a
+    # green driver row in registry order — new queries land here
+    # automatically — then the already-checked remainder. ~45 first-time
+    # rows per round; in-repo parity (tests/test_entry_parity.py +
+    # scripts/parity_sweep.py) covers the full registry regardless.
+    front = list(_EXTRACT_GATES) + ["dehyphenate"] + [
+        k
+        for k in q
+        if k not in _DRIVER_CHECKED
+        and k not in _EXTRACT_GATES
+        and k != "dehyphenate"
     ]
     seen = set(front)
     return {k: q[k] for k in front if k in q} | {
