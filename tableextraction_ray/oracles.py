@@ -1,0 +1,6197 @@
+"""DuckDB oracle catalog for the driver contract.
+
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+``__ray_entry__.queries()`` entry (identical column names; float outputs as
+fixed-point integers via the shared ``floor(x*10^k + 0.5)`` formula so
+value hashes match bit-for-bit). Split out of ``__ray_entry__`` (round-4
+verdict #8) so the entry file stays a thin contract surface; shared
+corpus-path constants live in ``tableextraction_ray.corpus_tiers``.
+"""
+
+from __future__ import annotations
+
+from tableextraction_ray.corpus_tiers import (
+    CANARIES as _CANARIES,
+    ORACLE_CORPUS_DIR as _ORACLE_CORPUS_DIR,
+    SF_TO_TIER as _SF_TO_TIER,
+    corpus_for as _corpus_for,
+)
+
+# --------------------------------------------------------------------------
+# DuckDB oracles. Shared fragments keep the Ray and SQL sides literally in
+# sync on tokenization/shingling/fixed-point formulas.
+# --------------------------------------------------------------------------
+
+# 64-bit SimHash as an INTEGER (UBIGINT v per doc, empty docs -> 0),
+# shared by the fingerprint-hex oracle (dedup_simhash) and the
+# Hamming-ball pairs oracle (dedup_simhash_pairs).
+_SIMHASH_INT_CTE = r"""
+WITH stoks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+  FROM documents
+),
+stok AS (
+  SELECT doc_id, len(w) AS n, unnest(w) AS t FROM stoks
+),
+shv AS (
+  -- token hash = first 8 md5 bytes as big-endian uint64
+  -- (== Python int(md5(w).hexdigest()[:16], 16))
+  SELECT doc_id, n, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+  FROM stok
+),
+svotes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CAST((h >> CAST(b.b AS INT)) & 1 AS BIGINT)) AS ones,
+         MAX(n) AS n
+  FROM shv, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+simint AS (
+  SELECT d.doc_id, COALESCE(s.v, 0::UBIGINT) AS v
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           SUM(CASE WHEN 2 * ones > n
+                    THEN (1::UBIGINT << CAST(b AS INT))
+                    ELSE 0::UBIGINT END) AS v
+    FROM svotes GROUP BY doc_id
+  ) s USING (doc_id)
+)
+"""
+
+_SHINGLES_CTE = r"""
+WITH reps AS (
+  -- exact-text collapse (heavy-duplicate skew guard): candidates are
+  -- generated among distinct-text representatives (min doc_id per text);
+  -- pairs among exact copies are dedup_exact's output, not a candidate.
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w FROM reps
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        for i in range(len(w) - 2)]) AS shingles
+  FROM toks WHERE len(w) >= 3
+),
+xs AS (
+  -- 60-bit base hash per shingle: hex-parse of md5(s)[1:15] (the same
+  -- position-weighted trick as the split_assign oracle).
+  SELECT doc_id,
+         [list_sum([
+              CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+              << ((15 - i) * 4)
+              for i in range(1, 16)
+          ]) for s in shingles] AS xs
+  FROM sh
+),
+sig AS (
+  -- affine permutations min((2p+3)*x + 7p+1 mod 2^61-1); HUGEINT widens
+  -- the product past 64 bits before the modulus brings it back.
+  SELECT doc_id,
+         [list_min([
+              CAST((CAST(2*p + 3 AS HUGEINT) * x + (7*p + 1))
+                   % 2305843009213693951 AS BIGINT)
+              for x in xs])
+          for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+  FROM xs
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS key
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+# Quantized-embedding CTE shared by the cosine oracles: q = per-component
+# 1e6 fixed-point (exact BIGINTs), nsq = exact squared norm.
+_WINNOW_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
+  FROM toks WHERE len(w) >= 5
+),
+gh AS (
+  SELECT doc_id, pos,
+         list_sum([
+             CAST(strpos('0123456789abcdef',
+                         substr(md5(array_to_string(
+                             w[pos + 1 : pos + 5], ' ')), i, 1)) - 1
+                  AS BIGINT) << ((15 - i) * 4)
+             for i in range(1, 16)
+         ]) AS h
+  FROM kg
+),
+dn AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, n,
+         unnest(range(CASE WHEN n <= 4 THEN 1 ELSE n - 3 END)) AS s,
+         CASE WHEN n <= 4 THEN n ELSE 4 END AS wl
+  FROM dn
+),
+wm AS (
+  SELECT wi.doc_id, wi.s, wi.wl, MIN(g.h) AS mh
+  FROM wins wi
+  JOIN gh g ON g.doc_id = wi.doc_id
+       AND g.pos >= wi.s AND g.pos < wi.s + wi.wl
+  GROUP BY wi.doc_id, wi.s, wi.wl
+),
+sel AS (
+  SELECT m.doc_id, MAX(g.pos) AS pos, m.mh AS fph
+  FROM wm m
+  JOIN gh g ON g.doc_id = m.doc_id AND g.h = m.mh
+       AND g.pos >= m.s AND g.pos < m.s + m.wl
+  GROUP BY m.doc_id, m.s, m.mh
+)
+"""
+
+_QUANT_CTE = """
+WITH qe AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS q,
+         list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                   for x in embedding]) AS nsq
+  FROM embeddings
+)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    d = {
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        # Incremental anti-join: new batch = odd doc_ids, existing corpus
+        # = even; keep new docs whose md5 no existing doc has.
+        "dedup_incremental": """
+            WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+            newd AS (SELECT * FROM h WHERE doc_id % 2 = 1),
+            ex AS (SELECT text_md5 FROM h WHERE doc_id % 2 = 0)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.text_md5
+            FROM newd n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ex WHERE ex.text_md5 = n.text_md5
+            )
+        """,
+        # Fuzzy incremental screen: full band replay WITHOUT the exact-
+        # text collapse (the parity split defines sides), then NOT EXISTS
+        # a cross-side bucket collision.
+        "dedup_incremental_fuzzy": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM toks WHERE len(w) >= 3
+            ),
+            xs AS (
+              SELECT doc_id,
+                     [list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+                          << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles] AS xs
+              FROM sh
+            ),
+            sig AS (
+              SELECT doc_id,
+                     [list_min([
+                          CAST((CAST(2*p + 3 AS HUGEINT) * x + (7*p + 1))
+                               % 2305843009213693951 AS BIGINT)
+                          for x in xs])
+                      for p in [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]] AS mh
+              FROM xs
+            ),
+            bands AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+            ),
+            flagged AS (
+              SELECT DISTINCT n.doc_id
+              FROM bands n JOIN bands e ON n.band = e.band AND n.key = e.key
+              WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        "dedup_minhash_lsh": _SHINGLES_CTE + "SELECT doc_a, doc_b FROM cand",
+        # Signature-agreement Jaccard estimate per candidate pair: count
+        # of the 16 permutation slots where the two signatures agree.
+        "minhash_jaccard_est": _SHINGLES_CTE + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_filter(range(16),
+                        p -> sa.mh[p + 1] = sb.mh[p + 1])) AS BIGINT) AS n_match,
+                   CAST(16 AS BIGINT) AS n_perms
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        """,
+        # Connected components of the candidate graph = min reachable
+        # doc_id (recursive transitive closure with UNION-dedup; the Ray
+        # side's min-label propagation converges to the same fixpoint).
+        "dedup_clusters": _SHINGLES_CTE.replace("WITH reps AS", "WITH RECURSIVE reps AS")
+        + """
+            , dup_edges AS (
+                -- exact-copy star edges (copy -> min-doc_id representative):
+                -- cand is generated among distinct-text reps only, so
+                -- these reconnect exact copies to their cluster.
+                SELECT rep AS doc_a, doc_id AS doc_b FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep
+                    FROM documents
+                ) WHERE doc_id != rep
+            ),
+            all_pairs AS (
+                SELECT doc_a, doc_b FROM cand
+                UNION ALL
+                SELECT doc_a, doc_b FROM dup_edges
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM all_pairs
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS v FROM all_pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v AS node, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_rep
+            FROM reach GROUP BY node
+        """,
+        "dedup_ngram_jaccard": _SHINGLES_CTE
+        + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(len(list_intersect(sa.shingles, sb.shingles)) * 1000000.0
+                              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                              + 0.5) AS BIGINT) AS jaccard_fp6
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        # Exemplar selection replay: same centroid + cosine contract as
+        # label_centroid_stats, window-ranked (cos desc, vec_id) top-k.
+        "label_exemplars": """
+            WITH qe AS (
+              SELECT vec_id, label,
+                     [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range(64)) AS d),
+            csum AS (
+              SELECT label, d.d,
+                     CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                          AS BIGINT) AS qc
+              FROM qe CROSS JOIN dims d GROUP BY label, d.d
+            ),
+            cent AS (
+              SELECT label, list(qc ORDER BY d) AS cq, SUM(qc * qc) AS cnsq
+              FROM csum GROUP BY label
+            ),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                     CAST(FLOOR(
+                       (list_sum([e.q[i+1] * c.cq[i+1] for i in range(len(e.q))])
+                        / (sqrt(list_sum([e.q[i+1] * e.q[i+1]
+                                          for i in range(len(e.q))]))
+                           * sqrt(c.cnsq)))
+                       * 1e5 + 0.5) AS BIGINT) AS cos_fp5
+              FROM qe e JOIN cent c USING (label)
+            ),
+            ranked AS (
+              SELECT label, vec_id, cos_fp5,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY cos_fp5 DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rk,
+                   vec_id, cos_fp5
+            FROM ranked WHERE rk <= 5
+        """,
+        # Covariance sufficient statistics: exact int sums of quantized
+        # components and their products per (i<=j) dim pair.
+        "embedding_covariance": """
+            WITH qe AS (
+              SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range((SELECT MAX(len(q)) FROM qe))) AS i),
+            p AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i)
+            SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q[p.i + 1]) AS BIGINT) AS sum_i,
+                   CAST(SUM(q[p.j + 1]) AS BIGINT) AS sum_j,
+                   CAST(SUM(q[p.i + 1] * q[p.j + 1]) AS BIGINT) AS sum_ij
+            FROM qe, p GROUP BY p.i, p.j
+        """,
+        # Embedding cosine parity contract: components quantized to 1e6
+        # fixed-point integers FIRST (same formula both sides), so dots and
+        # norms are exact and the final double-precision expression
+        # dot/(sqrt(na)*sqrt(nb))*1e5 is bit-identical in numpy and DuckDB.
+        "knn_cosine": _QUANT_CTE
+        + """,
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     CAST(FLOOR(
+                       list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                       / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe e, qe qq, (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+              WHERE qq.vec_id = q.vec_id AND e.vec_id != q.vec_id
+            )
+            SELECT query_id, vec_id, cos_fp5 FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_fp5 DESC, vec_id
+              ) AS rn FROM scored
+            ) WHERE rn <= 10
+        """,
+        "embedding_near_dup": _QUANT_CTE
+        + """,
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(FLOOR(
+                       list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                       / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe a, qe b WHERE a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_fp5 FROM pairs WHERE cos_fp5 >= 35000
+        """,
+        # Triangle census over the same exact pair set: e1=(a,b), e2=(a,c),
+        # e3=(b,c) with a<b<c counts each triangle once; wedges from the
+        # degree sum d*(d-1)/2; clustering coefficient replayed with the
+        # identical pure-integer rounding (600000*T + W) // (2W).
+        "near_dup_triangles": _QUANT_CTE
+        + """,
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM qe a, qe b WHERE a.vec_id < b.vec_id
+                AND CAST(FLOOR(
+                  list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                  / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                ) >= 35000
+            ),
+            deg AS (
+              SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p
+              ) GROUP BY v
+            ),
+            tri AS (
+              SELECT COUNT(*) AS t FROM p e1
+              JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            wn AS (
+              SELECT COUNT(*) AS n_nodes,
+                     CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+              FROM deg
+            ),
+            ne AS (SELECT COUNT(*) AS n_edges FROM p)
+            SELECT wn.n_nodes AS n_nodes, ne.n_edges AS n_edges,
+                   wn.n_wedges AS n_wedges, tri.t AS n_triangles,
+                   CASE WHEN wn.n_wedges = 0 THEN 0
+                        ELSE CAST((600000::HUGEINT * tri.t + wn.n_wedges)
+                             // (2 * wn.n_wedges) AS BIGINT)
+                   END AS clustering_fp5
+            FROM wn, ne, tri
+        """,
+        # Full LSH replay: md5-derived integer hyperplanes (uniform in
+        # [-1e6, 1e6]) dotted against the 1e6-quantized vectors — every
+        # dot is an exact integer, so bucket signatures match the Ray
+        # side bit-for-bit; candidates verify with the same fixed-point
+        # cosine expression as embedding_near_dup. Approximate vs the
+        # exact pair set (recall ~0.97 by construction), EXACT vs the
+        # algorithm.
+        "embedding_near_dup_lsh": _QUANT_CTE
+        + """,
+            pld AS (
+              SELECT i.i AS p_i, d.d AS d,
+                     CAST(('0x' || substring(md5('plane:42:'
+                            || CAST(i.i AS VARCHAR) || ':'
+                            || CAST(d.d AS VARCHAR)), 1, 8))::UBIGINT
+                          % 2000001 AS BIGINT) - 1000000 AS c
+              FROM (SELECT unnest(range(200)) AS i) i,
+                   (SELECT unnest(range(64)) AS d) d
+            ),
+            dots AS (
+              SELECT e.vec_id, p.p_i, SUM(e.q[p.d + 1] * p.c) AS dot
+              FROM qe e CROSS JOIN pld p
+              GROUP BY e.vec_id, p.p_i
+            ),
+            sigs AS (
+              SELECT vec_id, p_i // 5 AS tbl,
+                     SUM(CASE WHEN dot > 0
+                              THEN (1 << (p_i % 5)) ELSE 0 END) AS bucket
+              FROM dots GROUP BY vec_id, p_i // 5
+            ),
+            lcand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sigs a JOIN sigs b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+            ),
+            lpairs AS (
+              SELECT c.vec_a, c.vec_b,
+                     CAST(FLOOR(
+                       list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                       / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM lcand c
+              JOIN qe a ON a.vec_id = c.vec_a
+              JOIN qe b ON b.vec_id = c.vec_b
+            )
+            SELECT vec_a, vec_b, cos_fp5 FROM lpairs WHERE cos_fp5 >= 35000
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # Hex-parse of the first 8 md5 digits via a position-weighted list
+        # comprehension (DuckDB has no hex->int cast); same bucket math as
+        # the Ray side's int(md5[:8], 16) % 100.
+        "split_assign": """
+            WITH h AS (
+                SELECT doc_id,
+                       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       CAST(list_sum([
+                           CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)
+                           << ((8 - i) * 4)
+                           for i in range(1, 9)
+                       ]) % 100 AS BIGINT) AS bucket
+                FROM h
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 10 THEN 'test'
+                        WHEN bucket < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
+        """,
+        "events_hourly_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # Explicit rank convention (1-based ceil(q*n/100), integer ceil
+        # division) so percentile selection is float-free on both sides.
+        "events_hourly_percentiles": """
+            WITH v AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            ),
+            r AS (
+                SELECT hour, value_c,
+                       ROW_NUMBER() OVER (PARTITION BY hour ORDER BY value_c) AS rn,
+                       COUNT(*) OVER (PARTITION BY hour) AS n
+                FROM v
+            )
+            SELECT hour,
+                   MAX(n) AS n_events,
+                   MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value_c END) AS p50_c,
+                   MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value_c END) AS p95_c,
+                   MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_c END) AS p99_c
+            FROM r GROUP BY hour
+        """,
+        # Histogram-sketch replay: $1 bins over cents, first bin whose
+        # cumulative count reaches the exact ceil-rank, inclusive upper
+        # edge as the estimate.
+        "events_hourly_quantiles_sketch": """
+            WITH v AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100 AS bin
+                FROM events
+            ),
+            hb AS (SELECT hour, bin, COUNT(*) AS c FROM v GROUP BY hour, bin),
+            cum AS (
+                SELECT hour, bin,
+                       SUM(c) OVER (PARTITION BY hour ORDER BY bin) AS cum,
+                       SUM(c) OVER (PARTITION BY hour) AS n
+                FROM hb
+            )
+            SELECT hour, CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p50_est_c,
+                   CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p95_est_c,
+                   CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                                 THEN (bin + 1) * 100 - 1 END) AS BIGINT)
+                       AS p99_est_c
+            FROM cum GROUP BY hour
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id, rk FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR))
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        # Temperature-mixed sampling replay: integer largest-remainder
+        # apportionment of 100 over floor(sqrt(count)*1e6) weights, then
+        # the stratified md5-priority window per source.
+        "mixture_sample": """
+            WITH sc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+            s AS (SELECT source,
+                         CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+                  FROM sc),
+            tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS S FROM s),
+            base AS (
+              SELECT source, (100 * sq) // t.S AS b, (100 * sq) % t.S AS rem
+              FROM s CROSS JOIN tot t
+            ),
+            lo AS (SELECT 100 - CAST(SUM(b) AS BIGINT) AS l FROM base),
+            quota AS (
+              SELECT source,
+                     b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                                   <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS q
+              FROM base
+            ),
+            ranked AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))
+                     ) AS rk
+              FROM documents
+            )
+            SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+            FROM ranked r JOIN quota q USING (source) WHERE r.rk <= q.q
+        """,
+        "typo_token_pairs": r"""
+            WITH d2 AS (
+                -- deterministic typo injection (_typo_docs mirror):
+                -- doc_id % 7 == 0 prepends the first token with its
+                -- first char replaced by 'x'
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                                 AND length(regexp_extract(text,
+                                     '[^ \t\n\r\v\f]+')) > 1
+                            THEN 'x' || substring(regexp_extract(text,
+                                     '[^ \t\n\r\v\f]+'), 2)
+                                 || ' ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+                FROM d2
+            ),
+            tf AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+            v AS (SELECT token, n FROM tf ORDER BY n DESC, token ASC LIMIT 2000)
+            SELECT a.token AS token_a, b.token AS token_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM v a JOIN v b
+              ON a.token < b.token AND levenshtein(a.token, b.token) = 1
+        """,
+        "token_freq": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS n FROM toks
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "redact_text": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                     '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted,
+                   len(regexp_extract_all(text, 'https?://[^ \t\n\r\v\f]+'))
+                 + len(regexp_extract_all(
+                       regexp_replace(text, 'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                 + len(regexp_extract_all(
+                       regexp_replace(
+                         regexp_replace(text, 'https?://[^ \t\n\r\v\f]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                       '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_redactions
+            FROM documents
+        """,
+        "normalize_text": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text),
+                                          '[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]', ' ', 'g'),
+                           '[ \t\n\r\v\f]+', ' ', 'g'), ' ') AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text, length(norm_text) AS n_norm_chars FROM n
+        """,
+        "token_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   len([t for t in w if t IN ('the','and','of','a','in')]) AS n_stopwords,
+                   CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS BIGINT) AS sum_token_len
+            FROM toks
+        """,
+        # C4 keep-first span dedup replay: non-overlapping 4-token spans,
+        # survivor = lowest (doc_id, idx) occurrence per 60-bit span hash
+        # (same expression as the Ray side — equality holds collisions
+        # included); clean_text = surviving spans + remainder tokens.
+        # Cross-doc repeated-line removal: replay the 60-bit line hash,
+        # count distinct docs per hash, drop ALL copies of lines seen in
+        # >1 doc (whitespace-only lines never qualify), reassemble with
+        # string_agg ORDER BY line index.
+        "boilerplate_lines": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'Home | About | Contact' || chr(10) || text
+                          ELSE text END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'Copyright 2026 Example Corp'
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM injected
+            ),
+            l AS (
+              SELECT t.doc_id, i.i AS idx, t.ls[i.i + 1] AS line
+              FROM base t
+              JOIN (SELECT unnest(range((SELECT MAX(len(ls)) FROM base))) AS i) i
+                ON i.i < len(t.ls)
+            ),
+            q AS (
+              SELECT doc_id, idx,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(line), j, 1)) - 1
+                              AS BIGINT) << ((15 - j) * 4)
+                         for j in range(1, 16)
+                     ]) AS lh
+              FROM l WHERE regexp_matches(line, '[^ \t\r\v\f]')
+            ),
+            bp AS (
+              SELECT lh FROM (
+                SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM q GROUP BY lh
+              ) WHERE nd > 1
+            ),
+            dropped AS (
+              SELECT doc_id, idx FROM q WHERE lh IN (SELECT lh FROM bp)
+            ),
+            keptl AS (
+              SELECT l.doc_id, l.idx, l.line
+              FROM l LEFT JOIN dropped d USING (doc_id, idx)
+              WHERE d.idx IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean
+              FROM keptl GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.ls) AS BIGINT) AS n_lines,
+                   CAST(len(b.ls) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+                   COALESCE(a.clean, '') AS clean_text
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "dedup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            ch AS (
+              SELECT t.doc_id, i.i AS idx,
+                     list_aggregate(w[i.i*4+1 : i.i*4+4], 'string_agg', ' ') AS c
+              FROM toks t
+              JOIN (SELECT unnest(range((SELECT MAX(len(w)) FROM toks))) AS i) i
+                ON i.i < CAST(FLOOR(len(t.w) / 4) AS BIGINT)
+            ),
+            xh AS (
+              SELECT doc_id, idx, c,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(c), j, 1)) - 1
+                              AS BIGINT) << ((15 - j) * 4)
+                         for j in range(1, 16)
+                     ]) AS sh
+              FROM ch
+            ),
+            ranked AS (
+              SELECT doc_id, idx, c,
+                     ROW_NUMBER() OVER (PARTITION BY sh
+                                        ORDER BY doc_id, idx) AS rn
+              FROM xh
+            ),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(c, ' ' ORDER BY idx) AS kept_text,
+                     COUNT(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            rem AS (
+              SELECT doc_id,
+                     CAST(FLOOR(len(w) / 4) AS BIGINT) AS n_chunks,
+                     list_aggregate(
+                         w[CAST(FLOOR(len(w) / 4) AS BIGINT) * 4 + 1 : len(w)],
+                         'string_agg', ' ') AS remainder
+              FROM toks
+            )
+            SELECT r.doc_id,
+                   r.n_chunks,
+                   r.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped,
+                   CASE
+                     WHEN k.kept_text IS NOT NULL AND r.remainder IS NOT NULL
+                       THEN k.kept_text || ' ' || r.remainder
+                     ELSE COALESCE(k.kept_text, r.remainder, '')
+                   END AS clean_text
+            FROM rem r LEFT JOIN kept k USING (doc_id)
+        """,
+        # Same 60-bit md5 hash expression as the Ray side's
+        # shingle_base_hash, so grouping equality (collisions included) is
+        # by construction; rare = bigram with global occurrence count 1.
+        "rare_bigram_rate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            xb AS (
+              SELECT doc_id,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) AS bh
+              FROM bg
+            ),
+            counts AS (SELECT bh, COUNT(*) AS c FROM xb GROUP BY bh),
+            rare AS (
+              SELECT x.doc_id, COUNT(*) AS n_rare
+              FROM xb x JOIN counts c ON c.bh = x.bh AND c.c = 1
+              GROUP BY x.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, GREATEST(len(w) - 1, 0) AS n_bigrams FROM toks
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare,
+                   CASE WHEN t.n_bigrams > 0
+                        THEN CAST(FLOOR(CAST(COALESCE(r.n_rare, 0) AS DOUBLE)
+                                        * 1e6 / t.n_bigrams + 0.5) AS BIGINT)
+                        ELSE 0 END AS rare_fp6
+            FROM tot t LEFT JOIN rare r USING (doc_id)
+        """,
+        # Hashed bigram LM negative log likelihood (the CCNet perplexity
+        # gate stand-in): same 60-bit md5 hash as rare_bigram_rate, ctx
+        # buckets 1024 / bigram buckets 4096, add-1 smoothing; per-bigram
+        # term = floor(ln((cb+1)/(cu+4096))*1e9) — exact-int replay, mean
+        # via DOUBLE floor-division on both engines.
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([w[i+1] for i in range(len(w) - 1)]) AS u,
+                     unnest([w[i+1] || ' ' || w[i+2]
+                             for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(u), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 1024 AS uh,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 4096 AS bh
+              FROM bg
+            ),
+            cu AS (SELECT uh, COUNT(*) AS c FROM h GROUP BY uh),
+            cb AS (SELECT bh, COUNT(*) AS c FROM h GROUP BY bh),
+            lp AS (
+              SELECT h.doc_id,
+                     CAST(FLOOR(ln(CAST(cb.c + 1 AS DOUBLE)
+                                   / CAST(cu.c + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT) AS l
+              FROM h JOIN cu USING (uh) JOIN cb USING (bh)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n, CAST(-SUM(l) AS BIGINT) AS nll
+              FROM lp GROUP BY doc_id
+            ),
+            tot AS (
+              SELECT doc_id, GREATEST(len(w) - 1, 0) AS n_bigrams FROM toks
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+                   COALESCE(a.nll, 0) AS nll_fp9,
+                   CASE WHEN t.n_bigrams > 0
+                        THEN CAST(FLOOR(CAST(a.nll AS DOUBLE) / t.n_bigrams)
+                                  AS BIGINT)
+                        ELSE 0 END AS mean_nll_fp9
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        # DSIR importance weights: same tokenizer + 60-bit md5 bigram hash
+        # as rare_bigram_rate, bucketed mod 1024; per-bucket log-ratio is
+        # one fixed IEEE sequence (DOUBLE divide, libm ln, subtract, *1e9,
+        # floor), then pure int64 sums — bit-equal to the numpy side.
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, source,
+                     unnest([w[i+1] || ' ' || w[i+2]
+                             for i in range(len(w) - 1)]) AS b
+              FROM toks WHERE len(w) >= 2
+            ),
+            xb AS (
+              SELECT doc_id, source,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 1024 AS bkt
+              FROM bg
+            ),
+            tot AS (
+              SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t,
+                     COUNT(*) AS r
+              FROM xb
+            ),
+            bc AS (
+              SELECT bkt,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     COUNT(*) AS cr
+              FROM xb GROUP BY bkt
+            ),
+            delta AS (
+              SELECT b.bkt,
+                     CAST(FLOOR(
+                       (ln(CAST(b.ct + 1 AS DOUBLE) / CAST(t.t + 1024 AS DOUBLE))
+                        - ln(CAST(b.cr + 1 AS DOUBLE) / CAST(t.r + 1024 AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS d
+              FROM bc b CROSS JOIN tot t
+            ),
+            sc AS (
+              SELECT x.doc_id, CAST(SUM(d.d) AS BIGINT) AS logw_fp9
+              FROM xb x JOIN delta d USING (bkt) GROUP BY x.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(s.logw_fp9, 0) AS BIGINT) AS logw_fp9
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        # Count-min sketch replay: same "j:token" 60-bit md5 column hash,
+        # counters rebuilt with an occurrence-count groupby, estimate =
+        # MIN over the 4 rows, one-sided threshold filter.
+        "cms_heavy_hitters": r"""
+            WITH occ AS (
+              SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+              FROM documents
+            ),
+            tc AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+            hx AS (
+              SELECT tc.t, r.j, tc.c,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef',
+                                     substr(md5(CAST(r.j AS VARCHAR) || ':' || tc.t),
+                                            i, 1)) - 1
+                              AS BIGINT) << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) % 512 AS w
+              FROM tc CROSS JOIN (SELECT unnest(range(4)) AS j) r
+            ),
+            cnt AS (SELECT j, w, CAST(SUM(c) AS BIGINT) AS cell
+                    FROM hx GROUP BY j, w),
+            est AS (
+              SELECT h.t, MIN(c.cell) AS est_count
+              FROM hx h JOIN cnt c ON c.j = h.j AND c.w = h.w
+              GROUP BY h.t
+            )
+            SELECT t AS token, CAST(est_count AS BIGINT) AS est_count
+            FROM est WHERE est_count >= 100
+        """,
+        # Tokenizer replay: vocab = top-16 by (count DESC, token ASC)
+        # ROW_NUMBER ids, per-position LEFT JOIN, UNK = 0.
+        "tokenize_ids": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token, tid FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS tid
+                FROM occ GROUP BY t
+              ) WHERE tid <= 16
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(range(len(w))) AS pos
+              FROM toks WHERE len(w) > 0
+            ),
+            sel AS (SELECT doc_id, pos, w[pos + 1] AS t FROM pos)
+            SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+                   CAST(COALESCE(v.tid, 0) AS BIGINT) AS tid
+            FROM sel s LEFT JOIN vocab v ON v.token = s.t
+        """,
+        # Concat-and-chunk replay: the tokenize_ids id stream, global
+        # position = ROW_NUMBER over (doc_id, pos), example = gpos // 64,
+        # final partial example dropped (drop_remainder=True convention).
+        "pack_token_blocks": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token, tid FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS tid
+                FROM occ GROUP BY t
+              ) WHERE tid <= 16
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(range(len(w))) AS pos
+              FROM toks WHERE len(w) > 0
+            ),
+            sel AS (SELECT doc_id, pos, w[pos + 1] AS t FROM pos),
+            ids AS (
+              SELECT s.doc_id, s.pos, COALESCE(v.tid, 0) AS tid
+              FROM sel s LEFT JOIN vocab v ON v.token = s.t
+            ),
+            g AS (
+              SELECT doc_id, tid,
+                     ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+              FROM ids
+            )
+            SELECT CAST(gpos // 64 AS BIGINT) AS example_id,
+                   CAST(gpos % 64 AS BIGINT) AS pos,
+                   CAST(tid AS BIGINT) AS tid,
+                   doc_id
+            FROM g
+            WHERE gpos < (SELECT (COUNT(*) // 64) * 64 FROM g)
+        """,
+        # Per-source top-k tokens with deterministic (n desc, token) rank.
+        "source_top_tokens": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM occ GROUP BY source, token
+            ),
+            ranked AS (
+              SELECT source, token, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n DESC, token) AS rk
+              FROM counts
+            )
+            SELECT source, CAST(rk AS BIGINT) AS rk, token, n
+            FROM ranked WHERE rk <= 10
+        """,
+        # Pairwise Jaccard of per-source top-256 token sets; int/int
+        # division of exact counts -> same double -> shared fp6 round.
+        "source_vocab_overlap": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT source, token, COUNT(*) AS n
+              FROM occ GROUP BY source, token
+            ),
+            tv AS (
+              SELECT source, token FROM (
+                SELECT source, token,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, token) AS rk
+                FROM counts
+              ) WHERE rk <= 256
+            ),
+            inter AS (
+              SELECT x.source AS sa, y.source AS sb, COUNT(*) AS nc
+              FROM tv x JOIN tv y ON x.token = y.token AND x.source < y.source
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT source, COUNT(*) AS nv FROM tv GROUP BY source)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
+                   CAST(za.nv + zb.nv - COALESCE(i.nc, 0) AS BIGINT) AS n_union,
+                   CAST(FLOOR(COALESCE(i.nc, 0)
+                              / (za.nv + zb.nv - COALESCE(i.nc, 0)) * 1e6 + 0.5)
+                        AS BIGINT) AS jaccard_fp6
+            FROM (SELECT DISTINCT source FROM tv) a
+            JOIN (SELECT DISTINCT source FROM tv) b ON a.source < b.source
+            LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+            JOIN sizes za ON za.source = a.source
+            JOIN sizes zb ON zb.source = b.source
+        """,
+        # E-S weighted sampling replay: u = (h60+1)/2^60 exact, key =
+        # floor(-ln(u)/w*1e9), k smallest with doc_id ties.
+        "weighted_sample": r"""
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     list_sum([
+                         CAST(strpos('0123456789abcdef',
+                              substr(md5('wrs:' || doc_id), i, 1)) - 1 AS BIGINT)
+                         << ((15 - i) * 4)
+                         for i in range(1, 16)
+                     ]) AS h60
+              FROM documents WHERE n_chars > 0
+            ),
+            keyed AS (
+              SELECT doc_id,
+                     CAST(FLOOR(-ln(CAST(h60 + 1 AS DOUBLE) / 1152921504606846976)
+                                / n_chars * 1e9) AS BIGINT) AS key_fp9
+              FROM h
+            ),
+            ranked AS (
+              SELECT doc_id, key_fp9,
+                     ROW_NUMBER() OVER (ORDER BY key_fp9, doc_id) AS rk
+              FROM keyed
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, key_fp9,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 100
+        """,
+        # PMI collocation replay: bigram counts over the top-4096 vocab,
+        # marginals from the pair table, products widened via HUGEINT and
+        # rounded to DOUBLE once each (== Python float(int)), libm ln.
+        "pmi_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            occ AS (SELECT unnest(w) AS t FROM toks),
+            vocab AS (
+              SELECT token FROM (
+                SELECT t AS token,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+                FROM occ GROUP BY t
+              ) WHERE rn <= 4096
+            ),
+            big AS (
+              SELECT t.w[i.i + 1] AS a, t.w[i.i + 2] AS b
+              FROM toks t
+              JOIN (SELECT unnest(range((SELECT MAX(len(w)) FROM toks))) AS i) i
+                ON i.i < len(t.w) - 1
+            ),
+            bv AS (
+              SELECT a, b FROM big
+              WHERE a IN (SELECT token FROM vocab)
+                AND b IN (SELECT token FROM vocab)
+            ),
+            bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bv GROUP BY a, b),
+            la AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY a),
+            rb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bc GROUP BY b),
+            tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM bc)
+            SELECT bc.a AS tok_a, bc.b AS tok_b, bc.n_ab,
+                   CAST(FLOOR(ln(
+                     CAST(CAST(bc.n_ab AS HUGEINT) * t.n AS DOUBLE)
+                     / CAST(CAST(la.n_a AS HUGEINT) * rb.n_b AS DOUBLE)
+                   ) * 1e9) AS BIGINT) AS pmi_fp9
+            FROM bc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot t
+            WHERE bc.n_ab >= 3
+            ORDER BY pmi_fp9 DESC, tok_a, tok_b LIMIT 50
+        """,
+        # Winnowing replay: same 60-bit md5 5-gram hash, windows of 4
+        # consecutive gram hashes (one short window when a doc has fewer
+        # grams), MIN per window with the RIGHTMOST tie, DISTINCT picks.
+        "winnow_fingerprints": _WINNOW_CTE + r"""
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(fph AS BIGINT) AS fph  -- HUGEINT->float64 rounds in pandas
+            FROM sel
+        """,
+        # MOSS comparison replay: distinct (doc, fingerprint) picks,
+        # boilerplate fingerprints (shared by > 64 docs) dropped, pair
+        # count over the survivors, threshold >= 2.
+        "winnow_overlap": _WINNOW_CTE + r""",
+            seld AS (SELECT DISTINCT doc_id, fph FROM sel),
+            okf AS (SELECT fph FROM seld GROUP BY fph
+                    HAVING COUNT(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM seld a
+              JOIN seld b ON a.fph = b.fph AND a.doc_id < b.doc_id
+              JOIN okf o ON o.fph = a.fph
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM pairs WHERE n_shared >= 2
+        """,
+        # HTML boilerplate-strip replay: the exact regex/replace chain
+        # (script/style blocks, block tags -> newline, tag strip, six
+        # entities with &amp; last, per-line whitespace collapse, empty
+        # lines dropped). Identity on plain text; real-HTML behavior is
+        # pinned by a dedicated Python<->DuckDB parity unit test.
+        # DOM-heuristic main-content extraction replay: same page
+        # skeleton injection, same regex chain per block (visible =
+        # strip-tags + ws-collapse + trim; anchors via non-greedy group),
+        # keep iff len>=25 AND 2*anchor_chars<=len, reassemble in block
+        # order.
+        "extract_main_content": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a></div><p>'
+                     || text ||
+                     '</p><div class="footer"><a href="/tos">Terms of Service</a> <a href="/priv">Privacy</a></div>'
+                     AS html
+              FROM documents
+            ),
+            scrubbed AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+              FROM injected
+            ),
+            bl AS (
+              SELECT doc_id,
+                     regexp_split_to_array(t, '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6])[^>]*>') AS bs
+              FROM scrubbed
+            ),
+            b AS (
+              SELECT t.doc_id, i.i AS idx, t.bs[i.i + 1] AS blk
+              FROM bl t
+              JOIN (SELECT unnest(range((SELECT MAX(len(bs)) FROM bl))) AS i) i
+                ON i.i < len(t.bs)
+            ),
+            v AS (
+              SELECT doc_id, idx,
+                     trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+                                         '[ \t\n\r\v\f]+', ' ', 'g'), ' ') AS vis,
+                     CAST(COALESCE(list_sum(list_transform(
+                         regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1),
+                         x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                                                         '[ \t\n\r\v\f]+', ' ', 'g'), ' '))
+                     )), 0) AS BIGINT) AS a_chars
+              FROM b
+            ),
+            nz AS (SELECT * FROM v WHERE vis <> ''),
+            kept AS (
+              SELECT doc_id, idx, vis FROM nz
+              WHERE length(vis) >= 25 AND 2 * a_chars <= length(vis)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(vis, chr(10) ORDER BY idx) AS main_text
+              FROM kept GROUP BY doc_id
+            ),
+            nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM nz GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(nb.n_blocks, 0) AS BIGINT) AS n_blocks,
+                   CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(agg.main_text, '') AS main_text
+            FROM documents d
+            LEFT JOIN nb USING (doc_id) LEFT JOIN agg USING (doc_id)
+        """,
+        "strip_html": r"""
+            WITH c AS (
+              SELECT doc_id,
+                COALESCE(array_to_string(
+                  list_filter(
+                    [trim(regexp_replace(x, '[ \t\r\v\f]+', ' ', 'g'))
+                     for x in string_split(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(text,
+                                 '<script[^>]*>.*?</script>', ' ', 'gis'),
+                               '<style[^>]*>.*?</style>', ' ', 'gis'),
+                             '<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>',
+                             chr(10), 'gi'),
+                           '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       chr(10))],
+                    x -> x != ''),
+                  chr(10)), '') AS clean_text
+              FROM documents
+            )
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+            FROM c
+        """,
+        "lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g')) > 0
+                             AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
+                                 > 3 * length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g'))
+                        THEN 'cyr' ELSE 'lat' END AS pred_lang
+            FROM documents
+        """,
+        "dedup_simhash": _SIMHASH_INT_CTE + """
+            SELECT doc_id,
+                   lower(lpad(to_hex(v), 16, '0')) AS simhash
+            FROM simint
+        """,
+        # Benchmark decontamination: train docs sharing any distinct
+        # word-3-gram shingle with any test doc. Joins on the SAME 60-bit
+        # md5 shingle hash the Ray side shuffles, so equality holds by
+        # construction, hash collisions included.
+        "decontaminate": r"""
+            WITH sp AS (
+              SELECT doc_id,
+                     CAST(list_sum([
+                         CAST(strpos('0123456789abcdef',
+                              substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1))
+                              - 1 AS BIGINT) << ((8 - i) * 4)
+                         for i in range(1, 9)
+                     ]) % 100 AS BIGINT) AS bucket
+              FROM documents
+            ),
+            side AS (
+              SELECT doc_id, CASE WHEN bucket < 10 THEN 1 ELSE 0 END AS is_test
+              FROM sp WHERE bucket < 10 OR bucket >= 20
+            ),
+            dtoks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            dshl AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM dtoks WHERE len(w) >= 3
+            ),
+            dex AS (
+              SELECT doc_id,
+                     [list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                               AS BIGINT) << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles] AS hs
+              FROM dshl
+            ),
+            exf AS (SELECT doc_id, unnest(hs) AS h FROM dex),
+            tsh AS (
+              SELECT DISTINCT h FROM exf JOIN side USING (doc_id) WHERE is_test = 1
+            )
+            SELECT e.doc_id, COUNT(*) AS n_shared_shingles
+            FROM exf e JOIN side s USING (doc_id) JOIN tsh t ON e.h = t.h
+            WHERE s.is_test = 0
+            GROUP BY e.doc_id
+        """,
+        # Hamming-ball near-dup pairs among distinct-fingerprint
+        # representatives (Manku et al. WWW'07, 64-bit / k=3). The Ray
+        # side's band-bucket groupby is recall-lossless by pigeonhole, so
+        # the exact O(n^2) bit_count(xor) join IS its contract.
+        "dedup_simhash_pairs": _SIMHASH_INT_CTE + """
+            , simreps AS (
+              SELECT MIN(doc_id) AS doc_id, v FROM simint GROUP BY v
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM simreps a JOIN simreps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
+        # Character-entropy replay: per distinct char term k*floor(ln(n/k)
+        # *1e9) — int/int division and libm ln are bit-equal across
+        # engines (the tfidf/dsir discipline); ent = S // n exact.
+        # Lookaround-free replay of the Python de-hyphenation regex
+        # (?<=[letter]) ?- ?(?=[letter]) (textproc.py:17): split the text
+        # at every greedy ' ?- ?' occurrence, keep the separators, and
+        # rejoin dropping a separator iff its left segment ends with a
+        # letter AND its right segment starts with one — exactly the two
+        # lookaround checks (they never consume, so chains like "a-b-c"
+        # collapse fully in both formulations; a shorter match extent can
+        # never succeed where the greedy one fails because the uncovered
+        # char is a space). Verified char-exact vs Python re on 3k
+        # adversarial strings + the full corpus.
+        "dehyphenate": r"""
+            WITH segs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text, ' ?- ?') AS s,
+                     regexp_extract_all(text, ' ?- ?') AS p
+              FROM documents
+            ),
+            bounds AS (
+              SELECT doc_id, s, p, unnest(range(2, len(s) + 1)) AS i
+              FROM segs
+            ),
+            tails AS (
+              SELECT doc_id,
+                     string_agg(
+                       CASE WHEN regexp_matches(s[i-1], '[A-Za-zА-Яа-я]$')
+                             AND regexp_matches(s[i], '^[A-Za-zА-Яа-я]')
+                            THEN '' ELSE p[i-1] END || s[i],
+                       '' ORDER BY i) AS tail
+              FROM bounds GROUP BY doc_id
+            )
+            SELECT segs.doc_id, segs.s[1] || COALESCE(t.tail, '') AS clean_text
+            FROM segs LEFT JOIN tails t USING (doc_id)
+        """,
+        "char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+            tot AS (
+              SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n, COUNT(*) AS nd
+              FROM cnt GROUP BY doc_id
+            ),
+            s AS (
+              SELECT c2.doc_id,
+                     CAST(SUM(c2.k * CAST(FLOOR(ln(t.n / c2.k) * 1e9) AS BIGINT))
+                          AS BIGINT) AS S
+              FROM cnt c2 JOIN tot t USING (doc_id) GROUP BY c2.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(t.n, 0) AS n_chars_t,
+                   CAST(COALESCE(t.nd, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(s.S // t.n, 0) AS BIGINT) AS ent_fp9
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id) LEFT JOIN s USING (doc_id)
+        """,
+        # Gopher Table-A1 rules as pure integer comparisons (no float
+        # ratios): same tokenizer / char classes as quality_score, lines
+        # split on chr(10), '...' runs counted non-overlapping left-to-
+        # right on both sides (str.count == replace-length trick).
+        "gopher_filter": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w,
+                     string_split(text, chr(10)) AS lines,
+                     (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) // 3
+                       AS n_sym
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_sym,
+                     len(w) AS n,
+                     CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, ln -> regexp_matches(ln, '^ *[-*]'))) AS n_bullet,
+                     len(list_filter(lines, ln -> regexp_matches(ln, '\.\.\. *$'))) AS n_ell,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-zЀ-ӿ]'))) AS n_alpha_w,
+                     len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+              FROM f
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   CAST(n BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+                   CAST(n > 0 AND 3*n <= sum_len AND sum_len <= 10*n AS BIGINT) AS r_mean,
+                   CAST(10*n_sym <= n AS BIGINT) AS r_symbol,
+                   CAST(10*n_bullet <= 9*n_lines AS BIGINT) AS r_bullet,
+                   CAST(10*n_ell <= 3*n_lines AS BIGINT) AS r_ellipsis,
+                   CAST(5*n_alpha_w >= 4*n AS BIGINT) AS r_alpha,
+                   CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+                   CAST(
+                     (n BETWEEN 50 AND 100000)
+                     AND (n > 0 AND 3*n <= sum_len AND sum_len <= 10*n)
+                     AND 10*n_sym <= n AND 10*n_bullet <= 9*n_lines
+                     AND 10*n_ell <= 3*n_lines AND 5*n_alpha_w >= 4*n
+                     AND n_stop >= 2 AS BIGINT) AS passes
+            FROM c
+        """,
+        # Character-class counts use the literal classes from
+        # textstats.ALPHA_CLASS/DIGIT_CLASS/SPACE_CLASS; ratio formula is the
+        # shared floor(a/total*1e6+0.5) on exact integer inputs.
+        "quality_score": r"""
+            WITH chars AS (
+              SELECT doc_id, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     length(regexp_replace(text, '[^ \t\n\r\v\f]', '', 'g')) AS n_space
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            )
+            SELECT c.doc_id,
+                   total AS n_chars_t,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END AS alpha_fp6,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(n_digit AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END AS digit_fp6,
+                   CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(total - n_alpha - n_digit - n_space AS DOUBLE) / total * 1e6
+                     + 0.5) AS BIGINT) END AS punct_fp6,
+                   CASE WHEN len(w) = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(len([t for t in w if t IN ('the','and','of','a','in')]) AS DOUBLE)
+                     / len(w) * 1e6 + 0.5) AS BIGINT) END AS stop_fp6,
+                   CASE WHEN len(w) = 0 THEN 0 ELSE CAST(FLOOR(
+                     CAST(COALESCE(list_sum([len(t) for t in w]), 0) AS DOUBLE)
+                     / len(w) * 1e6 + 0.5) AS BIGINT) END AS mean_tok_len_fp6
+            FROM chars c JOIN toks USING (doc_id)
+        """,
+        # Per-source percentile rank of the alpha quality ratio; rank =
+        # ROW_NUMBER ordered by (alpha_fp6, doc_id) inside the source —
+        # same deterministic tie-break as the Ray block-offset ranks.
+        "quality_percentile": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END
+                       AS alpha_fp6
+              FROM chars
+            ),
+            ranked AS (
+              SELECT doc_id, source, alpha_fp6,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY alpha_fp6, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM q
+            )
+            SELECT doc_id, source, alpha_fp6,
+                   CASE WHEN cnt > 1
+                        THEN CAST(FLOOR(CAST(rn - 1 AS DOUBLE) * 1e6 / (cnt - 1)
+                                        + 0.5) AS BIGINT)
+                        ELSE 0 END AS pct_fp6
+            FROM ranked
+        """,
+        # RefinedWeb-style per-source cap: top 8 docs per source by
+        # quality, top_rank deterministic via (alpha DESC, doc_id DESC)
+        # — the exact reverse of the ascending rank the Ray side sorts by.
+        "source_cap": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g')) AS n_alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) END
+                       AS alpha_fp6
+              FROM chars
+            )
+            SELECT doc_id, source, alpha_fp6, top_rank FROM (
+              SELECT doc_id, source, alpha_fp6,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY alpha_fp6 DESC, doc_id DESC)
+                       AS top_rank
+              FROM q
+            ) WHERE top_rank <= 8
+        """,
+        # Classic tf-idf distinctive terms: lowercase [A-Za-z]+ tokens,
+        # score = tf * floor(1e6*ln(N/df)+0.5) — Python math.log and
+        # DuckDB ln are both platform libm (verified bit-equal over 5e3
+        # samples), and N/df is one exact-integer IEEE division, so the
+        # int64 score hashes identically. Vocab = df>=2 capped to the top
+        # 65536 terms by (df DESC, term ASC), mirroring the Ray side's
+        # bounded-broadcast vocabulary.
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            vocab AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1
+              HAVING COUNT(DISTINCT doc_id) >= 2
+              ORDER BY df DESC, term LIMIT 65536
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * CAST(FLOOR(ln(CAST(n.n AS DOUBLE)
+                                           / CAST(v.df AS DOUBLE)) * 1e6
+                                        + 0.5) AS BIGINT) AS score_fp6
+              FROM tf JOIN vocab v USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score_fp6 DESC, term)
+                          AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, score_fp6, rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        # BM25 top-5 per query — full exact-integer rational replay
+        # (functions/retrieval.py module docstring): Lucene positive idf
+        # via the shared libm-ln fp6 contract, contributions cleared to
+        # integers by multiplying through with 1e6*T, HUGEINT division
+        # (// truncation == Python floor on positives). VALUES mirrors
+        # BM25_QUERIES; k1=1.2 b=0.75 -> constants 2200*1000, 1200*250,
+        # 1200*750.
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            q(query_id, term) AS (VALUES
+              (0,'hash'),(0,'join'),(0,'merge'),
+              (1,'window'),(1,'stream'),(1,'batch'),
+              (2,'filter'),(2,'sort'),(2,'key')),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n, COUNT(*) AS t
+              FROM toks
+            ),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     (CAST(CAST(FLOOR(ln(CAST(2*tot.n + 2 AS DOUBLE)
+                                         / CAST(2*df.df + 1 AS DOUBLE)) * 1e6
+                                      + 0.5) AS BIGINT) AS HUGEINT)
+                        * tf.tf * 2200 * 1000 * tot.t)
+                     // (CAST(tf.tf AS HUGEINT) * 1000000 * tot.t
+                         + CAST(1200 * 250 AS HUGEINT) * tot.t
+                         + CAST(1200 * 750 AS HUGEINT) * dl.dl * tot.n) AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
+              FROM contrib GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp6 DESC, doc_id)
+                          AS rnk
+              FROM scores
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_fp6,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        # Hybrid RRF: the full bm25 replay (k_cand=10) and the full
+        # quantized-cosine replay (query vectors = vec_id < 3, self
+        # excluded, k_cand=10) fused by pure-integer reciprocal rank
+        # 1e9 // (60 + rank), top-5 per query by (rrf DESC, doc_id).
+        "hybrid_rrf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            q(query_id, term) AS (VALUES
+              (0,'hash'),(0,'join'),(0,'merge'),
+              (1,'window'),(1,'stream'),(1,'batch'),
+              (2,'filter'),(2,'sort'),(2,'key')),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n, COUNT(*) AS t
+              FROM toks
+            ),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     (CAST(CAST(FLOOR(ln(CAST(2*tot.n + 2 AS DOUBLE)
+                                         / CAST(2*df.df + 1 AS DOUBLE)) * 1e6
+                                      + 0.5) AS BIGINT) AS HUGEINT)
+                        * tf.tf * 2200 * 1000 * tot.t)
+                     // (CAST(tf.tf AS HUGEINT) * 1000000 * tot.t
+                         + CAST(1200 * 250 AS HUGEINT) * tot.t
+                         + CAST(1200 * 750 AS HUGEINT) * dl.dl * tot.n) AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
+              FROM contrib GROUP BY 1, 2
+            ),
+            lexr AS (
+              SELECT query_id, doc_id, rnk FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score_fp6 DESC, doc_id)
+                         AS rnk
+                FROM scores
+              ) WHERE rnk <= 10
+            ),
+            qe AS (
+              SELECT vec_id,
+                     [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                      for x in embedding] AS q,
+                     list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                    AS BIGINT)
+                               * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                      AS BIGINT)
+                               for x in embedding]) AS nsq
+              FROM embeddings
+            ),
+            dsc AS (
+              SELECT qq.vec_id AS query_id, e.vec_id AS doc_id,
+                     CAST(FLOOR(
+                       list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                       / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                     ) AS cos_fp5
+              FROM qe e, qe qq
+              WHERE qq.vec_id < 3 AND e.vec_id != qq.vec_id
+            ),
+            denser AS (
+              SELECT query_id, doc_id, rn FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_fp5 DESC, doc_id) AS rn
+                FROM dsc
+              ) WHERE rn <= 10
+            ),
+            u AS (
+              SELECT query_id, doc_id, 1000000000 // (60 + rnk) AS part
+              FROM lexr
+              UNION ALL
+              SELECT query_id, doc_id, 1000000000 // (60 + rn) AS part
+              FROM denser
+            ),
+            f AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                     CAST(SUM(part) AS BIGINT) AS rrf_fp9
+              FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf_fp9, rnk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_fp9 DESC, doc_id) AS BIGINT) AS rnk
+              FROM f
+            ) WHERE rnk <= 5
+        """,
+        # Sliding-window chunker: windows of 64 whitespace tokens every 48.
+        # The filter start=0 OR start-48+64 < n is monotone in start, so it
+        # equals the Ray side's break-on-first-covered rule; chunk_id =
+        # start/stride is gap-free below the cut. List slice w[a:b] is
+        # 1-based inclusive in DuckDB.
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(range(0, greatest(len(w), 1), 48)) AS start
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(start / 48 AS BIGINT) AS chunk_id,
+                   CAST(start AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
+                   array_to_string(w[start + 1 : LEAST(start + 64, n)], ' ')
+                     AS chunk_text
+            FROM starts
+            WHERE n > 0 AND (start = 0 OR start - 48 + 64 < n)
+        """,
+        # Gopher/MassiveText repetition signals; tie-break for the top
+        # 2-gram is (count DESC, gram ASC) in both engines (ASCII binary
+        # collation == Python string order).
+        "repetition_stats": r"""
+            WITH rtoks AS (
+              SELECT doc_id, length(text) AS total,
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS g
+              FROM rtoks WHERE len(w) >= 2
+            ),
+            bic AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY doc_id, g),
+            bitop AS (
+              SELECT doc_id, n * length(g) AS chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, g) AS rn
+              FROM bic
+            ),
+            tri AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                             for i in range(len(w) - 2)]) AS g
+              FROM rtoks WHERE len(w) >= 3
+            ),
+            tric AS (SELECT doc_id, g, COUNT(*) AS n FROM tri GROUP BY doc_id, g),
+            tridup AS (
+              SELECT doc_id, SUM(n * length(g)) AS chars
+              FROM tric WHERE n > 1 GROUP BY doc_id
+            )
+            SELECT r.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CASE WHEN total = 0 OR b.chars IS NULL THEN 0
+                        ELSE CAST(FLOOR(CAST(b.chars AS DOUBLE) / total * 1e6
+                                        + 0.5) AS BIGINT) END AS top_bigram_char_fp6,
+                   CASE WHEN total = 0 OR t.chars IS NULL THEN 0
+                        ELSE CAST(FLOOR(CAST(t.chars AS DOUBLE) / total * 1e6
+                                        + 0.5) AS BIGINT) END AS dup_trigram_char_fp6
+            FROM rtoks r
+            LEFT JOIN (SELECT doc_id, chars FROM bitop WHERE rn = 1) b USING (doc_id)
+            LEFT JOIN tridup t USING (doc_id)
+        """,
+        "token_regex_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+')) AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+'))) AS n_bpe_types
+            FROM documents
+        """,
+        # PNG dimensions parsed from the IHDR header bytes of the SAME
+        # media files the Ray query reads. hex(content) chars 33-48 are
+        # bytes 17-24: big-endian width then height. The media-store path
+        # is derived from _SF_TO_TIER at oracle_sql() CALL time (single
+        # source of truth with _corpus_for): the driver's correctness gate
+        # runs Ray query and oracle side-by-side at sf=0.01 (contract), so
+        # the oracle resolves that sf's tier directory — no hardcoded
+        # literal to drift (round-2 ADVICE). Signature filter mirrors the
+        # Ray side's skip-on-corrupt contract.
+        "media_dims": f"""
+            SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                   ('0x' || substring(hex(content), 33, 8))::INT AS width,
+                   ('0x' || substring(hex(content), 41, 8))::INT AS height
+            FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            WHERE octet_length(content) >= 24
+              AND substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+        """,
+        # Thumbnail sizing contract (round-2 verdict item 10): the same
+        # integer math as ImageResize (scale = max(1, ceil(max(w,h)/64)),
+        # ceil-division per side) over the header-parsed dimensions — the
+        # dims of every thumbnail media_thumbnails will emit, hash-checked.
+        "media_thumb_dims": f"""
+            WITH dims AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     ('0x' || substring(hex(content), 33, 8))::INT AS width,
+                     ('0x' || substring(hex(content), 41, 8))::INT AS height
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+              WHERE octet_length(content) >= 24
+                AND substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+            ),
+            scaled AS (
+              SELECT *, GREATEST(1, (GREATEST(width, height) + 63) // 64) AS s
+              FROM dims
+            )
+            SELECT media_ref, width, height,
+                   CAST((width + s - 1) // s AS INT) AS thumb_w,
+                   CAST((height + s - 1) // s AS INT) AS thumb_h
+            FROM scaled
+        """,
+        # Exact media dedup by content hash: md5 over LOWERCASE hex of the
+        # payload (duckdb md5() is VARCHAR-only; lower(hex(x)) ==
+        # Python bytes.hex()), canonical = min ref per digest. The t2 media
+        # store has real duplicate payloads (identical rendered pages), so
+        # the n_copies/is_dup columns are non-vacuous.
+        "media_content_dedup": f"""
+            WITH m AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     md5(lower(hex(content))) AS payload_md5
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            )
+            SELECT media_ref, payload_md5,
+                   MIN(media_ref) OVER (PARTITION BY payload_md5)
+                     AS canonical_ref,
+                   COUNT(*) OVER (PARTITION BY payload_md5) AS n_copies,
+                   media_ref <> MIN(media_ref) OVER (PARTITION BY payload_md5)
+                     AS is_dup
+            FROM m
+        """,
+        # -- interleaved-span structure oracles: unnest the input_hint
+        # table's spans column directly from the corpus parquet shards. --
+        "span_stats": f"""
+            WITH s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, text,
+                     lag(kind) OVER (PARTITION BY doc_id ORDER BY off) AS pk
+              FROM s
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_text,
+                   CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN length(text)
+                             ELSE 0 END) AS BIGINT) AS n_chars,
+                   CAST(SUM(CASE WHEN pk = 'text' AND kind = 'text'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+                   CAST(SUM(CASE WHEN pk = 'text' AND kind = 'media'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tm,
+                   CAST(SUM(CASE WHEN pk = 'media' AND kind = 'text'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mt,
+                   CAST(SUM(CASE WHEN pk = 'media' AND kind = 'media'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mm
+            FROM w GROUP BY doc_id
+        """,
+        # Caption pairing: next-span text (offset order) when that span is
+        # text-kind, truncated to 40 code points (substr counts code
+        # points, as do Python slicing and utf8_slice_codeunits — verified
+        # on Cyrillic).
+        "media_captions": f"""
+            WITH s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref, u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, media_ref, off,
+                     lead(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nk,
+                     lead(text) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nt
+              FROM s
+            )
+            SELECT doc_id, media_ref, CAST(off AS BIGINT) AS span_offset,
+                   CASE WHEN nk = 'text' THEN substr(nt, 1, 40)
+                        ELSE '' END AS caption
+            FROM w WHERE kind = 'media'
+        """,
+        # Integrity gate over the DELIBERATELY corrupted spans (the
+        # _corrupt_spans wrapper, replayed here: i%6 dup-offset on the
+        # last span FIRST, then i%4 index-2 removal). Adjacent-difference
+        # counts over a sorted offset multiset are tie-order invariant,
+        # so lag(off ORDER BY off) matches the Ray side's stable lexsort.
+        "span_integrity": f"""
+            WITH s AS (
+              SELECT doc_id, CAST(substr(doc_id, 5) AS INT) AS i,
+                     len(spans) AS n, spans,
+                     unnest(range(len(spans))) AS ord
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet')
+            ),
+            el AS (
+              SELECT doc_id,
+                     spans[ord + 1].kind AS kind,
+                     spans[ord + 1].text AS text,
+                     CASE WHEN i % 6 = 0 AND n >= 2 AND ord = n - 1
+                          THEN spans[1]."offset"
+                          ELSE spans[ord + 1]."offset" END AS off
+              FROM s
+              WHERE NOT (i % 4 = 0 AND n > 2 AND ord = 2)
+            ),
+            w AS (
+              SELECT doc_id, kind, text, off,
+                     lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS poff
+              FROM el
+            ),
+            g AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_spans,
+                     CAST(SUM(CASE WHEN poff IS NOT NULL
+                               AND off - poff > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_gaps,
+                     CAST(SUM(CASE WHEN off = poff THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_offsets,
+                     CAST(SUM(CASE WHEN kind = 'text' AND length(text) = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_empty_text,
+                     CAST(SUM(CASE WHEN kind = 'media' AND length(text) > 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_media_with_text,
+                     MIN(off) = 0 AS starts_at_zero
+              FROM w GROUP BY doc_id
+            )
+            SELECT *,
+                   (n_gaps = 0 AND n_dup_offsets = 0 AND n_empty_text = 0
+                    AND n_media_with_text = 0 AND starts_at_zero) AS ok
+            FROM g
+        """,
+        # CLIP-pair curation: content-dedup canonical (read_blob md5 +
+        # min-window) joined to the caption replay; best caption per
+        # canonical = (length DESC, doc_id, span_offset) rank 1.
+        "curate_captions": f"""
+            WITH m AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '')
+                       AS media_ref,
+                     md5(lower(hex(content))) AS payload_md5
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            ),
+            canon AS (
+              SELECT media_ref,
+                     MIN(media_ref) OVER (PARTITION BY payload_md5)
+                       AS canonical_ref
+              FROM m
+            ),
+            s AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref, u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            w AS (
+              SELECT doc_id, kind, media_ref, off,
+                     lead(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nk,
+                     lead(text) OVER (PARTITION BY doc_id ORDER BY off)
+                       AS nt
+              FROM s
+            ),
+            caps AS (
+              SELECT doc_id, media_ref,
+                     CAST(off AS BIGINT) AS span_offset,
+                     CASE WHEN nk = 'text' THEN substr(nt, 1, 40)
+                          ELSE '' END AS caption
+              FROM w WHERE kind = 'media'
+            ),
+            j AS (
+              SELECT c.canonical_ref, p.caption, p.doc_id, p.span_offset
+              FROM caps p JOIN canon c USING (media_ref)
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY canonical_ref
+                       ORDER BY length(caption) DESC, doc_id, span_offset)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY canonical_ref)
+                       AS n_candidates
+              FROM j
+            )
+            SELECT canonical_ref,
+                   CAST(n_candidates AS BIGINT) AS n_candidates, caption
+            FROM ranked WHERE rn = 1
+        """,
+        # Span-level boilerplate removal over the INJECTED spans table
+        # (the _boiler_spans wrapper, replayed in meta/injected): drop all
+        # copies of any text span whose 60-bit md5 hash is shared by >16
+        # distinct docs; media/empty spans always survive. Same-hash
+        # replay (not raw text) so a hash collision drops identically.
+        "span_boilerplate": rf"""
+            WITH meta AS (
+              SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS i,
+                     len(spans) AS n
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet')
+            ),
+            base AS (
+              SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                     u.s.media_ref AS media_ref,
+                     CAST(u.s."offset" AS BIGINT) AS "offset"
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            ),
+            injected AS (
+              SELECT doc_id, 'text' AS kind,
+                     'Home | About | Contact' AS text, '' AS media_ref,
+                     CAST(n AS BIGINT) AS "offset"
+              FROM meta WHERE i % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'text', 'Copyright 2026 Example Corp', '',
+                     CAST(n + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT)
+              FROM meta WHERE i % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'text', 'Rare note', '',
+                     CAST(n + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT)
+              FROM meta WHERE i IN (1, 7, 13)
+            ),
+            allsp AS (
+              SELECT * FROM base UNION ALL SELECT * FROM injected
+            ),
+            hashed AS (
+              SELECT *, list_sum([
+                  CAST(strpos('0123456789abcdef',
+                              substr(md5(text), i2, 1)) - 1 AS BIGINT)
+                  << ((15 - i2) * 4)
+                  for i2 in range(1, 16)]) AS h
+              FROM allsp WHERE kind = 'text' AND length(text) > 0
+            ),
+            drops AS (
+              SELECT h FROM hashed
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) > 16
+            )
+            SELECT doc_id, "offset", kind, text, media_ref FROM allsp
+            WHERE NOT (kind = 'text' AND length(text) > 0)
+            UNION ALL
+            SELECT doc_id, "offset", kind, text, media_ref FROM hashed
+            WHERE h NOT IN (SELECT h FROM drops)
+        """,
+        # Multimodal next-fit packing: per-doc cost = whitespace tokens of
+        # text spans + 64 per media span; same recursive-CTE fold as
+        # pack_sequences, sharded on numeric doc index // 64, capacity 512.
+        "interleave_pack": rf"""
+            WITH RECURSIVE costs AS (
+              SELECT t.doc_id, CAST(substr(t.doc_id, 5) AS BIGINT) AS i,
+                     CAST(SUM(CASE WHEN u.s.kind = 'media' THEN 64
+                              ELSE len(regexp_extract_all(u.s.text,
+                                       '[^ \t\n\r\v\f]+')) END) AS BIGINT)
+                       AS cost
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+              GROUP BY t.doc_id
+            ),
+            prows AS (
+              SELECT CAST(i // 64 AS BIGINT) AS shard, doc_id, i, cost,
+                     ROW_NUMBER() OVER (PARTITION BY i // 64 ORDER BY i)
+                       AS rn
+              FROM costs
+            ),
+            pk AS (
+              SELECT shard, doc_id, cost, rn,
+                     CAST(0 AS BIGINT) AS seq_no,
+                     CAST(0 AS BIGINT) AS offset_tokens,
+                     cost AS fill
+              FROM prows WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.doc_id, r.cost, r.rn,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.seq_no ELSE p.seq_no + 1 END,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + r.cost <= 512
+                          THEN p.fill + r.cost ELSE r.cost END
+              FROM pk p JOIN prows r ON r.shard = p.shard AND r.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, cost AS cost_tokens, seq_no, offset_tokens
+            FROM pk
+        """,
+        # Flat rendering: offset-ordered newline join, media spans as
+        # [IMG:<ref>] placeholders.
+        "interleave_render": f"""
+            WITH s AS (
+              SELECT t.doc_id,
+                     CASE WHEN u.s.kind = 'media'
+                          THEN '[IMG:' || u.s.media_ref || ']'
+                          ELSE u.s.text END AS piece,
+                     u.s."offset" AS off
+              FROM read_parquet(
+                '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+                UNNEST(t.spans) AS u(s)
+            )
+            SELECT doc_id,
+                   string_agg(piece, chr(10) ORDER BY off) AS rendered,
+                   length(string_agg(piece, chr(10) ORDER BY off))
+                     AS n_chars
+            FROM s GROUP BY doc_id
+        """,
+        # Full replay of the deterministic audio fake: the fake hashes
+        # md5 of the UPPERCASE HEX of the payload precisely so this oracle
+        # exists (DuckDB md5() is VARCHAR-only and its BLOB cast escapes
+        # non-UTF8 bytes; hex(content) is exact). Digest bytes 0-3/4/5-8
+        # become duration/channels/rms via the same mod arithmetic.
+        "audio_features": f"""
+            WITH d AS (
+              SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                     md5(hex(content)) AS dg
+              FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+            )
+            SELECT media_ref,
+                   1000 + ('0x' || substring(dg, 1, 8))::BIGINT % 60000
+                     AS duration_ms,
+                   CAST(1 + ('0x' || substring(dg, 9, 2))::BIGINT % 2 AS INT)
+                     AS n_channels,
+                   ('0x' || substring(dg, 11, 8))::BIGINT % 1000000 AS rms_fp6
+            FROM d
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        # Bloom-pruned semi-join: the Bloom is a pre-shuffle pruning
+        # optimization only — the exact in-shuffle verification makes the
+        # output a plain semi-join, so the oracle needs no bloom replay.
+        "orders_for_segment": """
+            WITH seg AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS o_month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_c
+            FROM orders o JOIN seg s ON s.c_custkey = o.o_custkey
+            GROUP BY 1
+        """,
+        # Same RE2-class extraction expression as the Ray side's Arrow
+        # extract_regex kernel — parity by construction on the flat
+        # integer-field telemetry shape.
+        "props_key_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+              FROM events
+              WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) != ''
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_with_key,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k
+            FROM x GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT event_type,
+                   strftime(time_bucket(INTERVAL '15 minutes', ts)
+                            - b.k * INTERVAL '15 minutes',
+                            '%Y-%m-%d %H:%M:00') AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events, (SELECT unnest([0,1,2,3]) AS k) b
+            GROUP BY 1, 2
+        """,
+        # Q5-shape 6-table join: revenue in exact centi-cents
+        # price_c * (100 - disc_pct) for local-supplier lineitems.
+        "revenue_by_nation": """
+            SELECT n.n_name, r.r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name, r.r_name
+        """,
+        # Data-profile replay: COUNT(DISTINCT) over the same canonical
+        # integer domains (cents / epoch micros), null counts exact.
+        "events_profile": """
+            SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   COUNT(DISTINCT epoch_us(ts))
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   COUNT(DISTINCT user_id)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM events
+        """,
+        # HLL replay for the approx_int columns (the proven
+        # events_hourly_users_hll hash/estimator contract: first 8 md5
+        # bytes big-endian over the canonical decimal string, 2^12
+        # registers, linear-counting correction, one double division).
+        "events_profile_approx": """
+            WITH dv AS (
+              SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS v
+              FROM events WHERE event_id IS NOT NULL
+              UNION
+              SELECT 'user_id', CAST(user_id AS VARCHAR)
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            hhx AS (
+              SELECT col,
+                     ('0x' || substring(md5(v), 1, 16))::UBIGINT AS h
+              FROM dv
+            ),
+            rr AS (
+              SELECT col, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT col, idx, MAX(r) AS r FROM rr GROUP BY col, idx),
+            agg AS (
+              SELECT col,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY col
+            ),
+            estv AS (
+              SELECT col, 4096 - n_present AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(s_present AS HUGEINT)
+                              + (4096 - n_present)
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM agg
+            ),
+            approx AS (
+              SELECT col,
+                     CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT)
+                       AS n_distinct
+              FROM estv
+            ),
+            counts AS (
+              SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id)
+              FROM events
+            )
+            SELECT c.col AS column, c.n_rows, c.n_null, a.n_distinct
+            FROM counts c JOIN approx a ON a.col = c.col
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM events
+        """,
+        # Funnel replay: first view, first click >= it, any purchase >=
+        # that click, per (user, day); exact integer microseconds.
+        # Weekly cohort retention: week = unix-epoch days // 7 as PURE
+        # integer math on epoch microseconds (calendar-function-free, so
+        # both engines bucket identically); cohort = user's min week.
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // (7 * 86400000000) AS week
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, week,
+                     MIN(week) OVER (PARTITION BY user_id) AS cohort
+              FROM uw
+            )
+            SELECT cohort AS cohort_week,
+                   week - cohort AS offset_weeks,
+                   COUNT(*) AS n_users
+            FROM c GROUP BY 1, 2
+        """,
+        "conversion_funnel": """
+            WITH e AS (
+              SELECT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, epoch_us(ts) AS t
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            v AS (
+              SELECT user_id, day, MIN(t) AS ft FROM e
+              WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT e.user_id, e.day, MIN(e.t) AS ft
+              FROM e JOIN v USING (user_id, day)
+              WHERE e.event_type = 'click' AND e.t >= v.ft GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT DISTINCT e.user_id, e.day
+              FROM e JOIN c USING (user_id, day)
+              WHERE e.event_type = 'purchase' AND e.t >= c.ft
+            ),
+            ud AS (SELECT DISTINCT user_id, day FROM e)
+            SELECT ud.day,
+                   CAST(COUNT(v.user_id) AS BIGINT) AS n_view_users,
+                   CAST(COUNT(c.user_id) AS BIGINT) AS n_click_users,
+                   CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_users
+            FROM ud
+            LEFT JOIN v USING (user_id, day)
+            LEFT JOIN c USING (user_id, day)
+            LEFT JOIN p USING (user_id, day)
+            GROUP BY ud.day
+        """,
+        # Exact-integer z-test: (n*x-S)^2 > z^2*(n*Q-S^2) over cents,
+        # widened through HUGEINT exactly like the Python-int moments.
+        "outlier_events": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS hour,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events
+            ),
+            g AS (
+              SELECT event_type, hour, COUNT(*) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s,
+                     SUM(CAST(x AS HUGEINT) * x) AS q
+              FROM e GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.event_type, e.hour, e.x AS value_c
+            FROM e JOIN g USING (event_type, hour)
+            WHERE g.n >= 8
+              AND (CAST(g.n AS HUGEINT) * e.x - g.s)
+                  * (CAST(g.n AS HUGEINT) * e.x - g.s)
+                  > 9 * (CAST(g.n AS HUGEINT) * g.q - g.s * g.s)
+        """,
+        "purchase_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, ts, MAX(event_id) AS event_id
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id AS click_id, c.user_id,
+                   p.event_id AS purchase_id,
+                   CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS lag_us
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # Range join (non-equi point-in-interval with equality key):
+        # clicks inside each purchase's 24 h attribution window.
+        "purchase_click_attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   CAST(c.cts - p.pts AS BIGINT) AS delta_us
+            FROM p JOIN c
+              ON c.user_id = p.user_id
+             AND c.cts >= p.pts AND c.cts < p.pts + 86400000000
+        """,
+        # Per-source rollup of the quality_score alpha feature (exact
+        # integer sums; same alpha_fp6 formula as the quality oracle).
+        "source_quality_report": r"""
+            WITH chars AS (
+              SELECT doc_id, source, length(text) AS total,
+                     length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g'))
+                       AS n_alpha
+              FROM documents
+            ),
+            a AS (
+              SELECT source, total,
+                     CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                       CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT)
+                     END AS alpha_fp6
+              FROM chars
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(total) AS BIGINT) AS sum_chars,
+                   CAST(SUM(alpha_fp6) AS BIGINT) AS sum_alpha_fp6,
+                   MIN(alpha_fp6) AS min_alpha_fp6,
+                   MAX(alpha_fp6) AS max_alpha_fp6
+            FROM a GROUP BY source
+        """,
+        # Greedy next-fit packing replayed per shard by a recursive CTE
+        # (the same sequential fold the Ray side runs inside map_groups).
+        "pack_sequences": r"""
+            WITH RECURSIVE prows AS (
+              SELECT CAST(doc_id // 64 AS BIGINT) AS shard, doc_id,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id // 64
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            pk AS (
+              SELECT shard, doc_id, n_chars, rn,
+                     CAST(0 AS BIGINT) AS seq_no,
+                     CAST(0 AS BIGINT) AS offset_chars,
+                     n_chars AS fill
+              FROM prows WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.doc_id, r.n_chars, r.rn,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.seq_no ELSE p.seq_no + 1 END,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + r.n_chars <= 1000
+                          THEN p.fill + r.n_chars ELSE r.n_chars END
+              FROM pk p JOIN prows r ON r.shard = p.shard AND r.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, seq_no, offset_chars FROM pk
+        """,
+        # Deterministic epoch-0 permutation: rank by the 60-bit hex parse
+        # of md5('epoch0:' || doc_id), ties by doc_id.
+        "epoch_shuffle": r"""
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY list_sum([
+                       CAST(strpos('0123456789abcdef',
+                            substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), i, 1))
+                            - 1 AS BIGINT) << ((15 - i) * 4)
+                       for i in range(1, 16)
+                     ]), doc_id) AS BIGINT) AS rank
+            FROM documents
+        """,
+        # Ordered prefix-sum budget cut (inclusive running char total).
+        "char_budget_prefix": """
+            SELECT doc_id, n_chars, cum_chars FROM (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id)
+                          AS BIGINT) AS cum_chars
+              FROM documents
+            ) WHERE cum_chars <= 40000
+        """,
+        # Full HyperLogLog replay: same md5 hash, same 12-bit bucket /
+        # 52-bit rank split, register max per (hour, idx), then the
+        # BIT-REPRODUCIBLE estimator — the harmonic sum as the exact
+        # integer S = sum(2^(53-r)) and one fixed IEEE-double expression
+        # (see sketch._hll_estimate). Approximate vs reality, EXACT vs
+        # the algorithm: the sketch is deterministic given the hash.
+        "events_hourly_users_hll": """
+            WITH du AS (
+              SELECT DISTINCT strftime(date_trunc('hour', ts),
+                                       '%Y-%m-%d %H:00:00') AS hour, user_id
+              FROM events
+            ),
+            hhx AS (
+              SELECT hour,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS h
+              FROM du
+            ),
+            rr AS (
+              SELECT hour, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT hour, idx, MAX(r) AS r FROM rr GROUP BY hour, idx),
+            agg AS (
+              SELECT hour,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY hour
+            ),
+            estv AS (
+              SELECT hour, 4096 - n_present AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(s_present AS HUGEINT)
+                              + (4096 - n_present)
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM agg
+            )
+            SELECT hour,
+                   CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                   THEN 4096 * ln(4096.0 / zeros)
+                                   ELSE raw END + 0.5) AS BIGINT) AS n_users_est
+            FROM estv
+        """,
+        # KMV set algebra: per-side and union k-th-smallest-hash
+        # estimates (k smallest of the merged k-min lists == k smallest
+        # of the full union — order statistics compose), then
+        # inclusion-exclusion clamped at 0. Same HUGEINT integer
+        # contract as kmv_users_by_type.
+        "kmv_audience_overlap": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS side,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS hv
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            r AS (
+              SELECT side, hv,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY side ORDER BY hv) AS rn,
+                     COUNT(*) OVER (PARTITION BY side) AS n
+              FROM h
+            ),
+            sest AS (
+              SELECT side,
+                     CASE WHEN MAX(n) < 256 THEN MAX(n)
+                          ELSE CAST(
+                            255::HUGEINT * 18446744073709551616::HUGEINT
+                            // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                    AS HUGEINT) AS BIGINT)
+                     END AS est
+              FROM r GROUP BY side
+            ),
+            ru AS (
+              SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM (SELECT DISTINCT hv FROM h)
+            ),
+            uest AS (
+              SELECT CASE WHEN MAX(n) < 256 THEN MAX(n)
+                          ELSE CAST(
+                            255::HUGEINT * 18446744073709551616::HUGEINT
+                            // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                    AS HUGEINT) AS BIGINT)
+                     END AS est
+              FROM ru
+            )
+            SELECT 'click' AS type_a, 'purchase' AS type_b,
+                   a.est AS n_a_est, b.est AS n_b_est,
+                   u.est AS n_union_est,
+                   GREATEST(0, a.est + b.est - u.est) AS n_inter_est
+            FROM (SELECT est FROM sest WHERE side = 'click') a,
+                 (SELECT est FROM sest WHERE side = 'purchase') b,
+                 uest u
+        """,
+        # TPC-H Q4 shape: EXISTS at-least-one-late-line per order in a
+        # date window; epoch-micros lateness identical to Q12's proxy.
+        "order_priority_count": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE epoch_us(o.o_orderdate) >= epoch_us(TIMESTAMP '1996-01-01')
+              AND epoch_us(o.o_orderdate) < epoch_us(TIMESTAMP '1996-04-01')
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND epoch_us(l.l_shipdate)
+                      > epoch_us(o.o_orderdate) + 2592000000000)
+            GROUP BY o_orderpriority
+        """,
+        # Asymmetric containment over the shared candidate CTE: LEAST of
+        # the two shingle-set sizes as the denominator.
+        "containment_pairs": _SHINGLES_CTE
+        + """
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(len(list_intersect(sa.shingles, sb.shingles))
+                              * 1000000.0
+                              / LEAST(len(sa.shingles), len(sb.shingles))
+                              + 0.5) AS BIGINT) AS containment_fp6
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        """,
+        # Bag (multiset) Jaccard over the shared candidates: per-token
+        # count join gives sum(min); sum(max) = nA + nB - sum(min) by
+        # inclusion-exclusion. INNER join for the min side — DuckDB's
+        # LEAST ignores NULLs, so a LEFT JOIN would silently add
+        # unmatched tokens at full weight.
+        "weighted_jaccard_pairs": _SHINGLES_CTE
+        + """
+            , bag AS (
+              SELECT t.doc_id, u.tok, COUNT(*) AS c
+              FROM toks t, unnest(t.w) AS u(tok)
+              GROUP BY t.doc_id, u.tok
+            ),
+            tot AS (SELECT doc_id, SUM(c) AS n FROM bag GROUP BY doc_id),
+            mm AS (
+              SELECT c.doc_a, c.doc_b, SUM(LEAST(ba.c, bb.c)) AS m
+              FROM cand c
+              JOIN bag ba ON ba.doc_id = c.doc_a
+              JOIN bag bb ON bb.doc_id = c.doc_b AND bb.tok = ba.tok
+              GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(FLOOR(COALESCE(mm.m, 0) * 1000000.0
+                              / (ta.n + tb.n - COALESCE(mm.m, 0))
+                              + 0.5) AS BIGINT) AS wjaccard_fp6
+            FROM cand c
+            LEFT JOIN mm ON mm.doc_a = c.doc_a AND mm.doc_b = c.doc_b
+            JOIN tot ta ON ta.doc_id = c.doc_a
+            JOIN tot tb ON tb.doc_id = c.doc_b
+        """,
+        # Shared-prefix (truncation/expansion) duplicate groups: same
+        # 64-CHARACTER substr contract as the Python slice.
+        "truncation_dups": """
+            WITH p AS (
+              SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_md5,
+                     md5(text) AS text_md5
+              FROM documents
+            )
+            SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT text_md5) AS BIGINT) AS n_texts,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+            FROM p GROUP BY prefix_md5
+            HAVING COUNT(*) > 1 AND COUNT(DISTINCT text_md5) > 1
+        """,
+        # Hampel MAD rule: two ROW_NUMBER picks at the house ceil-rank,
+        # pure-integer 3.5x cut (dev*100 > 350*mad).
+        "mad_outliers": """
+            WITH c AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM c),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+            med AS (SELECT v AS m FROM r, n WHERE rn = (50 * cnt + 99) // 100),
+            d AS (SELECT event_id, v, ABS(v - m) AS dev FROM c, med),
+            r2 AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn FROM d),
+            mad AS (
+              SELECT dev AS md FROM r2, n WHERE rn = (50 * cnt + 99) // 100
+            )
+            SELECT event_id, v AS value_c, dev AS dev_c
+            FROM d, mad WHERE dev * 100 > 350 * md
+        """,
+        # Step-decay score: whole half-life buckets, weights as exact
+        # integer shifts (1e9 >> bucket) — bit-identical at any
+        # parallelism, no float summation order.
+        "decayed_user_score": """
+            WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+            c AS (
+              SELECT user_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                     LEAST((mx.tmax - epoch_us(ts)) // 86400000000 // 30,
+                           62) AS bucket
+              FROM events, mx
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(cents * (1000000000 >> bucket)) AS BIGINT)
+                     AS score_fp
+            FROM c GROUP BY user_id
+        """,
+        # Session-path top-k: LAG gap-break + windowed session ids +
+        # ordered string_agg, deterministic (n DESC, path) rank.
+        "session_path_topk": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l
+            ),
+            p AS (
+              SELECT user_id, sess,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM s GROUP BY user_id, sess
+            ),
+            c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path),
+            r AS (
+              SELECT path, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn
+              FROM c
+            )
+            SELECT path, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 20
+        """,
+        # Robust (median/IQR) scaler: ceil-rank ROW_NUMBER picks; floor
+        # division spelled out because SQL's // truncates toward zero.
+        "robust_scale_events": """
+            WITH c AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM c),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+            qs AS (
+              SELECT
+                (SELECT v FROM r, n WHERE rn = (25 * cnt + 99) // 100) AS q1,
+                (SELECT v FROM r, n WHERE rn = (50 * cnt + 99) // 100) AS med,
+                (SELECT v FROM r, n WHERE rn = (75 * cnt + 99) // 100) AS q3
+            ),
+            b AS (SELECT med, GREATEST(q3 - q1, 1) AS iqr FROM qs)
+            SELECT event_id,
+                   CAST(((c.v - b.med) * 1000000
+                         - ((((c.v - b.med) * 1000000) % b.iqr + b.iqr)
+                            % b.iqr)) / b.iqr AS BIGINT) AS scaled_fp6
+            FROM c, b
+        """,
+        # PSI drift terms: integer bucket arithmetic, +1 Laplace
+        # smoothing, libm ln parity (source_token_entropy contract).
+        "value_psi": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            ext AS (
+              SELECT MIN(t) AS ts_lo, MAX(t) AS ts_hi,
+                     MIN(c) AS c_lo, MAX(c) AS c_hi
+              FROM e
+            ),
+            par AS (
+              SELECT (ts_lo + ts_hi) // 2 AS mid,
+                     c_lo, (c_hi - c_lo) // 10 + 1 AS w
+              FROM ext
+            ),
+            bk AS (
+              SELECT (e.c - par.c_lo) // par.w AS bucket,
+                     CASE WHEN e.t < par.mid THEN 1 ELSE 0 END AS is_ref
+              FROM e, par
+            ),
+            grid AS (SELECT unnest(range(10)) AS bucket),
+            h AS (
+              SELECT g.bucket,
+                     CAST(COALESCE(SUM(bk.is_ref), 0) AS BIGINT) AS n_ref,
+                     CAST(COALESCE(SUM(1 - bk.is_ref), 0) AS BIGINT) AS n_cur
+              FROM grid g LEFT JOIN bk ON bk.bucket = g.bucket
+              GROUP BY g.bucket
+            ),
+            tot AS (
+              SELECT SUM(n_ref) + 10 AS tr, SUM(n_cur) + 10 AS tc FROM h
+            )
+            SELECT h.bucket, h.n_ref, h.n_cur,
+                   CAST(FLOOR(
+                     ((h.n_ref + 1.0) / tot.tr - (h.n_cur + 1.0) / tot.tc)
+                     * ln(((h.n_ref + 1.0) / tot.tr)
+                          / ((h.n_cur + 1.0) / tot.tc))
+                     * 1e9 + 0.5) AS BIGINT) AS term_fp9
+            FROM h, tot
+        """,
+        # Exact heavy hitters (the Misra-Gries pass only PRUNES): plain
+        # explode + HAVING n*k > total.
+        "mg_heavy_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                AS token
+              FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM toks)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING COUNT(*) * 512 > tot.n
+        """,
+        # Exact set-similarity join: distinct hashed shingles per doc,
+        # co-hash pair counts, fp6 Jaccard filter (same rounding both
+        # sides). The Ray side prunes with PPJoin prefixes; the oracle
+        # pays the full co-occurrence join (same answer, small sf).
+        "setjoin_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                    for i in range(len(w) - 2)]) AS shingles
+              FROM toks WHERE len(w) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     list_distinct([list_sum([
+                          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1))
+                               - 1 AS BIGINT) << ((15 - i) * 4)
+                          for i in range(1, 16)
+                      ]) for s in shingles]) AS hs
+              FROM sh
+            ),
+            x AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+            sz AS (SELECT doc_id, len(hs) AS n FROM hx),
+            p AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM x a JOIN x b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT p.da AS doc_a, p.db AS doc_b,
+                     CAST(FLOOR(p.i * 1000000.0 / (sa.n + sb.n - p.i) + 0.5)
+                          AS BIGINT) AS jaccard_fp6
+              FROM p
+              JOIN sz sa ON sa.doc_id = p.da
+              JOIN sz sb ON sb.doc_id = p.db
+            )
+            SELECT doc_a, doc_b, jaccard_fp6 FROM j
+            WHERE jaccard_fp6 >= 500000
+        """,
+        # Subword fertility per language: shared word/BPE regex contracts.
+        "tokenizer_fertility": r"""
+            WITH c AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                       AS words,
+                     len(regexp_extract_all(text,
+                       '[A-Za-zЀ-ӿ]+|[0-9]+|[^A-Za-zЀ-ӿ0-9 \t\n\r\v\f]+'))
+                       AS bpe
+              FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS n_words,
+                   CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+                   CAST(CASE WHEN SUM(words) > 0
+                        THEN SUM(bpe) * 1000000 // SUM(words)
+                        ELSE 0 END AS BIGINT) AS fertility_fp6
+            FROM c GROUP BY lang
+        """,
+        # Per-source quality quartiles: NTILE over (alpha ratio, doc_id).
+        "quality_ntile_by_source": r"""
+            WITH q AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     CASE WHEN len(text) > 0 THEN
+                       CAST(FLOOR(len(regexp_extract_all(text, '[A-Za-zЀ-ӿ]'))
+                                  * 1000000.0 / len(text) + 0.5) AS BIGINT)
+                     ELSE 0 END AS alpha_fp6
+              FROM documents
+            )
+            SELECT doc_id, source, alpha_fp6,
+                   CAST(NTILE(4) OVER (PARTITION BY source
+                                       ORDER BY alpha_fp6, doc_id)
+                        AS BIGINT) AS tile
+            FROM q
+        """,
+        # KMV replay: same md5-prefix u64 hash as the HLL twin; the k-th
+        # smallest DISTINCT hash per type drives the pure-integer
+        # estimator (k-1) * 2^64 // h_k in HUGEINT — bit-identical to
+        # the Python side. Groups with < k distinct hashes are exact.
+        "kmv_users_by_type": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, hv,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hv
+                     ) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM h
+            )
+            SELECT event_type,
+                   CASE WHEN MAX(n) < 256 THEN MAX(n)
+                        ELSE CAST(
+                          255::HUGEINT * 18446744073709551616::HUGEINT
+                          // CAST(MAX(CASE WHEN rn = 256 THEN hv END)
+                                  AS HUGEINT) AS BIGINT)
+                   END AS n_users_est
+            FROM r GROUP BY event_type
+        """,
+        "value_quantiles_selection": """
+            WITH v AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+            n AS (SELECT COUNT(*) AS c FROM v),
+            p AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+            SELECT p.pct AS pct,
+                   (p.pct * n.c + 99) // 100 AS rank,
+                   r.v AS value_c
+            FROM p, n
+            JOIN r ON r.rk = (p.pct * n.c + 99) // 100
+        """,
+        "range_partition_plan": """
+            WITH v AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+            n AS (SELECT COUNT(*) AS c FROM v),
+            b AS (
+              SELECT i.part, r.v AS hi_c
+              FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS part) i, n
+              JOIN r ON r.rk = (i.part * n.c + 7) // 8
+            ),
+            parts AS (
+              SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS part
+            ),
+            lohi AS (
+              SELECT p.part,
+                     (SELECT hi_c FROM b WHERE b.part = p.part - 1) AS lo_c,
+                     (SELECT hi_c FROM b WHERE b.part = p.part) AS hi_c
+              FROM parts p
+            )
+            SELECT l.part AS part, l.hi_c AS hi_c,
+                   (SELECT COUNT(*) FROM v
+                    WHERE (l.lo_c IS NULL OR v.v > l.lo_c)
+                      AND (l.hi_c IS NULL OR v.v <= l.hi_c)) AS n_rows
+            FROM lohi l
+            ORDER BY part
+        """,
+        "audience_overlap_exact": """
+            WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+            pairs AS (
+              SELECT a.t AS type_a, b.t AS type_b
+              FROM types a, types b WHERE a.t < b.t
+            ),
+            aud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+            cnt AS (SELECT t, COUNT(*) AS n FROM aud GROUP BY t),
+            inter AS (
+              SELECT x.t AS ta, y.t AS tb, COUNT(*) AS n
+              FROM aud x JOIN aud y
+                ON x.user_id = y.user_id AND x.t < y.t
+              GROUP BY x.t, y.t
+            )
+            SELECT p.type_a, p.type_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   COALESCE(i.n, 0) AS n_inter,
+                   CASE WHEN ca.n + cb.n - COALESCE(i.n, 0) > 0
+                        THEN COALESCE(i.n, 0) * 1000000
+                             // (ca.n + cb.n - COALESCE(i.n, 0))
+                        ELSE 0 END AS jaccard_fp6
+            FROM pairs p
+            JOIN cnt ca ON ca.t = p.type_a
+            JOIN cnt cb ON cb.t = p.type_b
+            LEFT JOIN inter i ON i.ta = p.type_a AND i.tb = p.type_b
+        """,
+        "hll_audience_overlap": """
+            WITH du AS (
+              SELECT DISTINCT event_type AS side, user_id FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ),
+            hhx AS (
+              SELECT side,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS h
+              FROM du
+            ),
+            rr AS (
+              SELECT side, CAST(h % 4096 AS BIGINT) AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 12)) END AS r
+              FROM hhx
+            ),
+            regs AS (SELECT side, idx, MAX(r) AS r FROM rr GROUP BY side, idx),
+            uregs AS (SELECT idx, MAX(r) AS r FROM regs GROUP BY idx),
+            est AS (
+              SELECT side,
+                     SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY side
+            ),
+            sides AS (SELECT 'click' AS side UNION ALL SELECT 'purchase'),
+            estv AS (
+              SELECT s.side, 4096 - COALESCE(e.n_present, 0) AS zeros,
+                     ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                       * 9007199254740992
+                       / CAST(CAST(COALESCE(e.s_present, 0) AS HUGEINT)
+                              + (4096 - COALESCE(e.n_present, 0))
+                                * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+              FROM sides s LEFT JOIN est e USING (side)
+            ),
+            fin AS (
+              SELECT side,
+                     CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT) AS est
+              FROM estv
+            ),
+            ufin AS (
+              SELECT CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                     THEN 4096 * ln(4096.0 / zeros)
+                                     ELSE raw END + 0.5) AS BIGINT) AS est
+              FROM (
+                SELECT 4096 - n_present AS zeros,
+                       ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096)
+                         * 9007199254740992
+                         / CAST(CAST(COALESCE(s_present, 0) AS HUGEINT)
+                                + (4096 - n_present)
+                                  * 9007199254740992::HUGEINT AS DOUBLE) AS raw
+                FROM (
+                  SELECT SUM(1::UBIGINT << CAST(53 - r AS INT)) AS s_present,
+                         COUNT(*) AS n_present
+                  FROM uregs
+                )
+              )
+            )
+            SELECT 'click' AS type_a, 'purchase' AS type_b,
+                   (SELECT est FROM fin WHERE side = 'click') AS n_a_est,
+                   (SELECT est FROM fin WHERE side = 'purchase') AS n_b_est,
+                   (SELECT est FROM ufin) AS n_union_est,
+                   GREATEST((SELECT est FROM fin WHERE side = 'click')
+                            + (SELECT est FROM fin WHERE side = 'purchase')
+                            - (SELECT est FROM ufin), 0) AS n_inter_est
+        """,
+        "distinct_sources": """
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "sessionize": """
+            WITH l AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM l
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+            FROM s GROUP BY user_id, session_no
+        """,
+    }
+
+    # Composition pipeline: the curation oracle is built FROM the component
+    # oracles (subquery per component), so its contract is exactly the
+    # conjunction of the already-verified parts.
+    d["curate_corpus"] = f"""
+        SELECT c.doc_id, s.split, q.alpha_fp6
+        FROM ({d['dedup_clusters']}) c
+        JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
+        JOIN ({d['split_assign']}) s ON s.doc_id = c.doc_id
+        WHERE c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
+    # Composition oracles: both built FROM already-verified component
+    # subqueries (the curate_corpus pattern).
+    d["dedup_savings"] = f"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cluster_rep != c.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+               CAST(SUM(CASE WHEN c.cluster_rep != c.doc_id THEN d.n_chars
+                             ELSE 0 END) AS BIGINT) AS chars_dropped
+        FROM ({d['dedup_clusters']}) c JOIN documents d USING (doc_id)
+    """
+    d["quality_histogram"] = f"""
+        SELECT d.source, q.alpha_fp6 // 100000 AS bin, COUNT(*) AS n_docs
+        FROM ({d['quality_score']}) q JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """
+    # Full IVF replay (deterministic since the k-means moved to exact
+    # integer arithmetic): init = first-16 vectors, 2 Lloyd passes with
+    # lowest-cid tie-breaks and floor(sum/count + 0.5) centroid updates,
+    # stable nprobe=4 probe selection, nearest-bucket assignment, exact
+    # fixed-point cosine top-10. Approximate vs brute force (recall
+    # asserted in tests), EXACT vs the algorithm.
+    def _cosx(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}.q[i+1] * {b}.q[i+1] for i in range(len({a}.q))])"
+            f" / (sqrt({a}.nsq) * sqrt({b}.nsq)))"
+        )
+
+    def _lloyd(prev: str, n: int) -> str:
+        return f"""
+            a{n} AS (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_cosx('e', 'c')} DESC, c.cid) AS rn
+              FROM qe e CROSS JOIN {prev} c
+            ),
+            m{n} AS (
+              SELECT a.cid, d.d,
+                     CAST(FLOOR(CAST(SUM(e.q[d.d + 1]) AS DOUBLE) / COUNT(*)
+                                + 0.5) AS BIGINT) AS qc
+              FROM (SELECT vec_id, cid FROM a{n} WHERE rn = 1) a
+              JOIN qe e USING (vec_id)
+              CROSS JOIN dims d
+              GROUP BY a.cid, d.d
+            ),
+            g{n} AS (
+              SELECT cid, list(qc ORDER BY d) AS q, SUM(qc * qc) AS nsq
+              FROM m{n} GROUP BY cid
+            ),
+            c{n} AS (
+              SELECT p.cid, COALESCE(g.q, p.q) AS q,
+                     COALESCE(g.nsq, p.nsq) AS nsq
+              FROM {prev} p LEFT JOIN g{n} g USING (cid)
+            )"""
+
+    # Shared prefix for the k-means-based embedding oracles: quantized
+    # vectors + the 2-pass exact-integer Lloyd refinement ending in c2.
+    ivf_cent = (
+        _QUANT_CTE
+        + """,
+            dims AS (SELECT unnest(range(64)) AS d),
+            c0 AS (SELECT vec_id AS cid, q, nsq FROM qe WHERE vec_id < 16),"""
+        + _lloyd("c0", 1)
+        + ","
+        + _lloyd("c1", 2)
+    )
+    d["knn_ivf"] = (
+        ivf_cent
+        + f""",
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT qr.vec_id AS query_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY qr.vec_id
+                                          ORDER BY {_cosx('qr', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM (SELECT vec_id, q, nsq FROM qe WHERE vec_id < 8) qr
+                CROSS JOIN c2 c
+              ) WHERE rn <= 4
+            ),
+            vb AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_cosx('e', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM qe e CROSS JOIN c2 c
+              ) WHERE rn = 1
+            ),
+            icand AS (
+              SELECT p.query_id, v.vec_id
+              FROM probes p JOIN vb v ON v.cid = p.cid
+              WHERE v.vec_id != p.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     CAST(FLOOR({_cosx('a', 'b')} * 1e5 + 0.5) AS BIGINT)
+                       AS cos_fp5
+              FROM icand c
+              JOIN qe a ON a.vec_id = c.query_id
+              JOIN qe b ON b.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cos_fp5 FROM (
+              SELECT query_id, vec_id, cos_fp5,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_fp5 DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """
+    )
+    # Full PQ/ADC replay (deterministic — exact-integer L2 Lloyd per
+    # subspace): subvectors = 8-dim slices of the quantized embedding,
+    # codebook init = first-16 vectors' slices, 2 Lloyd passes with
+    # lowest-cid tie-breaks under the L2 key |c|^2 - 2<x,c> (|x|^2 is
+    # constant per row), floor(sum/count + 0.5) codeword updates, then the
+    # ADC score SUM_m <q_m, codeword[m][code_m(x)]> — every intermediate an
+    # exact integer < 2^53, so DOUBLE arithmetic replays numpy bit-for-bit.
+    def _l2x(a: str, b: str, sd: int = 8) -> str:
+        return (
+            f"({b}.nsq - 2 * list_sum([{a}.qs[i+1] * {b}.qs[i+1] "
+            f"for i in range({sd})]))"
+        )
+
+    def _pq_lloyd(prev: str, n: int, sd: int = 8) -> str:
+        return f"""
+            pa{n} AS (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                        ORDER BY {_l2x('s', 'c', sd)}, c.cid) AS rn
+              FROM sub s JOIN {prev} c USING (m)
+            ),
+            pm{n} AS (
+              SELECT a.m, a.cid, d.d,
+                     CAST(FLOOR(CAST(SUM(s.qs[d.d + 1]) AS DOUBLE) / COUNT(*)
+                                + 0.5) AS BIGINT) AS qc
+              FROM (SELECT vec_id, m, cid FROM pa{n} WHERE rn = 1) a
+              JOIN sub s USING (vec_id, m)
+              CROSS JOIN sdims d
+              GROUP BY a.m, a.cid, d.d
+            ),
+            pg{n} AS (
+              SELECT m, cid, list(qc ORDER BY d) AS qs,
+                     CAST(SUM(qc * qc) AS DOUBLE) AS nsq
+              FROM pm{n} GROUP BY m, cid
+            ),
+            pc{n} AS (
+              SELECT p.m, p.cid, COALESCE(g.qs, p.qs) AS qs,
+                     COALESCE(g.nsq, p.nsq) AS nsq
+              FROM {prev} p LEFT JOIN pg{n} g USING (m, cid)
+            )"""
+
+    def _pq_prefix(msub: int, sd: int) -> str:
+        """CTE chain through ``pscored`` (ADC score per (query, vec)) for a
+        PQ index with ``msub`` subspaces of ``sd`` dims (msub * sd = 64),
+        16 codewords, init = first-16 vectors, 2 exact-integer Lloyd
+        passes."""
+        return (
+            _QUANT_CTE
+            + f""",
+            sdims AS (SELECT unnest(range({sd})) AS d),
+            sub AS (
+              SELECT e.vec_id, s.m,
+                     e.q[s.m * {sd} + 1 : s.m * {sd} + {sd}] AS qs,
+                     CAST(list_sum(
+                       [x * x
+                        for x in e.q[s.m * {sd} + 1 : s.m * {sd} + {sd}]])
+                          AS DOUBLE) AS nsq
+              FROM qe e CROSS JOIN (SELECT unnest(range({msub})) AS m) s
+            ),
+            pc0 AS (SELECT m, vec_id AS cid, qs, nsq
+                    FROM sub WHERE vec_id < 16),"""
+            + _pq_lloyd("pc0", 1, sd)
+            + ","
+            + _pq_lloyd("pc1", 2, sd)
+            + f""",
+            codes AS (
+              SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_l2x('s', 'c', sd)},
+                                                   c.cid) AS rn
+                FROM sub s JOIN pc2 c USING (m)
+              ) WHERE rn = 1
+            ),
+            plut AS (
+              SELECT q.vec_id AS query_id, c.m, c.cid,
+                     CAST(list_sum([q.qs[i+1] * c.qs[i+1]
+                                    for i in range({sd})]) AS DOUBLE) AS pdot
+              FROM (SELECT vec_id, m, qs FROM sub WHERE vec_id < 8) q
+              JOIN pc2 c USING (m)
+            ),
+            pscored AS (
+              SELECT l.query_id, k.vec_id,
+                     CAST(SUM(l.pdot) AS BIGINT) AS adot
+              FROM codes k
+              JOIN plut l ON l.m = k.m AND l.cid = k.cid
+              WHERE k.vec_id != l.query_id
+              GROUP BY l.query_id, k.vec_id
+            )"""
+        )
+
+    # Incremental index append: Lloyd trains on the EXISTING side only
+    # (sub = even vec_ids; init = first 16 even vectors, cid = vec_id so
+    # dense code = cid // 2 — Ray's codebook row i is vec_id 2i), then the
+    # NEW side (odd) encodes against the frozen pc2 books; code_packed
+    # packs the 8 4-bit codes, sq_err = |x|^2 + (|c|^2 - 2<x,c>) exact.
+    d["pq_index_incremental"] = (
+        _QUANT_CTE
+        + f""",
+            sdims AS (SELECT unnest(range(8)) AS d),
+            allsub AS (
+              SELECT e.vec_id, s.m,
+                     e.q[s.m * 8 + 1 : s.m * 8 + 8] AS qs,
+                     CAST(list_sum(
+                       [x * x for x in e.q[s.m * 8 + 1 : s.m * 8 + 8]])
+                          AS DOUBLE) AS nsq
+              FROM qe e CROSS JOIN (SELECT unnest(range(8)) AS m) s
+            ),
+            sub AS (SELECT * FROM allsub WHERE vec_id % 2 = 0),
+            pc0 AS (SELECT m, vec_id AS cid, qs, nsq
+                    FROM sub WHERE vec_id < 32),"""
+        + _pq_lloyd("pc0", 1, 8)
+        + ","
+        + _pq_lloyd("pc1", 2, 8)
+        + f""",
+            newcodes AS (
+              SELECT vec_id, m, cid, l2e FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       (s.nsq + {_l2x('s', 'c', 8)}) AS l2e,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_l2x('s', 'c', 8)},
+                                                   c.cid) AS rn
+                FROM (SELECT * FROM allsub WHERE vec_id % 2 = 1) s
+                JOIN pc2 c USING (m)
+              ) WHERE rn = 1
+            )
+            SELECT vec_id,
+                   CAST(SUM((cid // 2) << (4 * m)) AS BIGINT)
+                     AS code_packed,
+                   CAST(SUM(l2e) AS BIGINT) AS sq_err
+            FROM newcodes GROUP BY vec_id
+        """
+    )
+    d["knn_pq"] = (
+        _pq_prefix(8, 8)
+        + """
+            SELECT query_id, vec_id, adot FROM (
+              SELECT query_id, vec_id, adot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adot DESC, vec_id) AS rn
+              FROM pscored
+            ) WHERE rn <= 10
+        """
+    )
+    # Two-stage replay: ADC shortlist (top-100 by adot, vec_id tie-break)
+    # over the finer 16x4 index, then exact quantized-dot rerank to top-10.
+    d["knn_pq_rerank"] = (
+        _pq_prefix(16, 4)
+        + """,
+            short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adot DESC, vec_id) AS rn
+                FROM pscored
+              ) WHERE rn <= 100
+            ),
+            rer AS (
+              SELECT s.query_id, s.vec_id,
+                     CAST(list_sum([a.q[i+1] * b.q[i+1]
+                                    for i in range(64)]) AS BIGINT) AS dot
+              FROM short s
+              JOIN qe a ON a.vec_id = s.query_id
+              JOIN qe b ON b.vec_id = s.vec_id
+            )
+            SELECT query_id, vec_id, dot FROM (
+              SELECT query_id, vec_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM rer
+            ) WHERE rn <= 10
+        """
+    )
+    # Label-centroid replay: exact-integer per-label component sums,
+    # floor(sum/count + 0.5) centroid, quantized cosine of each member to
+    # its own centroid, integer sum + floored mean.
+    d["label_centroid_stats"] = """
+        WITH qe AS (
+          SELECT label,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(64)) AS d),
+        csum AS (
+          SELECT label, d.d,
+                 CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS qc
+          FROM qe CROSS JOIN dims d GROUP BY label, d.d
+        ),
+        cent AS (
+          SELECT label, list(qc ORDER BY d) AS cq, SUM(qc * qc) AS cnsq
+          FROM csum GROUP BY label
+        ),
+        scored AS (
+          SELECT e.label,
+                 CAST(FLOOR(
+                   (list_sum([e.q[i+1] * c.cq[i+1] for i in range(len(e.q))])
+                    / (sqrt(list_sum([e.q[i+1] * e.q[i+1]
+                                      for i in range(len(e.q))]))
+                       * sqrt(c.cnsq)))
+                   * 1e5 + 0.5) AS BIGINT) AS cos_fp5
+          FROM qe e JOIN cent c USING (label)
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(cos_fp5) AS BIGINT) AS sum_cos_fp5,
+               CAST(FLOOR(CAST(SUM(cos_fp5) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS mean_cos_fp5
+        FROM scored GROUP BY label
+    """
+    # SemDeDup replay: same exact-integer k-means assignment (vb), then a
+    # within-cluster dominance self-join — v is dropped iff some
+    # lower-vec_id cluster-mate sits at quantized cosine >= threshold.
+    d["semantic_dedup"] = (
+        ivf_cent
+        + f""",
+            vb AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_cosx('e', 'c')} DESC,
+                                                   c.cid) AS rn
+                FROM qe e CROSS JOIN c2 c
+              ) WHERE rn = 1
+            ),
+            sim AS (
+              SELECT v.vec_id,
+                     CAST(FLOOR({_cosx('a', 'b')} * 1e5 + 0.5) AS BIGINT)
+                       AS cos_fp5
+              FROM vb v
+              JOIN vb w ON w.cid = v.cid AND w.vec_id < v.vec_id
+              JOIN qe a ON a.vec_id = v.vec_id
+              JOIN qe b ON b.vec_id = w.vec_id
+            ),
+            dropped AS (
+              SELECT DISTINCT vec_id FROM sim WHERE cos_fp5 >= 35000
+            )
+            SELECT v.vec_id, v.cid, (dr.vec_id IS NULL) AS keep
+            FROM vb v LEFT JOIN dropped dr USING (vec_id)
+        """
+    )
+    # Cross-modal curation: conjunction of the semantic-dedup, text-
+    # cluster and quality component oracles joined on the shared id space
+    # (vec_id == doc_id by the corpus contract).
+    d["curate_semantic"] = f"""
+        SELECT s.vec_id AS doc_id, s.cid, q.alpha_fp6
+        FROM ({d['semantic_dedup']}) s
+        JOIN ({d['dedup_clusters']}) c ON c.doc_id = s.vec_id
+        JOIN ({d['quality_score']}) q ON q.doc_id = s.vec_id
+        WHERE s.keep AND c.cluster_rep = c.doc_id AND q.alpha_fp6 >= 500000
+    """
+    # Canonical selection: window-rank composition of the cluster and
+    # quality oracles — keep the best-quality member per fuzzy-dup cluster.
+    d["canonical_docs"] = f"""
+        WITH ranked AS (
+          SELECT c.cluster_rep, c.doc_id, q.alpha_fp6,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+                                    ORDER BY q.alpha_fp6 DESC, c.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n
+          FROM ({d['dedup_clusters']}) c
+          JOIN ({d['quality_score']}) q ON q.doc_id = c.doc_id
+        )
+        SELECT cluster_rep, doc_id AS canon_doc_id,
+               alpha_fp6 AS canon_alpha_fp6, CAST(n AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """
+    # Output-shard manifest: exclusive prefix sum over canonical doc_id
+    # order, integer-divided into ~20k-char shards, one row per shard.
+    d["shard_plan"] = """
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prev
+          FROM documents
+        ),
+        s AS (SELECT doc_id, n_chars, prev // 20000 AS shard_id FROM c)
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM s GROUP BY shard_id
+    """
+    # Snapshot diff: FULL OUTER JOIN of the base corpus against the
+    # deterministic v2 evolution (the _v2_docs wrapper, replayed here),
+    # comparing 60-bit md5-prefix fingerprints (the same strpos/list_sum
+    # hex parse the fuzzy-incremental oracle uses).
+    _H15 = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substr(md5(text), i, 1)) - 1 AS BIGINT) << ((15 - i) * 4) "
+        "for i in range(1, 16)])"
+    )
+    d["corpus_diff"] = f"""
+        WITH o AS (
+          SELECT doc_id, {_H15} AS h FROM documents
+        ),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id, text || ' (new)' AS text
+          FROM documents WHERE doc_id % 13 = 1
+        ),
+        n AS (
+          SELECT doc_id, {_H15} AS h FROM v2
+        )
+        SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+    # Partition-key skew probe: top-10 heaviest keys with global key
+    # cardinality and fixed-point count/mean ratio.
+    d["key_skew_report"] = """
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        g AS (SELECT COUNT(*) AS n_keys, SUM(n) AS total FROM c)
+        SELECT c.user_id, c.n AS n_events,
+               CAST(g.n_keys AS BIGINT) AS n_keys,
+               CAST(ROUND(c.n * g.n_keys * 1000000.0 / g.total)
+                    AS BIGINT) AS skew_fp6
+        FROM c, g
+        ORDER BY c.n DESC, c.user_id
+        LIMIT 10
+    """
+    # Memorization-probe scan: INNER join semantics (zero-hit canaries
+    # emit no row), same VALUES list as the Ray call's _CANARIES.
+    _CANARY_VALUES = ", ".join(f"('{c}')" for c in _CANARIES)
+    d["canary_scan"] = f"""
+        WITH c(canary) AS (VALUES {_CANARY_VALUES})
+        SELECT c.canary, COUNT(*) AS n_docs,
+               MIN(d.doc_id) AS first_doc_id
+        FROM c JOIN documents d ON contains(d.text, c.canary)
+        GROUP BY c.canary
+    """
+    # Tokenizer-coverage diagnostic: per-source OOV rate against the
+    # corpus's own top-64 token vocabulary (exact integer fp6 rate).
+    d["vocab_oov_rate"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM toks GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 64
+        )
+        SELECT t.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     * 1000000) // COUNT(*) AS BIGINT) AS oov_fp6
+        FROM toks t LEFT JOIN vocab v USING (token)
+        GROUP BY t.source
+    """
+    # TPC-H Q13-shaped customer distribution incl. the zero bucket.
+    d["custdist"] = """
+        WITH per AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per GROUP BY c_count
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer)
+                    - (SELECT COUNT(*) FROM per) AS BIGINT)
+        WHERE (SELECT COUNT(*) FROM customer) > (SELECT COUNT(*) FROM per)
+    """
+    # Group-wise argmax with integer-cent comparison and custkey ties.
+    d["top_customer_per_nation"] = """
+        SELECT c_nationkey, c_custkey, acctbal_cents FROM (
+          SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 CAST(c_custkey AS BIGINT) AS c_custkey,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY FLOOR(c_acctbal * 100 + 0.5) DESC, c_custkey
+                 ) AS rn
+          FROM customer
+        ) WHERE rn = 1
+    """
+    # Latest-wins CDC compaction per (user, event_type).
+    d["latest_event_compaction"] = """
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+          ) AS rn FROM events
+        ) WHERE rn = 1
+    """
+    # Referential-integrity audit: orphan FK counts per relationship.
+    d["fk_integrity"] = """
+        WITH a AS (
+          SELECT o_custkey AS k, c_custkey IS NULL AS orphan
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ),
+        b AS (
+          SELECT l_orderkey AS k, o_orderkey IS NULL AS orphan
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(DISTINCT CASE WHEN orphan THEN k END) AS BIGINT)
+                 AS n_orphan_keys,
+               CAST(COUNT(*) FILTER (WHERE orphan) AS BIGINT)
+                 AS n_orphan_rows
+        FROM a
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN orphan THEN k END) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE orphan) AS BIGINT)
+        FROM b
+    """
+    # PII scrub over events.props: counts on the original text per
+    # pattern, sequential email -> ip -> num redaction (RE2 both sides).
+    d["pii_scrub"] = r"""
+        SELECT event_id,
+          CAST(len(regexp_extract_all(props,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(props,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_num,
+          regexp_replace(regexp_replace(regexp_replace(props,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\d+', '<NUM>', 'g') AS clean
+        FROM events
+    """
+    # Per-source total-variation distance over the top-64 vocab —
+    # integer-exact (HUGEINT products); absent vocab tokens contribute
+    # (N - sum_present(c_t)) * n_s.
+    d["source_divergence"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM toks GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 64
+        ),
+        c AS (
+          SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+          FROM toks JOIN vocab USING (token) GROUP BY source, token
+        ),
+        ns AS (SELECT source, SUM(c) AS n_s FROM c GROUP BY source),
+        ct AS (SELECT token, SUM(c) AS c_t FROM c GROUP BY token),
+        tot AS (SELECT SUM(c) AS n FROM c)
+        SELECT s.source,
+               CAST(s.n_s AS BIGINT) AS n_tokens,
+               CAST(((SUM(abs(c.c * t.n - x.c_t * s.n_s))
+                      + (t.n - SUM(x.c_t)) * s.n_s) * 1000000)
+                    // (2 * s.n_s * t.n) AS BIGINT) AS tv_fp6
+        FROM c JOIN ns s USING (source) JOIN ct x USING (token)
+             CROSS JOIN tot t
+        GROUP BY s.source, s.n_s, t.n
+    """
+    # Robust per-source length outliers: lower-median + lower-MAD via
+    # ROW_NUMBER, |x - med| > 3 * MAD.
+    d["length_outliers"] = """
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM documents
+        ),
+        med AS (
+          SELECT source, n_chars AS med FROM ranked
+          WHERE rn = (cnt - 1) // 2 + 1
+        ),
+        dev_ranked AS (
+          SELECT d.source, abs(d.n_chars - m.med) AS dev,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.source ORDER BY abs(d.n_chars - m.med)
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY d.source) AS cnt
+          FROM documents d JOIN med m USING (source)
+        ),
+        mad AS (
+          SELECT source, dev AS mad FROM dev_ranked
+          WHERE rn = (cnt - 1) // 2 + 1
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(abs(d.n_chars - m.med) AS BIGINT) AS dev
+        FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+        WHERE abs(d.n_chars - m.med) > 3 * a.mad
+    """
+    # Posting lists for the top-32 vocab: exact df, ascending comma-
+    # joined doc_ids capped at 100000.
+    d["inverted_index"] = r"""
+        WITH occ AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM occ GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC LIMIT 32
+        ),
+        pairs AS (SELECT DISTINCT doc_id, token FROM occ),
+        p AS (
+          SELECT t.token, t.doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY t.token ORDER BY t.doc_id
+                 ) AS rn
+          FROM pairs t JOIN vocab USING (token)
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(
+                 CASE WHEN rn <= 100000 THEN CAST(doc_id AS VARCHAR) END,
+                 ',' ORDER BY doc_id) AS postings
+        FROM p GROUP BY token
+    """
+    # 3-iteration integer PageRank over the part<->supplier bipartite
+    # graph — chained CTEs replay the identical floor arithmetic
+    # (scale=1e12, damping 85/100, r0 = scale // |V|).
+    d["pagerank"] = """
+        WITH e0 AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+          SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+          UNION ALL
+          SELECT s * 2 + 1, p * 2 FROM e0
+        ),
+        deg AS (
+          SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS deg
+          FROM edges GROUP BY src
+        ),
+        nv AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nv FROM deg),
+        r0 AS (
+          SELECT node, deg, CAST(1000000000000 AS HUGEINT) // nv.nv AS r
+          FROM deg, nv
+        ),
+        m1 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r1 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m1 m USING (node), nv
+        ),
+        m2 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m2 m USING (node), nv
+        ),
+        m3 AS (
+          SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+          FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT d.node, d.deg,
+                 (15 * CAST(1000000000000 AS HUGEINT)) // (100 * nv.nv)
+                 + (85 * m.s) // 100 AS r
+          FROM deg d JOIN m3 m USING (node), nv
+        )
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+                 AS node_type,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(r AS BIGINT) AS rank_fp
+        FROM r3
+    """
+    # Market-basket top-k co-occurring part pairs.
+    d["basket_pairs"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_orders
+        FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """
+    # Poisson hourly anomalies: (H*n - T)^2 > z^2 * H * T, z = 1.
+    d["hourly_anomalies"] = """
+        WITH c AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+                 CAST(COUNT(*) AS HUGEINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT event_type, SUM(n) AS t, CAST(COUNT(*) AS HUGEINT) AS h
+          FROM c GROUP BY 1
+        )
+        SELECT c.event_type, c.hour, CAST(c.n AS BIGINT) AS n
+        FROM c JOIN g USING (event_type)
+        WHERE (g.h * c.n - g.t) * (g.h * c.n - g.t) > 1 * g.h * g.t
+    """
+    # Trailing 7-day distinct active users per observed epoch-day.
+    d["rolling_active_users"] = """
+        WITH du AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+          FROM events
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM du),
+        w AS (
+          SELECT DISTINCT du.user_id, du.day + i.i AS day
+          FROM du, (SELECT unnest(range(7)) AS i) i, bounds b
+          WHERE du.day + i.i BETWEEN b.lo AND b.hi
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM w GROUP BY day
+    """
+    # Q4-shaped EXISTS semi-join: orders with a lineitem shipped > 60
+    # days after the order date, per priority (integer-us compare).
+    d["late_shipment_orders"] = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate)
+                > epoch_us(o.o_orderdate) + 5184000000000
+        )
+        GROUP BY o_orderpriority
+    """
+    # First-order Markov transition counts per user stream.
+    d["event_transitions"] = """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        )
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    """
+    # Embedding-quality purity of the exact top-10 neighbor sets.
+    d["knn_label_purity"] = _QUANT_CTE + """,
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 CAST(FLOOR(
+                   list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                   / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                 ) AS cos_fp5
+          FROM qe e, qe qq, (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+          WHERE qq.vec_id = q.vec_id AND e.vec_id != q.vec_id
+        ),
+        topk AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_fp5 DESC, vec_id
+            ) AS rn FROM scored
+          ) WHERE rn <= 10
+        )
+        SELECT t.query_id, CAST(ql.label AS BIGINT) AS label,
+               CAST(SUM(CASE WHEN el.label = ql.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same,
+               CAST(SUM(CASE WHEN el.label = ql.label THEN 1 ELSE 0 END)
+                    * 1000000 // 10 AS BIGINT) AS purity_fp6
+        FROM topk t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings el ON el.vec_id = t.vec_id
+        GROUP BY t.query_id, ql.label
+    """
+    # Audience overlap: distinct users doing BOTH event types.
+    d["events_user_overlap"] = """
+        WITH du AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """
+    # Monthly revenue + running cumulative total (window SUM OVER).
+    d["monthly_revenue_running"] = """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT month, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY month) AS BIGINT)
+                 AS cum_rev_cents
+        FROM m
+    """
+    # Q2-shaped group argmin on exact fixed-point unit price.
+    d["cheapest_supplier_per_part"] = """
+        SELECT l_partkey, l_suppkey, unit_price_fp4 FROM (
+          SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                 CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                 CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                      * 100 // CAST(FLOOR(l_quantity + 0.5) AS HUGEINT)
+                      AS BIGINT) AS unit_price_fp4,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS HUGEINT) * 100
+                            // CAST(FLOOR(l_quantity + 0.5) AS HUGEINT),
+                            l_suppkey
+                 ) AS rn
+          FROM lineitem
+          WHERE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) >= 1
+        ) WHERE rn = 1
+    """
+    # Tokenizer coverage curve: occurrence mass of the top-k vocab.
+    d["vocab_coverage_curve"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+            AS token
+          FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM toks),
+        ranked AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC)
+                   AS r,
+                 COUNT(*) AS n
+          FROM toks GROUP BY token
+        ),
+        ks AS (SELECT unnest([8, 16, 32, 64]) AS k)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS covered,
+               CAST(t.total AS BIGINT) AS total,
+               CAST(SUM(n) * 1000000 // t.total AS BIGINT)
+                 AS coverage_fp6
+        FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot t
+        GROUP BY k, t.total
+    """
+
+    # TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    d["returned_item_revenue"] = """
+        SELECT c_custkey, c_name, n_name, rev_cc FROM (
+          SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+                 n.n_name AS n_name,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3
+        ) ORDER BY rev_cc DESC, c_custkey LIMIT 20
+    """
+    # TPC-H Q14 shape: PROMO-part revenue share in exact fixed-point.
+    d["promo_revenue"] = """
+        WITH j AS (
+          SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc,
+                 CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT CAST(SUM(rev_cc * is_promo) AS BIGINT) AS promo_rev_cc,
+               CAST(SUM(rev_cc) AS BIGINT) AS total_rev_cc,
+               CAST(SUM(rev_cc * is_promo) * 1000000 // SUM(rev_cc)
+                    AS BIGINT) AS promo_pct_fp6
+        FROM j
+    """
+    # TPC-H Q18 shape: orders with total quantity over the threshold.
+    d["large_order_customers"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 300
+        )
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+               b.l_orderkey AS o_orderkey, b.total_qty AS total_qty,
+               CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+    # GROUP BY ROLLUP(nation, year) with NULL-free sentinels.
+    d["revenue_rollup"] = """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COALESCE(o_year, -1) AS o_year,
+               CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+               CAST(GROUPING(n_name) + GROUPING(o_year) AS BIGINT) AS lvl
+        FROM (
+          SELECT n.n_name AS n_name,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS rev_c
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        GROUP BY ROLLUP(n_name, o_year)
+    """
+    # PIVOT shape: six-hour day-bucket counts as columns.
+    d["event_type_hour_pivot"] = """
+        SELECT event_type,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN hour(ts)//6 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b3
+        FROM events GROUP BY 1
+    """
+    # Correlated-subquery shape in exact integer arithmetic.
+    d["brand_size_outliers"] = """
+        SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(s * 10000 // c AS BIGINT) AS brand_avg_fp4
+        FROM (
+          SELECT p_partkey, p_brand, p_size,
+                 SUM(CAST(p_size AS BIGINT))
+                   OVER (PARTITION BY p_brand) AS s,
+                 COUNT(*) OVER (PARTITION BY p_brand) AS c
+          FROM part
+        ) WHERE 2 * p_size * c > 3 * s
+    """
+    # Anti-join shape: customers with no order on/after the cutoff.
+    d["churned_customers"] = """
+        SELECT n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS n_churned,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_c_sum
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY 1
+    """
+    # Window-frame shape: trailing 7-row moving average, integer floor.
+    d["moving_avg_daily_revenue"] = """
+        WITH d AS (
+          SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d')
+                   AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT day, rev_c,
+               CAST(SUM(rev_c) OVER w // COUNT(*) OVER w AS BIGINT) AS ma_c
+        FROM d WINDOW w AS (ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+    # Per-source sentence profile ('[.!?]+' runs; RE2 on both sides).
+    d["sentence_stats"] = """
+        WITH s AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS n_sents
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_sents) AS BIGINT) AS n_sents,
+               CAST(SUM(n_sents) * 1000000 // COUNT(*) AS BIGINT)
+                 AS sents_per_doc_fp6
+        FROM s GROUP BY 1
+    """
+    # Interleave-shape histogram over the spans table.
+    d["interleave_shape_hist"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_text,
+                 CAST(SUM(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_media
+          FROM s GROUP BY doc_id
+        )
+        SELECT n_text, n_media, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per_doc GROUP BY 1, 2
+    """
+    # Span-kind transition counts: LAG over offset-ordered spans per doc.
+    d["span_kind_transitions"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        l AS (
+          SELECT doc_id, kind,
+                 lag(kind) OVER (PARTITION BY doc_id ORDER BY off)
+                   AS prev_kind
+          FROM s
+        )
+        SELECT prev_kind, kind AS next_kind, CAST(COUNT(*) AS BIGINT) AS n
+        FROM l WHERE prev_kind IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+    # STDDEV/VAR aggregate shape: exact integer sample variance in cents2.
+    d["events_value_stddev"] = """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sum_c,
+               CAST(SUM(c*c) AS BIGINT) AS sumsq_c,
+               CAST(CASE WHEN COUNT(*) > 1 THEN
+                 (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(c*c) AS HUGEINT)
+                  - CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT))
+                 // (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+                 ELSE 0 END AS BIGINT) AS var_fp0
+        FROM m GROUP BY 1
+    """
+    # Ordered string aggregation: top-3 names per nation.
+    d["top_customers_concat"] = """
+        WITH r AS (
+          SELECT c_nationkey, c_name,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                            DESC, c_custkey
+                 ) AS rn
+          FROM customer
+        )
+        SELECT n.n_name AS n_name,
+               string_agg(r.c_name, ',' ORDER BY r.rn) AS top_names
+        FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey
+        WHERE r.rn <= 3
+        GROUP BY 1
+    """
+    # Exact NTILE(10) bucket profile over document lengths.
+    d["doc_length_deciles"] = """
+        WITH t AS (
+          SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS ntile,
+                 n_chars
+          FROM documents
+        )
+        SELECT CAST(ntile AS BIGINT) AS ntile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM t GROUP BY 1
+    """
+    # Cross-document media reuse catalog over the spans table.
+    d["media_ref_fanout"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.media_ref AS media_ref
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        )
+        SELECT media_ref,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_refs
+        FROM s WHERE kind <> 'text' GROUP BY 1
+    """
+
+
+    # Per-source lexical diversity: TTR + mean token length, exact fp6.
+    d["lexical_diversity"] = """
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                   AS token
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+               CAST(SUM(length(token)) AS BIGINT) AS sum_token_chars,
+               CAST(COUNT(DISTINCT token) * 1000000
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS ttr_fp6,
+               CAST(SUM(length(token)) * 1000000
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS avg_len_fp6
+        FROM toks GROUP BY 1
+    """
+    # LAG-window inter-event gaps folded per user (exact microseconds).
+    d["user_gap_stats"] = """
+        WITH w AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS prev_us
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(prev_us) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(ts_us - prev_us), 0) AS BIGINT)
+                 AS sum_gap_us,
+               CAST(COALESCE(MAX(ts_us - prev_us), 0) AS BIGINT)
+                 AS max_gap_us
+        FROM w GROUP BY 1
+    """
+    # Span-length histogram per modality over the spans table.
+    d["span_length_profile"] = f"""
+        WITH s AS (
+          SELECT u.s.kind AS kind, length(u.s.text) AS len
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        )
+        SELECT kind,
+               CAST(CASE WHEN len < 1 THEN 0 WHEN len < 16 THEN 1
+                         WHEN len < 64 THEN 2 WHEN len < 256 THEN 3
+                         ELSE 4 END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM s GROUP BY 1, 2
+    """
+    # Degree histogram of the near-dup graph (incl. the degree-0 row).
+    d["near_dup_degree_hist"] = _QUANT_CTE + """,
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM qe a, qe b
+              WHERE a.vec_id < b.vec_id
+                AND CAST(FLOOR(
+                  list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                  / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                ) >= 35000
+            ),
+            ep AS (
+              SELECT vec_a AS vec_id FROM pairs
+              UNION ALL SELECT vec_b FROM pairs
+            ),
+            deg AS (SELECT vec_id, COUNT(*) AS degree FROM ep GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM deg GROUP BY 1
+            UNION ALL
+            SELECT 0,
+                   (SELECT COUNT(*) FROM embeddings)
+                   - (SELECT COUNT(*) FROM deg)
+    """
+
+
+    # Year-over-year monthly revenue growth (calendar-keyed, not LAG 12).
+    d["orders_monthly_yoy"] = """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT a.month AS month, a.rev_c AS rev_c,
+               CAST(COALESCE(b.rev_c, 0) AS BIGINT) AS prev_year_rev_c,
+               CAST(CASE WHEN b.rev_c IS NOT NULL AND b.rev_c <> 0
+                    THEN (a.rev_c - b.rev_c) * 1000000 // b.rev_c
+                    ELSE 0 END AS BIGINT) AS yoy_fp6
+        FROM m a LEFT JOIN m b
+          ON b.month = CAST(CAST(substr(a.month, 1, 4) AS INTEGER) - 1
+                            AS VARCHAR) || substr(a.month, 5)
+    """
+    # Per-source exact-duplicate exposure (cross-source dups count both).
+    d["source_dup_rate"] = """
+        WITH h AS (SELECT source, md5(text) AS m FROM documents),
+        c AS (SELECT m, COUNT(*) AS n FROM h GROUP BY 1)
+        SELECT h.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS dup_rate_fp6
+        FROM h JOIN c ON h.m = c.m GROUP BY 1
+    """
+
+
+    # Q16 shape: distinct suppliers per brand across the fact-dim join.
+    d["brand_supplier_counts"] = """
+        SELECT p.p_brand AS p_brand,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """
+    # Global min-max feature scaling in exact fixed-point.
+    d["minmax_scale_events"] = """
+        WITH c AS (
+          SELECT event_id,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ),
+        b AS (SELECT MIN(cents) AS lo,
+                     GREATEST(MAX(cents) - MIN(cents), 1) AS span
+              FROM c)
+        SELECT c.event_id AS event_id,
+               CAST((c.cents - b.lo) * 1000000 // b.span AS BIGINT)
+                 AS scaled_fp6
+        FROM c, b
+    """
+
+
+    # Histogram of exact-dup cluster sizes (dedup-savings census).
+    d["dup_cluster_size_hist"] = """
+        WITH c AS (
+          SELECT md5(text) AS m, COUNT(*) AS n FROM documents GROUP BY 1
+        )
+        SELECT CAST(n AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(n * COUNT(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY n
+    """
+
+
+    # Salted two-stage aggregation — must be invisible vs plain groupby.
+    d["salted_user_counts"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_c
+        FROM events GROUP BY 1
+    """
+    # Per-group top-k rows: each source's k longest documents.
+    d["longest_docs_per_source"] = """
+        SELECT source, CAST(rk AS BIGINT) AS rk,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= 3
+    """
+    # TPC-H Q6 shape: one-row filtered revenue sum, exact fixed-point.
+    d["forecast_revenue"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COALESCE(SUM(
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)), 0)
+                 AS BIGINT) AS rev_cc
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) < 24
+    """
+    # TPC-H Q12 shape (adapted: ship YEAR for the missing l_shipmode):
+    # high- vs low-priority line counts among late-shipped lines.
+    d["priority_line_share"] = """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + 2592000000000
+        GROUP BY 1
+    """
+    # TPC-H Q19 shape: OR-ed (brand, size, quantity) bracket revenue.
+    d["bracket_revenue"] = """
+        WITH pb AS (
+          SELECT p_partkey,
+                 CASE
+                   WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                     THEN 1
+                   WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                     THEN 2
+                   WHEN p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                     THEN 3
+                   ELSE 0
+                 END AS bracket
+          FROM part
+        ), j AS (
+          SELECT pb.bracket AS bracket,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc
+          FROM lineitem JOIN pb ON l_partkey = p_partkey
+          WHERE pb.bracket > 0
+        )
+        SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(rev_cc) AS BIGINT) AS rev_cc
+        FROM j
+        WHERE (bracket = 1 AND qty BETWEEN 1 AND 11)
+           OR (bracket = 2 AND qty BETWEEN 10 AND 20)
+           OR (bracket = 3 AND qty BETWEEN 20 AND 30)
+        GROUP BY 1
+    """
+    # TPC-H Q3 shape: top-k unshipped-revenue orders for one segment.
+    # Dates ride as epoch days, priority as its leading digit.
+    d["shipping_priority"] = """
+        SELECT o_orderkey, rev_cc, o_date_days, o_prio FROM (
+          SELECT l.l_orderkey AS o_orderkey,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc,
+                 CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS o_date_days,
+                 CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS o_prio
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1, 3, 4
+        ) ORDER BY rev_cc DESC, o_orderkey LIMIT 10
+    """
+    # TPC-H Q15 shape: max-revenue supplier(s) in one shipdate window.
+    d["top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS rev_cc
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.rev_cc
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.s_suppkey
+        WHERE r.rev_cc = (SELECT MAX(rev_cc) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+    # TPC-H Q17 shape: small-quantity (below 20% of the part's own avg)
+    # revenue for one brand, exact cross-multiplied threshold.
+    d["small_qty_revenue"] = """
+        WITH sel AS (
+          SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+        ), li AS (
+          SELECT l_partkey,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c
+          FROM lineitem JOIN sel ON l_partkey = p_partkey
+        ), st AS (
+          SELECT l_partkey, SUM(qty) AS sumq, COUNT(*) AS cnt
+          FROM li GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COALESCE(SUM(li.price_c), 0) AS BIGINT) AS price_c_sum
+        FROM li JOIN st ON li.l_partkey = st.l_partkey
+        WHERE 5 * li.qty * st.cnt < st.sumq
+    """
+    # TPC-H Q7 shape: shipping volume per (supp nation, cust nation, year).
+    d["nation_trade_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rev_cc
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND s_nationkey <> c_nationkey
+        GROUP BY 1, 2, 3
+    """
+    # TPC-H Q21 shape (adapted: lateness vs order date, no commitdate):
+    # the lone late supplier on multi-supplier finalized orders.
+    d["late_supplier_blame"] = """
+        WITH x AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(epoch_us(l_shipdate)) AS ship_us
+          FROM lineitem GROUP BY 1, 2
+        ), q AS (
+          SELECT x.l_orderkey, x.l_suppkey,
+                 CASE WHEN x.ship_us
+                      > epoch_us(o.o_orderdate) + 7776000000000
+                      THEN 1 ELSE 0 END AS late
+          FROM x JOIN orders o ON x.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ), blame AS (
+          SELECT l_orderkey,
+                 MAX(CASE WHEN late = 1 THEN l_suppkey END) AS bad
+          FROM q GROUP BY 1
+          HAVING COUNT(*) >= 2 AND SUM(late) = 1
+        )
+        SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM blame JOIN supplier ON bad = s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """
+    # TPC-H Q22 shape (adapted: nationkey subset for the phone prefix,
+    # dormancy = no order after the cutoff; threshold cross-multiplied).
+    d["dormant_rich_customers"] = """
+        WITH stats AS (
+          SELECT CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_c,
+                 COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS acctbal_c_sum
+        FROM customer, stats
+        WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          AND CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) * stats.n
+              > stats.sum_c
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01'
+          )
+        GROUP BY 1
+    """
+    # Text-run reflow over the interleaved spans table: window-function
+    # islands (boundary at kind change or any media span) + ordered
+    # string_agg; offsets renumbered per doc.
+    d["span_coalesce"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                 u.s.media_ref AS media_ref, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), w AS (
+          SELECT *, CASE WHEN lag(kind) OVER dw IS NULL
+                         OR kind <> lag(kind) OVER dw
+                         OR kind = 'media' THEN 1 ELSE 0 END AS b
+          FROM s WINDOW dw AS (PARTITION BY doc_id ORDER BY off)
+        ), r AS (
+          SELECT *, SUM(b) OVER (
+            PARTITION BY doc_id ORDER BY off
+            ROWS UNBOUNDED PRECEDING) - 1 AS run
+          FROM w
+        )
+        SELECT doc_id, CAST(run AS BIGINT) AS "offset",
+               MIN(kind) AS kind,
+               string_agg(text, ' ' ORDER BY off) AS text,
+               MAX(media_ref) AS media_ref,
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM r GROUP BY doc_id, run
+    """
+    # Corpus-level decile histogram of media span positions.
+    d["media_position_hist"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), r AS (
+          SELECT kind,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY off) - 1 AS pos,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n
+          FROM s
+        )
+        SELECT CAST(pos * 10 // n AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_media
+        FROM r WHERE kind = 'media' GROUP BY 1
+    """
+    # Deterministic uniform sample: k smallest md5(doc_id-as-string).
+    d["hash_sample_k"] = """
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+          FROM documents
+        ) WHERE rank <= 20
+    """
+    # Hash-ring in-batch negatives: row_number over the md5-u64 order,
+    # each doc joined to the docs at ring offsets 1..k (mod n).
+    d["negative_pairs"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT AS hv
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM h
+        ),
+        l AS (SELECT unnest([1, 2]) AS lag)
+        SELECT a.doc_id AS doc_id, CAST(l.lag AS BIGINT) AS lag,
+               b.doc_id AS neg_doc_id
+        FROM o a CROSS JOIN l
+        JOIN o b ON b.rn = (a.rn + l.lag) % a.n
+    """
+    # Stratified deterministic sample: k smallest hashes per source.
+    d["per_source_sample_k"] = """
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+          SELECT source, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        ) WHERE rk <= 3
+    """
+    # Streaming Pearson between code-point length and whitespace token
+    # count — exact integer moments, one shared IEEE double expression.
+    d["length_token_corr"] = r"""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(length(text)) AS BIGINT) AS sx,
+                 CAST(SUM(len(regexp_extract_all(
+                   text, '[^ \t\n\r\v\f]+'))) AS BIGINT) AS sy,
+                 CAST(SUM(length(text) * length(text)) AS BIGINT) AS sxx,
+                 CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                      * len(regexp_extract_all(text, '[^ \t\n\r\v\f]+')))
+                      AS BIGINT) AS syy,
+                 CAST(SUM(length(text) * len(regexp_extract_all(
+                   text, '[^ \t\n\r\v\f]+'))) AS BIGINT) AS sxy
+          FROM documents
+        )
+        SELECT n AS n_docs,
+               CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN 0
+                    ELSE CAST(FLOOR(
+                      (n*sxy - sx*sy)
+                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                      * 1000000 + 0.5) AS BIGINT)
+               END AS corr_fp6
+        FROM m
+    """
+
+    # Cross-source shared-5-gram contamination matrix (same 60-bit md5
+    # shingle hash as the dedup family; DISTINCT per source).
+    d["cross_source_dup_matrix"] = r"""
+        WITH toks AS (
+          SELECT source, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT source,
+                 unnest([array_to_string(w[i+1:i+5], ' ')
+                         for i in range(len(w) - 4)]) AS f
+          FROM toks WHERE len(w) >= 5
+        ),
+        xh AS (
+          SELECT DISTINCT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS bh
+          FROM g
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM xh a JOIN xh b ON a.bh = b.bh AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    # 2-D quality-vs-length calibration grid on fixed integer bucket
+    # edges (alpha ratio via the shared quality_score fp6 expression).
+    d["quality_length_grid"] = r"""
+        WITH chars AS (
+          SELECT length(text) AS total,
+                 length(regexp_replace(text, '[^A-Za-zЀ-ӿ]', '', 'g'))
+                   AS n_alpha
+          FROM documents
+        ),
+        q AS (
+          SELECT total,
+                 CASE WHEN total = 0 THEN 0 ELSE CAST(FLOOR(
+                   CAST(n_alpha AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT)
+                 END AS alpha_fp6
+          FROM chars
+        )
+        SELECT LEAST(alpha_fp6 // 100000, 9) AS alpha_bucket,
+               LEAST(total // 256, 15) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(total) AS BIGINT) AS sum_chars
+        FROM q GROUP BY 1, 2
+    """
+    # Pareto concentration of order revenue in the top-100 customers.
+    d["revenue_concentration"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        ),
+        top AS (
+          SELECT rev_c FROM per ORDER BY rev_c DESC, o_custkey LIMIT 100
+        )
+        SELECT CAST(100 AS BIGINT) AS k,
+               CAST((SELECT SUM(rev_c) FROM top) AS BIGINT) AS topk_rev_c,
+               CAST((SELECT SUM(rev_c) FROM per) AS BIGINT) AS total_rev_c,
+               CAST((SELECT SUM(rev_c) FROM top) * 10000
+                    // (SELECT SUM(rev_c) FROM per) AS BIGINT) AS share_bp
+    """
+    # Referential-integrity audit over the DELIBERATELY mangled refs
+    # (the _mangled_spans wrapper, replayed here: i%5 docs' lowest-offset
+    # media span gets '#stale') against the media store listing.
+    d["media_orphan_audit"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, CAST(substr(t.doc_id, 5) AS INT) AS i,
+                 u.s.kind AS kind, u.s.media_ref AS media_ref,
+                 u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (
+          SELECT i, media_ref,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+          FROM s WHERE kind = 'media'
+        ),
+        refs AS (
+          SELECT CASE WHEN i % 5 = 0 AND rn = 1
+                      THEN media_ref || '#stale'
+                      ELSE media_ref END AS media_ref
+          FROM m
+        ),
+        agg AS (SELECT media_ref, COUNT(*) AS n FROM refs GROUP BY 1),
+        files AS (
+          SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref
+          FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        )
+        SELECT COALESCE(a.media_ref, f.media_ref) AS media_ref,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_span_refs,
+               CASE WHEN f.media_ref IS NULL THEN 'dangling_ref'
+                    ELSE 'orphan_file' END AS status
+        FROM agg a FULL OUTER JOIN files f ON a.media_ref = f.media_ref
+        WHERE a.media_ref IS NULL OR f.media_ref IS NULL
+    """
+    # Per-doc distinct-bigram novelty vs the ID-ordered corpus prefix
+    # (same 60-bit md5 bigram hash as rare_bigram_rate).
+    d["bigram_novelty"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT DISTINCT doc_id,
+                 unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)])
+                   AS b
+          FROM toks WHERE len(w) >= 2
+        ),
+        xb AS (
+          SELECT doc_id,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS bh
+          FROM bg
+        ),
+        firsts AS (SELECT bh, MIN(doc_id) AS first_doc FROM xb GROUP BY bh),
+        per AS (
+          SELECT x.doc_id,
+                 COUNT(*) AS n_distinct,
+                 CAST(SUM(CASE WHEN x.doc_id > f.first_doc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_seen
+          FROM xb x JOIN firsts f USING (bh)
+          GROUP BY x.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               n_seen,
+               CAST(FLOOR(CAST(n_distinct - n_seen AS DOUBLE) * 1e6
+                          / n_distinct + 0.5) AS BIGINT) AS novel_fp6
+        FROM per
+    """
+    # Parity-half centroid drift per label (the label_centroid_stats
+    # fixed-point rule on each half, then a component-wise L1).
+    d["embedding_drift"] = """
+        WITH qe AS (
+          SELECT label, vec_id % 2 AS half,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(64)) AS d),
+        csum AS (
+          SELECT label, half, d.d,
+                 CAST(FLOOR(CAST(SUM(q[d.d + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS qc
+          FROM qe CROSS JOIN dims d GROUP BY label, half, d.d
+        ),
+        cent AS (
+          SELECT label, half, list(qc ORDER BY d) AS cq
+          FROM csum GROUP BY label, half
+        ),
+        n AS (
+          SELECT label,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_even,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_odd
+          FROM qe GROUP BY label
+        )
+        SELECT CAST(a.label AS BIGINT) AS label, n.n_even, n.n_odd,
+               CAST(list_sum([abs(a.cq[i+1] - b.cq[i+1])
+                              for i in range(len(a.cq))]) AS BIGINT)
+                 AS drift_l1
+        FROM cent a
+        JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        JOIN n ON n.label = a.label
+    """
+    # Gini impurity of each user's event-type mix — pure rational
+    # arithmetic (numerator non-negative, so // floors identically).
+    d["user_type_gini"] = """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT user_id, SUM(c) AS n, SUM(c * c) AS s2
+          FROM c GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(((n*n - s2) * 2000000 + n*n) // (2 * n*n) AS BIGINT)
+                 AS gini_fp6
+        FROM u
+    """
+    # Ship-lag SLA rollup per order priority; dates are midnight-aligned
+    # so date_diff('day') equals the engine's exact us-division.
+    d["ship_lag_by_priority"] = """
+        WITH lag AS (
+          SELECT o_orderpriority,
+                 date_diff('day', o_orderdate, l_shipdate) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(d) AS BIGINT) AS sum_lag_days,
+               CAST(MAX(d) AS BIGINT) AS max_lag_days,
+               CAST(FLOOR(100.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT)
+                 AS avg_lag_fp2
+        FROM lag GROUP BY 1
+    """
+    # Incident coalescing over the hourly-anomaly replay (islands on
+    # the hour axis; lexicographic MIN/MAX of the hour strings is
+    # chronological for this fixed format).
+    d["anomaly_incidents"] = f"""
+        WITH a AS ({d['hourly_anomalies']}),
+        x AS (
+          SELECT event_type, hour, n,
+                 epoch_us(strptime(hour, '%Y-%m-%d %H:00:00'))
+                   // 3600000000 AS hi
+          FROM a
+        ),
+        g AS (
+          SELECT *, hi - ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY hi) AS grp
+          FROM x
+        )
+        SELECT event_type,
+               MIN(hour) AS start_hour,
+               MAX(hour) AS end_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(n) AS BIGINT) AS total_n
+        FROM g GROUP BY event_type, grp
+    """
+    # Line-number contiguity audit (distinct count == max == n).
+    d["linenumber_integrity"] = """
+        SELECT l_orderkey,
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_lines,
+               CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+               COUNT(DISTINCT l_linenumber) = MAX(l_linenumber)
+                 AS contiguous
+        FROM lineitem GROUP BY 1
+    """
+    # Cluster-level syndication mix over the connected-components replay.
+    d["dup_cluster_source_mix"] = f"""
+        WITH c AS ({d['dedup_clusters']})
+        SELECT c.cluster_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT d2.source) AS BIGINT) AS n_sources
+        FROM c JOIN documents d2 ON c.doc_id = d2.doc_id
+        GROUP BY 1 HAVING COUNT(*) > 1
+    """
+    # Histogram-quantile sketch error vs the exact percentiles (bin
+    # width 100 cents; contract: 0 <= err < bin).
+    d["quantile_sketch_error"] = f"""
+        SELECT e.hour,
+               CAST(s.p50_est_c - e.p50_c AS BIGINT) AS p50_err_c,
+               CAST(s.p95_est_c - e.p95_c AS BIGINT) AS p95_err_c,
+               CAST(s.p99_est_c - e.p99_c AS BIGINT) AS p99_err_c,
+               (s.p50_est_c - e.p50_c BETWEEN 0 AND 99)
+               AND (s.p95_est_c - e.p95_c BETWEEN 0 AND 99)
+               AND (s.p99_est_c - e.p99_c BETWEEN 0 AND 99)
+                 AS within_bound
+        FROM ({d['events_hourly_percentiles']}) e
+        JOIN ({d['events_hourly_quantiles_sketch']}) s USING (hour)
+    """
+    # CMS survivor overcount vs exact counts (est >= true always).
+    d["cms_error_report"] = rf"""
+        WITH hh AS ({d['cms_heavy_hitters']}),
+        toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        ex AS (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM toks JOIN hh ON t = hh.token GROUP BY 1
+        )
+        SELECT hh.token,
+               CAST(hh.est_count AS BIGINT) AS est_count,
+               ex.true_count,
+               CAST(hh.est_count - ex.true_count AS BIGINT) AS overcount
+        FROM hh JOIN ex USING (token)
+    """
+    # Winnowing density-guarantee audit over the selector replay.
+    d["winnow_density_check"] = f"""
+        WITH wf AS ({d['winnow_fingerprints']}),
+        g AS (
+          SELECT doc_id,
+                 pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS gap
+          FROM wf
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fp,
+               CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+               COALESCE(MAX(gap), 0) <= 4 AS gap_ok
+        FROM g GROUP BY 1
+    """
+    # TPC-H Q11 shape: parts whose nation-supplied value exceeds a ppm
+    # fraction of the nation total (cross-multiplied integer HAVING).
+    d["important_parts"] = """
+        WITH v AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                      AS BIGINT) AS value_cc
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey = 3
+          GROUP BY 1
+        ),
+        t AS (SELECT SUM(value_cc) AS total FROM v)
+        SELECT v.p_partkey, v.value_cc, CAST(t.total AS BIGINT) AS total_cc
+        FROM v, t
+        WHERE v.value_cc * 1000000 > 1000 * t.total
+    """
+    # TPC-H Q20 shape: suppliers moving > min_qty of any 'red' part in
+    # the ship-year window (shipped qty stands in for availqty).
+    d["promo_part_suppliers"] = """
+        WITH red AS (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+        ),
+        sp AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS qty
+          FROM lineitem JOIN red ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(qty) AS BIGINT) AS sum_qty
+          FROM sp WHERE qty > 50 GROUP BY 1
+        )
+        SELECT w.s_suppkey, s.s_name, w.n_parts, w.sum_qty
+        FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+    """
+    # Per-rep distance to the nearest in-ball SimHash neighbor (the
+    # pairs replay exploded both directions, MIN per doc).
+    d["simhash_nearest"] = f"""
+        WITH p AS ({d['dedup_simhash_pairs']}),
+        both_dirs AS (
+          SELECT doc_a AS doc_id, hamming FROM p
+          UNION ALL
+          SELECT doc_b AS doc_id, hamming FROM p
+        )
+        SELECT doc_id, CAST(MIN(hamming) AS BIGINT) AS nearest_hamming
+        FROM both_dirs GROUP BY 1
+    """
+    # Uniform-quota token mixture plan: per-source token counts + pure
+    # integer quota/rate/epoch arithmetic (target = half the corpus).
+    d["mixture_token_plan"] = r"""
+        WITH t AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+')))
+                      AS BIGINT) AS n
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS ns FROM t)
+        SELECT source,
+               n AS n_tokens,
+               CAST((total // 2) // ns AS BIGINT) AS quota_tokens,
+               CAST(LEAST(1000000,
+                          ((total // 2) // ns) * 1000000 // n) AS BIGINT)
+                 AS rate_fp6,
+               CAST(((total // 2) // ns) * 1000 // n AS BIGINT)
+                 AS epochs_fp3
+        FROM t, tot
+    """
+    # Recall@10 of the PQ/ADC index vs exact kNN (the knn_recall_report
+    # composition with the PQ replay).
+    d["pq_recall_report"] = f"""
+        SELECT e.query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 100000 // 10 AS BIGINT) AS recall_fp5
+        FROM ({d['knn_cosine']}) e
+        LEFT JOIN ({d['knn_pq']}) i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY 1
+    """
+    # Sessionization gap sweep: session breaks are gaps STRICTLY above
+    # each threshold over per-user sorted times (NULL first-gap safe).
+    d["sessionize_gap_sweep"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        l AS (
+          SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+          FROM e
+        ),
+        cfg AS (SELECT unnest([15, 30, 60]) AS g),
+        s AS (
+          SELECT c.g, user_id,
+                 1 + SUM(CASE WHEN gap > CAST(c.g AS BIGINT) * 60000000
+                              THEN 1 ELSE 0 END) AS ns
+          FROM l, cfg c GROUP BY 1, 2
+        )
+        SELECT CAST(g AS BIGINT) AS gap_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ns) AS BIGINT) AS n_sessions
+        FROM s GROUP BY 1
+    """
+    # LSH candidate recall vs the exact Jaccard>=tau ground truth over
+    # exact-text reps — hashed-list intersections on the O(n^2) oracle
+    # side (the engine counts the same intersections per shared hash).
+    d["dedup_candidates_recall"] = (
+        _SHINGLES_CTE
+        + """,
+        xd AS (SELECT doc_id, list_distinct(xs) AS xh FROM xs),
+        tp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.xh, b.xh)) AS inter,
+                 len(a.xh) + len(b.xh) - len(list_intersect(a.xh, b.xh))
+                   AS uni
+          FROM xd a JOIN xd b ON a.doc_id < b.doc_id
+        ),
+        tr AS (
+          SELECT da, db FROM tp
+          WHERE inter > 0 AND inter * 1000000 >= 500000 * uni
+        )
+        SELECT CAST(500000 AS BIGINT) AS tau_fp6,
+               CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM tr
+                     JOIN cand ON da = doc_a AND db = doc_b) AS BIGINT)
+                 AS n_hit,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM tr) > 0
+                    THEN (SELECT COUNT(*) FROM tr
+                          JOIN cand ON da = doc_a AND db = doc_b)
+                         * 100000 // (SELECT COUNT(*) FROM tr)
+                    ELSE 0 END AS BIGINT) AS recall_fp5
+    """
+    )
+    # HLL-vs-exact hourly distinct users error report: both replays as
+    # subqueries, exact // relative error.
+    d["hll_error_report"] = f"""
+        SELECT e.hour,
+               CAST(e.n_users AS BIGINT) AS n_exact,
+               CAST(h.n_users_est AS BIGINT) AS n_est,
+               CAST(abs(h.n_users_est - e.n_users) AS BIGINT) AS abs_err,
+               CAST(abs(h.n_users_est - e.n_users) * 1000000 // e.n_users
+                    AS BIGINT) AS err_fp6
+        FROM ({d['events_hourly_users']}) e
+        JOIN ({d['events_hourly_users_hll']}) h USING (hour)
+    """
+    # Out-of-orderness inversions per user: the O(n²) strict-pair join
+    # (the engine counts the same pairs via mergesort).
+    d["stream_inversions"] = """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        ),
+        inv AS (
+          SELECT a.user_id, COUNT(*) AS n_inv
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.t > b.t
+          GROUP BY 1
+        ),
+        n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1)
+        SELECT n.user_id,
+               CAST(n.n AS BIGINT) AS n_events,
+               CAST(COALESCE(i.n_inv, 0) AS BIGINT) AS n_inversions,
+               CASE WHEN n.n >= 2
+                    THEN CAST(COALESCE(i.n_inv, 0) * 1000000
+                              // (n.n * (n.n - 1) // 2) AS BIGINT)
+                    ELSE 0 END AS inv_fp6
+        FROM n LEFT JOIN inv i USING (user_id)
+    """
+    # RFM segmentation under fixed integer thresholds; recency relative
+    # to the corpus max order date (midnight-aligned, exact day division).
+    d["customer_rfm"] = """
+        WITH m AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+        per AS (
+          SELECT o_custkey AS c_custkey,
+                 MAX(o_orderdate) AS last_d,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_rev_c
+          FROM orders GROUP BY 1
+        )
+        SELECT c_custkey,
+               CAST(date_diff('day', last_d, m.mx) AS BIGINT)
+                 AS recency_days,
+               n_orders, sum_rev_c,
+               CAST(CASE WHEN date_diff('day', last_d, m.mx) <= 400
+                         THEN 4 ELSE 0 END
+                    + CASE WHEN n_orders >= 10 THEN 2 ELSE 0 END
+                    + CASE WHEN sum_rev_c >= 1000000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS rfm_code
+        FROM per, m
+    """
+    # Broken-embedding norm outliers: exact integer z-test on quantized
+    # squared norms, HUGEINT-widened exactly like the engine's Python ints.
+    d["embedding_norm_outliers"] = """
+        WITH qe AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, list_sum([x*x for x in q]) AS nsq FROM qe),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(nsq) AS s,
+                 SUM(CAST(nsq AS HUGEINT) * nsq) AS qq
+          FROM n
+        )
+        SELECT n.vec_id, CAST(n.nsq AS BIGINT) AS nsq
+        FROM n, m
+        WHERE (CAST(m.n AS HUGEINT) * n.nsq - m.s)
+              * (CAST(m.n AS HUGEINT) * n.nsq - m.s)
+              > 4 * (CAST(m.n AS HUGEINT) * m.qq
+                     - CAST(m.s AS HUGEINT) * m.s)
+    """
+    # Media store size census (4 KiB buckets, capped at 15).
+    d["media_payload_size_hist"] = f"""
+        SELECT LEAST(octet_length(content) // 4096, 15) AS size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(octet_length(content)) AS BIGINT) AS sum_bytes
+        FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        GROUP BY 1
+    """
+    # Span-rewrite to payload-dedup canonical refs: unnested media spans
+    # JOIN the media_content_dedup canonical CTE.
+    d["canonicalize_media_refs"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.media_ref AS media_ref,
+                 CAST(u.s."offset" AS BIGINT) AS span_offset
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (
+          SELECT replace(filename, '{_ORACLE_CORPUS_DIR}/', '') AS media_ref,
+                 md5(lower(hex(content))) AS payload_md5
+          FROM read_blob('{_ORACLE_CORPUS_DIR}/media/*/p*.png')
+        ),
+        c AS (
+          SELECT media_ref,
+                 MIN(media_ref) OVER (PARTITION BY payload_md5)
+                   AS canonical_ref
+          FROM m
+        )
+        SELECT s.doc_id, s.span_offset, s.media_ref, c.canonical_ref,
+               s.media_ref <> c.canonical_ref AS rewritten
+        FROM s JOIN c ON s.media_ref = c.media_ref
+        WHERE s.kind = 'media'
+    """
+    # LSH banding parameter sweep: the shared signature CTE (everything
+    # before its fixed 4-band split) re-banded per configuration.
+    _sig_prefix = _SHINGLES_CTE.split("bands AS (")[0].rstrip().rstrip(",")
+    d["lsh_band_sweep"] = (
+        _sig_prefix
+        + """,
+        cfg AS (SELECT unnest([2, 4, 8]) AS n_bands),
+        sbands AS (
+          SELECT c.n_bands, s.doc_id, b.band,
+                 md5(array_to_string(
+                   s.mh[b.band * (16 // c.n_bands) + 1
+                        : (b.band + 1) * (16 // c.n_bands)], '|')) AS key
+          FROM sig s, cfg c, (SELECT unnest(range(8)) AS band) b
+          WHERE b.band < c.n_bands
+        ),
+        scand AS (
+          SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sbands a JOIN sbands b
+            ON a.n_bands = b.n_bands AND a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT n_bands,
+               CAST(16 // n_bands AS BIGINT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM scand GROUP BY 1
+    """
+    )
+    # Per-source vocabulary Gini concentration (same 60-bit md5 token
+    # hash and rational gini as user_type_gini).
+    d["source_token_gini"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        xh AS (
+          SELECT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS th
+          FROM toks
+        ),
+        c AS (SELECT source, th, COUNT(*) AS c FROM xh GROUP BY 1, 2),
+        u AS (
+          SELECT source, SUM(c) AS n, SUM(c * c) AS s2, COUNT(*) AS d
+          FROM c GROUP BY 1
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(d AS BIGINT) AS n_distinct,
+               CAST(((n*n - s2) * 2000000 + n*n) // (2 * n*n) AS BIGINT)
+                 AS gini_fp6
+        FROM u
+    """
+    # Shannon entropy per source: per-token floor(c*ln(c)*1e6) int64
+    # terms (order-independent sum), then ONE fixed double expression
+    # ln(N) - (S/1e6)/N floored to fp6 — the dsir/PMI libm contract.
+    d["source_token_entropy"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS t
+          FROM documents
+        ),
+        xh AS (
+          SELECT source,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS th
+          FROM toks
+        ),
+        c AS (SELECT source, th, COUNT(*) AS c FROM xh GROUP BY 1, 2),
+        q AS (
+          SELECT source, c,
+                 CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS term
+          FROM c
+        ),
+        u AS (
+          SELECT source, SUM(c) AS n, SUM(term) AS s, COUNT(*) AS d
+          FROM q GROUP BY 1
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(d AS BIGINT) AS n_distinct,
+               CAST(FLOOR((ln(CAST(n AS DOUBLE))
+                           - (CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
+                          * 1e6) AS BIGINT) AS ent_fp6
+        FROM u
+    """
+    # Per-source Zipf exponent: top-64 token counts (n desc, token asc
+    # rank), per-rank xq/yq = floor(ln(·)*1e6) int64 quantization BEFORE
+    # summation, one explicit double/double divide, fp6 floor of the
+    # negated slope (zipf_fit contract).
+    d["zipf_fit"] = r"""
+        WITH occ AS (
+          SELECT source,
+                 unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM occ GROUP BY source, token
+        ),
+        ranked AS (
+          SELECT source, n,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token) AS rk
+          FROM counts
+        ),
+        q AS (
+          SELECT source,
+                 CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+                 CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+          FROM ranked WHERE rk <= 64
+        ),
+        s AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(xq) AS BIGINT) AS sx,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+                 CAST(SUM(xq * xq) AS BIGINT) AS sxx
+          FROM q GROUP BY source
+        )
+        SELECT source, m AS n_top,
+               CAST(FLOOR(-(CAST(m * sxy - sx * sy AS DOUBLE)
+                            / CAST(m * sxx - sx * sx AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS zipf_fp6
+        FROM s WHERE m >= 2 AND m * sxx - sx * sx <> 0
+    """
+    # Sliding-window prefix dedup: ingest rank by doc_id, key = md5 of
+    # the first-16-token prefix (truncation_dups family); each
+    # re-occurrence pairs with its immediate previous occurrence (LAG
+    # over the prefix hash), kept when the rank gap <= 100.
+    d["window_dedup"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                     regexp_extract_all(text, '[^ \t\n\r\v\f]+')[1:16],
+                     ' ')) AS th
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, th,
+                 ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+          FROM h
+        ),
+        d AS (
+          SELECT doc_id, rn,
+                 LAG(doc_id) OVER (PARTITION BY th
+                                   ORDER BY rn) AS prev_doc_id,
+                 LAG(rn) OVER (PARTITION BY th ORDER BY rn) AS prn
+          FROM r
+        )
+        SELECT doc_id, prev_doc_id, CAST(rn - prn AS BIGINT) AS gap
+        FROM d WHERE prn IS NOT NULL AND rn - prn <= 100
+    """
+    # Incremental sessionization's defining invariant IS the oracle:
+    # applying the post-cutoff batch to sessionize(pre-cutoff) must
+    # equal plain sessionize over the whole table.
+    d["sessionize_incremental"] = d["sessionize"]
+    # Exact two-sample KS over integer cents: running per-type counts
+    # at every distinct cent value, max |cca*nb - ccb*na| — pure
+    # integer arithmetic mirrors the segmented-scan exactly.
+    d["ks_value_drift"] = """
+        WITH e AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        g AS (SELECT c, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM e GROUP BY c),
+        t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+        r AS (SELECT SUM(ca) OVER (ORDER BY c) AS cca,
+                     SUM(cb) OVER (ORDER BY c) AS ccb FROM g)
+        SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cca * t.nb - ccb * t.na)) AS BIGINT) AS ks_num,
+               CAST(t.na * t.nb AS BIGINT) AS ks_den
+        FROM r, t GROUP BY t.na, t.nb
+    """
+    # Chi-square independence cells in pure integer micro units:
+    # cell_fp6 = floor((o*N - r*c)^2 * 1e6 / (r*c*N)) via HUGEINT —
+    # sum-of-floors is the defined statistic on both sides.
+    d["chi2_type_hour"] = """
+        WITH o AS (
+          SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+        cc AS (SELECT hour, SUM(o) AS c FROM o GROUP BY 1),
+        t AS (SELECT SUM(o) AS n FROM o)
+        SELECT o.event_type, o.hour, o.o AS observed,
+               CAST(m.r * cc.c AS BIGINT) AS expected_num,
+               CAST(
+                 (CAST(o.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * cc.c)
+                 * (CAST(o.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * cc.c)
+                 * 1000000 // (CAST(m.r AS HUGEINT) * cc.c * t.n)
+               AS BIGINT) AS cell_fp6
+        FROM o, m, cc, t
+        WHERE o.event_type = m.event_type AND o.hour = cc.hour
+    """
+    d["cumulative_users"] = """
+        WITH f AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+          FROM events GROUP BY 1
+        ),
+        g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nu FROM f GROUP BY 1)
+        SELECT STRFTIME(d, '%Y-%m-%d') AS day, nu AS new_users,
+               CAST(SUM(nu) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        FROM g
+    """
+    d["time_to_conversion"] = """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS fa,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fb
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(epoch_us(fb) - epoch_us(fa) AS BIGINT) AS delta_us
+        FROM f WHERE fa IS NOT NULL AND fb IS NOT NULL AND fb >= fa
+    """
+    # One BPE training step: adjacent char pairs inside whitespace
+    # tokens weighted by token frequency; substring is code-point
+    # indexed on both sides, UTF-8 byte order == code-point order for
+    # the tie-break.
+    d["bpe_merge_step"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS w
+          FROM documents
+        ),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        pairs AS (
+          SELECT substring(w, CAST(i AS INT), 1) AS l,
+                 substring(w, CAST(i AS INT) + 1, 1) AS r, c
+          FROM wc, UNNEST(range(1, length(w))) AS t(i)
+        )
+        SELECT l AS left_sym, r AS right_sym, CAST(SUM(c) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n DESC, left_sym ASC, right_sym ASC
+        LIMIT 20
+    """
+    # Morton/Z-order occupancy: exact integer min-max quantization to
+    # 8 bits per dim, explicit bit interleave on both sides.
+    _zx = " + ".join(
+        f"(((qc >> {i}) & 1) << {2 * i}) + (((qt >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    d["zorder_keys"] = f"""
+        WITH e AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                 epoch_us(ts) AS t
+          FROM events
+        ),
+        x AS (SELECT MIN(c) AS c_lo, MAX(c) AS c_hi,
+                     MIN(t) AS t_lo, MAX(t) AS t_hi FROM e),
+        q AS (
+          SELECT (e.c - x.c_lo) * 255 // GREATEST(x.c_hi - x.c_lo, 1) AS qc,
+                 (e.t - x.t_lo) * 255 // GREATEST(x.t_hi - x.t_lo, 1) AS qt
+          FROM e, x
+        )
+        SELECT CAST({_zx} AS BIGINT) AS z, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1
+    """
+    # Media-to-nearest-text span distance histogram; row_number
+    # differences equal 0-based position differences.
+    d["span_media_locality"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY u.s."offset"
+                 ) AS rn
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        m AS (SELECT doc_id, rn FROM s WHERE kind = 'media'),
+        tx AS (SELECT doc_id, rn FROM s WHERE kind = 'text'),
+        dd AS (
+          SELECT m.doc_id, m.rn,
+                 COALESCE(MIN(ABS(m.rn - tx.rn)), -1) AS dist
+          FROM m LEFT JOIN tx ON tx.doc_id = m.doc_id
+          GROUP BY m.doc_id, m.rn
+        )
+        SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dd GROUP BY 1
+    """
+    # Watermark lateness: running max event time over the DETERMINISTIC
+    # md5-shuffled arrival order (event_id order is already time order
+    # in the synthetic corpus — non-vacuity injection mirrored here),
+    # strictly-late rows only.
+    d["late_event_lateness"] = """
+        WITH a AS (
+          SELECT event_id, ts,
+                 ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                 )::BIGINT AS arr
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, ts,
+                 MAX(ts) OVER (ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM a
+        )
+        SELECT event_id,
+               CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS lateness_us
+        FROM w WHERE wm > ts
+    """
+    # AMS self-join size: exact F2 plus the count-sketch median-of-row
+    # estimates under the shared md5 hex-parse hash/sign contract.
+    d["f2_selfjoin_size"] = r"""
+        WITH tc AS (
+          SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1
+        ),
+        ex AS (SELECT SUM(c * c) AS f2 FROM tc),
+        hx AS (
+          SELECT tc.k, r.j, tc.c,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                            CAST(tc.k AS VARCHAR)),
+                                        i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) % 256 AS w,
+                 CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5('s' || CAST(r.j AS VARCHAR) ||
+                                              ':' || CAST(tc.k AS VARCHAR)),
+                                          1, 1)) - 1) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tc CROSS JOIN (SELECT unnest(range(5)) AS j) r
+        ),
+        cells AS (
+          SELECT j, w, CAST(SUM(s * c) AS BIGINT) AS cell
+          FROM hx GROUP BY j, w
+        ),
+        rowest AS (SELECT j, SUM(cell * cell) AS est FROM cells GROUP BY j)
+        SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+               CAST(MEDIAN(rowest.est) AS BIGINT) AS est_f2,
+               CAST(ABS(CAST(MEDIAN(rowest.est) AS BIGINT) - ex.f2)
+                    * 1000000 // ex.f2 AS BIGINT) AS err_fp6
+        FROM rowest, ex GROUP BY ex.f2
+    """
+    # Benford first-digit audit: leading digit of positive cents,
+    # expected share replayed with the identical libm expression.
+    d["benford_audit"] = """
+        WITH c AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(
+                 ln(1 + 1.0 / CAST(substring(CAST(c AS VARCHAR), 1, 1)
+                                   AS BIGINT)) / ln(10) * 1e6 + 0.5
+               ) AS BIGINT) AS expected_fp6
+        FROM c WHERE c > 0 GROUP BY 1, 3
+    """
+    # Week-over-week NTILE quartile mobility: exact fp6 weekly average,
+    # SQL NTILE within week, LAG over consecutive weeks.
+    d["user_value_mobility"] = """
+        WITH uw AS (
+          SELECT user_id,
+                 epoch_us(ts) // (7 * 86400000000) AS week,
+                 SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sc,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT user_id, week, sc * 1000000 // n AS avg_fp6 FROM uw
+        ),
+        t AS (
+          SELECT user_id, week,
+                 CAST(NTILE(4) OVER (
+                   PARTITION BY week ORDER BY avg_fp6, user_id
+                 ) AS BIGINT) AS tile
+          FROM a
+        ),
+        p AS (
+          SELECT user_id, week, tile,
+                 lag(tile) OVER (
+                   PARTITION BY user_id ORDER BY week
+                 ) AS pt,
+                 lag(week) OVER (
+                   PARTITION BY user_id ORDER BY week
+                 ) AS pw
+          FROM t
+        )
+        SELECT CAST(pt AS BIGINT) AS q_from, tile AS q_to,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE pw = week - 1 GROUP BY 1, 2
+    """
+    # Weighted median: smallest cents value whose cumulative quantity
+    # weight reaches ceil(W/2).
+    d["weighted_median_price"] = """
+        WITH e AS (
+          SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+        ),
+        t AS (SELECT SUM(w) AS tw FROM e),
+        r AS (SELECT c, SUM(w) OVER (ORDER BY c) AS cw FROM e)
+        SELECT CAST(t.tw AS BIGINT) AS total_weight,
+               CAST((t.tw + 1) // 2 AS BIGINT) AS target_rank,
+               CAST(MIN(r.c) AS BIGINT) AS med_c
+        FROM r, t WHERE r.cw >= (t.tw + 1) // 2 GROUP BY t.tw
+    """
+    # Bin-fill audit of pack_sequences: sequence counts from the same
+    # recursive-CTE pack replay, used chars from the documents table.
+    d["packing_efficiency"] = f"""
+        WITH p AS ({d['pack_sequences']}),
+        s AS (SELECT shard, MAX(seq_no) + 1 AS ns FROM p GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_seqs FROM s),
+        dd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS used FROM documents
+        )
+        SELECT dd.n_docs, tot.n_seqs, dd.used AS used_chars,
+               CAST(tot.n_seqs * 1000 AS BIGINT) AS cap_chars,
+               CAST(dd.used * 1000000 // (tot.n_seqs * 1000)
+                    AS BIGINT) AS util_ppm
+        FROM dd, tot
+    """
+    # Measured Bloom false-positive rate: same md5 hex-parse positions
+    # replayed per out-of-segment key; fp = all k positions set.
+    d["bloom_fpr_report"] = """
+        WITH ink AS (
+          SELECT DISTINCT c_custkey AS key FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ),
+        outk AS (
+          SELECT DISTINCT c_custkey AS key FROM customer
+          WHERE c_mktsegment <> 'BUILDING'
+        ),
+        bitpos AS (
+          SELECT DISTINCT
+            ('0x' || substring(md5('bloom:' || CAST(r.j AS VARCHAR) ||
+                                   ':' || CAST(ink.key AS VARCHAR)),
+                               1, 15))::BIGINT % 8192 AS pos
+          FROM ink CROSS JOIN (SELECT unnest(range(4)) AS j) r
+        ),
+        pr AS (
+          SELECT o.key,
+                 SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nset
+          FROM (
+            SELECT outk.key,
+              ('0x' || substring(md5('bloom:' || CAST(r.j AS VARCHAR) ||
+                                     ':' || CAST(outk.key AS VARCHAR)),
+                                 1, 15))::BIGINT % 8192 AS pos
+            FROM outk CROSS JOIN (SELECT unnest(range(4)) AS j) r
+          ) o LEFT JOIN bitpos b ON b.pos = o.pos
+          GROUP BY o.key
+        ),
+        s AS (
+          SELECT (SELECT COUNT(*) FROM ink) AS n_in,
+                 (SELECT COUNT(*) FROM outk) AS n_out,
+                 (SELECT COUNT(*) FROM pr WHERE nset = 4) AS n_fp
+        )
+        SELECT CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(n_fp AS BIGINT) AS n_fp,
+               CAST(n_fp * 1000000 // n_out AS BIGINT) AS fpr_ppm,
+               CAST(8192 AS BIGINT) AS m_bits,
+               CAST(4 AS BIGINT) AS k_hashes
+        FROM s
+    """
+    # Conditional next-type entropy per current type: per-cell
+    # floor(n*ln(n)*1e6) quantized before summation, shared libm ln.
+    d["transition_entropy"] = """
+        WITH w AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ),
+        c AS (
+          SELECT prev AS prev_type, event_type AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT prev_type, SUM(n) AS nt, COUNT(*) AS k,
+                 SUM(CAST(FLOOR(n * ln(n) * 1e6) AS BIGINT)) AS s
+          FROM c GROUP BY 1
+        )
+        SELECT prev_type, CAST(nt AS BIGINT) AS n_trans,
+               CAST(k AS BIGINT) AS n_next_types,
+               CAST(FLOOR(
+                 (ln(nt) - (s / 1e6) / nt) * 1e6 + 0.5
+               ) AS BIGINT) AS ent_fp6
+        FROM t
+    """
+    # Gaps-and-islands run-length histogram over span kinds (offset
+    # order per doc) — the classic row_number-difference islands query.
+    d["span_run_lengths"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY u.s."offset"
+                 ) AS rn
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ),
+        isl AS (
+          SELECT doc_id, kind,
+                 rn - row_number() OVER (
+                   PARTITION BY doc_id, kind ORDER BY rn
+                 ) AS grp
+          FROM s
+        ),
+        runs AS (
+          SELECT kind, CAST(COUNT(*) AS BIGINT) AS run_len
+          FROM isl GROUP BY doc_id, kind, grp
+        )
+        SELECT kind, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2
+    """
+    # Open-order backlog step function: +1 at order day, -1 the day
+    # after the last ship day, running sum over event days.
+    d["orders_backlog_series"] = """
+        WITH ls AS (
+          SELECT l_orderkey,
+                 MAX(epoch_us(l_shipdate) // 86400000000) AS eday
+          FROM lineitem GROUP BY 1
+        ),
+        o AS (
+          SELECT epoch_us(od.o_orderdate) // 86400000000 AS sday,
+                 ls.eday
+          FROM orders od JOIN ls ON ls.l_orderkey = od.o_orderkey
+        ),
+        ev AS (
+          SELECT sday AS day, 1 AS d FROM o
+          UNION ALL SELECT eday + 1 AS day, -1 AS d FROM o
+        ),
+        g AS (SELECT day, SUM(d) AS dd FROM ev GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS backlog
+        FROM g
+    """
+    # Lag-1 autocorrelation sufficient statistics of the daily revenue
+    # series — consecutive-calendar-day pairs only, exact integer sums.
+    d["daily_revenue_autocorr"] = """
+        WITH dd AS (
+          SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      // 100 AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ),
+        p AS (
+          SELECT a.c AS x, b.c AS y
+          FROM dd a JOIN dd b ON b.day = a.day + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+               CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        FROM p
+    """
+    # Datasheet header block: all-integer corpus rollup; unique texts
+    # counted on the shared 60-bit md5 grid.
+    d["corpus_datasheet"] = r"""
+        WITH t AS (
+          SELECT text, source, lang,
+                 regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT
+                 ('0x' || substring(md5(text), 1, 15))::BIGINT
+               ) AS BIGINT) AS n_unique_texts,
+               CAST((COUNT(*) - COUNT(DISTINCT
+                 ('0x' || substring(md5(text), 1, 15))::BIGINT
+               )) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+               (SELECT CAST(COUNT(DISTINCT
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT
+                ) AS BIGINT)
+                FROM (SELECT unnest(w) AS tok FROM t)) AS vocab_size
+        FROM t
+    """
+    # Confusion matrix of the lang_id heuristic vs the labeled column —
+    # same Cyrillic-share predicate as the lang_id oracle, grouped.
+    d["lang_id_confusion"] = r"""
+        WITH p AS (
+          SELECT lang,
+                 CASE WHEN length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g')) > 0
+                           AND length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 10
+                               > 3 * length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g'))
+                      THEN 'cyr' ELSE 'lat' END AS pred_lang
+          FROM documents
+        )
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+    """
+    # Efraimidis-Spirakis A-ES weighted sample without replacement:
+    # key = ln((h+1)/2^60)/w over the shared 60-bit md5, top-k keys.
+    d["wsample_noreplace"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT AS hv
+          FROM documents WHERE n_chars > 0
+        ),
+        s AS (
+          SELECT doc_id, n_chars,
+                 ln((hv + 1) / 1152921504606846976.0) / n_chars AS key
+          FROM h
+        )
+        SELECT doc_id, n_chars FROM s
+        ORDER BY key DESC, doc_id LIMIT 50
+    """
+    # Per-type 5%-trimmed sum: sum of order statistics between ranks
+    # k+1 and n-k — tie-exact on both sides by construction.
+    d["trimmed_mean_by_type"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, c,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY c
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(c) AS BIGINT) AS trimmed_sum_c
+        FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY event_type
+    """
+    # Degree-assortativity sufficient statistics over the exact
+    # near-dup pair set (direction-doubled edges; x/y moments equal by
+    # symmetry).
+    d["dup_graph_assortativity"] = _QUANT_CTE + """,
+        p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM qe a, qe b WHERE a.vec_id < b.vec_id
+            AND CAST(FLOOR(
+              list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+              / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+            ) >= 35000
+        ),
+        e AS (SELECT a AS i, b AS j FROM p
+              UNION ALL SELECT b AS i, a AS j FROM p),
+        deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY i)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dir,
+               CAST(SUM(da.d) AS BIGINT) AS sum_d,
+               CAST(SUM(da.d * da.d) AS BIGINT) AS sum_d2,
+               CAST(SUM(da.d * db.d) AS BIGINT) AS sum_dxdy
+        FROM e JOIN deg da ON da.i = e.i JOIN deg db ON db.i = e.j
+    """
+    # Reciprocal top-1 cosine neighbors under the shared fixed-point
+    # contract; row_number's (cos DESC, j) tie-break mirrors numpy
+    # argmax's first-max rule over ascending-sorted ids.
+    d["mutual_nn_pairs"] = _QUANT_CTE + """,
+        scored AS (
+          SELECT a.vec_id AS i, b.vec_id AS j,
+                 CAST(FLOOR(
+                   list_sum([a.q[k+1] * b.q[k+1] for k in range(len(a.q))])
+                   / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT
+                 ) AS cos_fp5
+          FROM qe a, qe b WHERE a.vec_id != b.vec_id
+        ),
+        nn AS (
+          SELECT i, j, cos_fp5 FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY i ORDER BY cos_fp5 DESC, j
+            ) AS rn FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT a.i AS vec_a, a.j AS vec_b, a.cos_fp5
+        FROM nn a JOIN nn b ON a.j = b.i AND b.j = a.i
+        WHERE a.i < a.j
+    """
+    # Sweep-line peak concurrency: endpoint rows (+1 at t, -1 at
+    # t+hold; half-open => -1 sorts first at equal t), running SUM over
+    # (t, d) order per type, MAX of the running count. The max is
+    # tie-order invariant, so window tie arbitrariness is harmless.
+    d["peak_concurrency"] = """
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS d
+          FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 1800000000,
+                 CAST(-1 AS BIGINT)
+          FROM events
+        ),
+        c AS (
+          SELECT event_type,
+                 SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS cur
+          FROM pts
+        )
+        SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak_concurrent
+        FROM c GROUP BY event_type
+    """
+    # SQ8 per-dim error report: shared 1e6 component grid, then a pure
+    # integer codec — code = (2*255*(v-mn)+r) // (2r), recon = mn +
+    # (2*code*r+255) // 510 — so codes/recon/err^2 are exact BIGINTs.
+    d["sq8_quantize_error"] = """
+        WITH qe AS (
+          SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT unnest(range((SELECT MAX(len(q)) FROM qe))) AS i
+        ),
+        vals AS (SELECT i, q[i + 1] AS v FROM qe, dims),
+        mm AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY i),
+        coded AS (
+          SELECT v.i, v.v, m.mn, m.mx, m.mx - m.mn AS r,
+                 CASE WHEN m.mx - m.mn = 0 THEN 0
+                      ELSE (2 * 255 * (v.v - m.mn) + (m.mx - m.mn))
+                           // (2 * (m.mx - m.mn)) END AS code
+          FROM vals v JOIN mm m ON v.i = m.i
+        ),
+        rec AS (
+          SELECT i, v, mn, mx, code,
+                 CASE WHEN r = 0 THEN mn
+                      ELSE mn + (2 * code * r + 255) // (2 * 255)
+                 END AS recon
+          FROM coded
+        )
+        SELECT CAST(i AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(mn) AS BIGINT) AS mn_q,
+               CAST(MIN(mx) AS BIGINT) AS mx_q,
+               CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sat,
+               CAST(SUM((v - recon) * (v - recon)) AS BIGINT) AS sse_q
+        FROM rec GROUP BY i
+    """
+    # Per-type OLS value-vs-day slope: exact integer moments (x centered
+    # on 2024-01-01), HUGEINT numerator/denominator, one double divide.
+    d["value_trend_slope"] = """
+        WITH p AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM p GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                    THEN 0
+                    ELSE CAST(FLOOR(
+                      CAST(CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      * 1e6 + 0.5) AS BIGINT)
+               END AS slope_fp6
+        FROM m
+    """
+    # Flesch reading ease from identical regex proxies; one fixed double
+    # expression over exact int counts, floored to fp3.
+    d["readability_scores"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[^ \t\n\r\v\f]+'))
+                    AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(FLOOR((206.835
+                 - 1.015 * (CAST(len(regexp_extract_all(text,
+                     '[^ \t\n\r\v\f]+')) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 - 84.6 * (CAST(len(regexp_extract_all(text,
+                     '[aeiouyAEIOUY]+')) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text,
+                     '[^ \t\n\r\v\f]+')), 1))) * 1e3) AS BIGINT)
+                 AS flesch_fp3
+        FROM documents
+    """
+    # Skyline anti-EXISTS: a part survives iff no other part is <= on
+    # price and >= on size with at least one strict.
+    d["part_skyline"] = """
+        WITH t AS (
+          SELECT p_partkey,
+                 CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                   AS price_fp2,
+                 CAST(p_size AS BIGINT) AS p_size
+          FROM part
+        )
+        SELECT p_partkey, price_fp2, p_size FROM t p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t q
+          WHERE q.price_fp2 <= p.price_fp2 AND q.p_size >= p.p_size
+            AND (q.price_fp2 < p.price_fp2 OR q.p_size > p.p_size)
+        )
+    """
+    # Fano factor (variance/mean) of per-hour counts per event type —
+    # pure rational on integer counts over OBSERVED hours.
+    d["event_type_burstiness"] = """
+        WITH hc AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, COUNT(*) AS h, SUM(c) AS s, SUM(c * c) AS s2
+          FROM hc GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(h AS BIGINT) AS n_hours,
+               CAST(s AS BIGINT) AS n_events,
+               CAST((2 * (h * s2 - s * s) * 1000 + h * s) // (2 * h * s)
+                    AS BIGINT) AS fano_fp3
+        FROM m
+    """
+    # Recall@10 of the IVF index vs exact kNN — both replays composed as
+    # subqueries (membership LEFT JOIN, integer // recall).
+    # Borda rank blend of two composed signal oracles: two ROW_NUMBER
+    # windows (0-based, doc_id tie-break), summed, top-20.
+    d["quality_blend_rank"] = f"""
+        WITH q AS (SELECT doc_id, alpha_fp6 FROM ({d['quality_score']})),
+             l AS (SELECT doc_id, mean_nll_fp9 FROM ({d['lm_perplexity']})),
+             rq AS (
+               SELECT doc_id, ROW_NUMBER() OVER (
+                 ORDER BY alpha_fp6 DESC, doc_id) - 1 AS r_quality
+               FROM q
+             ),
+             rl AS (
+               SELECT doc_id, ROW_NUMBER() OVER (
+                 ORDER BY mean_nll_fp9, doc_id) - 1 AS r_fluency
+               FROM l
+             ),
+             b AS (
+               SELECT rq.doc_id AS doc_id, r_quality, r_fluency,
+                      r_quality + r_fluency AS blend
+               FROM rq JOIN rl USING (doc_id)
+             )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY blend, doc_id) AS BIGINT)
+                 AS rk,
+               doc_id, CAST(r_quality AS BIGINT) AS r_quality,
+               CAST(r_fluency AS BIGINT) AS r_fluency,
+               CAST(blend AS BIGINT) AS blend
+        FROM b ORDER BY blend, doc_id LIMIT 20
+    """
+    d["knn_recall_report"] = f"""
+        SELECT e.query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 100000 // 10 AS BIGINT) AS recall_fp5
+        FROM ({d['knn_cosine']}) e
+        LEFT JOIN ({d['knn_ivf']}) i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY 1
+    """
+    # TPC-H Q8 shape: supplier-nation market share (basis points, exact
+    # integer // division) within region-2 customers' orders, 1995-1996.
+    d["nation_market_share"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc
+          FROM lineitem
+        ), o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+        ), c AS (
+          SELECT c_custkey FROM customer
+          JOIN nation ON n_nationkey = c_nationkey
+          WHERE n_regionkey = 2
+        )
+        SELECT o.o_year,
+               CAST(SUM(CASE WHEN s.s_nationkey = 7 THEN li.rev_cc
+                             ELSE 0 END) AS BIGINT) AS nation_rev_cc,
+               CAST(SUM(li.rev_cc) AS BIGINT) AS total_rev_cc,
+               CAST(SUM(CASE WHEN s.s_nationkey = 7 THEN li.rev_cc
+                             ELSE 0 END) * 10000
+                    // SUM(li.rev_cc) AS BIGINT) AS share_bp
+        FROM li
+        JOIN o ON li.l_orderkey = o.o_orderkey
+        JOIN c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    """
+    # TPC-H Q9 shape: profit by supplier nation x order year over parts
+    # whose name contains 'bolt' (retail price stands in for supplycost).
+    d["product_type_profit"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, l_partkey,
+                 CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                   AS rev_cc,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+          FROM lineitem
+        ), p AS (
+          SELECT p_partkey,
+                 CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS retail_c
+          FROM part WHERE p_name LIKE '%bolt%'
+        )
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(li.rev_cc - p.retail_c * 100 * li.qty) AS BIGINT)
+                 AS profit_cc
+        FROM li
+        JOIN p ON li.l_partkey = p.p_partkey
+        JOIN supplier ON li.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON li.l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """
+    # Per-type EXACT median order statistics (two central ranks).
+    d["median_value_by_type"] = """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+          FROM events
+        ), r AS (
+          SELECT event_type, vc,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY vc) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (n+1)//2 THEN vc END)
+                    AS BIGINT) AS med_lo_c,
+               CAST(MAX(CASE WHEN rn = n//2 + 1 THEN vc END)
+                    AS BIGINT) AS med_hi_c,
+               CAST(MAX(CASE WHEN rn = (n+1)//2 THEN vc END)
+                    + MAX(CASE WHEN rn = n//2 + 1 THEN vc END)
+                    AS BIGINT) AS med_x2_c
+        FROM r GROUP BY 1
+    """
+    # CDC MERGE with tombstones: last op per user wins; 'error' deletes.
+    d["cdc_merge"] = """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               MAX(CASE WHEN rn = 1 THEN
+                     CASE WHEN event_type = 'error' THEN 'deleted'
+                          ELSE 'live' END END) AS state,
+               CAST(MAX(CASE WHEN rn = 1 THEN
+                     CASE WHEN event_type = 'error' THEN -1
+                          ELSE vc END END) AS BIGINT) AS value_c,
+               CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_upserts,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes
+        FROM e GROUP BY 1
+    """
+    # GROUP BY CUBE shape: all four grouping sets with NULL-free
+    # sentinels and the GROUPING-bit level.
+    d["order_cube"] = """
+        SELECT COALESCE(o_year, -1) AS o_year,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(GROUPING(o_year)*2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS lvl
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 o_orderpriority,
+                 CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS rev_c
+          FROM orders
+        )
+        GROUP BY CUBE(o_year, o_orderpriority)
+    """
+    # Anti-entropy partition checksums: grouped XOR/min/max of keyed
+    # 60-bit content fingerprints (the corpus_diff hex-parse).
+    d["partition_checksums"] = """
+        SELECT CAST(doc_id % 16 AS BIGINT) AS part,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_h,
+               CAST(min(h) AS BIGINT) AS min_h,
+               CAST(max(h) AS BIGINT) AS max_h
+        FROM (
+          SELECT doc_id,
+                 list_sum([CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                            i, 1)) - 1 AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)]) AS h
+          FROM documents
+        )
+        GROUP BY 1
+    """
+
+    return d
