@@ -8832,6 +8832,14 @@ def ks_statistic(
     ("did purchases shift vs clicks?") hashes bit-identically against
     the SQL window-function oracle.
 
+    Exactness bound: ks_num and ks_den are ≤ n_a·n_b and emitted as
+    int64, and the block-max products cumcount·n are each ≤ n_a·n_b, so
+    the whole computation is exact iff n_a·n_b < 2^63 (~3·10⁹ rows per
+    side). Beyond that the int64 OUTPUT columns themselves cannot hold
+    the statistic, so the function raises rather than silently wrapping
+    (the DuckDB oracle widens internally via HUGEINT but hits the same
+    BIGINT output bound).
+
     Shape: per-block filter+project to (cents, is_a, is_b) →
     [[keyed_fold]] sum per distinct cent (ONE range shuffle, distinct
     values only) → the [[char_budget_prefix]] block-prefix pattern on
@@ -8901,6 +8909,14 @@ def ks_statistic(
     )
     n_a = sum(p[1] for p in parts)
     n_b = sum(p[2] for p in parts)
+    if n_a * n_b >= 1 << 63:
+        # int64 can hold every intermediate (cumcount·n <= n_a·n_b) and
+        # both output columns exactly iff n_a·n_b < 2^63; refuse instead
+        # of silently wrapping (docstring: exactness bound).
+        raise ValueError(
+            f"ks_statistic int64 exactness bound exceeded: n_a*n_b = "
+            f"{n_a}*{n_b} >= 2^63; shard the comparison or sample"
+        )
     if n_a == 0 or n_b == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(

@@ -1915,14 +1915,16 @@ def weighted_median_price(
             ).astype(np.int64)
             m = (c >= lo) & (c <= hi)
             b = (c[m] - lo) // width
-            counts = np.bincount(b, weights=w[m], minlength=_bins)
+            # np.add.at on int64, NOT np.bincount(weights=...): bincount
+            # accumulates in float64, which is exact only below 2^53 —
+            # integer weight totals must stay exactly integral.
+            counts = np.zeros(_bins, dtype=np.int64)
+            np.add.at(counts, b, w[m])
             nz = np.flatnonzero(counts)
             return pa.Table.from_pydict(
                 {
                     "b": pa.array(nz, type=pa.int64()),
-                    "n": pa.array(
-                        counts[nz].astype(np.int64), type=pa.int64()
-                    ),
+                    "n": pa.array(counts[nz], type=pa.int64()),
                 }
             )
 

@@ -3887,106 +3887,114 @@ def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
     "datasheet for datasets" header block every corpus release carries:
     scale, composition breadth, exact-duplicate load (dup_ppm =
     (n_docs − n_unique)·10⁶ // n_docs) and vocabulary size, all exact
-    integers from one pass + two bounded folds.
+    integers from ONE fused pass + two bounded folds.
 
-    Shape: per-block partials carry (counts, chars, tokens, distinct
-    sources/langs as bounded sets); BOTH distinct counts that are NOT
-    domain-bounded — unique texts and vocabulary — ride as 60-bit md5
-    hashes through [[keyed_fold]] exchanges (8-byte rows, text/tokens
-    themselves never ship, per-block pre-distinct); sources/langs fold
-    as ≤domain-size set partials. 60-bit hash collisions undercount
-    uniques at ~n²/2⁶¹ — the same documented contract as
-    [[dedup_exact]]'s md5 keys (vocab_size counts distinct token
-    HASHES, mirrored in the oracle)."""
+    Shape: a single map_batches reads and tokenizes each block ONCE and
+    emits a tagged partial table (k=0 text-hash rows, k=1 per-block-
+    distinct token-hash rows, k=2 one stats row with counts + bounded
+    source/lang set partials), materialized once; the two distinct
+    counts that are NOT domain-bounded — unique texts and vocabulary —
+    then ride as 60-bit md5 hashes through [[keyed_fold]] exchanges
+    (each fold input re-projects to 8-byte (h, one) rows, so the
+    SHUFFLES stay hash-only; text/tokens themselves never ship), and
+    the k=2 stats rows fold on the driver (O(#blocks)). 60-bit hash
+    collisions undercount uniques at ~n²/2⁶¹ — the same documented
+    contract as [[dedup_exact]]'s md5 keys (vocab_size counts distinct
+    token HASHES, mirrored in the oracle)."""
     import hashlib
+
+    import pyarrow.compute as pc
 
     from .exchange import keyed_fold
 
-    def hash_partial(batch: pa.Table) -> pa.Table:
-        hs = [
+    def fused_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        th = [
             int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-            for t in batch["text"].to_pylist()
+            for t in texts
         ]
-        return pa.Table.from_pydict(
-            {
-                "h": pa.array(hs, type=pa.int64()),
-                "one": pa.array(np.ones(len(hs), dtype=np.int64)),
-            }
-        )
-
-    uniq = keyed_fold(
-        ds.map_batches(hash_partial, batch_format="pyarrow"),
-        "h",
-        [("one", "min")],
-    )
-    n_unique = sum(
-        r["c"]
-        for r in uniq.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"c": pa.array([b.num_rows], type=pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-    )
-
-    def tok_hash_partial(batch: pa.Table) -> pa.Table:
         vocab: set = set()
-        for t in batch["text"].to_pylist():
-            vocab.update(ascii_tokens(t))
-        hs = [
+        toks = 0
+        for t in texts:
+            ws = ascii_tokens(t)
+            toks += len(ws)
+            vocab.update(ws)
+        vh = [
             int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
             for w in vocab
         ]
+        m = len(th) + len(vh)
+        zeros = np.zeros(m, dtype=np.int64)
         return pa.Table.from_pydict(
             {
-                "h": pa.array(hs, type=pa.int64()),
-                "one": pa.array(np.ones(len(hs), dtype=np.int64)),
-            }
-        )
-
-    vocab_fold = keyed_fold(
-        ds.map_batches(tok_hash_partial, batch_format="pyarrow"),
-        "h",
-        [("one", "min")],
-    )
-    vocab_size = sum(
-        r["c"]
-        for r in vocab_fold.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"c": pa.array([b.num_rows], type=pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-    )
-
-    def stat_partial(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = 0
-        for t in texts:
-            toks += len(ascii_tokens(t))
-        return pa.Table.from_pydict(
-            {
-                "n": pa.array([batch.num_rows], type=pa.int64()),
-                "chars": pa.array(
-                    [sum(len(t) for t in texts)], type=pa.int64()
+                "k": pa.array(
+                    [0] * len(th) + [1] * len(vh) + [2], type=pa.int8()
                 ),
-                "toks": pa.array([toks], type=pa.int64()),
+                "h": pa.array(th + vh + [0], type=pa.int64()),
+                "n": pa.array(
+                    np.append(zeros, batch.num_rows), type=pa.int64()
+                ),
+                "chars": pa.array(
+                    np.append(zeros, sum(len(t) for t in texts)),
+                    type=pa.int64(),
+                ),
+                "toks": pa.array(np.append(zeros, toks), type=pa.int64()),
                 "sources": pa.array(
-                    [sorted(set(batch["source"].to_pylist()))],
+                    [[]] * m
+                    + [sorted(set(batch["source"].to_pylist()))],
                     type=pa.list_(pa.string()),
                 ),
                 "langs": pa.array(
-                    [sorted(set(batch["lang"].to_pylist()))],
+                    [[]] * m
+                    + [sorted(set(batch["lang"].to_pylist()))],
                     type=pa.list_(pa.string()),
                 ),
             }
         )
+
+    tagged = ds.map_batches(
+        fused_partial, batch_format="pyarrow"
+    ).materialize()
+
+    def _hash_rows(kind: int):
+        def sel(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["k"], kind))
+            return pa.Table.from_pydict(
+                {
+                    "h": t["h"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+
+        return sel
+
+    def _distinct_count(kind: int) -> int:
+        fold = keyed_fold(
+            tagged.map_batches(_hash_rows(kind), batch_format="pyarrow"),
+            "h",
+            [("one", "min")],
+        )
+        return sum(
+            r["c"]
+            for r in fold.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"c": pa.array([b.num_rows], type=pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+
+    n_unique = _distinct_count(0)
+    vocab_size = _distinct_count(1)
 
     n_docs = total_chars = total_toks = 0
     sources: set = set()
     langs: set = set()
-    for r in ds.map_batches(
-        stat_partial, batch_format="pyarrow"
+    for r in tagged.map_batches(
+        lambda b: b.filter(pc.equal(b["k"], 2)).select(
+            ["n", "chars", "toks", "sources", "langs"]
+        ),
+        batch_format="pyarrow",
     ).take_all():
         n_docs += r["n"]
         total_chars += r["chars"]
