@@ -1071,6 +1071,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
             )
         ),
+        "kneser_ney_bigram": lambda sf: textstats.kneser_ney_bigram(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "media_span_context": lambda sf: (
+            interleaved.media_span_context(_spans(sf))
+        ),
+        "stratified_split": lambda sf: selection.stratified_split(
+            docs(sf, ["doc_id", "source", "n_chars"])
+        ),
+        "hill_tail_index": lambda sf: sketch.hill_tail_index(
+            _read(sf, "events", ["value"])
+        ),
+        "matryoshka_error": lambda sf: similarity.matryoshka_error(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
+        ),
+        "event_last_order": lambda sf: relational.event_last_order(
+            _read(sf, "events", ["event_id", "ts", "user_id"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        ),
         "latest_event_compaction": lambda sf: (
             relational.latest_event_compaction(
                 _read(

@@ -922,6 +922,97 @@ def span_coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(coalesce, batch_format="pyarrow")
 
 
+def media_span_context(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, offset, media_ref, prev_text, next_text) — caption-context
+    mining: every media span paired with the text of its nearest preceding
+    and nearest following TEXT span inside the same document ('' when none
+    exists on that side) — the alt-text/caption candidate extraction step
+    of an interleaved multimodal curation pipeline (pair each image with
+    its surrounding prose before any decode).
+
+    Pure per-doc block-local map, zero shuffle: after the shared
+    (parent, offset) lexsort, the nearest-preceding-text index per flat
+    row is a sentinel-floored np.maximum.accumulate (doc boundaries
+    inject ``doc_start - 1`` so a previous document's rows can never
+    leak across), and the following side is the mirror pass on the
+    reversed arrays. No Python loop over spans.
+
+    Oracle: windowed MAX/MIN of text offsets over the UNNESTed spans
+    (UNBOUNDED PRECEDING/FOLLOWING frames) + self-joins to fetch the
+    texts."""
+
+    def context(batch: pa.Table) -> pa.Table:
+        empty = {
+            "doc_id": pa.array([], type=pa.string()),
+            "offset": pa.array([], type=pa.int64()),
+            "media_ref": pa.array([], type=pa.string()),
+            "prev_text": pa.array([], type=pa.string()),
+            "next_text": pa.array([], type=pa.string()),
+        }
+        ids, parent, order, n_docs, f = _flat_spans(batch)
+        n = len(parent)
+        if n == 0:
+            return pa.Table.from_pydict(empty)
+        p_s = parent[order]
+        take = pa.array(order)
+        kind_s = f["kind"].take(take)
+        text_s = f["text"].take(take)
+        ref_s = f["media_ref"].take(take)
+        off_s = f["offset"].take(take).to_numpy(zero_copy_only=False)
+        is_media = pc.equal(kind_s, "media").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        txt_idx = np.where(~is_media, idx, -1)
+        doc_start = np.ones(n, dtype=bool)
+        doc_start[1:] = p_s[1:] != p_s[:-1]
+        starts = np.flatnonzero(doc_start)
+        g = np.cumsum(doc_start) - 1
+        s_d = starts[g]
+        # nearest text strictly BEFORE i: shift, floor to the doc-start
+        # sentinel (s_d - 1: always a previous-doc row, so unambiguous),
+        # then one global cummax == the segmented cummax.
+        prev_shift = np.empty(n, dtype=np.int64)
+        prev_shift[0] = -1
+        prev_shift[1:] = txt_idx[:-1]
+        pr = np.maximum.accumulate(np.maximum(prev_shift, s_d - 1))
+        prev_ok = pr >= s_d
+        # nearest text strictly AFTER i: mirror pass on reversed arrays.
+        # Doc ends e_d mirror starts; sentinel e_d + 1.
+        ends = np.append(starts[1:] - 1, n - 1)
+        e_d = ends[g]
+        next_shift = np.empty(n, dtype=np.int64)
+        next_shift[-1] = n
+        nxt_vals = np.where(~is_media, idx, n + 1)
+        next_shift[:-1] = nxt_vals[1:]
+        rev = np.minimum(next_shift, e_d + 1)[::-1]
+        nx = np.minimum.accumulate(rev)[::-1]
+        next_ok = nx <= e_d
+        m = np.flatnonzero(is_media)
+        if len(m) == 0:
+            return pa.Table.from_pydict(empty)
+
+        def fetch(src_idx: np.ndarray, ok: np.ndarray) -> pa.Array:
+            got = text_s.take(
+                pa.array(np.where(ok, src_idx, 0)[m])
+            ).to_pylist()
+            okm = ok[m]
+            return pa.array(
+                [t if o else "" for t, o in zip(got, okm)],
+                type=pa.string(),
+            )
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.take(pa.array(p_s[m])),
+                "offset": pa.array(off_s[m], type=pa.int64()),
+                "media_ref": ref_s.take(pa.array(m)),
+                "prev_text": fetch(pr, prev_ok),
+                "next_text": fetch(nx, next_ok),
+            }
+        )
+
+    return ds.map_batches(context, batch_format="pyarrow")
+
+
 def media_position_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(bucket, n_media) — corpus-level decile histogram of WHERE media
     spans sit inside their documents: bucket = ``rank·10 // n_spans`` of

@@ -1983,6 +1983,101 @@ def top_customer_per_nation(customer: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def event_last_order(
+    events: ray.data.Dataset, orders: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(event_id, user_id, last_orderkey, recency_us) — backward AS-OF
+    join: each event picks the customer's most recent order at or before
+    the event timestamp (ties on o_orderdate break to the max
+    o_orderkey, so the row is deterministic); events with no prior order
+    drop (inner as-of). The classic point-in-time feature join
+    (feature-store "latest value as of label time") — an operator Ray
+    Data has no native form of (SURVEY.md §2.8 engine addition).
+
+    Shape: both sides project to narrow (user_id, t, k, tag) rows and
+    co-locate with ONE groupby(user_id) — the single partitioning key —
+    then each group resolves fully vectorized: orders lexsort by
+    (t, k) once, every event answered by one np.searchsorted
+    (side='right') - 1 probe, ties correct by construction (the last
+    entry <= t has the max key at the max date). A hot user with 10^6
+    events costs two sorts + one searchsorted, not a Python loop; no
+    all-pairs inequality join anywhere (the oracle's ROW_NUMBER over
+    the inequality join is the sandbox-exact replay, not the plan).
+
+    Oracle: events x orders inequality join, ROW_NUMBER() OVER
+    (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC),
+    rn = 1."""
+
+    def ev_side(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "t": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "k": batch["event_id"].cast(pa.int64()),
+                "tag": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        )
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["o_custkey"].cast(pa.int64()),
+                "t": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "k": batch["o_orderkey"].cast(pa.int64()),
+                "tag": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        )
+
+    tagged = events.map_batches(ev_side, batch_format="pyarrow").union(
+        orders.map_batches(ord_side, batch_format="pyarrow")
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        is_ev = tag == 1
+        et, ek = t[is_ev], k[is_ev]
+        ot, ok = t[~is_ev], k[~is_ev]
+        empty = {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "last_orderkey": pa.array([], type=pa.int64()),
+            "recency_us": pa.array([], type=pa.int64()),
+        }
+        if len(et) == 0 or len(ot) == 0:
+            return pa.Table.from_pydict(empty)
+        order = np.lexsort((ok, ot))
+        ot, ok = ot[order], ok[order]
+        idx = np.searchsorted(ot, et, side="right") - 1
+        hit = idx >= 0
+        if not hit.any():
+            return pa.Table.from_pydict(empty)
+        user = group["user_id"][0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(ek[hit], type=pa.int64()),
+                "user_id": pa.array(
+                    np.full(int(hit.sum()), user), type=pa.int64()
+                ),
+                "last_orderkey": pa.array(ok[idx[hit]], type=pa.int64()),
+                "recency_us": pa.array(
+                    et[hit] - ot[idx[hit]], type=pa.int64()
+                ),
+            }
+        )
+
+    return tagged.groupby("user_id").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+
 def latest_event_compaction(events: ray.data.Dataset) -> ray.data.Dataset:
     """(user_id, event_type, ts_us, event_id, value) — latest-wins upsert
     compaction: the newest event per (user_id, event_type), ties on ts

@@ -252,6 +252,69 @@ def lm_perplexity(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def stratified_split(
+    documents: ray.data.Dataset,
+    ppm_val: int = 20_000,
+    ppm_test: int = 20_000,
+) -> ray.data.Dataset:
+    """(source, split, n_docs, n_chars) — deterministic train/val/test
+    assignment audit: every document lands in exactly one split by a
+    content-free hash gate (bucket = md5(str(doc_id)) first 15 hex
+    digits mod 10⁶; bucket < ppm_val -> 'val', < ppm_val+ppm_test ->
+    'test', else 'train'), reported per source so held-out leakage and
+    stratification skew are visible before training. Reproducible and
+    coordination-free: two clusters assign identically.
+
+    Shape: per-block (source, split) count/char partials -> ONE tiny
+    keyed sum (≤ |sources|·3 rows); the assignment itself never
+    shuffles. Oracle: the identical md5-bucket expression in SQL."""
+    import hashlib
+
+    from .exchange import keyed_fold
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = batch["source"].to_pylist()
+        buckets = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                % 1_000_000
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        split = np.where(
+            buckets < ppm_val,
+            "val",
+            np.where(buckets < ppm_val + ppm_test, "test", "train"),
+        )
+        agg: dict = {}
+        for s, sp, c in zip(srcs, split, nch):
+            k = (s, str(sp))
+            n, ch = agg.get(k, (0, 0))
+            agg[k] = (n + 1, ch + int(c))
+        ks = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([k[0] for k in ks], type=pa.string()),
+                "split": pa.array([k[1] for k in ks], type=pa.string()),
+                "n_docs": pa.array(
+                    [agg[k][0] for k in ks], type=pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [agg[k][1] for k in ks], type=pa.int64()
+                ),
+            }
+        )
+
+    return keyed_fold(
+        documents.map_batches(partial, batch_format="pyarrow"),
+        ["source", "split"],
+        [("n_docs", "sum"), ("n_chars", "sum")],
+    )
+
+
 def hash_sample_k(documents: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
     """(rank, doc_id) — deterministic uniform-without-replacement sample:
     the ``k`` documents with the smallest ``md5(str(doc_id))`` hex

@@ -1125,6 +1125,47 @@ def pq_index_incremental(
     return ds.map_batches(encode_new, batch_format="pyarrow")
 
 
+def matryoshka_error(
+    ds: ray.data.Dataset, prefix_dim: int = 16
+) -> ray.data.Dataset:
+    """(vec_id, prefix_dim, keep_ratio_fp6) — Matryoshka truncation audit:
+    for every embedding, the cosine between the full vector and its
+    ``prefix_dim``-dimensional prefix (zero-padded), which reduces to
+    ||v[:m]|| / ||v|| — the per-vector energy kept when serving truncated
+    embeddings (the MRL deployment decision: how much recall do the first
+    m dims carry?). Zero-norm vectors are skipped on both sides.
+
+    Exactness: components quantize to exact 1e6 fixed-point integers in
+    float64 ([[_quantize]]), both squared norms are exact integer sums
+    (< 2^53), then ONE fixed IEEE sequence — sqrt, sqrt, divide,
+    *1e6, floor(+0.5) — bit-identical to the oracle's expression.
+
+    Shape: embarrassingly parallel map_batches, zero shuffle, one scan."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ssq = (mat * mat).sum(axis=1)
+        m = min(prefix_dim, mat.shape[1]) if mat.ndim == 2 else prefix_dim
+        ssq_m = (mat[:, :m] * mat[:, :m]).sum(axis=1)
+        keep = ssq > 0
+        ratio = np.sqrt(ssq_m[keep]) / np.sqrt(ssq[keep])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids[keep], type=pa.int64()),
+                "prefix_dim": pa.array(
+                    np.full(int(keep.sum()), m), type=pa.int64()
+                ),
+                "keep_ratio_fp6": pa.array(
+                    np.floor(ratio * 1e6 + 0.5).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
 def knn_label_purity(
     ds: ray.data.Dataset,
     n_queries: int = N_QUERIES,

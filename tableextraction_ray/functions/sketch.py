@@ -1843,6 +1843,63 @@ def f2_selfjoin_size(
     )
 
 
+def hill_tail_index(events: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """(k_used, xk1_c, sum_lnr_fp9, hill_inv_fp9) — Hill estimator of the
+    value distribution's tail index over the top-``k`` event values (in
+    exact integer cents): 1/alpha ≈ (1/k)·Σ_{i≤k} ln(x_(i) / x_(k+1)).
+    The standard heavy-tail gauge (does value follow a power law, and how
+    fat?) for spend/engagement skew audits. Fixed-point contract: each
+    term is floor(ln(x_i/x_{k+1})·10⁹) (sum-of-floors is the defined
+    metric, the [[char_entropy]] convention), hill_inv_fp9 = sum // k.
+
+    Shape: per-block top-(k+1) prune of the cents column (one lexsort per
+    block, O(k) rows out) -> O(k·#blocks) driver merge; zero shuffles,
+    one scan. Oracle: ORDER BY cents DESC LIMIT k+1 + the same floored
+    ln-ratio sum in SQL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        top = np.sort(c)[::-1][: k + 1]
+        return pa.Table.from_pydict({"c": pa.array(top, type=pa.int64())})
+
+    merged: list[int] = []
+    for r in events.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.append(int(r["c"]))
+    merged.sort(reverse=True)
+    top = merged[: k + 1]
+    if len(top) < 2:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k_used": pa.array([0], type=pa.int64()),
+                    "xk1_c": pa.array([0], type=pa.int64()),
+                    "sum_lnr_fp9": pa.array([0], type=pa.int64()),
+                    "hill_inv_fp9": pa.array([0], type=pa.int64()),
+                }
+            )
+        )
+    k_used = len(top) - 1
+    xk1 = top[-1]
+    terms = [
+        int(np.floor(np.log(x / xk1) * 1e9)) for x in top[:k_used]
+    ]
+    s = sum(terms)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "k_used": pa.array([k_used], type=pa.int64()),
+                "xk1_c": pa.array([xk1], type=pa.int64()),
+                "sum_lnr_fp9": pa.array([s], type=pa.int64()),
+                "hill_inv_fp9": pa.array([s // k_used], type=pa.int64()),
+            }
+        )
+    )
+
+
 def weighted_median_price(
     lineitem: ray.data.Dataset,
     bins: int = 4096,

@@ -3881,6 +3881,153 @@ def lang_id_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def kneser_ney_bigram(ds: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
+    """(w1, w2, c12, c1, r1, l2, t_types, p_fp9) — interpolated
+    Kneser–Ney bigram probabilities (discount d = 3/4) for the corpus's
+    top-``k`` bigrams (by count, ties to (w1, w2) lexicographic) — the
+    classic n-gram LM estimate whose continuation counts (how many
+    DISTINCT contexts a word follows) are the canonical "is this word
+    productive or boilerplate?" signal for training-data prep:
+
+        P_KN(w2|w1) = (c12 − d)/c1 + (d·r1/c1) · (l2/T)
+
+    with c1 = Σ_w c(w1,w), r1 = N1+(w1·), l2 = N1+(·w2), T = total
+    distinct bigram types. With d = 3/4 the whole estimate is one exact
+    rational — p_fp9 = ((4·c12 − 3)·T + 3·r1·l2)·10⁹ // (4·c1·T) —
+    computed with Python ints on the k final rows (the products exceed
+    int64 at web scale; the oracle widens via HUGEINT).
+
+    Shape: ONE tokenize pass emits per-block (w1, w2, count) dict
+    partials → [[keyed_fold]] on the pair → the type table; c1/r1 fold
+    per w1 and l2 per w2 are derived from the TYPE table (already
+    distinct, far smaller than the token stream); the top-k pick is a
+    sort-limit, and the ≤k needed c1/r1/l2 rows come back via broadcast
+    semi-join filters, never a full collect."""
+    from .exchange import keyed_fold
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch["text"].to_pylist():
+            ws = ascii_tokens(t)
+            for a, b in zip(ws, ws[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        ks = list(counts)
+        return pa.Table.from_pydict(
+            {
+                "w1": pa.array([a for a, _ in ks], type=pa.string()),
+                "w2": pa.array([b for _, b in ks], type=pa.string()),
+                "c": pa.array(
+                    [counts[x] for x in ks], type=pa.int64()
+                ),
+            }
+        )
+
+    bg = keyed_fold(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("c", "sum")],
+    ).materialize()
+    t_types = int(bg.count())
+    if t_types == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "c12": pa.array([], type=pa.int64()),
+                    "c1": pa.array([], type=pa.int64()),
+                    "r1": pa.array([], type=pa.int64()),
+                    "l2": pa.array([], type=pa.int64()),
+                    "t_types": pa.array([], type=pa.int64()),
+                    "p_fp9": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    top = bg.sort(
+        ["c", "w1", "w2"], descending=[True, False, False]
+    ).limit(k).take_all()
+
+    def left_stats(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "w1": batch["w1"],
+                "c": batch["c"],
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    c1r1 = keyed_fold(
+        bg.map_batches(left_stats, batch_format="pyarrow"),
+        "w1",
+        [("c", "sum"), ("one", "sum")],
+    )
+    l2f = keyed_fold(
+        bg.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "w2": b["w2"],
+                    "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "w2",
+        [("one", "sum")],
+    )
+    w1_ref = ray.put({r["w1"] for r in top})
+    w2_ref = ray.put({r["w2"] for r in top})
+
+    def pick(col: str, ref):
+        def f(b: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            mask = pa.array(
+                [v in want for v in b[col].to_pylist()], type=pa.bool_()
+            )
+            return b.filter(mask)
+
+        return f
+
+    c1_map = {
+        r["w1"]: (r["c"], r["one"])
+        for r in c1r1.map_batches(
+            pick("w1", w1_ref), batch_format="pyarrow"
+        ).take_all()
+    }
+    l2_map = {
+        r["w2"]: r["one"]
+        for r in l2f.map_batches(
+            pick("w2", w2_ref), batch_format="pyarrow"
+        ).take_all()
+    }
+    rows = []
+    for r in top:
+        c12 = int(r["c"])
+        c1, r1 = (int(x) for x in c1_map[r["w1"]])
+        l2 = int(l2_map[r["w2"]])
+        p_fp9 = ((4 * c12 - 3) * t_types + 3 * r1 * l2) * 10**9 // (
+            4 * c1 * t_types
+        )
+        rows.append((r["w1"], r["w2"], c12, c1, r1, l2, t_types, p_fp9))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "w1": pa.array([x[0] for x in rows], type=pa.string()),
+                "w2": pa.array([x[1] for x in rows], type=pa.string()),
+                "c12": pa.array([x[2] for x in rows], type=pa.int64()),
+                "c1": pa.array([x[3] for x in rows], type=pa.int64()),
+                "r1": pa.array([x[4] for x in rows], type=pa.int64()),
+                "l2": pa.array([x[5] for x in rows], type=pa.int64()),
+                "t_types": pa.array(
+                    [x[6] for x in rows], type=pa.int64()
+                ),
+                "p_fp9": pa.array([x[7] for x in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
 def corpus_datasheet(ds: ray.data.Dataset) -> ray.data.Dataset:
     """ONE datasheet row — (n_docs, total_chars, total_tokens,
     n_sources, n_langs, n_unique_texts, dup_ppm, vocab_size) — the

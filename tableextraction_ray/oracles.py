@@ -6194,4 +6194,143 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
+    # Backward AS-OF join replay: the inequality join + ROW_NUMBER pick of
+    # the latest order (ties to max o_orderkey) per event — sandbox-exact;
+    # the Ray side never materializes the inequality pairs.
+    d["event_last_order"] = """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 epoch_us(e.ts) - epoch_us(o.o_orderdate) AS recency_us,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                 ) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               o_orderkey AS last_orderkey, recency_us
+        FROM j WHERE rn = 1
+    """
+
+    # Interpolated Kneser-Ney bigram replay (d = 3/4): exact rational
+    # p_fp9 = ((4c12-3)T + 3 r1 l2) 1e9 // (4 c1 T) in HUGEINT; tokens
+    # contain no spaces (whitespace split), so the joined bigram string
+    # splits back losslessly.
+    d["kneser_ney_bigram"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        bgj AS (
+          SELECT unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS b
+          FROM toks WHERE len(w) >= 2
+        ),
+        bg AS (
+          SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+          FROM bgj
+        ),
+        cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        tt AS (SELECT COUNT(*) AS t FROM cnt),
+        cl AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS r1 FROM cnt GROUP BY w1),
+        ll AS (SELECT w2, COUNT(*) AS l2 FROM cnt GROUP BY w2),
+        topk AS (SELECT * FROM cnt ORDER BY c12 DESC, w1, w2 LIMIT 50)
+        SELECT k.w1, k.w2, CAST(k.c12 AS BIGINT) AS c12,
+               CAST(cl.c1 AS BIGINT) AS c1, CAST(cl.r1 AS BIGINT) AS r1,
+               CAST(ll.l2 AS BIGINT) AS l2, CAST(tt.t AS BIGINT) AS t_types,
+               CAST(
+                 ((4 * k.c12 - 3)::HUGEINT * tt.t
+                  + 3::HUGEINT * cl.r1 * ll.l2) * 1000000000
+                 // (4::HUGEINT * cl.c1 * tt.t)
+               AS BIGINT) AS p_fp9
+        FROM topk k JOIN cl USING (w1) JOIN ll USING (w2) CROSS JOIN tt
+    """
+
+    # Caption-context mining: windowed nearest text-span offsets on each
+    # side of every media span + self-joins to fetch the texts.
+    d["media_span_context"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                 u.s.media_ref AS media_ref, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), w AS (
+          SELECT *,
+                 MAX(CASE WHEN kind = 'text' THEN off END) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS p_off,
+                 MIN(CASE WHEN kind = 'text' THEN off END) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                 ) AS n_off
+          FROM s
+        )
+        SELECT w.doc_id, CAST(w.off AS BIGINT) AS "offset", w.media_ref,
+               COALESCE(pt.text, '') AS prev_text,
+               COALESCE(nt.text, '') AS next_text
+        FROM w
+        LEFT JOIN s pt ON pt.doc_id = w.doc_id AND pt.off = w.p_off
+        LEFT JOIN s nt ON nt.doc_id = w.doc_id AND nt.off = w.n_off
+        WHERE w.kind = 'media'
+    """
+
+    # Deterministic split-assignment audit: identical md5 bucket gate.
+    d["stratified_split"] = """
+        WITH a AS (
+          SELECT source, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                   % 1000000 AS bucket
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < 20000 THEN 'val'
+                    WHEN bucket < 40000 THEN 'test'
+                    ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM a GROUP BY 1, 2
+    """
+    # Hill tail-index replay: top-(k+1) cents, sum of floored ln ratios.
+    d["hill_tail_index"] = """
+        WITH c AS (
+          SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c FROM events
+        ),
+        top AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rn
+          FROM c ORDER BY c DESC LIMIT 101
+        ),
+        xk AS (SELECT c AS xk1, (SELECT MAX(rn) FROM top) - 1 AS k_used
+               FROM top WHERE rn = (SELECT MAX(rn) FROM top)),
+        terms AS (
+          SELECT CAST(FLOOR(ln(CAST(t.c AS DOUBLE) / x.xk1) * 1e9) AS BIGINT)
+                   AS term
+          FROM top t, xk x WHERE t.rn <= x.k_used
+        )
+        SELECT x.k_used, x.xk1 AS xk1_c,
+               CAST(COALESCE((SELECT SUM(term) FROM terms), 0) AS BIGINT)
+                 AS sum_lnr_fp9,
+               CAST(COALESCE((SELECT SUM(term) FROM terms), 0)
+                    // x.k_used AS BIGINT) AS hill_inv_fp9
+        FROM xk x
+    """
+    # Matryoshka truncation audit: same quantized prefix/full norm ratio.
+    d["matryoshka_error"] = """
+        WITH qe AS (
+          SELECT vec_id,
+                 list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           for x in embedding]) AS nsq,
+                 list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           for x in embedding[1:16]]) AS psq
+          FROM embeddings
+        )
+        SELECT vec_id, CAST(16 AS BIGINT) AS prefix_dim,
+               CAST(FLOOR(sqrt(CAST(psq AS DOUBLE)) / sqrt(CAST(nsq AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS keep_ratio_fp6
+        FROM qe WHERE nsq > 0
+    """
+
     return d

@@ -82,6 +82,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "media_ref_fanout",
             "span_length_profile",
             "span_coalesce",
+            "media_span_context",
             "media_position_hist",
             "media_orphan_audit",
             "media_payload_size_hist",

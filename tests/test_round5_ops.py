@@ -1,0 +1,351 @@
+"""Round-5 engine ops: as-of join, Kneser-Ney bigrams, media span
+context, stratified split, Hill tail index, Matryoshka truncation.
+Parity vs the DuckDB oracles is covered by test_entry_parity; these pin
+the semantic invariants the oracles can't see (tie-breaks, drops,
+determinism under repartitioning, hand-computed fixtures)."""
+
+import datetime
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tableextraction_ray.functions.interleaved import media_span_context
+from tableextraction_ray.functions.relational import event_last_order
+from tableextraction_ray.functions.selection import stratified_split
+from tableextraction_ray.functions.similarity import matryoshka_error
+from tableextraction_ray.functions.sketch import hill_tail_index
+from tableextraction_ray.functions.textstats import kneser_ney_bigram
+
+
+def _ts(day: int, hour: int = 0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_id": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "ts": pa.array(
+                    [r[1] for r in rows], type=pa.timestamp("us")
+                ),
+                "user_id": pa.array(
+                    [r[2] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def _orders(rows):
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    [r[1] for r in rows], type=pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    [r[2] for r in rows], type=pa.timestamp("us")
+                ),
+            }
+        )
+    )
+
+
+class TestEventLastOrder:
+    def test_asof_pick_and_drop(self, ray_session):
+        ev = _events(
+            [
+                (1, _ts(10), 7),  # after both orders -> latest (day 5)
+                (2, _ts(3), 7),  # after day-1 order only
+                (3, _ts(1), 8),  # user 8 has no order at all -> drop
+            ]
+        )
+        od = _orders([(100, 7, _ts(1)), (200, 7, _ts(5))])
+        got = {
+            r["event_id"]: (r["last_orderkey"], r["recency_us"])
+            for r in event_last_order(ev, od).take_all()
+        }
+        day_us = 86_400_000_000
+        assert got == {
+            1: (200, 5 * day_us),
+            2: (100, 2 * day_us),
+        }
+
+    def test_same_date_tie_breaks_to_max_orderkey(self, ray_session):
+        ev = _events([(1, _ts(2), 7)])
+        od = _orders([(100, 7, _ts(1)), (300, 7, _ts(1)), (200, 7, _ts(1))])
+        (row,) = event_last_order(ev, od).take_all()
+        assert row["last_orderkey"] == 300
+
+    def test_event_at_order_instant_matches(self, ray_session):
+        ev = _events([(1, _ts(5), 7)])
+        od = _orders([(100, 7, _ts(5))])
+        (row,) = event_last_order(ev, od).take_all()
+        assert row["last_orderkey"] == 100 and row["recency_us"] == 0
+
+    def test_partition_invariance(self, ray_session):
+        ev = _events(
+            [(i, _ts(1 + i % 20, i % 24), 7 + i % 3) for i in range(60)]
+        )
+        od = _orders(
+            [(1000 + i, 7 + i % 3, _ts(1 + (i * 7) % 15)) for i in range(12)]
+        )
+        a = sorted(
+            map(tuple, (r.values() for r in event_last_order(ev, od).take_all()))
+        )
+        b = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in event_last_order(
+                        ev.repartition(7), od.repartition(5)
+                    ).take_all()
+                ),
+            )
+        )
+        assert a == b and len(a) > 0
+
+
+class TestKneserNeyBigram:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        list(range(len(texts))), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+        )
+
+    def test_hand_computed(self, ray_session):
+        # bigrams: (a b) x2, (b a) x1, (b c) x1  -> T = 3 types
+        ds = self._docs(["a b a b c"])
+        rows = {
+            (r["w1"], r["w2"]): r for r in kneser_ney_bigram(ds).take_all()
+        }
+        ab = rows[("a", "b")]
+        assert ab["c12"] == 2
+        assert ab["c1"] == 2  # bigrams starting with a
+        assert ab["r1"] == 1  # a is followed only by b
+        # left contexts of b: {a} -> l2 == 1
+        assert ab["l2"] == 1
+        assert ab["t_types"] == 3
+        # p = ((4*2-3)*3 + 3*1*1) / (4*2*3) = (15+3)/24 = 0.75
+        assert ab["p_fp9"] == 750_000_000
+
+    def test_probability_below_one_and_positive(self, ray_session):
+        ds = self._docs(["x y z x y", "y z y z", "x x x"])
+        for r in kneser_ney_bigram(ds).take_all():
+            assert 0 < r["p_fp9"] <= 10**9
+
+    def test_doc_boundaries_break_bigrams(self, ray_session):
+        one = self._docs(["a b"])
+        two = self._docs(["a", "b"])
+        assert len(kneser_ney_bigram(one).take_all()) == 1
+        assert len(kneser_ney_bigram(two).take_all()) == 0
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"tok{i % 5} tok{(i + 1) % 4} tok{i % 3}" for i in range(40)]
+        a = sorted(
+            map(tuple, (r.values() for r in kneser_ney_bigram(self._docs(texts)).take_all()))
+        )
+        b = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in kneser_ney_bigram(
+                        self._docs(texts).repartition(8)
+                    ).take_all()
+                ),
+            )
+        )
+        assert a == b
+
+
+class TestMediaSpanContext:
+    def _ds(self, spans_per_doc):
+        def span(off, kind, text="", ref=""):
+            return {
+                "kind": kind,
+                "text": text,
+                "media_ref": ref,
+                "offset": off,
+            }
+
+        tables = []
+        for i, spec in enumerate(spans_per_doc):
+            tables.append(
+                {
+                    "doc_id": f"d{i}",
+                    "spans": [span(*s) for s in spec],
+                }
+            )
+        t = pa.Table.from_pylist(tables)
+        return ray.data.from_arrow(t)
+
+    def test_head_middle_tail(self, ray_session):
+        ds = self._ds(
+            [
+                [
+                    (0, "media", "", "m0"),  # head: no prev
+                    (1, "text", "alpha"),
+                    (2, "media", "", "m1"),  # middle
+                    (3, "text", "beta"),
+                    (4, "media", "", "m2"),  # tail: no next
+                ]
+            ]
+        )
+        rows = {r["media_ref"]: r for r in media_span_context(ds).take_all()}
+        assert rows["m0"]["prev_text"] == "" and rows["m0"]["next_text"] == "alpha"
+        assert rows["m1"]["prev_text"] == "alpha" and rows["m1"]["next_text"] == "beta"
+        assert rows["m2"]["prev_text"] == "beta" and rows["m2"]["next_text"] == ""
+
+    def test_adjacent_media_share_context(self, ray_session):
+        ds = self._ds(
+            [
+                [
+                    (0, "text", "pre"),
+                    (1, "media", "", "a"),
+                    (2, "media", "", "b"),
+                    (3, "text", "post"),
+                ]
+            ]
+        )
+        rows = {r["media_ref"]: r for r in media_span_context(ds).take_all()}
+        for ref in ("a", "b"):
+            assert rows[ref]["prev_text"] == "pre"
+            assert rows[ref]["next_text"] == "post"
+
+    def test_no_cross_doc_leak(self, ray_session):
+        ds = self._ds(
+            [
+                [(0, "text", "only-doc0")],
+                [(0, "media", "", "m")],
+            ]
+        )
+        (row,) = media_span_context(ds).take_all()
+        assert row["prev_text"] == "" and row["next_text"] == ""
+
+    def test_text_only_doc_emits_nothing(self, ray_session):
+        ds = self._ds([[(0, "text", "t")]])
+        assert media_span_context(ds).take_all() == []
+
+
+class TestStratifiedSplit:
+    def test_partitions_and_totals(self, ray_session):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        rows = stratified_split(ds).take_all()
+        t = pa.parquet.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "n_chars"],
+        )
+        assert sum(r["n_docs"] for r in rows) == t.num_rows
+        assert sum(r["n_chars"] for r in rows) == sum(
+            t["n_chars"].to_pylist()
+        )
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+    def test_deterministic_under_repartition(self, ray_session):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        a = sorted(map(tuple, (r.values() for r in stratified_split(ds).take_all())))
+        b = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in stratified_split(ds.repartition(9)).take_all()
+                ),
+            )
+        )
+        assert a == b
+
+
+class TestHillTailIndex:
+    def test_hand_computed_small_k(self, ray_session):
+        vals = [100.0, 50.0, 20.0, 10.0, 1.0]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"value": pa.array(vals, type=pa.float64())}
+            )
+        )
+        (row,) = hill_tail_index(ds, k=3).take_all()
+        cents = sorted((int(v * 100) for v in vals), reverse=True)
+        xk1 = cents[3]
+        want = sum(
+            int(math.floor(math.log(c / xk1) * 1e9)) for c in cents[:3]
+        )
+        assert row["k_used"] == 3
+        assert row["xk1_c"] == xk1
+        assert row["sum_lnr_fp9"] == want
+        assert row["hill_inv_fp9"] == want // 3
+
+    def test_fewer_rows_than_k(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"value": pa.array([5.0, 3.0], type=pa.float64())}
+            )
+        )
+        (row,) = hill_tail_index(ds, k=100).take_all()
+        assert row["k_used"] == 1
+        assert row["xk1_c"] == 300
+
+    def test_partition_invariance(self, ray_session):
+        vals = [float((i * 37) % 991 + 1) for i in range(500)]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"value": pa.array(vals, type=pa.float64())})
+        )
+        a = hill_tail_index(ds, k=50).take_all()
+        b = hill_tail_index(ds.repartition(11), k=50).take_all()
+        assert a == b
+
+
+class TestMatryoshkaError:
+    def _ds(self, vecs):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(
+                        list(range(len(vecs))), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        vecs, type=pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    def test_full_prefix_keeps_everything(self, ray_session):
+        ds = self._ds([[0.5, -0.25, 0.125, 1.0]])
+        (row,) = matryoshka_error(ds, prefix_dim=4).take_all()
+        assert row["keep_ratio_fp6"] == 1_000_000
+
+    def test_energy_in_prefix(self, ray_session):
+        # 3-4-5 triangle: prefix holds 3/5 of the norm
+        ds = self._ds([[3.0, 4.0]])
+        (row,) = matryoshka_error(ds, prefix_dim=1).take_all()
+        assert row["keep_ratio_fp6"] == 600_000
+
+    def test_zero_vector_skipped(self, ray_session):
+        ds = self._ds([[0.0, 0.0], [1.0, 0.0]])
+        rows = matryoshka_error(ds, prefix_dim=1).take_all()
+        assert [r["vec_id"] for r in rows] == [1]
+        assert rows[0]["keep_ratio_fp6"] == 1_000_000
