@@ -299,6 +299,13 @@ QUERY_SUITE = [
     "packing_efficiency",
     "weighted_median_price",
     "user_value_mobility",
+    # round-5 additions
+    "event_last_order",
+    "kneser_ney_bigram",
+    "media_span_context",
+    "stratified_split",
+    "hill_tail_index",
+    "matryoshka_error",
 ]
 
 
