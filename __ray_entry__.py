@@ -1086,6 +1086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_error": lambda sf: similarity.matryoshka_error(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
+        "dup_ngram_coverage": lambda sf: dedup.dup_ngram_coverage(
+            docs(sf, ["doc_id", "text"])
+        ),
+        "code_detect": lambda sf: textstats.code_detect(
+            docs(sf, ["doc_id", "text"])
+        ),
         "event_last_order": lambda sf: relational.event_last_order(
             _read(sf, "events", ["event_id", "ts", "user_id"]),
             _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),

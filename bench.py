@@ -306,6 +306,8 @@ QUERY_SUITE = [
     "stratified_split",
     "hill_tail_index",
     "matryoshka_error",
+    "dup_ngram_coverage",
+    "code_detect",
 ]
 
 

@@ -3120,6 +3120,108 @@ def setjoin_jaccard(
     return scored.map_batches(keep, batch_format="pyarrow")
 
 
+def dup_ngram_coverage(ds: ray.data.Dataset, w: int = 10) -> ray.data.Dataset:
+    """(doc_id, n_windows, n_dup_windows, dup_ppm) — the Lee-et-al-style
+    memorization-risk audit: what fraction of each document's sliding
+    ``w``-token windows (stride 1, whitespace tokens) also occurs in at
+    least one OTHER document. dup_ppm = n_dup_windows·10⁶ // n_windows;
+    docs shorter than ``w`` tokens emit nothing (mirrored in the oracle's
+    ``len(w) >= 10`` gate). The per-document dual of [[winnow_density]]:
+    winnowing samples fingerprints, this counts full window coverage —
+    the decontamination/memorization number a release datasheet quotes.
+
+    Shape: ONE tokenize pass emits per-(doc, window-hash) count rows
+    (docs are rows, so the (doc, h) rows are globally distinct without a
+    dedup shuffle) → [[keyed_fold]] per hash for the distinct-doc count →
+    the shared [[keyed_attach_int]] guarded broadcast / tagged-union
+    attach of ndocs back onto the (h, doc, cnt) rows → one per-doc keyed
+    sum. Text never rides a shuffle; 60-bit hash collisions overcount
+    dup windows at ~n²/2⁶¹ (the [[dedup_exact]] contract, hash mirrored
+    bit-exactly in SQL)."""
+    from .exchange import keyed_fold
+    from .relational import keyed_attach_int
+    from .textstats import ascii_tokens
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ds_: list[int] = []
+        cs: list[int] = []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(t)
+            if len(toks) < w:
+                continue
+            counts: dict = {}
+            for i in range(len(toks) - w + 1):
+                h = shingle_base_hash(" ".join(toks[i : i + w]))
+                counts[h] = counts.get(h, 0) + 1
+            for h, c in counts.items():
+                hs.append(h)
+                ds_.append(int(did))
+                cs.append(c)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hs, type=pa.int64()),
+                "doc_id": pa.array(ds_, type=pa.int64()),
+                "cnt": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    fact = ds.map_batches(win_partial, batch_format="pyarrow").materialize()
+    dim = keyed_fold(
+        fact.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "h": b["h"],
+                    "ndocs": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "h",
+        [("ndocs", "sum")],
+    )
+    att = keyed_attach_int(fact, dim, "h", "ndocs", ("doc_id", "cnt"))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        nd = batch["ndocs"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "tot": pa.array(c, type=pa.int64()),
+                "dup": pa.array(
+                    np.where(nd >= 2, c, 0), type=pa.int64()
+                ),
+            }
+        )
+
+    agg = keyed_fold(
+        att.map_batches(per_doc, batch_format="pyarrow"),
+        "doc_id",
+        [("tot", "sum"), ("dup", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tot = batch["tot"].to_numpy(zero_copy_only=False)
+        dup = batch["dup"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_windows": pa.array(tot, type=pa.int64()),
+                "n_dup_windows": pa.array(dup, type=pa.int64()),
+                "dup_ppm": pa.array(
+                    dup * 1_000_000 // tot, type=pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def window_dedup(
     ds: ray.data.Dataset, window: int = 100, prefix_tokens: int = 16
 ) -> ray.data.Dataset:

@@ -3881,6 +3881,66 @@ def lang_id_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+CODE_SYM_RE = r"[\[\]{}();=<>+*/&|%#_$@^-]"
+
+
+def code_detect(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars_t, sym_chars, n_lines, indent_lines, looks_code)
+    — code-vs-prose gate: symbol-character density and indented-line
+    share, the two structural signals that separate source code from
+    natural text without any language model. looks_code is the pure
+    integer cross-multiplied rule (no float thresholds, the
+    [[gopher_filter]] convention):
+
+        sym_chars·20 > n_chars  (>5% symbol chars)   OR
+        indent_lines·4 > n_lines (>25% of lines indented 4sp/tab)
+
+    The routing decision every mixed web corpus makes before tokenizer
+    and mixture choices (code gets different dedup + quality rules).
+    Pure per-doc map_batches, zero shuffle; the symbol class and line
+    split are verified expression-equal in RE2/DuckDB."""
+    import re
+
+    sym_re = re.compile(CODE_SYM_RE)
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "n_chars_t": [], "sym_chars": [], "n_lines": [],
+            "indent_lines": [], "looks_code": [],
+        }
+        for t in batch["text"].to_pylist():
+            sym = len(sym_re.findall(t))
+            lines = t.split("\n")
+            ind = sum(
+                1
+                for ln in lines
+                if ln.startswith("    ") or ln.startswith("\t")
+            )
+            cols["n_chars_t"].append(len(t))
+            cols["sym_chars"].append(sym)
+            cols["n_lines"].append(len(lines))
+            cols["indent_lines"].append(ind)
+            cols["looks_code"].append(
+                sym * 20 > len(t) or ind * 4 > len(lines)
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_t": pa.array(cols["n_chars_t"], type=pa.int64()),
+                "sym_chars": pa.array(cols["sym_chars"], type=pa.int64()),
+                "n_lines": pa.array(cols["n_lines"], type=pa.int64()),
+                "indent_lines": pa.array(
+                    cols["indent_lines"], type=pa.int64()
+                ),
+                "looks_code": pa.array(
+                    cols["looks_code"], type=pa.bool_()
+                ),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
 def kneser_ney_bigram(ds: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
     """(w1, w2, c12, c1, r1, l2, t_types, p_fp9) — interpolated
     Kneser–Ney bigram probabilities (discount d = 3/4) for the corpus's

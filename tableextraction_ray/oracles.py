@@ -6333,4 +6333,57 @@ def oracle_sql() -> dict[str, str]:
         FROM qe WHERE nsq > 0
     """
 
+    # Lee-et-al memorization audit: sliding 10-token window hashes, dup =
+    # window hash in >= 2 distinct docs; same 60-bit md5 as the Ray side.
+    d["dup_ngram_coverage"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\v\f]+') AS w
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i+1:i+10], ' ')
+                         for i in range(len(w) - 9)]) AS s
+          FROM toks WHERE len(w) >= 10
+        ),
+        hw AS (
+          SELECT doc_id,
+                 list_sum([
+                     CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                          AS BIGINT) << ((15 - i) * 4)
+                     for i in range(1, 16)
+                 ]) AS h
+          FROM wins
+        ),
+        perdoc AS (
+          SELECT doc_id, h, COUNT(*) AS cnt FROM hw GROUP BY doc_id, h
+        ),
+        nd AS (SELECT h, COUNT(*) AS ndocs FROM perdoc GROUP BY h)
+        SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN p.cnt ELSE 0 END)
+                 AS BIGINT) AS n_dup_windows,
+               CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN p.cnt ELSE 0 END)
+                    * 1000000 // SUM(p.cnt) AS BIGINT) AS dup_ppm
+        FROM perdoc p JOIN nd USING (h) GROUP BY p.doc_id
+    """
+
+    # Code-vs-prose gate: symbol-char density + indented-line share with
+    # integer cross-multiplied thresholds (class verified RE2-equal).
+    d["code_detect"] = r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_t,
+               CAST(len(regexp_extract_all(text,
+                 '[\[\]{}();=<>+*/&|%#_$@^-]')) AS BIGINT) AS sym_chars,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                 x -> regexp_matches(x, '^(    |' || chr(9) || ')')))
+                 AS BIGINT) AS indent_lines,
+               (len(regexp_extract_all(text,
+                  '[\[\]{}();=<>+*/&|%#_$@^-]')) * 20 > length(text)
+                OR len(list_filter(string_split(text, chr(10)),
+                  x -> regexp_matches(x, '^(    |' || chr(9) || ')'))) * 4
+                  > len(string_split(text, chr(10)))) AS looks_code
+        FROM documents
+    """
+
     return d

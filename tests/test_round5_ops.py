@@ -349,3 +349,106 @@ class TestMatryoshkaError:
         rows = matryoshka_error(ds, prefix_dim=1).take_all()
         assert [r["vec_id"] for r in rows] == [1]
         assert rows[0]["keep_ratio_fp6"] == 1_000_000
+
+
+class TestDupNgramCoverage:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        list(range(len(texts))), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+        )
+
+    def test_shared_window_counts(self, ray_session):
+        from tableextraction_ray.functions.dedup import dup_ngram_coverage
+
+        w10 = " ".join(f"t{i}" for i in range(10))
+        a = w10 + " xa xb xc"  # 4 windows, 1 shared
+        b = w10 + " ya yb"  # 3 windows, 1 shared
+        c = "za " * 9  # 9 tokens < 10 -> emits nothing
+        rows = {
+            r["doc_id"]: r
+            for r in dup_ngram_coverage(self._docs([a, b, c])).take_all()
+        }
+        assert set(rows) == {0, 1}
+        assert rows[0]["n_windows"] == 4 and rows[0]["n_dup_windows"] == 1
+        assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 1
+        assert rows[0]["dup_ppm"] == 1_000_000 // 4
+
+    def test_intra_doc_repeat_not_dup(self, ray_session):
+        from tableextraction_ray.functions.dedup import dup_ngram_coverage
+
+        # the same window twice INSIDE one doc, nowhere else -> not dup
+        t = " ".join(f"t{i % 10}" for i in range(20))
+        (row,) = dup_ngram_coverage(self._docs([t])).take_all()
+        assert row["n_dup_windows"] == 0 and row["n_windows"] == 11
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.dedup import dup_ngram_coverage
+
+        texts = [
+            " ".join(f"w{(i * j) % 13}" for j in range(15)) for i in range(30)
+        ]
+        ds = self._docs(texts)
+        a = sorted(
+            map(tuple, (r.values() for r in dup_ngram_coverage(ds).take_all()))
+        )
+        b = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in dup_ngram_coverage(ds.repartition(7)).take_all()
+                ),
+            )
+        )
+        assert a == b and len(a) == 30
+
+
+class TestCodeDetect:
+    def _one(self, ray_session, text):
+        from tableextraction_ray.functions.textstats import code_detect
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([0], type=pa.int64()),
+                    "text": pa.array([text], type=pa.string()),
+                }
+            )
+        )
+        (row,) = code_detect(ds).take_all()
+        return row
+
+    def test_prose_not_code(self, ray_session):
+        row = self._one(
+            ray_session,
+            "The quick brown fox jumps over the lazy dog near the bank",
+        )
+        assert not row["looks_code"] and row["sym_chars"] == 0
+
+    def test_symbol_density_triggers(self, ray_session):
+        row = self._one(ray_session, "x=(a+b)*c; y={d|e}&f;")
+        assert row["looks_code"] and row["sym_chars"] * 20 > row["n_chars_t"]
+
+    def test_indent_share_triggers(self, ray_session):
+        text = "def f\n    a\n    b\n\tc\nplain text line here okay\n" * 1
+        row = self._one(ray_session, text)
+        assert row["indent_lines"] == 3
+        assert row["n_lines"] == 6  # trailing newline -> empty last line
+        assert row["looks_code"]  # 3*4 > 6
+
+    def test_counts_match_python(self, ray_session):
+        import re
+
+        from tableextraction_ray.functions.textstats import CODE_SYM_RE
+
+        text = "a[i] = b{j} # 50% faster\n\treturn a-b"
+        row = self._one(ray_session, text)
+        assert row["sym_chars"] == len(re.findall(CODE_SYM_RE, text))
+        assert row["n_lines"] == len(text.split("\n"))
