@@ -5,6 +5,7 @@ from .corpus import (
     read_documents,
     read_documents_csv,
     read_documents_jsonl,
+    read_documents_lance,
     read_golden,
 )
 from .media import read_media
@@ -21,6 +22,7 @@ __all__ = [
     "read_documents",
     "read_documents_csv",
     "read_documents_jsonl",
+    "read_documents_lance",
     "read_golden",
     "read_media",
 ]

@@ -452,3 +452,22 @@ class TestCodeDetect:
         row = self._one(ray_session, text)
         assert row["sym_chars"] == len(re.findall(CODE_SYM_RE, text))
         assert row["n_lines"] == len(text.split("\n"))
+
+
+class TestLanceSourceGate:
+    def test_gate_is_import_only(self, ray_session):
+        """The Lance source must fail ONLY on the missing wheel, with the
+        documented one-line swap in the message — not on anything in our
+        own plumbing (north-rule storage format, BASELINE.md note)."""
+        from tableextraction_ray.sources import read_documents_lance
+
+        try:
+            import lance  # noqa: F401
+
+            have = True
+        except ImportError:
+            have = False
+        if have:  # pragma: no cover - sandbox has no lance wheel
+            pytest.skip("lance present; gate not exercisable")
+        with pytest.raises(NotImplementedError, match="read_lance"):
+            read_documents_lance("/tmp/nonexistent.lance")
