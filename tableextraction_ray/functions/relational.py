@@ -1994,29 +1994,33 @@ def event_last_order(
     (feature-store "latest value as of label time") — an operator Ray
     Data has no native form of (SURVEY.md §2.8 engine addition).
 
-    Shape: both sides project to narrow (user_id, t, k, tag) rows and
-    co-locate with ONE groupby(user_id) — the single partitioning key —
-    then each group resolves fully vectorized: orders lexsort by
-    (t, k) once, every event answered by one np.searchsorted
-    (side='right') - 1 probe, ties correct by construction (the last
-    entry <= t has the max key at the max date). A hot user with 10^6
-    events costs two sorts + one searchsorted, not a Python loop; no
-    all-pairs inequality join anywhere (the oracle's ROW_NUMBER over
-    the inequality join is the sandbox-exact replay, not the plan).
-
-    Oracle: events x orders inequality join, ROW_NUMBER() OVER
-    (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC),
-    rn = 1."""
+    Shape: both sides project to narrow (user_id, t, tag, k) rows and
+    co-locate with ONE global sort by (user_id, t, tag, k) — orders
+    (tag 0) sort before events (tag 1) at equal timestamps, so "at or
+    before" is a pure prefix property, and equal-date orders ascend by
+    key so the prefix max IS the tie-break winner. Resolution is the
+    [[char_budget_prefix]] / [[ks_statistic]] block-prefix pattern, NOT
+    a per-user map_groups (whose Python call count is the user count —
+    the 130 µs/group pathology the keyed exchange family exists to
+    avoid): pass 1 emits one (first-row key, last-user order state) row
+    per block (O(#blocks) driver fold computes each block's incoming
+    carry — only a block's FIRST user can continue from earlier blocks
+    under the sort), pass 2 re-reads each block with its carry broadcast
+    and resolves every event via one sentinel-floored segmented cummax
+    (the [[media_span_context]] trick). A hot user costs vectorized
+    numpy, never a Python loop; no inequality pair expansion anywhere
+    (the oracle's ROW_NUMBER over the inequality join is the
+    sandbox-exact replay, not the plan)."""
 
     def ev_side(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "user_id": batch["user_id"].cast(pa.int64()),
                 "t": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "k": batch["event_id"].cast(pa.int64()),
                 "tag": pa.array(
                     np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()
                 ),
+                "k": batch["event_id"].cast(pa.int64()),
             }
         )
 
@@ -2027,54 +2031,138 @@ def event_last_order(
                 "t": batch["o_orderdate"]
                 .cast(pa.timestamp("us"))
                 .cast(pa.int64()),
-                "k": batch["o_orderkey"].cast(pa.int64()),
                 "tag": pa.array(
                     np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+                "k": batch["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    srt = (
+        events.map_batches(ev_side, batch_format="pyarrow")
+        .union(orders.map_batches(ord_side, batch_format="pyarrow"))
+        .sort(["user_id", "t", "tag", "k"])
+        .materialize()
+    )
+
+    def block_state(batch: pa.Table) -> pa.Table:
+        """One row per block: the block's first-row sort key (block id +
+        carry routing) and the last order row of the block's LAST user
+        (the only state that can flow into later blocks)."""
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    c: pa.array([], type=pa.int64())
+                    for c in (
+                        "fu", "ft", "ftag", "fk",
+                        "lu", "has_ord", "lo_t", "lo_k",
+                    )
+                }
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        lu = u[-1]
+        mask = (u == lu) & (tag == 0)
+        oi = np.flatnonzero(mask)
+        has = len(oi) > 0
+        return pa.Table.from_pydict(
+            {
+                "fu": pa.array([int(u[0])], type=pa.int64()),
+                "ft": pa.array([int(t[0])], type=pa.int64()),
+                "ftag": pa.array([int(tag[0])], type=pa.int64()),
+                "fk": pa.array([int(k[0])], type=pa.int64()),
+                "lu": pa.array([int(lu)], type=pa.int64()),
+                "has_ord": pa.array([int(has)], type=pa.int64()),
+                "lo_t": pa.array(
+                    [int(t[oi[-1]]) if has else 0], type=pa.int64()
+                ),
+                "lo_k": pa.array(
+                    [int(k[oi[-1]]) if has else 0], type=pa.int64()
                 ),
             }
         )
 
-    tagged = events.map_batches(ev_side, batch_format="pyarrow").union(
-        orders.map_batches(ord_side, batch_format="pyarrow")
+    parts = sorted(
+        (
+            (r["fu"], r["ft"], r["ftag"], r["fk"]),
+            r["lu"],
+            bool(r["has_ord"]),
+            r["lo_t"],
+            r["lo_k"],
+        )
+        for r in srt.map_batches(
+            block_state, batch_format="pyarrow", batch_size=None
+        ).take_all()
     )
+    # Driver fold over O(#blocks) rows: the incoming order state for each
+    # block's first user.
+    incoming: dict[tuple, tuple[int, int] | None] = {}
+    cur_user: int | None = None
+    cur_state: tuple[int, int] | None = None
+    for key, lu, has, lo_t, lo_k in parts:
+        fu = key[0]
+        incoming[key] = cur_state if fu == cur_user else None
+        if has:
+            # the block's last order for lu is lu's global latest so far
+            # (within a user, later blocks hold strictly later sort keys)
+            cur_state = (lo_t, lo_k)
+        elif lu != fu or fu != cur_user:
+            # lu starts inside this block (or a brand-new single-user
+            # block) with no orders yet -> no state
+            cur_state = None
+        # else: the same user continues with no new orders -> carry
+        cur_user = lu
+    inc_ref = ray.put(incoming)
 
-    def resolve(group: pa.Table) -> pa.Table:
-        tag = group["tag"].to_numpy(zero_copy_only=False)
-        t = group["t"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False)
-        is_ev = tag == 1
-        et, ek = t[is_ev], k[is_ev]
-        ot, ok = t[~is_ev], k[~is_ev]
+    def resolve(batch: pa.Table) -> pa.Table:
         empty = {
             "event_id": pa.array([], type=pa.int64()),
             "user_id": pa.array([], type=pa.int64()),
             "last_orderkey": pa.array([], type=pa.int64()),
             "recency_us": pa.array([], type=pa.int64()),
         }
-        if len(et) == 0 or len(ot) == 0:
+        if batch.num_rows == 0:
             return pa.Table.from_pydict(empty)
-        order = np.lexsort((ok, ot))
-        ot, ok = ot[order], ok[order]
-        idx = np.searchsorted(ot, et, side="right") - 1
-        hit = idx >= 0
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        inc = ray.get(inc_ref)[
+            (int(u[0]), int(t[0]), int(tag[0]), int(k[0]))
+        ]
+        idx = np.arange(n, dtype=np.int64)
+        user_start = np.ones(n, dtype=bool)
+        user_start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(user_start)
+        s_d = starts[np.cumsum(user_start) - 1]
+        # sentinel-floored segmented cummax of "last order row index"
+        v = np.where(tag == 0, idx, -1)
+        r = np.maximum.accumulate(np.maximum(v, s_d - 1))
+        in_block = r >= s_d
+        is_ev = tag == 1
+        # events with no in-block order fall back to the incoming carry
+        # (valid only for the block's first user)
+        use_inc = is_ev & ~in_block & (u == u[0]) & (inc is not None)
+        hit = is_ev & (in_block | use_inc)
         if not hit.any():
             return pa.Table.from_pydict(empty)
-        user = group["user_id"][0].as_py()
+        safe = np.where(in_block, r, 0)
+        lo_t = np.where(in_block, t[safe], inc[0] if inc else 0)
+        lo_k = np.where(in_block, k[safe], inc[1] if inc else 0)
         return pa.Table.from_pydict(
             {
-                "event_id": pa.array(ek[hit], type=pa.int64()),
-                "user_id": pa.array(
-                    np.full(int(hit.sum()), user), type=pa.int64()
-                ),
-                "last_orderkey": pa.array(ok[idx[hit]], type=pa.int64()),
-                "recency_us": pa.array(
-                    et[hit] - ot[idx[hit]], type=pa.int64()
-                ),
+                "event_id": pa.array(k[hit], type=pa.int64()),
+                "user_id": pa.array(u[hit], type=pa.int64()),
+                "last_orderkey": pa.array(lo_k[hit], type=pa.int64()),
+                "recency_us": pa.array(t[hit] - lo_t[hit], type=pa.int64()),
             }
         )
 
-    return tagged.groupby("user_id").map_groups(
-        resolve, batch_format="pyarrow"
+    return srt.map_batches(
+        resolve, batch_format="pyarrow", batch_size=None
     )
 
 

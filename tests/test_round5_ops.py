@@ -116,6 +116,18 @@ class TestEventLastOrder:
         assert a == b and len(a) > 0
 
 
+    def test_carry_through_orderless_blocks(self, ray_session):
+        # one user: both orders at the start, a long run of later events;
+        # many tiny partitions force the order state to carry across
+        # several blocks that contain no order rows at all.
+        ev = _events([(i, _ts(5 + i % 20, i % 24), 7) for i in range(60)])
+        od = _orders([(100, 7, _ts(1)), (200, 7, _ts(2))])
+        rows = event_last_order(
+            ev.repartition(12), od.repartition(2)
+        ).take_all()
+        assert len(rows) == 60
+        assert all(r["last_orderkey"] == 200 for r in rows)
+
 class TestKneserNeyBigram:
     def _docs(self, texts):
         return ray.data.from_arrow(
