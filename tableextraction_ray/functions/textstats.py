@@ -3961,7 +3961,8 @@ def kneser_ney_bigram(ds: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
     partials → [[keyed_fold]] on the pair → the type table; c1/r1 fold
     per w1 and l2 per w2 are derived from the TYPE table (already
     distinct, far smaller than the token stream); the top-k pick is a
-    sort-limit, and the ≤k needed c1/r1/l2 rows come back via broadcast
+    per-block top-k prune + O(k·#blocks) driver merge (no all-to-all
+    sort for k output rows), and the ≤k needed c1/r1/l2 rows come back via broadcast
     semi-join filters, never a full collect."""
     from .exchange import keyed_fold
 
@@ -4003,9 +4004,22 @@ def kneser_ney_bigram(ds: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
                 }
             )
         )
-    top = bg.sort(
-        ["c", "w1", "w2"], descending=[True, False, False]
-    ).limit(k).take_all()
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        w1 = np.array(batch["w1"].to_pylist())
+        w2 = np.array(batch["w2"].to_pylist())
+        order = np.lexsort((w2, w1, -c))[:k]
+        return batch.take(pa.array(order))
+
+    # per-block top-k prune -> O(k x #blocks) driver merge; the global
+    # sort-limit of the full TYPE table would be an all-to-all shuffle
+    # for k rows of output.
+    top = sorted(
+        bg.map_batches(block_topk, batch_format="pyarrow").take_all(),
+        key=lambda r: (-r["c"], r["w1"], r["w2"]),
+    )[:k]
 
     def left_stats(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
