@@ -152,17 +152,21 @@ def _build_work_stream(
     cfg = _resolve_dpi(corpus_dir, cfg)
     cpus = cfg.cluster_cpus()
     if docs is None:
-        # Block granularity scales with DATA (~64 docs/block, floor of 10
+        # Block granularity scales with DATA (~128 docs/block, floor of 10
         # blocks/CPU): tying it to CPU count alone left 750-doc blocks on
         # the 8-CPU scaling run — a 14 s skew tail from multi-page docs at
-        # 47 % utilization. Row count comes from parquet footers (cheap).
+        # 47 % utilization — while blocks that are too FINE pay the
+        # all-to-all width before the doc_id exchange (measured at the
+        # 60k-doc bench tier, 32 CPUs: 64 docs/block 52.9 s, 128/block
+        # 44.4 s, 256/block 45.8 s — the skew tail returns). Row count
+        # comes from parquet footers (cheap).
         import pyarrow.dataset as pads
 
         n_rows = pads.dataset(documents_path(corpus_dir)).count_rows()
         docs = ray.data.read_parquet(
             documents_path(corpus_dir),
             columns=["doc_id", "spans"],
-            override_num_blocks=max(10 * cpus, -(-n_rows // 64)),
+            override_num_blocks=max(10 * cpus, -(-n_rows // 128)),
         )
     work = docs.map_batches(explode_spans, batch_format="pyarrow")
     if cfg.use_actors():
