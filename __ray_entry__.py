@@ -89,6 +89,19 @@ def _parquet_count(sf_dir: str, table: str) -> int:
     return pads.dataset(os.path.join(sf_dir, f"{table}.parquet")).count_rows()
 
 
+def _read_embeddings_head_labeled(sf_dir: str, m: int):
+    """Row-filtered (vec_id, embedding, label) head read — the
+    hard-negative query set with labels, predicate pushed down."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pc.field("vec_id") < m),
+    )
+
+
 def _read_embeddings_head(sf_dir: str, m: int):
     """Row-filtered embeddings read (vec_id < m pushed into the parquet
     scan) for fetching tiny query/centroid sets without a full table pass."""
@@ -1091,6 +1104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "code_detect": lambda sf: textstats.code_detect(
             docs(sf, ["doc_id", "text"])
+        ),
+        "hard_negatives": lambda sf: similarity.hard_negatives(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            head_ds=_read_embeddings_head_labeled(sf, 8),
         ),
         "event_last_order": lambda sf: relational.event_last_order(
             _read(sf, "events", ["event_id", "ts", "user_id"]),

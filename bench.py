@@ -308,6 +308,7 @@ QUERY_SUITE = [
     "matryoshka_error",
     "dup_ngram_coverage",
     "code_detect",
+    "hard_negatives",
 ]
 
 

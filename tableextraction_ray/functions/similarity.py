@@ -1125,6 +1125,70 @@ def pq_index_incremental(
     return ds.map_batches(encode_new, batch_format="pyarrow")
 
 
+def hard_negatives(
+    ds: ray.data.Dataset,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    head_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(query_id, vec_id, cos_fp5) — contrastive hard-negative mining:
+    for each of the first ``n_queries`` vectors, the ``k`` most
+    cosine-similar vectors whose LABEL DIFFERS from the query's (ties by
+    vec_id ascending) — the negatives that sit closest to the decision
+    boundary, which is exactly what contrastive / triplet training wants
+    mined from the corpus (easy negatives teach nothing).
+
+    Shape: identical to [[knn_bruteforce]] — broadcast query matrix
+    (ids, labels, quantized rows via ray.put once), per-block exact
+    cosine + label-mismatch mask + per-block top-k prune, one
+    query-keyed k-way merge. Same fixed-point exactness contract.
+
+    Oracle: the knn_cosine CTE with a label join and a label-mismatch
+    predicate."""
+    queries = _head_rows(ds, head_ds, n_queries)
+    q_ids = [r["vec_id"] for r in queries]
+    q_labels = np.asarray([r["label"] for r in queries], dtype=np.int64)
+    q_mat = _quantize(
+        np.asarray([r["embedding"] for r in queries], dtype=np.float64)
+    )
+    q_ref = ray.put((q_ids, q_labels, q_mat))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_labels, q_mat = ray.get(q_ref)
+        mat = _quantize(_stack(batch))
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        cos = _cos_matrix(mat, q_mat)
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            col = _fp5(cos[:, qi])
+            mask = labels != q_labels[qi]
+            vids, vals = vec_ids[mask], col[mask]
+            order = np.lexsort((vids, -vals))[:k]
+            out_q.extend([q_id] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_c.extend(vals[order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_fp5": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(), key=lambda r: (-r["cos_fp5"], r["vec_id"])
+        )[:k]
+        return pa.Table.from_pylist(rows, schema=group.schema)
+
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )
+
+
 def matryoshka_error(
     ds: ray.data.Dataset, prefix_dim: int = 16
 ) -> ray.data.Dataset:

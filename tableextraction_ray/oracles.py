@@ -6386,4 +6386,26 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # Contrastive hard negatives: knn_cosine CTE + label-mismatch gate.
+    d["hard_negatives"] = _QUANT_CTE + """,
+        ql AS (SELECT vec_id, label FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 CAST(FLOOR(
+                   list_sum([e.q[i+1] * qq.q[i+1] for i in range(len(e.q))])
+                   / (sqrt(e.nsq) * sqrt(qq.nsq)) * 1e5 + 0.5) AS BIGINT
+                 ) AS cos_fp5
+          FROM qe e
+          JOIN ql el ON el.vec_id = e.vec_id,
+               qe qq, (SELECT vec_id, label FROM embeddings
+                       WHERE vec_id < 8) q
+          WHERE qq.vec_id = q.vec_id AND el.label <> q.label
+        )
+        SELECT query_id, vec_id, cos_fp5 FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_fp5 DESC, vec_id
+          ) AS rn FROM scored
+        ) WHERE rn <= 10
+    """
+
     return d

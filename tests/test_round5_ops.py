@@ -483,3 +483,63 @@ class TestLanceSourceGate:
             pytest.skip("lance present; gate not exercisable")
         with pytest.raises(NotImplementedError, match="read_lance"):
             read_documents_lance("/tmp/nonexistent.lance")
+
+
+class TestHardNegatives:
+    def _ds(self, vecs, labels):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(
+                        list(range(len(vecs))), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        vecs, type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, type=pa.int32()),
+                }
+            )
+        )
+
+    def test_same_label_excluded(self, ray_session):
+        from tableextraction_ray.functions.similarity import hard_negatives
+
+        # query 0 (label 0): vec 1 is identical but same label -> excluded;
+        # vec 2 (other label) must be the top negative.
+        vecs = [[1.0, 0.0], [1.0, 0.0], [0.9, 0.1], [-1.0, 0.0]]
+        labels = [0, 0, 1, 1]
+        rows = hard_negatives(
+            self._ds(vecs, labels), n_queries=1, k=2
+        ).take_all()
+        got = [(r["vec_id"]) for r in rows]
+        assert got == [2, 3]
+        assert all(r["query_id"] == 0 for r in rows)
+
+    def test_partition_invariance(self, ray_session):
+        from tableextraction_ray.functions.similarity import hard_negatives
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(64, 8).astype(np.float32).tolist()
+        labels = [i % 3 for i in range(64)]
+        ds = self._ds(vecs, labels)
+        a = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in hard_negatives(ds, n_queries=4, k=5).take_all()
+                ),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                (
+                    r.values()
+                    for r in hard_negatives(
+                        ds.repartition(9), n_queries=4, k=5
+                    ).take_all()
+                ),
+            )
+        )
+        assert a == b and len(a) == 20
