@@ -97,7 +97,19 @@ class ExtractConfig:
         starting from 1 actor, the autoscaler's ramp eats most of a short
         run; but the SUM of all pool minima must leave >= 2 CPUs for the
         read / repartition / shuffle tasks or the pipeline livelocks
-        (observed at num_cpus=4 when minima summed to the CPU count)."""
+        (observed at num_cpus=4 when minima summed to the CPU count).
+
+        Tiny single nodes (< 16 CPUs) keep a conservative OCR min of
+        cpus//2: the reservation allocator pins the pool at its min, so
+        raising it is measurably faster (bench tier at num_cpus=8:
+        min 4 -> 203 s, ocr_pool=(5,8) -> 165 s, ocr_pool=(6,8) with
+        decode_pool=(1,1) -> 137 s) — but those settings leave only ONE
+        free CPU, eroding the 2-CPU livelock reserve that protects the
+        <= 6-CPU shapes and the heavier dual-DPI / resume flows. On a
+        real N-node cluster every node takes the >= 16-CPU branch, so
+        the default favors hang-free robustness on the tiny shape;
+        operators who want the faster tiny-node profile pass
+        ``ocr_pool=(cpus - 2, cpus)`` explicitly."""
         decode, ocr = self.decode_pool, self.ocr_pool
         if decode is None or ocr is None:
             from ..util import cluster_cpus
