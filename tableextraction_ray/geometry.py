@@ -67,9 +67,14 @@ def _runs_2d(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1 : w + 1] = mask
     d = np.diff(padded, axis=1)
-    rs, cs = np.nonzero(d == 1)
-    _re, ce = np.nonzero(d == -1)
-    return rs, cs, ce  # starts/stops pair up elementwise (same row, in order)
+    # ONE nonzero scan, then split by transition sign: within each row the
+    # +1/-1 transitions strictly alternate (start, stop, start, ...), so
+    # the sign-filtered subsequences pair up elementwise exactly like the
+    # former separate d==1 / d==-1 scans — same arrays, half the passes
+    # (this is the hot path of every page scan).
+    rs_all, cs_all = np.nonzero(d)
+    up = d[rs_all, cs_all] == 1
+    return rs_all[up], cs_all[up], cs_all[~up]
 
 
 
