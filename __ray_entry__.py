@@ -135,7 +135,7 @@ _EXTRACT_GATES: tuple[str, ...] = (
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     "audio_features", "bm25_topk", "boilerplate_lines",
     "canonical_docs", "cdc_merge", "char_budget_prefix", "char_entropy",
-    "chunk_documents", "classify_docs", "cms_heavy_hitters",
+    "chunk_documents", "cms_heavy_hitters",
     "containment_pairs", "conversion_funnel", "curate_corpus",
     "curate_semantic", "decayed_user_score", "decontaminate",
     "dedup_clusters", "dedup_exact", "dedup_incremental",

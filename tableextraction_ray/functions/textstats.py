@@ -146,8 +146,9 @@ def dehyphenate(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def classify_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, is_table_like) — the reference's fuzzy steel-spec keyword
-    classifier (recognition.py:37-75) per document (positional char compare,
-    not SQL-expressible)."""
+    classifier (recognition.py:37-75) per document. The positional char
+    compare replays exactly in SQL (cross-multiplied error ratio, f >= 2
+    confidence gate), so this query is hash-checked."""
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

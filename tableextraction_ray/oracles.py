@@ -6408,4 +6408,33 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 10
     """
 
+    # Fuzzy steel-spec classifier replay (textproc.py:37-75): positional
+    # char errors over zip(word, keyword) with the <= 0.2 ratio as the
+    # exact cross-multiplication errors*5 <= max(len), and the 0.8*(f/8)
+    # >= 0.2 confidence gate reduced exactly to f >= 2 (0.8*0.25 == 0.2
+    # bit-exactly in IEEE). Verified mismatch-free vs the Python
+    # classifier on the sf0.01 corpus + case/boundary probes.
+    d["classify_docs"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r\v\f]+')) AS w
+          FROM documents
+        ),
+        kw AS (
+          SELECT unnest(['марка','стали','временное','сопротивление',
+                         'предел','текучести','относительное','удлинение']) AS k
+        ),
+        km AS (
+          SELECT DISTINCT doc_id, k
+          FROM toks, kw
+          WHERE list_sum([
+                  CASE WHEN substr(lower(w), i+1, 1) <> substr(k, i+1, 1)
+                       THEN 1 ELSE 0 END
+                  for i in range(least(length(w), length(k)))
+                ]) * 5 <= greatest(length(w), length(k))
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS f FROM km GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(c.f, 0) >= 2 AS is_table_like
+        FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+
     return d
