@@ -245,7 +245,6 @@ _R4_QUERIES: list[str] = [
     "top_customers_concat",
     "doc_length_deciles",
     "media_ref_fanout",
-    "mmr_select",
     "lexical_diversity",
     "user_gap_stats",
     "span_length_profile",
@@ -1711,12 +1710,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # automatically — then the already-checked remainder. ~45 first-time
     # rows per round; in-repo parity (tests/test_entry_parity.py +
     # scripts/parity_sweep.py) covers the full registry regardless.
-    front = list(_EXTRACT_GATES) + ["dehyphenate"] + [
+    # Queries whose oracle landed in round 5 (rows-only -> hash-green
+    # upgrades) are pinned right after the gates so their FIRST hash row
+    # is driver-recorded this round regardless of registry position.
+    upgraded = ["dehyphenate", "classify_docs", "mmr_select"]
+    front = list(_EXTRACT_GATES) + upgraded + [
         k
         for k in q
         if k not in _DRIVER_CHECKED
         and k not in _EXTRACT_GATES
-        and k != "dehyphenate"
+        and k not in upgraded
     ]
     seen = set(front)
     return {k: q[k] for k in front if k in q} | {

@@ -6437,4 +6437,72 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN cnt c USING (doc_id)
     """
 
+    # MMR greedy replay: recursive CTE carrying the selected list, the
+    # per-iteration argmax as ORDER BY score DESC, vec_id LIMIT 1 over
+    # the remaining pool (exact 70*rel - 30*maxsim fp5 integers); final
+    # scores reconstructed per rank from the list prefix.
+    d["mmr_select"] = r"""
+        WITH RECURSIVE qe AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  for x in embedding] AS q,
+                 list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                           for x in embedding]) AS nsq
+          FROM embeddings
+        ),
+        pool AS (
+          SELECT e.vec_id,
+                 CAST(FLOOR(
+                   list_sum([e.q[i+1] * q.q[i+1] for i in range(len(e.q))])
+                   / (sqrt(e.nsq) * sqrt(q.nsq)) * 1e5 + 0.5) AS BIGINT) AS rel
+          FROM qe e, qe q
+          WHERE q.vec_id = 0 AND e.vec_id <> 0
+          ORDER BY rel DESC, e.vec_id LIMIT 64
+        ),
+        sim AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(FLOOR(
+                   list_sum([a.q[i+1] * b.q[i+1] for i in range(len(a.q))])
+                   / (sqrt(a.nsq) * sqrt(b.nsq)) * 1e5 + 0.5) AS BIGINT) AS s
+          FROM qe a, qe b
+          WHERE a.vec_id IN (SELECT vec_id FROM pool)
+            AND b.vec_id IN (SELECT vec_id FROM pool)
+        ),
+        mmr AS (
+          SELECT CAST(0 AS BIGINT) AS rk,
+                 [(SELECT vec_id FROM pool
+                   ORDER BY rel DESC, vec_id LIMIT 1)] AS sel
+          UNION ALL
+          SELECT m.rk + 1,
+                 m.sel || [(
+                   SELECT p.vec_id FROM pool p
+                   WHERE NOT list_contains(m.sel, p.vec_id)
+                   ORDER BY 70 * p.rel - 30 * (
+                       SELECT MAX(s.s) FROM sim s
+                       WHERE s.ia = p.vec_id AND list_contains(m.sel, s.ib)
+                     ) DESC, p.vec_id
+                   LIMIT 1
+                 )]
+          FROM mmr m
+          WHERE m.rk + 1 < LEAST(8, (SELECT COUNT(*) FROM pool))
+        ),
+        final AS (
+          SELECT sel FROM mmr WHERE rk = (SELECT MAX(rk) FROM mmr)
+        ),
+        ranked AS (
+          SELECT CAST(i.i AS BIGINT) AS rk, f.sel[i.i + 1] AS vec_id,
+                 f.sel AS sel
+          FROM final f,
+               (SELECT unnest(range(len((SELECT sel FROM final)))) AS i) i
+        )
+        SELECT r.rk, r.vec_id, p.rel AS rel_fp5,
+               CAST(70 * p.rel - 30 * COALESCE((
+                 SELECT MAX(s.s) FROM sim s
+                 WHERE s.ia = r.vec_id
+                   AND list_contains(r.sel[1:r.rk], s.ib)
+               ), 0) AS BIGINT) AS score_fp5
+        FROM ranked r JOIN pool p ON p.vec_id = r.vec_id
+    """
+
     return d
