@@ -753,6 +753,20 @@ def refined_structure_to_cells(
     return cells
 
 
+def table_confidence_score(
+    cells: list[dict], table_spans: list[dict]
+) -> float:
+    """Reference eval_utils.py:856-864: confidence that the model's cell
+    layout explains the page tokens — slot the spans into the cells at the
+    DEFAULT overlap threshold (0.5) and return (mean + min)/2 of the
+    per-span best-match scores; 0.0 when either side is empty (the
+    reference's bare-except fallback)."""
+    _, _, scores = slot_into_containers(cells, table_spans)
+    if not scores:
+        return 0.0
+    return (sum(scores) / len(scores) + min(scores)) / 2
+
+
 def extract_text_from_spans(spans: list[dict]) -> str:
     """Join token spans in reading order (block, line, span), hyphen-aware:
     a span ending in '-' joins the next span with no space (the reference's

@@ -254,3 +254,20 @@ class TestPropsKeyStats:
         assert out["a"]["n_with_key"] == 2
         assert out["a"]["sum_k"] == 2 and out["a"]["min_k"] == -3 and out["a"]["max_k"] == 5
         assert out["b"]["n_with_key"] == 1 and out["b"]["sum_k"] == 7
+
+
+class TestTableConfidence:
+    def test_reference_formula(self):
+        # two cells; one span fully inside (score 1.0), one half-in
+        # (score 0.5): confidence = (mean + min)/2 = (0.75 + 0.5)/2
+        cells = [{"bbox": (0, 0, 10, 10)}, {"bbox": (10, 0, 20, 10)}]
+        spans = [
+            {"bbox": (1, 1, 3, 3)},
+            {"bbox": (5, 0, 15, 10)},  # 0.5 in each cell
+        ]
+        c = tatr.table_confidence_score(cells, spans)
+        assert abs(c - ((1.0 + 0.5) / 2 + 0.5) / 2) < 1e-9
+
+    def test_empty_sides_zero(self):
+        assert tatr.table_confidence_score([], [{"bbox": (0, 0, 1, 1)}]) == 0.0
+        assert tatr.table_confidence_score([{"bbox": (0, 0, 1, 1)}], []) == 0.0
