@@ -1086,6 +1086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kneser_ney_bigram": lambda sf: textstats.kneser_ney_bigram(
             docs(sf, ["doc_id", "text"])
         ),
+        "caption_token_audit": lambda sf: (
+            interleaved.caption_token_audit(_spans(sf))
+        ),
         "media_span_context": lambda sf: (
             interleaved.media_span_context(_spans(sf))
         ),

@@ -309,6 +309,7 @@ QUERY_SUITE = [
     "dup_ngram_coverage",
     "code_detect",
     "hard_negatives",
+    "caption_token_audit",
 ]
 
 

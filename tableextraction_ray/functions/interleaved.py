@@ -1013,6 +1013,47 @@ def media_span_context(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(context, batch_format="pyarrow")
 
 
+def caption_token_audit(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, offset, media_ref, prev_tokens, next_tokens, chosen,
+    chosen_tokens) — caption-side selection audit on top of
+    [[media_span_context]]: for every media span, whitespace token counts
+    of the nearest text on each side and which side a caption miner
+    should pair with (the longer side; ties and the both-empty case fall
+    to 'prev' / 'none'). The budget signal for caption-pair curation:
+    how much prose actually sits next to the images, and on which side.
+
+    Same zero-shuffle per-doc shape as media_span_context (this runs as
+    one extra vectorized map over its output). Oracle: the span-context
+    window CTE + len(regexp_extract_all) token counts."""
+    ctx = media_span_context(ds)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        import re
+
+        ws = re.compile(r"[^ \t\n\r\v\f]+")
+        pt = [len(ws.findall(t)) for t in batch["prev_text"].to_pylist()]
+        nt = [len(ws.findall(t)) for t in batch["next_text"].to_pylist()]
+        chosen = [
+            "none" if p == 0 and n == 0 else ("prev" if p >= n else "next")
+            for p, n in zip(pt, nt)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "offset": batch["offset"],
+                "media_ref": batch["media_ref"],
+                "prev_tokens": pa.array(pt, type=pa.int64()),
+                "next_tokens": pa.array(nt, type=pa.int64()),
+                "chosen": pa.array(chosen, type=pa.string()),
+                "chosen_tokens": pa.array(
+                    [max(p, n) for p, n in zip(pt, nt)], type=pa.int64()
+                ),
+            }
+        )
+
+    return ctx.map_batches(audit, batch_format="pyarrow")
+
+
 def media_position_hist(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(bucket, n_media) — corpus-level decile histogram of WHERE media
     spans sit inside their documents: bucket = ``rank·10 // n_spans`` of

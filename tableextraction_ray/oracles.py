@@ -6505,4 +6505,42 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r JOIN pool p ON p.vec_id = r.vec_id
     """
 
+    # Caption-side audit: span-context windows + whitespace token counts.
+    d["caption_token_audit"] = f"""
+        WITH s AS (
+          SELECT t.doc_id, u.s.kind AS kind, u.s.text AS text,
+                 u.s.media_ref AS media_ref, u.s."offset" AS off
+          FROM read_parquet(
+            '{_ORACLE_CORPUS_DIR}/documents.parquet/*.parquet') t,
+            UNNEST(t.spans) AS u(s)
+        ), w AS (
+          SELECT *,
+                 MAX(CASE WHEN kind = 'text' THEN off END) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS p_off,
+                 MIN(CASE WHEN kind = 'text' THEN off END) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                 ) AS n_off
+          FROM s
+        ), j AS (
+          SELECT w.doc_id, CAST(w.off AS BIGINT) AS "offset", w.media_ref,
+                 CAST(len(regexp_extract_all(COALESCE(pt.text, ''),
+                   '[^ \\t\\n\\r\\v\\f]+')) AS BIGINT) AS prev_tokens,
+                 CAST(len(regexp_extract_all(COALESCE(nt.text, ''),
+                   '[^ \\t\\n\\r\\v\\f]+')) AS BIGINT) AS next_tokens
+          FROM w
+          LEFT JOIN s pt ON pt.doc_id = w.doc_id AND pt.off = w.p_off
+          LEFT JOIN s nt ON nt.doc_id = w.doc_id AND nt.off = w.n_off
+          WHERE w.kind = 'media'
+        )
+        SELECT doc_id, "offset", media_ref, prev_tokens, next_tokens,
+               CASE WHEN prev_tokens = 0 AND next_tokens = 0 THEN 'none'
+                    WHEN prev_tokens >= next_tokens THEN 'prev'
+                    ELSE 'next' END AS chosen,
+               GREATEST(prev_tokens, next_tokens) AS chosen_tokens
+        FROM j
+    """
+
     return d

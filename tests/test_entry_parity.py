@@ -83,6 +83,7 @@ def test_query_matches_oracle(name, con, ray_session):
             "span_length_profile",
             "span_coalesce",
             "media_span_context",
+            "caption_token_audit",
             "media_position_hist",
             "media_orphan_audit",
             "media_payload_size_hist",

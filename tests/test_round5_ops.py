@@ -543,3 +543,70 @@ class TestHardNegatives:
             )
         )
         assert a == b and len(a) == 20
+
+
+class TestCaptionTokenAudit:
+    def test_side_selection(self, ray_session):
+        from tableextraction_ray.functions.interleaved import (
+            caption_token_audit,
+        )
+
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": "d0",
+                    "spans": [
+                        {"kind": "text", "text": "one two three",
+                         "media_ref": "", "offset": 0},
+                        {"kind": "media", "text": "", "media_ref": "m1",
+                         "offset": 1},
+                        {"kind": "text", "text": "four",
+                         "media_ref": "", "offset": 2},
+                        {"kind": "media", "text": "", "media_ref": "m2",
+                         "offset": 3},
+                    ],
+                },
+                {
+                    "doc_id": "d1",
+                    "spans": [
+                        {"kind": "media", "text": "", "media_ref": "m3",
+                         "offset": 0}
+                    ],
+                },
+            ]
+        )
+        rows = {
+            r["media_ref"]: r
+            for r in caption_token_audit(ray.data.from_arrow(t)).take_all()
+        }
+        m1 = rows["m1"]
+        assert (m1["prev_tokens"], m1["next_tokens"]) == (3, 1)
+        assert m1["chosen"] == "prev" and m1["chosen_tokens"] == 3
+        m2 = rows["m2"]
+        assert (m2["prev_tokens"], m2["next_tokens"]) == (1, 0)
+        assert m2["chosen"] == "prev"
+        m3 = rows["m3"]
+        assert m3["chosen"] == "none" and m3["chosen_tokens"] == 0
+
+    def test_tie_goes_prev(self, ray_session):
+        from tableextraction_ray.functions.interleaved import (
+            caption_token_audit,
+        )
+
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": "d0",
+                    "spans": [
+                        {"kind": "text", "text": "a b", "media_ref": "",
+                         "offset": 0},
+                        {"kind": "media", "text": "", "media_ref": "m",
+                         "offset": 1},
+                        {"kind": "text", "text": "c d", "media_ref": "",
+                         "offset": 2},
+                    ],
+                }
+            ]
+        )
+        (row,) = caption_token_audit(ray.data.from_arrow(t)).take_all()
+        assert row["chosen"] == "prev" and row["chosen_tokens"] == 2
